@@ -1,0 +1,66 @@
+"""OLAP aggregation surface — the Mondrian-cube capability (SURVEY.md §2.5).
+
+The reference serves two cubes (Emigrantes/Inmigrantes) whose measures are
+``count(id_persona)`` and ``avg(edad)`` over a star join, with drilldown
+hierarchies Anio>Mes>Dia and Provincia>Canton>Jefatura and a ``hasAll``
+grand-total member (Schema_Trabajo_Final.xml:2-91). In Spark that whole
+serving layer is: star join (broadcast dims) + groupBy/rollup/cube.
+
+Scale notes: the fact side never moves for the join (dims broadcast); the
+aggregation is partially applied map-side before the single shuffle on the
+grouping keys. rollup/cube expand to grouping sets inside one Expand +
+HashAggregate pair — no per-level re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cube_measures(
+    fact: DataFrame,
+    group_cols: list[str],
+    count_col: str,
+    avg_col: str | None = None,
+) -> DataFrame:
+    """A1+A2: the reference's two cube measures per cell.
+
+    "Cantidad Movimientos" = count(<fk>) and "Promedio de Edades" =
+    avg(<measure>) (Schema_Trabajo_Final.xml:69-72,87-90).
+    """
+    aggs = [F.count(count_col).alias("cantidad_movimientos")]
+    if avg_col is not None:
+        aggs.append(F.avg(avg_col).alias("promedio_edades"))
+    return fact.groupBy(*group_cols).agg(*aggs)
+
+
+def rollup_measures(
+    fact: DataFrame,
+    hierarchy: list[str],
+    count_col: str,
+    avg_col: str | None = None,
+) -> DataFrame:
+    """A3: hierarchy drilldown with grand total (``hasAll="true"``).
+
+    A Mondrian hierarchy Anio>Mes>Dia answers every prefix level plus the
+    all-member; ``rollup`` produces exactly those grouping sets in one pass.
+    """
+    aggs = [F.count(count_col).alias("cantidad_movimientos")]
+    if avg_col is not None:
+        aggs.append(F.avg(avg_col).alias("promedio_edades"))
+    return fact.rollup(*hierarchy).agg(*aggs)
+
+
+def cube_all(
+    fact: DataFrame,
+    dims: list[str],
+    count_col: str,
+    avg_col: str | None = None,
+) -> DataFrame:
+    """A3 (dice): every dimension-combination cell, as MDX cross-dim slices
+    would generate. Use sparingly: 2^n grouping sets."""
+    aggs = [F.count(count_col).alias("cantidad_movimientos")]
+    if avg_col is not None:
+        aggs.append(F.avg(avg_col).alias("promedio_edades"))
+    return fact.cube(*dims).agg(*aggs)

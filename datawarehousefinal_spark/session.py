@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference delegates execution to Postgres + Pentaho's row-at-a-time step
+engine (SURVEY.md §3-4); our equivalent of its "engine configuration" is a
+SparkSession with adaptive execution on. Every knob here is a public Spark
+conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the test harness (local[$SPARK_GRAFT_CPUS], 128 GiB).
+# On a real cluster the same conf names apply; only master/memory change.
+_DEFAULT_CONF: dict[str, str] = {
+    # Adaptive query execution: runtime re-plan, skew-join splitting, and
+    # partition coalescing — the core of "would this survive 100×".
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables in a star schema are small: let Spark broadcast
+    # aggressively (dims here are <= a few MB even at sf100).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for any pandas interchange (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet: vectorized reader + pushdown are on by default; keep snappy.
+    "spark.sql.parquet.compression.codec": "snappy",
+    # ANSI off: the reference's Kettle casts turn bad values into NULL
+    # (SURVEY.md §2.2 P1); ANSI mode would raise instead.
+    "spark.sql.ansi.enabled": "false",
+    # Stable timestamp behavior for oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # Whole-stage codegen on (default, but explicit: the hot path must stay
+    # inside generated JVM code, not Python).
+    "spark.sql.codegen.wholeStage": "true",
+}
+
+
+def get_spark(
+    app_name: str = "datawarehousefinal_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores) so tests and bench share one code path. ``shuffle_partitions``
+    defaults to the core count locally; on a cluster you would size it to
+    ~2-3× total executor cores (or rely on AQE coalescing, which is on).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Local mode: one big JVM; give the driver room for 32 concurrent tasks.
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

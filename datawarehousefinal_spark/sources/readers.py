@@ -1,0 +1,130 @@
+"""Typed readers — the engine's scan operators (SURVEY.md §2.1 S1-S5).
+
+The reference reads six yearly CSVs with a declared 25-field schema
+(etl_final.ktr:606-921), falls back across encodings with per-file separators
+(Datos/preprocessing.py:91-121), repairs malformed rows through a second parse
+pass (Datos/preprocessing.py:152-187), and reads Parquet caches column-pruned
+(deeplearning/etl_to_tensor.py:29). Spark equivalents below; chunking and
+encoding-fallback loops disappear because the scan is distributed and
+per-file options are explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+_CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_typed(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType,
+    sep: str = ",",
+    encoding: str = "UTF-8",
+    header: bool = True,
+    quote: str = '"',
+) -> DataFrame:
+    """S1/S2: typed CSV scan with an explicit declared schema.
+
+    Mirrors the reference CsvInput steps (header, sep, quote, fixed schema —
+    etl_final.ktr:631-907). Declaring the schema skips Spark's inference pass
+    (one less full read) and keeps types stable across files.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", sep)
+        .option("quote", quote)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_csv_with_repair(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType,
+    sep: str = ",",
+    encoding: str = "UTF-8",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """S3: permissive scan that splits off malformed rows for repair.
+
+    The reference's ``rowFixer`` re-parses rows whose field count differs
+    from the header (Datos/preprocessing.py:152-187). Distributed version:
+    read PERMISSIVE with a corrupt-record column; return
+    ``(good_rows, corrupt_raw_lines)``. Callers can re-parse the corrupt
+    lines with ``from_csv`` under a different dialect and union back.
+    """
+    schema_with_corrupt = StructType(
+        list(schema.fields) + [StructField(_CORRUPT_COL, StringType(), True)]
+    )
+    df = (
+        spark.read.schema(schema_with_corrupt)
+        .option("header", header)
+        .option("sep", sep)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+        .csv(path)
+    )
+    # Spark requires caching before filtering on the corrupt-record column.
+    df = df.cache()
+    good = df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
+    bad = df.filter(F.col(_CORRUPT_COL).isNotNull()).select(
+        F.col(_CORRUPT_COL).alias("raw_line")
+    )
+    return good, bad
+
+
+def repair_rows(bad: DataFrame, schema: StructType, sep: str = ",") -> DataFrame:
+    """Re-parse corrupt raw lines under an alternate separator (S3 phase 2)."""
+    opts = {"sep": sep, "mode": "PERMISSIVE"}
+    parsed = bad.select(
+        F.from_csv(F.col("raw_line"), schema.simpleString(), opts).alias("r")
+    ).select("r.*")
+    return parsed
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S5: parquet scan (Catalyst prunes columns/filters pushed down)."""
+    return spark.read.parquet(path)
+
+
+def read_parquet_pruned(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """S5 column-pruned variant (deeplearning/etl_to_tensor.py:29).
+
+    The ``.select`` reaches the scan: `.explain` shows ReadSchema with only
+    the requested columns.
+    """
+    return spark.read.parquet(path).select(*columns)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """S4: JDBC scan (pd.read_sql_query / read_sql_table equivalents,
+    machineLearning.py:160,235). Partitioned read when bounds are given so
+    the scan parallelizes instead of funneling through one connection."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table_or_query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    return reader.load()

@@ -1,0 +1,89 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a Spark query and its oracle SQL side by side, then compares row count,
+column names/types (normalized), and an order-insensitive value hash — the
+same gate the driver applies, so mismatches surface in pytest before a round
+ends.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import date, datetime
+
+import duckdb
+
+from datawarehousefinal_spark.sources.testdata import TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_value(v) -> str:
+    """Normalize a cell so Spark and DuckDB renderings hash identically."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # Round to 6 significant decimals: avg/double paths differ in the
+        # last ulp between engines.
+        return format(v, ".6g")
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_value(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def _hash_rows(columns: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x1f".join(_norm_value(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def compare(spark, sf_dir: str, spark_fn, oracle_sql: str) -> dict:
+    sdf = spark_fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_connect(sf_dir)
+    try:
+        res = con.execute(oracle_sql)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        con.close()
+
+    out = {
+        "rows_spark": len(spark_rows),
+        "rows_oracle": len(duck_rows),
+        "cols_spark": sorted(spark_cols),
+        "cols_oracle": sorted(duck_cols),
+        "hash_spark": _hash_rows(spark_cols, spark_rows),
+        "hash_oracle": _hash_rows(duck_cols, duck_rows),
+    }
+    out["rows_match"] = out["rows_spark"] == out["rows_oracle"]
+    out["cols_match"] = out["cols_spark"] == out["cols_oracle"]
+    out["hash_match"] = out["hash_spark"] == out["hash_oracle"]
+    out["ok"] = out["rows_match"] and out["cols_match"] and out["hash_match"]
+    return out
