@@ -1,0 +1,57 @@
+"""Benchmark runner: times headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+    from datawarehousefinal_spark import queries as Q
+    from datawarehousefinal_spark.session import get_spark
+
+    spark = get_spark(app_name="dwf-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up pass: JVM JIT + whole-stage codegen + file listing are
+    # one-time costs that vanish on a long-lived cluster; measure the
+    # steady-state second run.
+    def execute(df) -> None:
+        # Noop sink: full distributed execution, nothing shipped to the
+        # driver (collect() would serialize large results through one node).
+        df.write.format("noop").mode("overwrite").save()
+
+    for _name, fn in sorted(Q.QUERIES.items()):
+        execute(fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(Q.QUERIES.items()):
+        start = time.perf_counter()
+        execute(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

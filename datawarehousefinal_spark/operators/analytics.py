@@ -1,0 +1,109 @@
+"""Relational analytics operators (SURVEY.md §2.5 A4-A9, §2.6 W1-W3,
+§2.2 P7) — the dataframe-shaped pieces of the reference's ML layer,
+re-expressed as distributed column operations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_counts(df: DataFrame, ts_col: str, out_date: str = "fecha") -> DataFrame:
+    """A4: rows per day (machineLearning.py:599). One shuffle on the date."""
+    return (
+        df.groupBy(F.to_date(ts_col).alias(out_date))
+        .agg(F.count(F.lit(1)).alias("movement_count"))
+    )
+
+
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """A5: class distribution, descending (machineLearning.py:92-93)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("count")).orderBy(
+        F.desc("count"), col
+    )
+
+
+def balanced_class_weights(df: DataFrame, label_col: str) -> DataFrame:
+    """A6: sklearn compute_class_weight('balanced') as a dataframe:
+    weight_c = n_samples / (n_classes * count_c) (machineLearning.py:80-98).
+
+    Two tiny aggregates + a broadcast of one row; no per-class driver loop.
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("count"))
+    totals = counts.agg(
+        F.sum("count").alias("n_samples"), F.count(F.lit(1)).alias("n_classes")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        label_col,
+        "count",
+        (F.col("n_samples") / (F.col("n_classes") * F.col("count"))).alias("weight"),
+    )
+
+
+def attach_class_weights(df: DataFrame, label_col: str) -> DataFrame:
+    """A6+M9: put the balanced weight on every row (the estimator's
+    ``weightCol``). Broadcast join — the big side never moves."""
+    weights = balanced_class_weights(df, label_col).select(label_col, "weight")
+    return df.join(F.broadcast(weights), label_col, "left")
+
+
+def top_n_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, n: int
+) -> DataFrame:
+    """A7/W3: n rows per group by a deterministic ordering
+    (the reference samples 10/cluster, machineLearning.py:376-382; use
+    ``F.rand(seed)`` in ``order_cols`` for its sampling flavor)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def exclude_years(df: DataFrame, date_col: str, years: list[int]) -> DataFrame:
+    """P7: year-exclusion filter (machineLearning.py:592-595). The predicate
+    pushes to the parquet scan when date_col is a plain column."""
+    return df.filter(~F.year(date_col).isin(years))
+
+
+def time_ordered_split(
+    df: DataFrame, order_col: str, train_fraction: float = 0.8
+) -> tuple[DataFrame, DataFrame]:
+    """W2: positional 80/20 split of a time-ordered frame
+    (machineLearning.py:611-615). row_number over the order vs a broadcast
+    total-count — no driver round trip.
+
+    Meant for already-aggregated series (daily counts): the global window
+    is single-partition, fine at series cardinality, wrong for raw facts.
+    """
+    w = Window.orderBy(order_col)
+    counted = df.withColumn("__rn", F.row_number().over(w)).crossJoin(
+        F.broadcast(df.agg(F.count(F.lit(1)).alias("__total")))
+    )
+    split_at = (F.col("__total") * train_fraction).cast("long")
+    train = counted.filter(F.col("__rn") <= split_at).drop("__rn", "__total")
+    test = counted.filter(F.col("__rn") > split_at).drop("__rn", "__total")
+    return train, test
+
+
+def distinct_count(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
+    """A9: category cardinality; ``approx=True`` switches to HLL
+    (approx_count_distinct) — the 100 TB default."""
+    agg = F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    return df.agg(agg.alias("n_distinct"))
+
+
+def stratified_split(
+    df: DataFrame, label_col: str, train_fraction: float = 0.8, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """C2: stratified train/test split. ``sampleBy`` keeps per-class
+    fractions (approximate, like any distributed stratified sampler); the
+    test side is the anti-join complement on a row id."""
+    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
+    labels = [r[0] for r in with_id.select(label_col).distinct().collect()]
+    fractions = {label: train_fraction for label in labels}
+    train = with_id.stat.sampleBy(label_col, fractions, seed)
+    test = with_id.join(train.select("__rid"), "__rid", "left_anti")
+    return train.drop("__rid"), test.drop("__rid")

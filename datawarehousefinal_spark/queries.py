@@ -101,3 +101,573 @@ def cube_measures_by_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="o_custkey",
         avg_col="o_totalprice",
     ).withColumnsRenamed({"promedio_edades": "promedio_medida"})
+
+
+# ---------------------------------------------------------------------------
+# Scalar cleaning functions (SURVEY.md §2.7 F1-F12, F15)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(translate(lower('  ' || text || '   '),
+                'áéíóúüñÁÉÍÓÚÜÑ', 'aeiouunAEIOUUN'), '\\s+', ' ', 'g')) AS text_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 composite normalize_text on padded input (idempotence is
+    covered in tests): lower → accent strip → whitespace collapse."""
+    from datawarehousefinal_spark.functions import textnorm
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("  "), F.col("text"), F.lit("   "))
+    return docs.select("doc_id", textnorm.normalize_text(dirty).alias("text_norm"))
+
+
+@query(
+    "sentinel_null_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(nullif(CASE WHEN l_linenumber = 7 THEN 'sin especificar'
+                            ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) END,
+                       'sin especificar') AS INTEGER) AS edad
+    FROM lineitem
+    """,
+)
+def sentinel_null_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6+P1: sentinel→NULL then string→int cast (ValueMapper + SelectValues,
+    etl_final.ktr:3529-3562,3484-3528). The sentinel is injected onto a
+    synthetic string column since testdata has no dirty numerics."""
+    from datawarehousefinal_spark.functions.cleaning import sentinel_to_null
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edad_str = F.when(F.col("l_linenumber") == 7, F.lit("sin especificar")).otherwise(
+        F.col("l_quantity").cast("int").cast("string")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        sentinel_to_null(edad_str).cast("int").alias("edad"),
+    )
+
+
+@query(
+    "spanish_month_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CASE month(o_orderdate)
+                WHEN 1 THEN 'enero' WHEN 2 THEN 'febrero' WHEN 3 THEN 'marzo'
+                WHEN 4 THEN 'abril' WHEN 5 THEN 'mayo' WHEN 6 THEN 'junio'
+                WHEN 7 THEN 'julio' WHEN 8 THEN 'agosto' WHEN 9 THEN 'septiembre'
+                WHEN 10 THEN 'octubre' WHEN 11 THEN 'noviembre' WHEN 12 THEN 'diciembre'
+           END AS mes_nombre,
+           CAST(month(o_orderdate) AS INTEGER) AS mes_numero
+    FROM orders
+    """,
+)
+def spanish_month_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: Spanish month-name → number literal map (etl_final.ktr:2669-2746),
+    driven through a name column synthesized from the date."""
+    from datawarehousefinal_spark.functions.cleaning import (
+        SPANISH_MONTHS,
+        map_literal,
+        spanish_month_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    number_to_name = {v: k for k, v in SPANISH_MONTHS.items()}
+    named = orders.select(
+        "o_orderkey",
+        map_literal(F.month("o_orderdate"), number_to_name).alias("mes_nombre"),
+    )
+    return named.select(
+        "o_orderkey", "mes_nombre", spanish_month_number("mes_nombre").alias("mes_numero")
+    )
+
+
+@query(
+    "fecha_completa_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)::VARCHAR || '/' || month(o_orderdate)::VARCHAR
+             || '/' || day(o_orderdate)::VARCHAR AS fecha_completa,
+           CAST(o_orderdate AS DATE) AS fecha,
+           CAST(CAST(o_orderdate AS DATE) - DATE '0001-01-01' + 1 AS BIGINT) AS fecha_ordinal,
+           CAST(month(o_orderdate) AS INTEGER) AS mes,
+           CAST(day(o_orderdate) AS INTEGER) AS dia
+    FROM orders
+    """,
+)
+def fecha_completa_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9-F11: non-padded 'y/M/d' concat, parse back, proleptic ordinal +
+    parts (the reference's fecha_completa lifecycle, SURVEY.md §7.3)."""
+    from datawarehousefinal_spark.functions import dates
+
+    orders = load_table(spark, sf_dir, "orders")
+    with_fecha = orders.select(
+        "o_orderkey",
+        dates.concat_date_nonpadded(
+            F.year("o_orderdate"), F.month("o_orderdate"), F.dayofmonth("o_orderdate")
+        ).alias("fecha_completa"),
+    )
+    fecha = dates.parse_date_nonpadded("fecha_completa")
+    return with_fecha.select(
+        "o_orderkey",
+        "fecha_completa",
+        fecha.alias("fecha"),
+        dates.proleptic_ordinal(fecha).alias("fecha_ordinal"),
+        F.month(fecha).alias("mes"),
+        F.dayofmonth(fecha).alias("dia"),
+    )
+
+
+@query(
+    "category_map_segments",
+    oracle="""
+    WITH lookup(value_norm, category) AS (
+        VALUES ('building', 'Construccion'), ('automobile', 'Transporte'),
+               ('machinery', 'Industria'), ('household', 'Hogar')
+    )
+    SELECT c_custkey,
+           coalesce(l.category,
+                    trim(regexp_replace(translate(lower(c_mktsegment),
+                         'áéíóúüñÁÉÍÓÚÜÑ', 'aeiouunAEIOUUN'), '\\s+', ' ', 'g'))
+           ) AS segment_class
+    FROM customer c
+    LEFT JOIN lookup l
+      ON trim(regexp_replace(translate(lower(c.c_mktsegment),
+              'áéíóúüñÁÉÍÓÚÜÑ', 'aeiouunAEIOUUN'), '\\s+', ' ', 'g')) = l.value_norm
+    """,
+)
+def category_map_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: dictionary category mapping via normalized broadcast lookup
+    (occupation→class pattern, Datos/preprocessing.py:39-64). FURNITURE is
+    deliberately unmapped to exercise the keep-unmapped fallback."""
+    from datawarehousefinal_spark.functions.cleaning import (
+        apply_category_map,
+        category_lookup_df,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    lookup = category_lookup_df(
+        spark,
+        {
+            "Construccion": ["BUILDING"],
+            "Transporte": ["AUTOMOBILE"],
+            "Industria": ["MACHINERY"],
+            "Hogar": ["HOUSEHOLD"],
+        },
+    )
+    return apply_category_map(customer, "c_mktsegment", lookup, "segment_class").select(
+        "c_custkey", "segment_class"
+    )
+
+
+@query(
+    "unmapped_report",
+    oracle="""
+    WITH lookup(value_norm, category) AS (
+        VALUES ('building', 'Construccion'), ('automobile', 'Transporte'),
+               ('machinery', 'Industria'), ('household', 'Hogar')
+    )
+    SELECT DISTINCT lower(c_mktsegment) AS value_norm
+    FROM customer
+    WHERE lower(c_mktsegment) NOT IN (SELECT value_norm FROM lookup)
+    """,
+)
+def unmapped_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 data-quality report: normalized values with no category
+    (Datos/preprocessing.py:63-64,325-327) — left_anti join."""
+    from datawarehousefinal_spark.functions.cleaning import (
+        category_lookup_df,
+        unmapped_report as _report,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    lookup = category_lookup_df(
+        spark,
+        {
+            "Construccion": ["BUILDING"],
+            "Transporte": ["AUTOMOBILE"],
+            "Industria": ["MACHINERY"],
+            "Hogar": ["HOUSEHOLD"],
+        },
+    )
+    return _report(customer, "c_mktsegment", lookup)
+
+
+# ---------------------------------------------------------------------------
+# ETL star-schema operators (SURVEY.md §2.3 J4, §2.4 U1-U3, §2.2 P6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_split_union",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, 'fact_inmigrante' AS source_fact
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'fact_emigrante' AS source_fact
+    FROM orders WHERE o_orderstatus IS DISTINCT FROM 'O'
+    """,
+)
+def filter_split_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+U2: Kettle FilterRows two-way split (null-safe false branch,
+    SURVEY.md §7.4) + provenance-tagged reunion (machineLearning.py:161-164).
+    Invariant |true|+|false| == |input| is what the oracle checks."""
+    from datawarehousefinal_spark.operators.dataset import union_with_provenance
+    from datawarehousefinal_spark.operators.star import filter_split
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    entrada, salida = filter_split(orders, F.col("o_orderstatus") == "O")
+    return union_with_provenance(
+        {"fact_inmigrante": entrada, "fact_emigrante": salida}
+    )
+
+
+@query(
+    "dim_build_surrogate",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT)
+             AS id_estado,
+           o_orderstatus, o_orderpriority
+    FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+    """,
+)
+def dim_build_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 phase 1: distinct natural keys → deterministic dense surrogate ids
+    (batch replacement for CombinationLookup, SURVEY.md §7.1)."""
+    from datawarehousefinal_spark.operators.surrogate import build_dimension
+
+    orders = load_table(spark, sf_dir, "orders")
+    return build_dimension(orders, ["o_orderstatus", "o_orderpriority"], "id_estado")
+
+
+@query(
+    "fact_fk_attach",
+    oracle="""
+    WITH dim AS (
+        SELECT CAST(row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS id_estado,
+               o_orderstatus, o_orderpriority
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+    )
+    SELECT o.o_orderkey, d.id_estado
+    FROM orders o LEFT JOIN dim d
+      ON o.o_orderstatus = d.o_orderstatus AND o.o_orderpriority = d.o_orderpriority
+    """,
+)
+def fact_fk_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 phase 2: broadcast FK attach — fact rows never shuffle."""
+    from datawarehousefinal_spark.operators.surrogate import (
+        attach_surrogate_key,
+        build_dimension,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = build_dimension(orders, ["o_orderstatus", "o_orderpriority"], "id_estado")
+    return attach_surrogate_key(
+        orders, dim, ["o_orderstatus", "o_orderpriority"], "id_estado"
+    ).select("o_orderkey", "id_estado")
+
+
+@query(
+    "dim_merge_incremental",
+    oracle="""
+    WITH existing AS (
+        SELECT CAST(row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS id_estado,
+               o_orderstatus, o_orderpriority
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority
+              FROM orders WHERE year(o_orderdate) < 1997)
+    ), fresh AS (
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        EXCEPT
+        SELECT o_orderstatus, o_orderpriority FROM existing
+    )
+    SELECT id_estado, o_orderstatus, o_orderpriority FROM existing
+    UNION ALL
+    SELECT (SELECT max(id_estado) FROM existing)
+             + CAST(row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT),
+           o_orderstatus, o_orderpriority
+    FROM fresh
+    """,
+)
+def dim_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 incremental merge: unseen natural-key combos appended after
+    max(existing id) — the insert-on-miss half of CombinationLookup as one
+    left_anti batch."""
+    from datawarehousefinal_spark.operators.surrogate import (
+        build_dimension,
+        merge_dimension,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    existing = build_dimension(
+        orders.filter(F.year("o_orderdate") < 1997), keys, "id_estado"
+    )
+    return merge_dimension(existing, orders, keys, "id_estado")
+
+
+@query(
+    "star_denormalized",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           p.p_name  AS part_p_name,  p.p_brand AS part_p_brand,
+           s.s_name  AS supplier_s_name,
+           o.o_orderstatus AS orders_o_orderstatus,
+           o.o_orderpriority AS orders_o_orderpriority
+    FROM lineitem l
+    LEFT JOIN (SELECT p_partkey, p_name, p_brand FROM part) p
+      ON l.l_partkey = p.p_partkey
+    LEFT JOIN (SELECT s_suppkey, s_name FROM supplier) s
+      ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def star_denormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: star denormalization with <dim>_<col> prefix aliasing
+    (build_fact_query, machineLearning.py:101-125). All dims broadcast."""
+    from datawarehousefinal_spark.operators.dataset import denormalize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    wide = denormalize(
+        li.withColumnsRenamed(
+            {"l_partkey": "p_partkey", "l_suppkey": "s_suppkey", "l_orderkey": "o_orderkey"}
+        ),
+        {
+            "part": (part, "p_partkey"),
+            "supplier": (supp, "s_suppkey"),
+            "orders": (orders, "o_orderkey"),
+        },
+    )
+    return wide.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "l_linenumber",
+        "l_quantity",
+        "part_p_name",
+        "part_p_brand",
+        "supplier_s_name",
+        "orders_o_orderstatus",
+        "orders_o_orderpriority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (SURVEY.md §2.5 A4-A9, §2.6 W1-W3, §2.2 P7/P10)
+# ---------------------------------------------------------------------------
+
+@query(
+    "daily_counts",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS fecha, count(*) AS movement_count
+    FROM events GROUP BY 1
+    """,
+)
+def daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: rows per day (machineLearning.py:599)."""
+    from datawarehousefinal_spark.operators.analytics import daily_counts
+
+    return daily_counts(load_table(spark, sf_dir, "events"), "ts")
+
+
+@query(
+    "value_counts",
+    oracle="""
+    SELECT event_type, count(*) AS count FROM events GROUP BY 1
+    """,
+)
+def value_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: class distribution (machineLearning.py:92-93)."""
+    from datawarehousefinal_spark.operators.analytics import value_counts
+
+    return value_counts(load_table(spark, sf_dir, "events"), "event_type")
+
+
+@query(
+    "class_weights",
+    oracle="""
+    WITH c AS (SELECT event_type, count(*) AS count FROM events GROUP BY 1),
+         t AS (SELECT sum(count) AS n_samples, count(*) AS n_classes FROM c)
+    SELECT c.event_type, c.count,
+           CAST(t.n_samples AS DOUBLE) / (t.n_classes * c.count) AS weight
+    FROM c, t
+    """,
+)
+def class_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: balanced class weights n/(k*count_c) (machineLearning.py:80-98)."""
+    from datawarehousefinal_spark.operators.analytics import balanced_class_weights
+
+    return balanced_class_weights(load_table(spark, sf_dir, "events"), "event_type")
+
+
+@query(
+    "top_n_per_group",
+    oracle="""
+    SELECT event_id, event_type, value FROM (
+        SELECT event_id, event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def top_n_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W3: deterministic top-5 per group (per-cluster sampling shape,
+    machineLearning.py:376-382)."""
+    from datawarehousefinal_spark.operators.analytics import top_n_per_group
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return top_n_per_group(
+        events, ["event_type"], [F.desc("value"), F.col("event_id")], 5
+    )
+
+
+@query(
+    "year_exclusion",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio, count(*) AS n
+    FROM orders WHERE year(o_orderdate) NOT IN (1996, 1998)
+    GROUP BY 1
+    """,
+)
+def year_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: year-exclusion filter before aggregation (the reference drops
+    2020, machineLearning.py:592-595)."""
+    from datawarehousefinal_spark.operators.analytics import exclude_years
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        exclude_years(orders, "o_orderdate", [1996, 1998])
+        .groupBy(F.year("o_orderdate").alias("anio"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "time_split_train",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS fecha, count(*) AS movement_count
+               FROM events GROUP BY 1),
+         n AS (SELECT d.*, row_number() OVER (ORDER BY fecha) AS rn,
+                      count(*) OVER () AS total
+               FROM d)
+    SELECT fecha, movement_count FROM n
+    WHERE rn <= CAST(total * 0.8 AS BIGINT)
+    """,
+)
+def time_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: positional 80/20 time split, train side
+    (machineLearning.py:611-615)."""
+    from datawarehousefinal_spark.operators.analytics import (
+        daily_counts,
+        time_ordered_split,
+    )
+
+    d = daily_counts(load_table(spark, sf_dir, "events"), "ts")
+    train, _test = time_ordered_split(d, "fecha", 0.8)
+    return train
+
+
+@query(
+    "distinct_count",
+    oracle="SELECT count(DISTINCT user_id) AS n_distinct FROM events",
+)
+def distinct_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: exact distinct cardinality (nunique, machineLearning.py:433)."""
+    from datawarehousefinal_spark.operators.analytics import distinct_count
+
+    return distinct_count(load_table(spark, sf_dir, "events"), "user_id")
+
+
+@query(
+    "max_anchor",
+    oracle="SELECT CAST(max(ts) AS DATE) AS last_date FROM events",
+)
+def max_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: max-date forecast anchor (machineLearning.py:630)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(F.max(F.to_date("ts")).alias("last_date"))
+
+
+@query(
+    "ordered_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/W4: deterministic ORDER BY + LIMIT (TakeOrderedAndProject —
+    per-partition top-k then merge, no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    ).limit(10)
+
+
+@query(
+    "fuzzy_closest_match",
+    oracle="""
+    SELECT s_suppkey, s_name, match, distance FROM (
+        SELECT s.s_suppkey, s.s_name, n.n_name AS match,
+               CAST(levenshtein(s.s_name, n.n_name) AS INTEGER) AS distance,
+               row_number() OVER (PARTITION BY s.s_suppkey, s.s_name
+                                  ORDER BY levenshtein(s.s_name, n.n_name), n.n_name) AS rn
+        FROM supplier s CROSS JOIN (SELECT DISTINCT n_name FROM nation) n
+    ) WHERE rn = 1
+    """,
+)
+def fuzzy_closest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/F14: Levenshtein closest-value match (the reference's unwired
+    FuzzyMatch step, etl_final.ktr:3608-3645, done properly)."""
+    from datawarehousefinal_spark.operators.fuzzy import fuzzy_closest
+
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    nation = load_table(spark, sf_dir, "nation")
+    return fuzzy_closest(supplier, nation, "s_name", "n_name")
+
+
+@query(
+    "hierarchy_rollup",
+    oracle="""
+    SELECT r.r_name AS provincia, n.n_name AS canton,
+           count(s.s_suppkey) AS cantidad_movimientos,
+           avg(s.s_acctbal) AS promedio_medida
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: hierarchy rollup with hasAll grand total — the Frontera
+    Provincia>Canton>Jefatura drilldown (Schema_Trabajo_Final.xml:14-25)
+    over the region>nation>supplier stand-in chain."""
+    from datawarehousefinal_spark.operators.olap import rollup_measures
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    star = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left"
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+    return rollup_measures(
+        star.select(
+            F.col("r_name").alias("provincia"),
+            F.col("n_name").alias("canton"),
+            "s_suppkey",
+            "s_acctbal",
+        ),
+        hierarchy=["provincia", "canton"],
+        count_col="s_suppkey",
+        avg_col="s_acctbal",
+    ).withColumnsRenamed({"promedio_edades": "promedio_medida"})

@@ -32,6 +32,9 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     # Stable timestamp behavior for oracle comparison.
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) columns (e.g. the events fixture) surface as
+    # long nanos; readers re-cast to micros (sources/testdata.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Whole-stage codegen on (default, but explicit: the hot path must stay
     # inside generated JVM code, not Python).
     "spark.sql.codegen.wholeStage": "true",

@@ -27,7 +27,15 @@ DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long
+        # nanos (spark.sql.legacy.parquet.nanosAsLong) — truncate to micros,
+        # the same thing DuckDB's TIMESTAMP_NS → TIMESTAMP cast does.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
