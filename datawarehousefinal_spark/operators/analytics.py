@@ -82,7 +82,9 @@ def time_ordered_split(
     counted = df.withColumn("__rn", F.row_number().over(w)).crossJoin(
         F.broadcast(df.agg(F.count(F.lit(1)).alias("__total")))
     )
-    split_at = (F.col("__total") * train_fraction).cast("long")
+    # Explicit floor: cast("long") truncates while SQL CAST(x AS BIGINT)
+    # rounds — keep both this and any oracle on floor() semantics.
+    split_at = F.floor(F.col("__total") * train_fraction).cast("long")
     train = counted.filter(F.col("__rn") <= split_at).drop("__rn", "__total")
     test = counted.filter(F.col("__rn") > split_at).drop("__rn", "__total")
     return train, test

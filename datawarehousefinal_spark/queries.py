@@ -561,7 +561,7 @@ def year_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                       count(*) OVER () AS total
                FROM d)
     SELECT fecha, movement_count FROM n
-    WHERE rn <= CAST(total * 0.8 AS BIGINT)
+    WHERE rn <= CAST(floor(total * 0.8) AS BIGINT)
     """,
 )
 def time_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,14 +27,21 @@ DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark rejects
+    # outright unless nanosAsLong is set. The conf is runtime-settable and
+    # must be applied HERE (not only in our session factory) because the
+    # harness may hand us a vanilla SparkSession it built itself.
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long
-        # nanos (spark.sql.legacy.parquet.nanosAsLong) — truncate to micros,
-        # the same thing DuckDB's TIMESTAMP_NS → TIMESTAMP cast does.
+        # ts arrives as long nanos — truncate to micros with INTEGER
+        # division (a float divide loses precision at 2026-epoch nanos:
+        # doubles have 53-bit mantissas, ulp ≈ 0.25 µs), the same thing
+        # DuckDB's TIMESTAMP_NS → TIMESTAMP cast does.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -49,6 +49,40 @@ def _norm_value(v) -> str:
     return str(v)
 
 
+def _norm_type(t: str) -> str:
+    """Map Spark simpleString / DuckDB type names onto one vocabulary so the
+    local compare reproduces the driver's schema gate (INT vs BIGINT trap)."""
+    t = t.strip().lower()
+    # array types first: spark array<float> / duckdb float[]
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_norm_type(t[6:-1])}>"
+    if t.endswith("[]"):
+        return f"array<{_norm_type(t[:-2])}>"
+    aliases = {
+        "bigint": "long",
+        "long": "long",
+        "hugeint": "long",
+        "integer": "int",
+        "int": "int",
+        "smallint": "int",
+        "tinyint": "int",
+        "varchar": "string",
+        "string": "string",
+        "text": "string",
+        "double": "double",
+        "real": "float",
+        "float": "float",
+        "boolean": "boolean",
+        "bool": "boolean",
+        "date": "date",
+        "timestamp": "timestamp",
+        "timestamp_ns": "timestamp",
+        "blob": "binary",
+        "binary": "binary",
+    }
+    return aliases.get(t, t)  # decimal(p,s) etc. pass through
+
+
 def _hash_rows(columns: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted(
@@ -64,6 +98,7 @@ def _hash_rows(columns: list[str], rows: list[tuple]) -> str:
 def compare(spark, sf_dir: str, spark_fn, oracle_sql: str) -> dict:
     sdf = spark_fn(spark, sf_dir)
     spark_cols = sdf.columns
+    spark_types = dict(sdf.dtypes)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_connect(sf_dir)
@@ -71,14 +106,19 @@ def compare(spark, sf_dir: str, spark_fn, oracle_sql: str) -> dict:
         res = con.execute(oracle_sql)
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
+        # DB-API description collapses types to 'NUMBER'/'STRING'; DESCRIBE
+        # gives the real ones (BIGINT vs INTEGER — the driver's schema gate).
+        duck_types = {
+            r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+        }
     finally:
         con.close()
 
     out = {
         "rows_spark": len(spark_rows),
         "rows_oracle": len(duck_rows),
-        "cols_spark": sorted(spark_cols),
-        "cols_oracle": sorted(duck_cols),
+        "cols_spark": sorted(f"{c}:{_norm_type(spark_types[c])}" for c in spark_cols),
+        "cols_oracle": sorted(f"{c}:{_norm_type(duck_types[c])}" for c in duck_cols),
         "hash_spark": _hash_rows(spark_cols, spark_rows),
         "hash_oracle": _hash_rows(duck_cols, duck_rows),
     }

@@ -1,0 +1,49 @@
+"""Regression tests for load_table under a DRIVER-SHAPED session.
+
+Round 1 lost 7 correctness rows because ``load_table`` relied on the engine's
+own session factory having set ``spark.sql.legacy.parquet.nanosAsLong``; the
+harness builds a vanilla SparkSession without it and the events.parquet read
+throws PARQUET_TYPE_ILLEGAL. These tests strip the conf from the session
+before calling ``load_table`` so that dependency can never silently return.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datawarehousefinal_spark.sources.testdata import load_table
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@pytest.fixture
+def vanilla_conf(spark):
+    """Simulate the driver's session: the nanos conf is absent."""
+    spark.conf.unset(NANOS_CONF)
+    yield spark
+    spark.conf.set(NANOS_CONF, "true")
+
+
+def test_load_events_without_engine_conf(vanilla_conf, sf_dir):
+    spark = vanilla_conf
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0
+
+
+def test_events_micros_match_duckdb(spark, oracle_sf_dir):
+    """Integer-division nanos→micros must equal DuckDB's TIMESTAMP_NS cast
+    at full microsecond grain (not just to_date)."""
+    import duckdb
+
+    df = load_table(spark, oracle_sf_dir, "events")
+    spark_rows = {
+        r["event_id"]: r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f")
+        for r in df.select("event_id", "ts").collect()
+    }
+    duck = duckdb.sql(
+        f"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts "
+        f"FROM read_parquet('{oracle_sf_dir}/events.parquet')"
+    ).fetchall()
+    duck_rows = {eid: ts.strftime("%Y-%m-%d %H:%M:%S.%f") for eid, ts in duck}
+    assert spark_rows == duck_rows
