@@ -1,0 +1,409 @@
+"""Corpus deduplication operators — exact, MinHash-LSH, SimHash, n-gram
+Jaccard.
+
+Beyond-reference scale operators (SURVEY.md §7 P7): the reference's only
+fuzzy machinery is an unwired Levenshtein step (etl_final.ktr:3608-3645);
+a training-data pipeline at 100 TB needs corpus-level dedup. Design rules:
+
+- **Never all-pairs.** Candidate generation is always bucketed: exact dedup
+  buckets on a content hash, MinHash on banded signature keys, SimHash on
+  16-bit fingerprint chunks, n-gram Jaccard on shared shingles. The only
+  shuffle over document rows is on those bucket keys.
+- **Stay JVM-side.** Shingling is a higher-order function (``transform`` on
+  a ``sequence``), hashing is ``xxhash64``/``md5``/``sha2`` — all codegen;
+  no Python UDFs anywhere.
+- **Skew-guarded.** A shingle or bucket shared by half the corpus would
+  quadratically explode its bucket; ``max_bucket`` drops pathological
+  buckets (a standard LSH trade: an over-full bucket carries almost no
+  signal anyway).
+
+Hash modes: ``xxhash64`` (fastest, JVM) is the default; ``md5`` derives the
+base hash from md5 hex, reproducible byte-for-byte in DuckDB/Postgres when
+an external engine must recompute identical signatures. Both are
+deterministic across runs — LSH here has no run-to-run randomness.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.functions.textnorm import normalize_text
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a compact source up to the cluster's parallelism.
+
+    Spark sizes scan partitions by BYTES (maxPartitionBytes), but shingling
+    + hashing is CPU-bound work that explodes ~text_len × num_hashes rows
+    per input row: a few MB of documents in one parquet file become one
+    partition → one core does all the hashing. Inputs that already have
+    enough partitions (any real corpus) pass through untouched, so no extra
+    shuffle at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def char_shingles(col: Column | str, width: int = 5) -> Column:
+    """Distinct character ``width``-grams of a string column (array<string>).
+
+    Texts shorter than ``width`` contribute their whole text as the single
+    shingle, so no document maps to an empty set.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (width - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, F.lit(width))))
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    order_cols: list[str],
+    normalize: bool = True,
+    keep_count_col: str | None = "n_copies",
+) -> DataFrame:
+    """Exact dedup: one row per distinct (normalized) text, keeping the
+    first row by ``order_cols`` within each duplicate group.
+
+    Buckets on ``sha2(normalized_text)`` — the single shuffle is on the
+    256-bit content hash, which is uniform by construction (no skew, no
+    comparison of full texts across the cluster; only hash + the winning
+    row move).
+    """
+    content = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    keyed = df.withColumn("__key", F.sha2(content, 256))
+    w = Window.partitionBy("__key")
+    ranked = keyed.withColumn(
+        "__rn", F.row_number().over(w.orderBy(*order_cols))
+    )
+    if keep_count_col:
+        ranked = ranked.withColumn(keep_count_col, F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("__rn") == 1).drop("__key", "__rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+# Universal-hash family over the Mersenne prime 2^31-1: h_j = (a_j·b + c_j)
+# mod p applied to ONE base hash b per shingle. One string hash + k integer
+# affine transforms (all codegen) instead of k string hashes — the standard
+# minhash trick. Constants are fixed (seeded) so signatures are stable
+# across runs and engines.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def _base_hash(sh: Column, hash_mode: str) -> Column:
+    """Base shingle hash reduced into [0, 2^31-1)."""
+    if hash_mode == "xxhash64":
+        h = F.xxhash64(sh)  # fastest; JVM-only
+    elif hash_mode == "md5":
+        # 60 bits of md5 as an integer — byte-identical in DuckDB/Postgres
+        # (('0x' || substr(md5(s),1,15))::BIGINT) for cross-engine parity.
+        h = F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return (h % _MERSENNE31 + _MERSENNE31) % _MERSENNE31
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_width: int = 5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-document MinHash signature: columns ``h0..h{k-1}``.
+
+    One explode over shingles, one base hash + ``k`` affine transforms per
+    shingle row, one groupBy(id) with map-side partial ``min`` — the
+    classic two-stage signature build. Shuffle volume is k mins per
+    document, not shingles.
+    """
+    sh = _fan_out(df).select(
+        id_col, F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
+    ).withColumn("__b", _base_hash(F.col("__sh"), hash_mode))
+    params = _affine_params(num_hashes)
+    hashed = sh.select(
+        id_col,
+        *[
+            ((F.lit(a) * F.col("__b") + F.lit(c)) % _MERSENNE31).alias(f"h{j}")
+            for j, (a, c) in enumerate(params)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    )
+
+
+def lsh_band_buckets(
+    sig: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Explode a signature frame into (id, band, bucket-key) rows.
+
+    Band key = md5 over that band's ``rows_per_band`` signature slots; two
+    documents collide in a band iff those slots are all equal.
+    """
+    entries = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        entries.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*entries)).alias("__b")
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.key").alias("key"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs = documents sharing ≥1 LSH band bucket.
+
+    Self-join happens strictly WITHIN (band, key) buckets — never all-pairs.
+    Buckets larger than ``max_bucket`` are dropped (skew guard: a bucket
+    with b members emits b²/2 pairs; an over-full bucket is a degenerate
+    band carrying no similarity signal).
+    """
+    buckets = lsh_band_buckets(sig, id_col, bands, rows_per_band)
+    sized = buckets.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).filter(F.col("__n") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = sized.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_width: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs.
+
+    Set sizes come from a tiny per-doc aggregate; intersections from an
+    explode-join restricted to the candidate pairs (broadcast when small).
+    """
+    sh = _fan_out(df).select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "__sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_width: int = 5,
+    hash_mode: str = "xxhash64",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates, verified with exact
+    n-gram Jaccard ≥ ``threshold``.
+
+    Output: ``id_a, id_b, jaccard`` (id_a < id_b). 100% precision (exact
+    verify); recall is the banded-LSH S-curve — with the defaults
+    (16 hashes, 8 bands × 2) a J=0.9 pair is caught with p ≈ 1-(1-0.81)^8
+    ≈ 0.99999998.
+    """
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_width, hash_mode)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band, max_bucket)
+    scored = jaccard_for_pairs(cand, df, id_col, text_col, shingle_width)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    shingle_width: int = 5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Brute-force exact Jaccard pairs over documents sharing ≥1 shingle.
+
+    This is the ORACLE path (SQL-expressible, deterministic) — candidate
+    generation joins on shared shingles, which is quadratic within a
+    shingle's posting list. Fine at verification scale; at 100 TB use
+    ``minhash_near_dupes`` (banded, sub-quadratic) and keep this as the
+    sampled ground-truth checker. ``max_shingle_freq`` optionally drops
+    stop-shingles (posting lists longer than the cap) the way search
+    engines drop stopwords.
+    """
+    sh = _fan_out(df).select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    posting = sh
+    if max_shingle_freq is not None:
+        posting = sh.withColumn(
+            "__f", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+        ).filter(F.col("__f") <= max_shingle_freq).drop("__f")
+    a = posting.select(F.col(id_col).alias("id_a"), "__sh")
+    b = posting.select(F.col(id_col).alias("id_b"), "__sh")
+    inter = (
+        a.join(b, "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, shingle_width: int = 5
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Classic Charikar construction: each shingle's xxhash64 votes ±1 on each
+    of the 64 bit positions; the fingerprint sets bits with positive vote
+    sums. All 64 vote sums are one map-side-combined groupBy — shuffle is
+    64 longs per document.
+    """
+    sh = _fan_out(df).select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
+    ).withColumn("__h", F.xxhash64("__sh"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("__h").bitwiseAND(F.expr(f"shiftleft(1L, {i})")) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    summed = sh.groupBy(id_col).agg(*votes)
+    fingerprint = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.expr(f"shiftleft(1L, {i})")).otherwise(F.lit(0))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_width: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit
+    fingerprint chunks (pigeonhole: any pair within hamming ≤ 3 of 64 bits
+    agrees on ≥1 chunk... for ≤3 flipped bits across 4 chunks), verified
+    with ``bit_count(xor) <= max_hamming``.
+
+    Output: ``id_a, id_b, hamming``.
+    """
+    fp = simhash(df, id_col, text_col, shingle_width)
+    chunks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.expr(
+                            f"shiftrightunsigned(simhash, {16 * c}) & 65535"
+                        ).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("__c"),
+    ).select(
+        id_col, "simhash", F.col("__c.chunk").alias("chunk"), F.col("__c.key").alias("key")
+    )
+    sized = chunks.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("chunk", "key"))
+    ).filter(F.col("__n") <= max_bucket)
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"), "chunk", "key"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"), "chunk", "key"
+    )
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("__fa ^ __fb")).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -17,11 +17,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datawarehousefinal_spark.functions.textnorm import _ACCENTED, _PLAIN
 from datawarehousefinal_spark.operators import olap
 from datawarehousefinal_spark.sources.testdata import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+# Queries that exist as deliberately-brute-force ground truth for a scale
+# operator (correctness gate only) — bench times the scale path instead.
+BENCH_EXCLUDE: set[str] = {"ngram_jaccard_pairs"}
+
+
+def _norm_sql(expr: str) -> str:
+    """DuckDB SQL equivalent of textnorm.normalize_text, generated from the
+    SAME accent-map constants so the two sides can never drift."""
+    return (
+        f"trim(regexp_replace(translate(lower({expr}), "
+        f"'{_ACCENTED}', '{_PLAIN}'), '\\s+', ' ', 'g'))"
+    )
 
 
 def query(name: str, oracle: str | None = None):
@@ -109,10 +123,9 @@ def cube_measures_by_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_normalize",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           trim(regexp_replace(translate(lower('  ' || text || '   '),
-                'áéíóúüñÁÉÍÓÚÜÑ', 'aeiouunAEIOUUN'), '\\s+', ' ', 'g')) AS text_norm
+           {_norm_sql("'  ' || text || '   '")} AS text_norm
     FROM documents
     """,
 )
@@ -671,3 +684,114 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="s_suppkey",
         avg_col="s_acctbal",
     ).withColumnsRenamed({"promedio_edades": "promedio_medida"})
+
+
+# ---------------------------------------------------------------------------
+# Corpus deduplication (beyond-reference LLM-pipeline ops, SURVEY.md §7 P7)
+# ---------------------------------------------------------------------------
+
+# Shingle width for the documents corpus: its tiny synthetic vocabulary
+# (~30 words) makes 5-grams near-useless as a blocking key (avg posting list
+# = 10% of the corpus); 14-char shingles span ~2.5 words and separate the
+# planted near-dups (J >= 0.92) from the baseline (J ~ 0.001) cleanly.
+_W = 14
+# DuckDB shingle set (list comprehension mirroring dedup.char_shingles).
+_SHINGLES_SQL = (
+    f"list_distinct([substr(text, i, {_W}) "
+    f"for i in generate_series(1, greatest(length(text) - {_W - 1}, 1))])"
+)
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c / (x.n + y.n - c) AS jaccard
+    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE c / (x.n + y.n - c) >= 0.9
+"""
+
+
+@query(
+    "exact_dedup",
+    oracle=f"""
+    WITH inp AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, '  ' || upper(text) || ' ' FROM documents
+        WHERE doc_id < 50
+    ), ranked AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn,
+               count(*)     OVER (PARTITION BY norm) AS n_copies
+        FROM (SELECT doc_id, {_norm_sql('text')} AS norm FROM inp)
+    )
+    SELECT doc_id, n_copies FROM ranked WHERE rn = 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on sha2(normalized text), keep-first by doc_id.
+    Duplicates are injected deterministically (padded/uppercased copies of
+    doc_id<50 at doc_id+10000) since the fixture has no exact dupes."""
+    from datawarehousefinal_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    return exact_dedup(docs.unionByName(dupes), "text", ["doc_id"]).select(
+        "doc_id", "n_copies"
+    )
+
+
+@query("ngram_jaccard_pairs", oracle=_JACCARD_PAIRS_SQL)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact 5-gram Jaccard near-dup pairs (threshold 0.9) —
+    the ground-truth path the LSH variant is checked against."""
+    from datawarehousefinal_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9, shingle_width=_W)
+
+
+@query("minhash_lsh_pairs", oracle=_JACCARD_PAIRS_SQL)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact Jaccard verification. Shares
+    the brute-force oracle: signatures are a FIXED function of the text
+    (seeded xxhash64 + affine family — no run-to-run randomness), so the
+    candidate set, hence the verified output, is deterministic; it equals
+    the brute-force pairs whenever LSH recall is complete, which holds here
+    by a huge margin (fixture near-dups at width 14 all have J≥0.92;
+    per-pair miss p=(1-J²)^8 < 4e-7). The plan is banded-bucket joins,
+    never all-pairs."""
+    from datawarehousefinal_spark.operators.dedup import minhash_near_dupes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dupes(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.9,
+        num_hashes=16,
+        bands=8,
+        rows_per_band=2,
+        shingle_width=_W,
+        hash_mode="xxhash64",
+    )
+
+
+@query("simhash_near_dupes")  # no SQL oracle: xxhash64 is Spark-side only
+def simhash_near_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints, 16-bit-chunk candidate buckets, hamming
+    verify. Rows-only driver check; tests/test_dedup.py asserts recall of
+    the planted near-dup pairs and bucketed (non-quadratic) candidates."""
+    from datawarehousefinal_spark.operators.dedup import simhash_near_dupes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dupes(docs, "doc_id", "text", max_hamming=10, shingle_width=_W)

@@ -1,0 +1,91 @@
+"""Dedup operator tests: LSH completeness vs brute force, SimHash recall,
+exact-dedup invariants, and non-quadratic plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_near_dupes,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dupes,
+)
+
+W = 14  # shingle width tuned for the synthetic corpus (see queries.py)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_equals_brute_force(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    truth = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 0.9, W))
+    lsh = _pair_set(
+        minhash_near_dupes(docs, "doc_id", "text", 0.9, 16, 8, 2, W, "xxhash64")
+    )
+    assert truth, "fixture should contain planted near-dup pairs"
+    assert lsh == truth
+
+
+def test_minhash_md5_mode_equals_brute_force(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    truth = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 0.9, W))
+    lsh = _pair_set(minhash_near_dupes(docs, "doc_id", "text", 0.9, 16, 8, 2, W, "md5"))
+    assert lsh == truth
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "an entirely different document about spark plans")],
+        ["id", "text"],
+    )
+    fps = {r["id"]: r["simhash"] for r in simhash(df, "id", "text", 5).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_simhash_recall_on_planted_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    truth = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 0.9, W))
+    found = _pair_set(simhash_near_dupes(docs, "doc_id", "text", 10, W))
+    # SimHash measures a different (bitwise) similarity; demand high but
+    # not perfect recall of the Jaccard-planted pairs.
+    assert len(found & truth) >= 0.8 * len(truth)
+
+
+def test_exact_dedup_invariants(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit(" "), F.upper("text")).alias("text"),
+    )
+    inp = docs.unionByName(dupes)
+    out = exact_dedup(inp, "text", ["doc_id"])
+    rows = out.collect()
+    # every group's kept row is its minimum doc_id → no injected id survives
+    assert all(r["doc_id"] < 10000 for r in rows)
+    # group sizes partition the input
+    assert sum(r["n_copies"] for r in rows) == inp.count()
+    # idempotent
+    again = exact_dedup(out.drop("n_copies"), "text", ["doc_id"])
+    assert again.count() == out.count()
+
+
+def test_lsh_plan_is_bucketed_not_quadratic(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signature(docs, "doc_id", "text", 16, W)
+    cand = lsh_candidate_pairs(sig, "doc_id", 8, 2)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
