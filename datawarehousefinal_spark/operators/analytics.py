@@ -98,13 +98,29 @@ def distinct_count(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
 
 
 def stratified_split(
-    df: DataFrame, label_col: str, train_fraction: float = 0.8, seed: int = 42
+    df: DataFrame,
+    label_col: str,
+    train_fraction: float = 0.8,
+    seed: int = 42,
+    max_labels: int = 10_000,
 ) -> tuple[DataFrame, DataFrame]:
     """C2: stratified train/test split. ``sampleBy`` keeps per-class
     fractions (approximate, like any distributed stratified sampler); the
-    test side is the anti-join complement on a row id."""
+    test side is the anti-join complement on a row id.
+
+    The distinct-label collect is bounded by ``max_labels`` — stratifying
+    on a quasi-unique column is a usage error, caught here instead of
+    OOMing the driver."""
     with_id = df.withColumn("__rid", F.monotonically_increasing_id())
-    labels = [r[0] for r in with_id.select(label_col).distinct().collect()]
+    labels = [
+        r[0]
+        for r in with_id.select(label_col).distinct().limit(max_labels + 1).collect()
+    ]
+    if len(labels) > max_labels:
+        raise ValueError(
+            f"stratified_split: {label_col!r} has more than {max_labels} "
+            f"distinct values — not a class label"
+        )
     fractions = {label: train_fraction for label in labels}
     train = with_id.stat.sampleBy(label_col, fractions, seed)
     test = with_id.join(train.select("__rid"), "__rid", "left_anti")

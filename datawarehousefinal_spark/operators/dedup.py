@@ -26,6 +26,7 @@ deterministic across runs — LSH here has no run-to-run randomness.
 from __future__ import annotations
 
 from functools import reduce
+from itertools import combinations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -161,6 +162,14 @@ def lsh_band_buckets(
     Band key = md5 over that band's ``rows_per_band`` signature slots; two
     documents collide in a band iff those slots are all equal.
     """
+    num_sig_cols = sum(1 for f in sig.schema.fields if f.name.startswith("h"))
+    if bands * rows_per_band > num_sig_cols:
+        raise ValueError(
+            f"bands ({bands}) x rows_per_band ({rows_per_band}) = "
+            f"{bands * rows_per_band} exceeds the {num_sig_cols} signature "
+            f"columns; rebuild the signature with num_hashes >= "
+            f"{bands * rows_per_band} or lower the banding parameters"
+        )
     entries = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -256,8 +265,8 @@ def minhash_near_dupes(
 
     Output: ``id_a, id_b, jaccard`` (id_a < id_b). 100% precision (exact
     verify); recall is the banded-LSH S-curve — with the defaults
-    (16 hashes, 8 bands × 2) a J=0.9 pair is caught with p ≈ 1-(1-0.81)^8
-    ≈ 0.99999998.
+    (16 hashes, 8 bands × 2) a J=0.9 pair is caught with
+    p = 1-(1-0.9²)^8 ≈ 0.999998 (miss ≈ 1.7e-6).
     """
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_width, hash_mode)
     cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band, max_bucket)
@@ -281,17 +290,20 @@ def ngram_jaccard_pairs(
     ``minhash_near_dupes`` (banded, sub-quadratic) and keep this as the
     sampled ground-truth checker. ``max_shingle_freq`` optionally drops
     stop-shingles (posting lists longer than the cap) the way search
-    engines drop stopwords.
+    engines drop stopwords. When the cap is active, BOTH the intersection
+    and the set sizes are computed over the filtered posting list, so the
+    ratio is the exact Jaccard of the capped shingle sets (not a biased
+    mix of filtered numerator over unfiltered denominator).
     """
     sh = _fan_out(df).select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     posting = sh
     if max_shingle_freq is not None:
         posting = sh.withColumn(
             "__f", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
         ).filter(F.col("__f") <= max_shingle_freq).drop("__f")
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a = posting.select(F.col(id_col).alias("id_a"), "__sh")
     b = posting.select(F.col(id_col).alias("id_b"), "__sh")
     inter = (
@@ -320,6 +332,16 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+# Vote sums are packed into 21-bit fields, 3 per long: 22 aggregate buffers
+# instead of 64, and the shuffle carries 22 longs + 1 count per document.
+# A field counts set-bits for one position, so it overflows only past
+# 2^21-1 (= a document with > 2M distinct shingles, i.e. multi-MB of text
+# at width 5) — cap documents upstream before that.
+_FIELD_BITS = 21
+_FIELDS_PER_LONG = 64 // _FIELD_BITS  # 3
+_NUM_PACKED = -(-64 // _FIELDS_PER_LONG)  # 22
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, shingle_width: int = 5
 ) -> DataFrame:
@@ -327,29 +349,52 @@ def simhash(
 
     Classic Charikar construction: each shingle's xxhash64 votes ±1 on each
     of the 64 bit positions; the fingerprint sets bits with positive vote
-    sums. All 64 vote sums are one map-side-combined groupBy — shuffle is
-    64 longs per document.
+    sums. Positive vote sum on bit i ⟺ more than half the shingles have
+    bit i set, so it suffices to sum the 0/1 bits and compare against the
+    shingle count — which lets the 64 per-bit sums pack into
+    ``_NUM_PACKED`` long aggregates (one map-side-combined groupBy).
     """
     sh = _fan_out(df).select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
     ).withColumn("__h", F.xxhash64("__sh"))
-    votes = [
-        F.sum(
-            F.when(
-                F.col("__h").bitwiseAND(F.expr(f"shiftleft(1L, {i})")) != 0, 1
-            ).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    summed = sh.groupBy(id_col).agg(*votes)
-    fingerprint = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.expr(f"shiftleft(1L, {i})")).otherwise(F.lit(0))
-        ),
-        range(64),
-        F.lit(0).cast("long"),
-    )
+
+    packed_sums = []
+    for k in range(_NUM_PACKED):
+        fields = []
+        for j in range(_FIELDS_PER_LONG):
+            i = k * _FIELDS_PER_LONG + j
+            if i >= 64:
+                break
+            bit = F.shiftrightunsigned("__h", i).bitwiseAND(F.lit(1))
+            fields.append(
+                F.shiftleft(bit, j * _FIELD_BITS) if j else bit.cast("long")
+            )
+        packed_sums.append(F.sum(reduce(lambda x, y: x + y, fields)).alias(f"p{k}"))
+    summed = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *packed_sums)
+
+    def bit_set(i: int) -> Column:
+        k, j = divmod(i, _FIELDS_PER_LONG)
+        ones = F.shiftrightunsigned(f"p{k}", j * _FIELD_BITS).bitwiseAND(
+            F.lit((1 << _FIELD_BITS) - 1)
+        )
+        # vote sum = ones - (n - ones) > 0  ⟺  2*ones > n
+        return F.when(
+            ones * 2 > F.col("__n"), F.expr(f"shiftleft(1L, {i})")
+        ).otherwise(F.lit(0).cast("long"))
+
+    fingerprint = reduce(lambda acc, i: acc.bitwiseOR(bit_set(i)), range(64), F.lit(0).cast("long"))
     return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def _block_bounds(num_blocks: int) -> list[tuple[int, int]]:
+    """(start_bit, width) for ``num_blocks`` near-equal slices of 64 bits."""
+    base, extra = divmod(64, num_blocks)
+    bounds, start = [], 0
+    for b in range(num_blocks):
+        width = base + (1 if b < extra else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
 
 
 def simhash_near_dupes(
@@ -359,45 +404,68 @@ def simhash_near_dupes(
     max_hamming: int = 3,
     shingle_width: int = 5,
     max_bucket: int = 1000,
+    num_blocks: int | None = None,
+    combo_size: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of four 16-bit
-    fingerprint chunks (pigeonhole: any pair within hamming ≤ 3 of 64 bits
-    agrees on ≥1 chunk... for ≤3 flipped bits across 4 chunks), verified
-    with ``bit_count(xor) <= max_hamming``.
+    """Near-dup pairs by SimHash with GUARANTEED candidate recall.
+
+    Block-combination blocking (the scheme of Manku et al.'s web-scale
+    simhash dedup): split the 64-bit fingerprint into ``num_blocks`` bit
+    blocks and key each document on every ``combo_size``-subset of blocks.
+    A pair within hamming ``h`` differs in at most ``h`` blocks, hence
+    agrees on ≥ ``num_blocks - h``; whenever ``combo_size <= num_blocks -
+    max_hamming`` (enforced) some agreeing combo collides, so every
+    within-threshold pair becomes a candidate. Candidates are verified
+    with ``bit_count(xor) <= max_hamming`` — 100% precision.
+
+    Defaults derive ``num_blocks = max_hamming + combo_size`` (the minimum
+    satisfying the guarantee). Key width is ``combo_size`` blocks ≈
+    ``combo_size * 64/num_blocks`` bits — raise ``combo_size`` (which also
+    raises ``num_blocks``) when the corpus is large enough that buckets on
+    that key width would crowd: C(num_blocks, combo_size) tables trade
+    explode fan-out for exponentially more, smaller buckets.
 
     Output: ``id_a, id_b, hamming``.
     """
+    if num_blocks is None:
+        num_blocks = max_hamming + combo_size
+    if combo_size > num_blocks - max_hamming:
+        raise ValueError(
+            f"recall guarantee needs combo_size <= num_blocks - max_hamming "
+            f"({combo_size} > {num_blocks} - {max_hamming})"
+        )
+    bounds = _block_bounds(num_blocks)
+    block_cols = [
+        F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit((1 << width) - 1))
+        for start, width in bounds
+    ]
+
     fp = simhash(df, id_col, text_col, shingle_width)
-    chunks = fp.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.expr(
-                            f"shiftrightunsigned(simhash, {16 * c}) & 65535"
-                        ).alias("key"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("__c"),
+    combos = list(combinations(range(num_blocks), combo_size))
+    # Key = the combo's block values packed into one long (blocks are < 64
+    # bits total so any combo fits), table id distinguishes combos.
+    entries = []
+    for t, combo in enumerate(combos):
+        key = F.lit(0).cast("long")
+        for b in combo:
+            key = F.shiftleft(key, bounds[b][1]).bitwiseOR(block_cols[b])
+        entries.append(F.struct(F.lit(t).alias("table"), key.alias("key")))
+    keyed = fp.select(
+        id_col, "simhash", F.explode(F.array(*entries)).alias("__t")
     ).select(
-        id_col, "simhash", F.col("__c.chunk").alias("chunk"), F.col("__c.key").alias("key")
+        id_col, "simhash", F.col("__t.table").alias("table"), F.col("__t.key").alias("key")
     )
-    sized = chunks.withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy("chunk", "key"))
+    sized = keyed.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("table", "key"))
     ).filter(F.col("__n") <= max_bucket)
     a = sized.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"), "chunk", "key"
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"), "table", "key"
     )
     b = sized.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"), "chunk", "key"
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"), "table", "key"
     )
     return (
-        a.join(b, ["chunk", "key"])
+        a.join(b, ["table", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

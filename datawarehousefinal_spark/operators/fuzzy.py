@@ -27,17 +27,21 @@ def fuzzy_closest(
 
     Output: left columns + ``match`` (closest right value) + ``distance``.
     Ties break on the match value ascending so results are deterministic.
+    Each INPUT ROW yields one output row — the min window partitions on a
+    synthetic row id, so identical left rows are matched independently
+    rather than collapsed into one.
     """
-    candidates = left.crossJoin(F.broadcast(right.select(right_col).distinct()))
+    with_id = left.withColumn("__rid", F.monotonically_increasing_id())
+    candidates = with_id.crossJoin(F.broadcast(right.select(right_col).distinct()))
     scored = candidates.withColumn(
         "distance", F.levenshtein(F.col(left_col), F.col(right_col))
     )
     if max_distance is not None:
         scored = scored.filter(F.col("distance") <= max_distance)
-    w = Window.partitionBy(*left.columns).orderBy("distance", right_col)
+    w = Window.partitionBy("__rid").orderBy("distance", right_col)
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__rid")
         .withColumnRenamed(right_col, "match")
     )

@@ -25,6 +25,9 @@ Batch design (deterministic, shuffle-minimal):
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,17 +49,34 @@ def build_dimension(src: DataFrame, natural_keys: list[str], id_col: str) -> Dat
 
 def assign_keys_distributed(distinct: DataFrame, id_col: str, start: int = 1) -> DataFrame:
     """Scale path for huge dimensions: dense ids without a single-partition
-    window. Per-partition counts are collected (one tiny row per partition)
-    and turned into offsets; ids are then offset + intra-partition rank.
-    No global sort, no single-reducer stage."""
-    rdd = distinct.rdd.zipWithIndex()
-    schema = distinct.schema
-    out = rdd.map(lambda pair: (*pair[0], pair[1] + start))
-    from pyspark.sql.types import LongType, StructField, StructType
+    window and without leaving the JVM.
 
-    new_schema = StructType(list(schema.fields) + [StructField(id_col, LongType(), False)])
-    return distinct.sparkSession.createDataFrame(out, new_schema).select(
-        id_col, *[f.name for f in schema.fields]
+    ``monotonically_increasing_id`` is ``partition_id << 33 | local_row``
+    where ``local_row`` is consecutive from 0 within each partition — so it
+    already encodes (partition, dense local offset). Per-partition counts
+    are a tiny aggregate (one row per partition); a cumulative sum over
+    that micro-frame yields each partition's global offset, broadcast back
+    onto the rows. The data rows themselves never shuffle, nothing crosses
+    the Python boundary, and ids come out dense ``start..start+n-1``.
+
+    Ids are deterministic for a fixed partitioning of ``distinct`` (like
+    any parallel assigner); use ``build_dimension`` when run-to-run stable
+    key VALUES are required.
+    """
+    tagged = distinct.withColumn("__mid", F.monotonically_increasing_id())
+    tagged = tagged.withColumn(
+        "__pid", F.shiftrightunsigned("__mid", 33)
+    ).withColumn("__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).cast("long")
+    ).select("__pid", "__off")
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__off") + F.col("__local") + F.lit(start)).cast("long"))
+        .drop("__mid", "__pid", "__local", "__off")
+        .select(id_col, *distinct.columns)
     )
 
 
@@ -65,10 +85,20 @@ def merge_dimension(
 ) -> DataFrame:
     """J4 incremental merge: append only unseen natural-key combos,
     numbering from max(existing id) — batch equivalent of the reference's
-    insert-on-miss, minus the per-row round trips."""
-    new_keys = (
-        src.select(*natural_keys).distinct().join(existing, natural_keys, "left_anti")
+    insert-on-miss, minus the per-row round trips.
+
+    The anti-join is NULL-SAFE (``eqNullSafe`` per key): ``build_dimension``
+    deliberately keys NULL-bearing combos, and Kettle's CombinationLookup
+    matches NULL as a value — a plain column-list anti-join would treat
+    such combos as forever-unseen and append a duplicate with a fresh id
+    on every incremental run."""
+    src_keys = src.select(*natural_keys).distinct().alias("__src")
+    ex = existing.alias("__ex")
+    null_safe = reduce(
+        and_,
+        [F.col(f"__src.{k}").eqNullSafe(F.col(f"__ex.{k}")) for k in natural_keys],
     )
+    new_keys = src_keys.join(ex, null_safe, "left_anti").select(*natural_keys)
     max_id = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
     order = [F.col(k).asc_nulls_first() for k in natural_keys]
     numbered = new_keys.withColumn(

@@ -788,10 +788,15 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simhash_near_dupes")  # no SQL oracle: xxhash64 is Spark-side only
 def simhash_near_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints, 16-bit-chunk candidate buckets, hamming
-    verify. Rows-only driver check; tests/test_dedup.py asserts recall of
-    the planted near-dup pairs and bucketed (non-quadratic) candidates."""
+    """SimHash 64-bit fingerprints with block-combination candidate
+    generation (10 blocks, keys on every 2-block combo) — candidate recall
+    is GUARANTEED for hamming <= 8 (combo_size <= num_blocks - max_hamming
+    pigeonhole; the fixture's planted near-dups measure hamming <= 7).
+    Rows-only driver check; tests/test_dedup.py asserts full recall against
+    the exact-Jaccard truth at these parameters and bucketed candidates."""
     from datawarehousefinal_spark.operators.dedup import simhash_near_dupes
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dupes(docs, "doc_id", "text", max_hamming=10, shingle_width=_W)
+    return simhash_near_dupes(
+        docs, "doc_id", "text", max_hamming=8, shingle_width=_W, combo_size=2
+    )

@@ -56,12 +56,34 @@ def test_simhash_identical_texts_collide(spark):
 
 
 def test_simhash_recall_on_planted_pairs(spark, sf_dir):
+    """Measured recall at the SHIPPED parameters (queries.py registers
+    max_hamming=8, combo_size=2): every Jaccard-planted pair measures
+    hamming <= 7 on this fixture, and block-combination candidate recall is
+    guaranteed for hamming <= 8, so recall must be complete."""
     docs = _docs(spark, sf_dir)
     truth = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 0.9, W))
-    found = _pair_set(simhash_near_dupes(docs, "doc_id", "text", 10, W))
-    # SimHash measures a different (bitwise) similarity; demand high but
-    # not perfect recall of the Jaccard-planted pairs.
-    assert len(found & truth) >= 0.8 * len(truth)
+    found = _pair_set(
+        simhash_near_dupes(docs, "doc_id", "text", 8, W, combo_size=2)
+    )
+    assert truth
+    assert truth <= found
+
+
+def test_simhash_guarantee_param_validation(spark):
+    df = spark.createDataFrame([(1, "abc")], ["id", "text"])
+    import pytest
+
+    with pytest.raises(ValueError, match="recall guarantee"):
+        simhash_near_dupes(df, "id", "text", max_hamming=3, num_blocks=4, combo_size=2)
+
+
+def test_lsh_banding_param_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "abcdefgh")], ["id", "text"])
+    sig = minhash_signature(df, "id", "text", num_hashes=8)
+    with pytest.raises(ValueError, match="signature"):
+        lsh_candidate_pairs(sig, "id", bands=8, rows_per_band=2)
 
 
 def test_exact_dedup_invariants(spark, sf_dir):

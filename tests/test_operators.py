@@ -1,0 +1,100 @@
+"""Operator regression tests for the round-1/2 defect fixes:
+null-safe dimension merge, duplicate-left fuzzy matching, JVM-side
+distributed key assignment, and stratified-split coverage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.operators.analytics import stratified_split
+from datawarehousefinal_spark.operators.fuzzy import fuzzy_closest
+from datawarehousefinal_spark.operators.surrogate import (
+    assign_keys_distributed,
+    build_dimension,
+    merge_dimension,
+)
+
+
+def test_merge_dimension_null_keys_are_stable(spark):
+    """A natural-key combo containing NULL must be recognized as seen on
+    re-merge (Kettle CombinationLookup matches NULL as a value) — the
+    round-1 null-unsafe anti-join appended a duplicate with a fresh id on
+    every incremental run."""
+    src = spark.createDataFrame(
+        [("a", None), ("a", "x"), (None, None), ("b", "y")],
+        ["k1", "k2"],
+    )
+    dim = build_dimension(src, ["k1", "k2"], "id_dim")
+    assert dim.count() == 4
+
+    # Re-merging the same source must be a no-op.
+    merged = merge_dimension(dim, src, ["k1", "k2"], "id_dim")
+    assert merged.count() == 4
+    assert {r["id_dim"] for r in merged.collect()} == {1, 2, 3, 4}
+
+    # A genuinely new combo (including a NULL-bearing one) extends from max.
+    src2 = src.unionByName(
+        spark.createDataFrame([("c", None), ("a", "x")], ["k1", "k2"])
+    )
+    merged2 = merge_dimension(dim, src2, ["k1", "k2"], "id_dim")
+    assert merged2.count() == 5
+    new_row = merged2.filter(F.col("k1") == "c").collect()
+    assert new_row[0]["id_dim"] == 5
+
+
+def test_fuzzy_closest_preserves_duplicate_left_rows(spark):
+    left = spark.createDataFrame(
+        [("ALGERIA",), ("ALGERIA",), ("PER",)], ["name"]
+    )
+    right = spark.createDataFrame(
+        [("ALGERIA",), ("PERU",), ("KENYA",)], ["ref"]
+    )
+    out = fuzzy_closest(left, right, "name", "ref")
+    rows = out.collect()
+    assert len(rows) == 3  # one output row per input row, dupes kept
+    matches = sorted((r["name"], r["match"], r["distance"]) for r in rows)
+    assert matches == [
+        ("ALGERIA", "ALGERIA", 0),
+        ("ALGERIA", "ALGERIA", 0),
+        ("PER", "PERU", 1),
+    ]
+
+
+def test_assign_keys_distributed_dense_and_jvm_side(spark):
+    distinct = (
+        spark.range(0, 1000)
+        .select(F.concat(F.lit("k"), F.col("id")).alias("nk"))
+        .repartition(7)
+    )
+    out = assign_keys_distributed(distinct, "id_dim", start=1)
+    ids = sorted(r["id_dim"] for r in out.collect())
+    assert ids == list(range(1, 1001))  # dense, no gaps, no dupes
+
+    # Scale contract: pure DataFrame ops — nothing crosses into Python.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_stratified_split_ratios_and_partition(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("label")
+    )
+    train, test = stratified_split(df, "label", 0.8, seed=42)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 4000
+    # sampleBy is approximate; accept a generous tolerance per class.
+    per_class = {
+        r["label"]: r["count"]
+        for r in train.groupBy("label").count().collect()
+    }
+    for label, cnt in per_class.items():
+        assert 0.68 <= cnt / 1000 <= 0.92, (label, cnt)
+
+
+def test_stratified_split_rejects_high_cardinality_label(spark):
+    df = spark.range(0, 100).select(F.col("id").cast("string").alias("label"))
+    with pytest.raises(ValueError, match="distinct"):
+        stratified_split(df, "label", max_labels=10)
