@@ -786,6 +786,76 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ML layer (SURVEY.md §2.9 M1-M12)
+# ---------------------------------------------------------------------------
+
+@query(
+    "linreg_trend_forecast",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS fecha, count(*)::DOUBLE AS y
+               FROM events GROUP BY 1),
+         n AS (SELECT fecha, y, row_number() OVER (ORDER BY fecha) AS rn,
+                      count(*) OVER () AS total FROM d),
+         train AS (SELECT fecha, y FROM n
+                   WHERE rn <= CAST(floor(total * 0.8) AS BIGINT)),
+         s AS (SELECT regr_slope(y, x) AS slope, avg(x) AS xbar, avg(y) AS ybar
+               FROM (SELECT y, CAST(fecha - DATE '0001-01-01' + 1 AS DOUBLE) AS x
+                     FROM train)),
+         last AS (SELECT max(fecha) AS last_date FROM d),
+         future AS (SELECT CAST(unnest(generate_series(last_date + 1,
+                                last_date + 365, INTERVAL 1 DAY)) AS DATE) AS fecha
+                    FROM last)
+    SELECT fecha,
+           ybar + slope * (CAST(fecha - DATE '0001-01-01' + 1 AS DOUBLE) - xbar)
+             AS yhat
+    FROM future, s
+    """,
+)
+def linreg_trend_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 (closed form): daily-count linear trend fitted on the 80% time
+    split, extrapolated 365 days (machineLearning.py:607-637). Slope via
+    covar_pop/var_pop aggregates == SQL regr_slope, so the whole forecast
+    hash-matches DuckDB."""
+    from datawarehousefinal_spark.ml.pipelines import linear_trend_forecast
+    from datawarehousefinal_spark.operators.analytics import daily_counts
+
+    d = daily_counts(load_table(spark, sf_dir, "events"), "ts")
+    return linear_trend_forecast(d, "fecha", "movement_count", horizon_days=365)
+
+
+@query("ml_regression_forecast")  # no SQL oracle: iterative WLS solver
+def ml_regression_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 (Spark ML): LinearRegression on (ordinal, month, day) features,
+    365-day forecast (machineLearning.py:575-637). Rows-only driver check
+    (horizon rows); structural assertions live in tests/test_ml.py."""
+    from datawarehousefinal_spark.ml.pipelines import regression_forecast
+    from datawarehousefinal_spark.operators.analytics import daily_counts
+
+    d = daily_counts(load_table(spark, sf_dir, "events"), "ts")
+    return regression_forecast(d, "fecha", "movement_count")["forecast"]
+
+
+@query("kmeans_cluster_sizes")  # no SQL oracle: iterative clustering
+def kmeans_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M6 end-to-end: preprocess (impute + scale + one-hot via the M5
+    pipeline) then KMeans k=3 over events, reporting cluster sizes
+    (machineLearning.py:307-374). Rows-only driver check (k rows);
+    determinism comes from the fixed seed."""
+    from datawarehousefinal_spark.ml.pipelines import fit_kmeans, fit_preprocess
+
+    events = load_table(spark, sf_dir, "events").select(
+        "value", "event_type"
+    )
+    _model, feats = fit_preprocess(events)
+    _km, pred = fit_kmeans(feats, k=3)
+    return (
+        pred.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
 @query("simhash_near_dupes")  # no SQL oracle: xxhash64 is Spark-side only
 def simhash_near_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints with block-combination candidate

@@ -1,0 +1,208 @@
+"""Structural tests for the Spark ML layer (SURVEY.md §2.9 M1-M12,
+§5.4: no hash comparison for iterative/float estimators — assert
+structural properties: silhouette range, non-empty clusters, finite R²,
+vector shapes, metric identities)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.ml.pipelines import (
+    classification_metrics,
+    classifier_zoo,
+    confusion_matrix_df,
+    default_param_grids,
+    drop_ml_id_columns,
+    fit_kmeans,
+    fit_preprocess,
+    grid_search_cv,
+    impute_most_frequent,
+    kmeans_scan,
+    linear_trend_forecast,
+    pca_project_2d,
+    per_class_auc,
+    regression_forecast,
+    split_feature_types,
+)
+from datawarehousefinal_spark.operators.analytics import attach_class_weights
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """Three well-separated numeric blobs + a categorical column + nulls."""
+    rows = []
+    for i in range(150):
+        blob = i % 3
+        rows.append(
+            (
+                i,
+                blob * 10.0 + (i % 7) * 0.1,
+                blob * -5.0 + (i % 5) * 0.1,
+                ["red", "green", "blue"][blob] if i % 11 else None,
+                blob,
+            )
+        )
+    df = spark.createDataFrame(rows, ["id", "x1", "x2", "color", "label"])
+    # a few numeric nulls for the imputer
+    return df.withColumn(
+        "x1", F.when(F.col("id") % 13 == 0, None).otherwise(F.col("x1"))
+    )
+
+
+def test_split_feature_types(blobs):
+    numeric, categorical = split_feature_types(blobs, exclude=("id", "label"))
+    assert numeric == ["x1", "x2"]
+    assert categorical == ["color"]
+
+
+def test_drop_ml_id_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "f", "2018/6/27", 3.0)],
+        ["id_persona", "id_fecha", "source_fact", "dim_fecha_fecha_completa", "x"],
+    )
+    assert drop_ml_id_columns(df).columns == ["x"]
+
+
+def test_impute_most_frequent(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,), (None,)], ["c"]
+    )
+    out = impute_most_frequent(df, ["c"])
+    assert out.filter(F.col("c").isNull()).count() == 0
+    assert out.filter(F.col("c") == "a").count() == 4
+
+
+def test_preprocess_shapes_and_nulls(blobs):
+    _model, out = fit_preprocess(blobs, exclude=("id", "label"))
+    assert "features" in out.columns
+    first = out.select("features").first()["features"]
+    # 2 scaled numerics + 3 one-hot slots (3 seen colors, keep-bucket dropped)
+    assert first.size == 5
+    assert out.count() == blobs.count()  # imputation drops nothing
+
+
+def test_onehot_unknown_is_all_zeros(spark, blobs):
+    model, _ = fit_preprocess(blobs, exclude=("id", "label"))
+    unseen = spark.createDataFrame(
+        [(99, 0.0, 0.0, "magenta", 0)], ["id", "x1", "x2", "color", "label"]
+    )
+    vec = model.transform(unseen).select("features").first()["features"]
+    # the one-hot slots (indices 2..4) must all be zero for an unseen color
+    assert all(vec[i] == 0.0 for i in (2, 3, 4))
+
+
+def test_kmeans_scan_structupe(blobs):
+    _model, feats = fit_preprocess(blobs, exclude=("id", "label"))
+    scan = kmeans_scan(feats, k_values=range(2, 5))
+    assert [s["k"] for s in scan] == [2, 3, 4]
+    for s in scan:
+        assert -1.0 <= s["silhouette"] <= 1.0
+        assert s["inertia"] >= 0.0
+    # three planted blobs → k=3 silhouette beats k=2
+    by_k = {s["k"]: s["silhouette"] for s in scan}
+    assert by_k[3] > by_k[2]
+
+
+def test_fit_kmeans_clusters_nonempty(blobs):
+    _model, feats = fit_preprocess(blobs, exclude=("id", "label"))
+    _km, pred = fit_kmeans(feats, k=3)
+    sizes = {r["cluster"]: r["count"] for r in pred.groupBy("cluster").count().collect()}
+    assert len(sizes) == 3
+    assert all(v > 0 for v in sizes.values())
+    # planted blobs are separable → clusters align with blobs (mean-imputed
+    # rows may drift off their blob, so demand near- not exact purity)
+    purity = (
+        pred.groupBy("label", "cluster").count()
+        .groupBy("label").agg(F.max("count").alias("m"))
+        .agg(F.sum("m")).first()[0]
+    )
+    assert purity >= 0.95 * pred.count()
+
+
+def test_pca_projection(blobs):
+    _model, feats = fit_preprocess(blobs, exclude=("id", "label"))
+    out = pca_project_2d(feats)
+    row = out.select("PC1", "PC2").first()
+    assert math.isfinite(row["PC1"]) and math.isfinite(row["PC2"])
+    assert out.count() == blobs.count()
+
+
+def test_classifier_zoo_trains_and_separates(blobs):
+    _model, feats = fit_preprocess(blobs, exclude=("id", "label"))
+    weighted = attach_class_weights(feats, "label")
+    zoo = classifier_zoo(weight_col="weight", mlp_layers=[5, 16, 3])
+    assert set(zoo) == {
+        "RandomForest", "LogisticRegression", "SVM", "DeepLearning_MLP"
+    }
+    for name, est in zoo.items():
+        fitted = est.fit(weighted)
+        pred = fitted.transform(weighted)
+        acc = classification_metrics(pred)["accuracy"]
+        assert acc >= 0.9, (name, acc)  # blobs are trivially separable
+
+
+def test_grid_search_cv(blobs):
+    _model, feats = fit_preprocess(blobs, exclude=("id", "label"))
+    weighted = attach_class_weights(feats, "label")
+    zoo = classifier_zoo(weight_col="weight")
+    lr = zoo["LogisticRegression"]
+    grids = default_param_grids(zoo)
+    assert len(grids["RandomForest"]) == 6  # 2 numTrees x 3 maxDepth
+    cvm = grid_search_cv(weighted, lr, grids["LogisticRegression"], folds=3)
+    assert len(cvm.avgMetrics) == 3
+    assert max(cvm.avgMetrics) >= 0.9
+    assert cvm.bestModel is not None
+
+
+def test_metrics_identities(spark):
+    pred = spark.createDataFrame(
+        [(0.0, 0.0), (0.0, 0.0), (1.0, 1.0), (1.0, 0.0), (2.0, 2.0)],
+        ["label", "prediction"],
+    )
+    m = classification_metrics(pred)
+    assert m["accuracy"] == pytest.approx(4 / 5)
+    cm = confusion_matrix_df(pred)
+    assert cm.agg(F.sum("n")).first()[0] == 5
+    diag = cm.filter(F.col("label") == F.col("prediction")).agg(F.sum("n")).first()[0]
+    assert diag == 4
+
+
+def test_per_class_auc(blobs):
+    _model, feats = fit_preprocess(blobs, exclude=("id", "label"))
+    zoo = classifier_zoo(weight_col=None)
+    pred = zoo["LogisticRegression"].fit(feats).transform(feats)
+    aucs = per_class_auc(pred, "label")
+    assert set(aucs) == {0, 1, 2}
+    for c, auc in aucs.items():
+        assert 0.0 <= auc <= 1.0
+        assert auc >= 0.99  # separable blobs → near-perfect ROC
+
+
+def test_regression_forecast_structupe(spark):
+    # clean linear series: y = 100 + 2*t over 100 days
+    base = spark.range(0, 100).select(
+        F.date_add(F.lit("2020-01-01").cast("date"), F.col("id").cast("int")).alias("fecha"),
+        (100 + 2 * F.col("id")).cast("double").alias("movement_count"),
+    )
+    out = regression_forecast(base, horizon_days=30)
+    assert math.isfinite(out["mse"])
+    assert out["r2"] == pytest.approx(1.0, abs=1e-6)
+    fc = out["forecast"].orderBy("fecha").collect()
+    assert len(fc) == 30
+    # trend continues: day 100 -> y ≈ 300
+    assert fc[0]["yhat"] == pytest.approx(300.0, rel=1e-3)
+
+
+def test_linear_trend_forecast_closed_form(spark):
+    base = spark.range(0, 50).select(
+        F.date_add(F.lit("2021-01-01").cast("date"), F.col("id").cast("int")).alias("fecha"),
+        (10 + 3 * F.col("id")).cast("double").alias("movement_count"),
+    )
+    fc = linear_trend_forecast(base, horizon_days=10).orderBy("fecha").collect()
+    assert len(fc) == 10
+    # perfectly linear input → exact extrapolation: day 50 -> 160
+    assert fc[0]["yhat"] == pytest.approx(160.0, rel=1e-9)
+    assert fc[9]["yhat"] == pytest.approx(187.0, rel=1e-9)
