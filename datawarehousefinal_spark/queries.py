@@ -787,6 +787,57 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding similarity search (beyond-reference LLM-pipeline ops)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT q.query_id, c.neighbor_id,
+               list_cosine_similarity(q.qv, c.cv) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.neighbor_id
+               ) AS rn
+        FROM q CROSS JOIN c
+        WHERE c.neighbor_id != q.query_id
+    ) WHERE rn <= 5
+    """,
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors over the whole
+    embeddings table — the ANN ground-truth path. Dot products are
+    zip_with/aggregate higher-order functions (JVM codegen, double math)."""
+    from datawarehousefinal_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+@query("ivf_topk")  # no SQL oracle: KMeans quantizer is iterative
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-5 (the 100 TB scale path): KMeans
+    coarse quantizer, nprobe=4 of 16 partitions, exact cosine within the
+    probed candidates. Rows-only driver check (k rows per query); recall
+    against the exact path is asserted in tests/test_similarity.py."""
+    from datawarehousefinal_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_index(emb, "vec_id", "embedding", 16)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(assigned, centroids, queries, "vec_id", "embedding", k=5, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
 # ML layer (SURVEY.md §2.9 M1-M12)
 # ---------------------------------------------------------------------------
 
