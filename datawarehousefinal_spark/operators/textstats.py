@@ -1,0 +1,167 @@
+"""Text-analysis operators over document corpora — token/char/sentence
+stats, length percentiles, top terms, language ID, quality scoring, and
+content fingerprints.
+
+Beyond-reference LLM-pipeline operators (SURVEY.md §7 P7): curating a
+100 TB training corpus needs cheap, fully-distributed per-document
+statistics. Design rules match operators/dedup.py: everything is a
+codegen'd column expression (split/regexp/higher-order functions — no
+Python UDFs), aggregates are map-side-combinable, and every operator here
+is SQL-expressible so the DuckDB oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.operators.dedup import char_shingles
+
+# BPE-ish tokenization: alphabetic runs, single digits, and single
+# non-alnum marks — a deterministic stand-in for a subword tokenizer's
+# pre-tokenization pass (GPT-2's regex splits along the same lines).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Tiny function-word profiles for the language-ID heuristic. Scores are
+# DISTINCT stopword hits (array_intersect), so common corpus words can't
+# swamp the signal. Order = tie-break priority.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "with", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "pour", "que", "une"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "für", "auf"],
+}
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens (array<string>), empty-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(whitespace_tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count via the pre-tokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def sentence_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, r"[.!?]+"), lambda s: F.trim(s) != ""))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    toks = whitespace_tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return (total.cast("double") / F.size(toks)).alias("avg_token_len")
+
+
+def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document statistics frame: chars, whitespace tokens, BPE-ish
+    tokens, sentences, average token length. One narrow projection — no
+    shuffle at all."""
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(text_col).cast("long").alias("n_bpe_tokens"),
+        sentence_count(text_col).cast("long").alias("n_sentences"),
+        avg_token_length(text_col).alias("avg_token_len"),
+    )
+
+
+def corpus_length_stats(
+    df: DataFrame, text_col: str, probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+) -> DataFrame:
+    """Corpus-level length distribution: min/max/avg plus exact
+    interpolated percentiles (``F.percentile`` ≙ SQL ``quantile_cont``).
+    At 100 TB swap ``F.percentile`` for ``percentile_approx`` — same
+    column contract, bounded memory."""
+    length = F.length(text_col).cast("double")
+    aggs = [
+        F.min(length).cast("long").alias("min_chars"),
+        F.max(length).cast("long").alias("max_chars"),
+        F.avg(length).alias("avg_chars"),
+    ]
+    for p in probs:
+        aggs.append(
+            F.percentile(length, F.lit(p)).alias(f"p{int(p * 100)}_chars")
+        )
+    return df.agg(*aggs)
+
+
+def top_terms(df: DataFrame, text_col: str, n: int = 20) -> DataFrame:
+    """Most frequent whitespace tokens: explode → map-side-combined count
+    → per-partition top-k via TakeOrderedAndProject (orderBy+limit never
+    globally sorts). Output: term, n."""
+    return (
+        df.select(F.explode(whitespace_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(n)
+    )
+
+
+def language_id(
+    col: Column | str, profiles: dict[str, list[str]] | None = None
+) -> Column:
+    """Heuristic language ID: argmax of DISTINCT function-word hits per
+    language profile, first-profile-wins on ties, ``und`` when nothing
+    matches. Pure array_intersect arithmetic — deterministic and exactly
+    replayable in SQL (the oracle's definition of correctness; a tiny
+    word-list heuristic is not expected to recover provenance labels)."""
+    profiles = profiles or LANG_PROFILES
+    toks = whitespace_tokens(col)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in profiles.items()
+    }
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    expr = F.lit("und")
+    for lang in reversed(list(profiles)):
+        expr = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+
+    0.4·length_score (chars/500 capped) + 0.3·stopword signal (any
+    English function words present, capped at 3 distinct) + 0.3·alpha
+    ratio (alphabetic+space chars over all chars). The exact formula is
+    arbitrary by nature — what matters is that it is deterministic,
+    codegen'd, and SQL-replayable."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            whitespace_tokens(c),
+            F.array(*[F.lit(w) for w in LANG_PROFILES["en"]]),
+        )
+    )
+    stop_score = F.least(stop_hits.cast("double") / F.lit(3.0), F.lit(1.0))
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z ]", ""))
+    alpha_ratio = F.when(F.length(c) > 0, alpha_chars / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        F.lit(0.4) * length_score + F.lit(0.3) * stop_score + F.lit(0.3) * alpha_ratio
+    )
+
+
+def doc_fingerprint(col: Column | str, shingle_width: int = 14) -> Column:
+    """Content fingerprint: the minimum md5 of the document's character
+    shingles — a 1-permutation MinHash usable as a cheap near-dup blocking
+    key or content id. md5 (not xxhash64) so external engines reproduce it
+    byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_min(F.transform(char_shingles(c, shingle_width), F.md5))

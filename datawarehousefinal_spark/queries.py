@@ -787,6 +787,150 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text analysis (beyond-reference LLM-pipeline ops)
+# ---------------------------------------------------------------------------
+
+# DuckDB token list mirroring textstats.whitespace_tokens.
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+)
+
+
+def _lang_profiles_sql() -> tuple[str, str]:
+    """(scores CTE select-list, CASE expr) generated from the SAME
+    LANG_PROFILES constants the Spark side uses, so they cannot drift."""
+    from datawarehousefinal_spark.operators.textstats import LANG_PROFILES
+
+    score_cols = ", ".join(
+        f"len(list_intersect(toks, {words!r})) AS s_{lang}"
+        for lang, words in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return score_cols, case
+
+
+@query(
+    "doc_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(toks)::BIGINT AS n_tokens,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+           len(list_filter(string_split_regex(text, '[.!?]+'),
+               s -> trim(s) != ''))::BIGINT AS n_sentences,
+           list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+             AS avg_token_len
+    FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    """,
+)
+def doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, BPE-ish tokens,
+    sentences, avg token length — pure projection, no shuffle."""
+    from datawarehousefinal_spark.operators.textstats import doc_stats
+
+    return doc_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "corpus_length_stats",
+    oracle="""
+    SELECT min(length(text))::BIGINT AS min_chars,
+           max(length(text))::BIGINT AS max_chars,
+           avg(length(text)::DOUBLE) AS avg_chars,
+           quantile_cont(length(text)::DOUBLE, 0.25) AS p25_chars,
+           quantile_cont(length(text)::DOUBLE, 0.50) AS p50_chars,
+           quantile_cont(length(text)::DOUBLE, 0.75) AS p75_chars,
+           quantile_cont(length(text)::DOUBLE, 0.95) AS p95_chars
+    FROM documents
+    """,
+)
+def corpus_length_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution with exact interpolated percentiles
+    (swap to percentile_approx at 100 TB — same contract)."""
+    from datawarehousefinal_spark.operators.textstats import corpus_length_stats
+
+    return corpus_length_stats(load_table(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "top_terms",
+    oracle=f"""
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+    GROUP BY 1 ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms: explode + map-side-combined count +
+    TakeOrderedAndProject."""
+    from datawarehousefinal_spark.operators.textstats import top_terms
+
+    return top_terms(load_table(spark, sf_dir, "documents"), "text", 20)
+
+
+def _lang_quality_oracle() -> str:
+    score_cols, case = _lang_profiles_sql()
+    from datawarehousefinal_spark.operators.textstats import LANG_PROFILES
+
+    en = LANG_PROFILES["en"]
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+         s AS (SELECT doc_id, text, toks, {score_cols} FROM t)
+    SELECT doc_id,
+           {case} AS lang_pred,
+           0.4 * least(length(text) / 500.0, 1.0)
+             + 0.3 * least(len(list_intersect(toks, {en!r})) / 3.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                      / length(text))
+             AS quality
+    FROM s
+    """
+
+
+@query("language_quality", oracle=_lang_quality_oracle())
+def language_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (distinct function-word argmax) + composite
+    quality score per document. The oracle replays the exact formula —
+    the gate checks deterministic reproducibility, not label recovery
+    (the fixture's lang column is synthetic provenance metadata)."""
+    from datawarehousefinal_spark.operators.textstats import (
+        language_id,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        language_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, list_min(list_transform({_SHINGLES_SQL}, s -> md5(s)))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: min-md5 over character shingles (a
+    1-permutation MinHash) — cross-engine reproducible blocking key."""
+    from datawarehousefinal_spark.operators.textstats import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint("text", shingle_width=_W).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding similarity search (beyond-reference LLM-pipeline ops)
 # ---------------------------------------------------------------------------
 

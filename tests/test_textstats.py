@@ -1,0 +1,79 @@
+"""Semantic unit tests for the text-analysis operators (the oracle tests
+in test_queries_oracle.py cover cross-engine reproducibility; these cover
+the intended behavior on handcrafted inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.operators.textstats import (
+    doc_fingerprint,
+    doc_stats,
+    language_id,
+    quality_score,
+    top_terms,
+)
+
+
+def test_doc_stats_handcrafted(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world. How are you? Fine!"), (2, "one")], ["id", "text"]
+    )
+    rows = {r["id"]: r for r in doc_stats(df, "id", "text").collect()}
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["n_sentences"] == 3
+    assert rows[2]["n_tokens"] == 1
+    assert rows[2]["n_chars"] == 3
+    assert rows[2]["avg_token_len"] == 3.0
+
+
+def test_language_id_clear_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy with food"),
+            (2, "el gato esta en la casa y no quiere salir por la noche"),
+            (3, "der Hund ist mit den Kindern auf der Wiese und das Wetter"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["lang"] for r in df.select(
+        "id", language_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "de"
+    assert out[4] == "und"
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and it is fine " * 10),
+            (2, "@@@@ #### $$$$ %%%%"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["q"] for r in df.select(
+        "id", quality_score("text").alias("q")).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_doc_fingerprint_stability_and_discrimination(spark):
+    df = spark.createDataFrame(
+        [(1, "a long enough document about spark plans"),
+         (2, "a long enough document about spark plans"),
+         (3, "something else entirely different here")],
+        ["id", "text"],
+    )
+    fps = {r["id"]: r["fp"] for r in df.select(
+        "id", doc_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_top_terms_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b c")], ["id", "text"]
+    )
+    rows = top_terms(df, "text", 2).collect()
+    assert [(r["term"], r["n"]) for r in rows] == [("a", 2), ("b", 2)]
