@@ -931,6 +931,41 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal binary columns (beyond-reference LLM-pipeline ops)
+# ---------------------------------------------------------------------------
+
+@query(
+    "media_byte_stats",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+               FROM documents)
+    SELECT doc_id AS media_id,
+           len(codes)::BIGINT AS n_bytes,
+           list_avg(codes)::DOUBLE AS mean_byte,
+           sqrt(list_avg(list_transform(codes, x -> x*x))::DOUBLE
+                - list_avg(codes)::DOUBLE ^ 2) AS std_byte,
+           list_min(codes)::INTEGER AS min_byte,
+           list_max(codes)::INTEGER AS max_byte
+    FROM b
+    """,
+)
+def media_byte_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → opaque binary payloads
+    with typed metadata → Arrow-batched mapInPandas byte statistics. The
+    payloads are the UTF-8 text bytes (ASCII fixture), so DuckDB replays
+    the exact numbers via ascii() arithmetic — a hash-checked gate on the
+    pandas-UDF path itself."""
+    from datawarehousefinal_spark.operators.multimodal import (
+        byte_stats,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return byte_stats(media)
+
+
+# ---------------------------------------------------------------------------
 # Embedding similarity search (beyond-reference LLM-pipeline ops)
 # ---------------------------------------------------------------------------
 
