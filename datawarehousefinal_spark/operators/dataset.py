@@ -68,6 +68,24 @@ def load_or_build_dataset(
         return spark.read.parquet(path)
 
 
+def drop_columns_by_predicate(df: DataFrame, predicate) -> DataFrame:
+    """P4: drop every column whose NAME satisfies ``predicate`` — the
+    reference drops id-prefixed/provenance columns this way
+    (machineLearning.py:271-276, 424-428)."""
+    return df.drop(*[c for c in df.columns if predicate(c)])
+
+
+def dropna_subset(df: DataFrame, subset: list[str]) -> DataFrame:
+    """P8: drop rows with NULL in the target column(s)
+    (deeplearning.py:53; deeplearning/etl_to_tensor.py:32)."""
+    return df.na.drop(subset=subset)
+
+
+def fillna_zero(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """P9: fill NULLs with 0 (post-one-hot fill, deeplearning.py:77)."""
+    return df.na.fill(0) if cols is None else df.na.fill(0, subset=cols)
+
+
 def seeded_sample_exact(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """C1: exact-n seeded sample. Spark's native ``sample`` is by fraction;
     exact n needs a rand-ordered limit (costs a sort of the surviving

@@ -931,6 +931,209 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Remaining §2 operators: P4/P8/P9, U1, F5, F12, C1, C3, S3, cube_all
+# ---------------------------------------------------------------------------
+
+@query(
+    "clean_drop_fill",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS l_quantity,
+           coalesce(CASE WHEN l_linenumber = 5 THEN NULL ELSE l_discount END,
+                    0.0) AS l_discount
+    FROM lineitem
+    WHERE l_linenumber != 4
+    """,
+)
+def clean_drop_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P8+P9 combined: inject NULLs, drop date/flag columns by name
+    predicate, dropna on the injected target, fillna(0) on the rest
+    (machineLearning.py:271-276; deeplearning.py:53,77)."""
+    from datawarehousefinal_spark.operators.dataset import (
+        drop_columns_by_predicate,
+        dropna_subset,
+        fillna_zero,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumns(
+        {
+            "l_quantity": F.when(F.col("l_linenumber") == 4, None).otherwise(
+                F.col("l_quantity").cast("double")
+            ),
+            "l_discount": F.when(F.col("l_linenumber") == 5, None).otherwise(
+                F.col("l_discount")
+            ),
+        }
+    )
+    slim = drop_columns_by_predicate(
+        li, lambda c: c.endswith("date") or c in ("l_returnflag", "l_linestatus",
+                                                  "l_shipinstruct", "l_shipmode",
+                                                  "l_comment", "l_partkey",
+                                                  "l_suppkey", "l_extendedprice",
+                                                  "l_tax")
+    )
+    return fillna_zero(
+        dropna_subset(slim, ["l_quantity"]), ["l_discount"]
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "future_dates_365",
+    oracle="""
+    WITH last AS (SELECT max(CAST(ts AS DATE)) AS last_date FROM events)
+    SELECT CAST(unnest(generate_series(last_date + 1, last_date + 365,
+                                       INTERVAL 1 DAY)) AS DATE) AS fecha
+    FROM last
+    """,
+)
+def future_dates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: the 365-day forecast horizon after the max date
+    (machineLearning.py:630-635) — sequence+explode, no driver round-trip."""
+    from datawarehousefinal_spark.functions.dates import future_dates
+
+    events = load_table(spark, sf_dir, "events")
+    last = events.agg(F.max(F.to_date("ts")).alias("last_date"))
+    return future_dates(spark, last, 365)
+
+
+@query(
+    "union_yearly_sources",
+    oracle="""
+    SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS anio
+    FROM orders
+    """,
+)
+def union_yearly_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: the six-yearly-CSV append union (etl_final.ktr:555-589) —
+    re-partitioned per year then funneled back with unionByName; the
+    invariant is exact row-set preservation."""
+    from datawarehousefinal_spark.operators.star import union_sources
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("anio")
+    )
+    # Fixed yearly slices (the testdata date domain), like the reference's
+    # six fixed yearly files; the null-safe tail slice keeps the union an
+    # exact partition of the input without a driver-side distinct.
+    years = list(range(1992, 1998))
+    yearly = [orders.filter(F.col("anio") == y) for y in years]
+    yearly.append(orders.filter(~F.col("anio").isin(years) | F.col("anio").isNull()))
+    return union_sources(yearly)
+
+
+@query(
+    "cube_all_measures",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(o_orderkey) AS cantidad_movimientos,
+           avg(o_totalprice) AS promedio_medida
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_all_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (dice): every dim-combination cell via cube() — one Expand +
+    HashAggregate, not 2^n re-scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    return olap.cube_all(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_orderkey", "o_totalprice"
+    ).withColumnsRenamed({"promedio_edades": "promedio_medida"})
+
+
+@query(
+    "colname_normalize",
+    oracle="""
+    SELECT c_custkey AS clave_del_cliente, c_mktsegment AS segmento_de_mercado
+    FROM customer
+    """,
+)
+def colname_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: header normalization (Datos/preprocessing.py:125) — accented,
+    padded, mixed-case column names come out lowered/deaccented/underscored.
+    The schema gate (column names) is the real assertion here."""
+    from datawarehousefinal_spark.functions.textnorm import normalize_column_names
+
+    dirty = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("  Clave del Cliente "),
+        F.col("c_mktsegment").alias("Segmento DE Mercado"),
+    )
+    return normalize_column_names(dirty)
+
+
+@query(
+    "csv_repair_roundtrip",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+)
+def csv_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: malformed-row repair (rowFixer, Datos/preprocessing.py:152-187).
+    A deterministic CSV is materialized from the nation table with every
+    5th row ';'-separated (malformed under ','); the permissive scan splits
+    them off, repair_rows re-parses them under ';', and the union must
+    reproduce the table exactly."""
+    import os
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from datawarehousefinal_spark.sources.readers import (
+        read_csv_with_repair,
+        repair_rows,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = sorted((r[0], r[1]) for r in nation.collect())
+    path = f"/tmp/dwf_csv_repair_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("n_nationkey,n_name\n")
+        for key, name in rows:
+            sep = ";" if key % 5 == 0 else ","
+            fh.write(f"{key}{sep}{name}\n")
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+        ]
+    )
+    good, bad = read_csv_with_repair(spark, path, schema)
+    repaired = repair_rows(bad, schema, sep=";")
+    return good.unionByName(repaired)
+
+
+@query(
+    "cache_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
+    """,
+)
+def cache_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: parquet cache-or-build (machineLearning.py:132-173). First run
+    builds + writes snappy parquet; later runs read the cache — either
+    path must hash-match the direct aggregation."""
+    import os
+
+    from datawarehousefinal_spark.operators.dataset import load_or_build_dataset
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = os.path.basename(sf_dir.rstrip("/"))
+    return load_or_build_dataset(
+        spark,
+        "/tmp/dwf_cache",
+        f"status_counts_{key}",
+        lambda: orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")),
+    )
+
+
+@query("seeded_sample_100")  # no SQL oracle: rand() ordering is Spark-side
+def seeded_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact-n seeded sample (machineLearning.py:146-147). Rows-only
+    driver check — the contract is |result| == n and determinism per seed
+    (asserted in tests)."""
+    from datawarehousefinal_spark.operators.dataset import seeded_sample_exact
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return seeded_sample_exact(orders, 100)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal binary columns (beyond-reference LLM-pipeline ops)
 # ---------------------------------------------------------------------------
 

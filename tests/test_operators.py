@@ -94,6 +94,16 @@ def test_stratified_split_ratios_and_partition(spark):
         assert 0.68 <= cnt / 1000 <= 0.92, (label, cnt)
 
 
+def test_seeded_sample_exact_deterministic(spark, sf_dir):
+    from datawarehousefinal_spark.operators.dataset import seeded_sample_exact
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    a = [r[0] for r in seeded_sample_exact(orders, 50).collect()]
+    b = [r[0] for r in seeded_sample_exact(orders, 50).collect()]
+    assert len(a) == 50
+    assert a == b  # same seed, same partitioning → same sample
+
+
 def test_stratified_split_rejects_high_cardinality_label(spark):
     df = spark.range(0, 100).select(F.col("id").cast("string").alias("label"))
     with pytest.raises(ValueError, match="distinct"):
