@@ -173,15 +173,31 @@ def fit_preprocess(
     df: DataFrame,
     exclude: tuple[str, ...] = (),
     output_col: str = "features",
+    persist: bool = True,
 ) -> tuple[PipelineModel, DataFrame]:
     """Fit the M1-M5 pipeline on ``df`` and return (model, transformed df
-    with the ``features`` column and intermediates dropped)."""
+    with the ``features`` column and intermediates dropped).
+
+    ``persist=True`` (default) marks both the imputed input and the
+    returned feature frame MEMORY_AND_DISK: the pipeline's estimator
+    stages each scan the input, and every downstream consumer (KMeans
+    iterations, CV folds, evaluators) re-scans the output — without a
+    persist each of those passes recomputes the whole upstream plan from
+    the source scan. Persisting iterative-ML inputs is standard Spark ML
+    practice at any scale (MEMORY_AND_DISK spills, never OOMs); pass
+    ``persist=False`` for one-shot transforms.
+    """
     numeric, categorical = split_feature_types(df, exclude)
     filled = impute_most_frequent(df, categorical)
+    if persist:
+        filled = filled.persist()
     model = build_preprocessor(numeric, categorical, output_col).fit(filled)
     out = model.transform(filled)
     helpers = [c for c in out.columns if c.startswith("__")]
-    return model, out.drop(*helpers)
+    out = out.drop(*helpers)
+    if persist:
+        out = out.persist()
+    return model, out
 
 
 # ---------------------------------------------------------------------------
