@@ -101,11 +101,13 @@ def build_ivf_index(
     """IVF index build: KMeans coarse quantizer over the corpus.
 
     Returns ``(assigned, centroids)``: the corpus with a ``__centroid``
-    partition id, and a tiny (num_partitions)-row centroid table. At scale,
-    fit the quantizer on a sample (`corpus.sample(...)`) — the transform
-    that assigns partitions is a single distributed pass either way; and
-    persist ``assigned`` partitioned by ``__centroid`` so probes prune
-    files at scan time.
+    partition id and a precomputed ``__norm`` (so probes never recompute
+    corpus norms — a vector probed by q queries would otherwise pay its
+    norm q times), and a tiny (num_partitions)-row centroid table. At
+    scale, fit the quantizer on a sample (`corpus.sample(...)`) — the
+    transform that assigns partitions is a single distributed pass either
+    way; and persist ``assigned`` partitioned by ``__centroid`` so probes
+    prune files at scan time.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -117,7 +119,10 @@ def build_ivf_index(
         k=num_partitions, seed=seed, featuresCol="__features", predictionCol="__centroid"
     ).fit(vecs)
     assigned = model.transform(vecs).select(
-        id_col, F.col("__arr").alias(vec_col), "__centroid"
+        id_col,
+        F.col("__arr").alias(vec_col),
+        "__centroid",
+        l2_norm(F.col("__arr")).alias("__norm"),
     )
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
@@ -155,8 +160,12 @@ def ivf_topk(
         as_double_array(vec_col).alias("__qv"),
     ).withColumn("__qn", l2_norm(F.col("__qv")))
 
+    # Probe ranking is by cosine to the centroid (dot / centroid norm —
+    # the query norm is constant per query so it can't change the order);
+    # a raw dot product would bias probes toward long centroids.
     probe_scores = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "__cdist", dot_product(F.col("__qv"), F.col("__cvec"))
+        "__cdist",
+        dot_product(F.col("__qv"), F.col("__cvec")) / l2_norm(F.col("__cvec")),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("__cdist"), "__centroid")
     probes = (
@@ -165,15 +174,20 @@ def ivf_topk(
         .select("query_id", "__qv", "__qn", "__centroid")
     )
 
+    have_norm = "__norm" in assigned.columns
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         "__centroid",
+        *(["__norm"] if have_norm else []),
     ).join(F.broadcast(probes), "__centroid")
+    neighbor_norm = (
+        F.col("__norm") if have_norm else l2_norm(as_double_array("__cv"))
+    )
     scored = cand.withColumn(
         "cosine",
         dot_product(as_double_array("__cv"), F.col("__qv"))
-        / (l2_norm(as_double_array("__cv")) * F.col("__qn")),
+        / (neighbor_norm * F.col("__qn")),
     )
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
