@@ -1,0 +1,155 @@
+"""Structured Streaming re-expressions of the engine's batch operators.
+
+The reference is a batch ETL (Kettle transformations run on a schedule —
+etl_final.ktr's yearly file loads; SURVEY.md §2.4), but the same
+semantics stream naturally: an events feed replaces the periodic re-read,
+watermarked windows replace the daily-counts re-aggregation (A4), and the
+lookup-or-insert dimension sink (S7, Kettle CombinationLookup) becomes a
+``foreachBatch`` incremental merge. Everything here is the micro-batch
+analog of an existing batch operator, sharing its implementation where
+possible so batch and streaming can't drift.
+
+Scale notes: file-source streams list + read incrementally
+(``maxFilesPerTrigger``); watermarks bound state for the windowed
+aggregations and within-watermark dedup; ``foreachBatch`` reuses the
+batch planner per micro-batch, so the dim merge keeps its broadcast
+anti-join shape. Tests drive every operator with
+``trigger(availableNow=True)`` against real parquet batches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a growing parquet directory — the streaming
+    replacement for the reference's periodic yearly re-loads
+    (etl_final.ktr:555-589). Schema must be declared: file streams do not
+    infer (and inference at 100 TB would list every file)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """A4's daily movement counts as a watermarked streaming aggregation.
+
+    The watermark bounds state: a window closes (and its row finalizes)
+    once the event-time high-water mark passes window end + ``watermark``;
+    later-arriving rows are dropped, exactly Structured Streaming's
+    documented late-data contract.
+
+    Output: ``fecha`` (window start date), ``movement_count``.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("__w"))
+        .agg(F.count(F.lit(1)).alias("movement_count"))
+        .select(F.to_date("__w.start").alias("fecha"), "movement_count")
+    )
+
+
+def windowed_value_counts(
+    stream: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """A5's value_counts per event-time window, watermark-bounded."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("__w"), F.col(col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.to_date("__w.start").alias("fecha"), col, "n")
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Exact dedup (keep-first) on a stream: ``dropDuplicatesWithinWatermark``
+    keeps state only for ``watermark`` of event time, so duplicate keys
+    arriving within the horizon collapse and state never grows unbounded —
+    the streaming face of ``operators.dedup.exact_dedup``."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def foreach_batch_dim_merge(
+    dim_path: str,
+    natural_keys: list[str],
+    id_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """S7 as a streaming sink: a ``foreachBatch`` function that merges each
+    micro-batch's new natural-key combinations into the parquet dimension
+    at ``dim_path`` (lookup-or-insert, surrogate ids continuing from the
+    current max — Kettle CombinationLookup, etl_final.ktr:2747+).
+
+    Reuses the batch ``build_dimension``/``merge_dimension`` (null-safe
+    anti-join) so streaming and batch dims can't drift. Parquet append per
+    batch; replay-idempotent at the key level (an already-seen combo never
+    gets a second id) though not transactionally exactly-once — that needs
+    a transactional table format this sandbox doesn't ship. Noted, not
+    hidden.
+    """
+    from datawarehousefinal_spark.operators.surrogate import (
+        build_dimension,
+        merge_dimension,
+    )
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(dim_path)
+        except Exception:
+            existing = None
+        if existing is None:
+            build_dimension(batch, natural_keys, id_col).write.mode(
+                "overwrite"
+            ).parquet(dim_path)
+        else:
+            merged = merge_dimension(existing, batch, natural_keys, id_col)
+            merged.join(existing.select(id_col), id_col, "left_anti").write.mode(
+                "append"
+            ).parquet(dim_path)
+
+    return _merge
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    output_mode: str = "append",
+) -> None:
+    """Drive a streaming DataFrame to completion over the data currently
+    available (``trigger(availableNow=True)``) into an in-memory sink —
+    the test/debug harness for every operator above."""
+    (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,94 @@
+"""Plan-shape audits of the registered queries: the 100 TB contracts
+(broadcast dims, pruned scans, partial aggregation, no cartesian blow-ups,
+no Python round-trips) asserted on the physical plan itself."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from datawarehousefinal_spark.plans import (
+    assert_broadcast_join,
+    assert_columns_pruned,
+    assert_max_shuffles,
+    assert_no_cartesian,
+    assert_no_python_udf,
+    assert_partial_aggregation,
+    assert_whole_stage_codegen,
+    physical_plan,
+    scan_read_schemas,
+)
+
+
+def _q(spark, sf_dir, name):
+    return entrymod.queries()[name](spark, sf_dir)
+
+
+def test_star_denormalized_broadcasts_every_dim(spark, sf_dir):
+    df = _q(spark, sf_dir, "star_denormalized")
+    assert_no_cartesian(df)
+    # every dim side broadcasts — the fact table never shuffles for a join
+    assert_broadcast_join(df, min_count=3)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert_no_python_udf(df)
+
+
+def test_fact_fk_attach_broadcasts(spark, sf_dir):
+    df = _q(spark, sf_dir, "fact_fk_attach")
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, min_count=1)
+
+
+def test_movements_by_year_partial_agg_and_pruning(spark, sf_dir):
+    df = _q(spark, sf_dir, "movements_by_year")
+    assert_partial_aggregation(df)
+    # the measure aggregation needs orderdate/status/price columns only —
+    # the wide comment/clerk columns must not reach the scan
+    assert_columns_pruned(df, ["o_comment", "o_clerk"])
+
+
+def test_sentinel_null_cast_is_shuffle_free(spark, sf_dir):
+    df = _q(spark, sf_dir, "sentinel_null_cast")
+    assert_max_shuffles(df, 0)  # pure projection: map-only at any scale
+    assert_whole_stage_codegen(df)
+    assert_no_python_udf(df)
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    # keep-first dedup is window-based: exactly one hash shuffle on the
+    # content key, no joins, regardless of corpus size
+    df = _q(spark, sf_dir, "exact_dedup")
+    assert_no_cartesian(df)
+    assert_max_shuffles(df, 1)
+
+
+def test_cosine_topk_no_python_and_pruned(spark, sf_dir):
+    df = _q(spark, sf_dir, "cosine_topk")
+    assert_no_python_udf(df)
+    # top-k window shuffles scored pairs once; corpus itself never
+    # shuffles more than that
+    assert_max_shuffles(df, 2)
+
+
+def test_doc_stats_scan_pruned(spark, sf_dir):
+    df = _q(spark, sf_dir, "doc_stats")
+    schemas = [s for s in scan_read_schemas(df) if "text" in s]
+    assert schemas, "documents scan missing"
+    assert_no_python_udf(df)
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    df = _q(spark, sf_dir, "minhash_lsh_pairs")
+    assert_no_cartesian(df)
+    assert_no_python_udf(df)
+
+
+def test_simhash_no_cartesian_no_python(spark, sf_dir):
+    df = _q(spark, sf_dir, "simhash_near_dupes")
+    assert_no_cartesian(df)
+    assert_no_python_udf(df)
+
+
+def test_hierarchy_rollup_partial_agg(spark, sf_dir):
+    df = _q(spark, sf_dir, "hierarchy_rollup")
+    assert_partial_aggregation(df)
+    assert_no_cartesian(df)

@@ -1,0 +1,137 @@
+"""Structured Streaming operators driven end-to-end with
+``trigger(availableNow=True)`` over real parquet batches, asserting the
+streaming results equal their batch counterparts."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.streaming import (
+    foreach_batch_dim_merge,
+    read_parquet_stream,
+    run_to_memory,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """The events table (ts converted from raw int64-nanos to timestamp by
+    the loader) re-written as three parquet 'arrival batches'."""
+    from datawarehousefinal_spark.sources.testdata import load_table
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    events = load_table(spark, SF, "events")
+    for i in range(3):
+        events.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    return d
+
+
+def _schema(spark):
+    from datawarehousefinal_spark.sources.testdata import load_table
+
+    return load_table(spark, SF, "events").schema
+
+
+def test_windowed_counts_match_batch(spark, event_stream_dir):
+    stream = read_parquet_stream(
+        spark, event_stream_dir, _schema(spark), max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        windowed_event_counts(stream, "ts", "1 day", "1 day"), name, "complete"
+    )
+    got = {
+        (r["fecha"], r["movement_count"])
+        for r in spark.table(name).collect()
+    }
+    from datawarehousefinal_spark.sources.testdata import load_table
+
+    batch = {
+        (r["fecha"], r["n"])
+        for r in load_table(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("fecha"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_streaming_dedup_collapses_replays(spark, event_stream_dir, tmp_path):
+    # replay the same batch dir twice by unioning a duplicated copy
+    dup_dir = str(tmp_path / "dup")
+    events = spark.read.parquet(event_stream_dir)
+    events.write.mode("overwrite").parquet(dup_dir)
+    events.limit(200).write.mode("append").parquet(dup_dir)  # 200 replays
+
+    stream = read_parquet_stream(spark, dup_dir, _schema(spark))
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        streaming_dedup(stream, ["event_id"], "ts", "30 days"), name, "append"
+    )
+    out = spark.table(name)
+    n_distinct = events.select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_foreach_batch_dim_merge_incremental(spark, tmp_path):
+    from datawarehousefinal_spark.sources.testdata import load_table
+
+    dim_path = str(tmp_path / "dim_event_type")
+    merge = foreach_batch_dim_merge(dim_path, ["event_type"], "id_event_type")
+
+    events = load_table(spark, SF, "events")
+    types = [r[0] for r in events.select("event_type").distinct().collect()]
+    first, rest = sorted(types)[:2], sorted(types)[2:]
+
+    merge(events.filter(F.col("event_type").isin(first)), 0)
+    dim1 = spark.read.parquet(dim_path)
+    assert dim1.count() == len(first)
+
+    merge(events, 1)  # replay everything: old keys must keep their ids
+    dim2 = spark.read.parquet(dim_path)
+    assert dim2.count() == len(types)
+    ids = sorted(r["id_event_type"] for r in dim2.collect())
+    assert ids == list(range(1, len(types) + 1))
+    # ids of the first batch unchanged by the second merge
+    old = {r["event_type"]: r["id_event_type"] for r in dim1.collect()}
+    new = {r["event_type"]: r["id_event_type"] for r in dim2.collect()}
+    for k, v in old.items():
+        assert new[k] == v
+
+
+def test_foreach_batch_runs_inside_real_stream(spark, event_stream_dir, tmp_path):
+    dim_path = str(tmp_path / "dim_stream")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_parquet_stream(
+        spark, event_stream_dir, _schema(spark), max_files_per_trigger=1
+    )
+    (
+        stream.writeStream.foreachBatch(
+            foreach_batch_dim_merge(dim_path, ["event_type"], "id_event_type")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    dim = spark.read.parquet(dim_path)
+    n_types = (
+        spark.read.parquet(event_stream_dir)
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert dim.count() == n_types
+    assert dim.select("id_event_type").distinct().count() == n_types
