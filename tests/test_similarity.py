@@ -87,3 +87,66 @@ def test_ivf_candidate_join_is_hash_not_cartesian(spark):
     # centroid id — never a cartesian scan of the corpus
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _near_dup_corpus(spark, n=120, dim=16, planted=15, seed=11):
+    """Random base vectors plus `planted` near-parallel copies (tiny noise,
+    cosine ~0.999) whose pair ids are known."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    truth = set()
+    for j in range(planted):
+        base = rows[j][1]
+        dup_id = n + j
+        rows.append((dup_id, [x + rng.gauss(0, 0.01) for x in base]))
+        truth.add((j, dup_id))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), truth
+
+
+def test_embedding_exact_pairs_match_planted(spark):
+    from datawarehousefinal_spark.operators.similarity import embedding_pairs_exact
+
+    corpus, truth = _near_dup_corpus(spark)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs_exact(corpus, "vec_id", "embedding", 0.95).collect()
+    }
+    assert got == truth
+
+
+def test_hyperplane_lsh_full_recall_on_planted_and_exact_precision(spark):
+    from datawarehousefinal_spark.operators.similarity import (
+        embedding_pairs_exact,
+        hyperplane_lsh_near_dupes,
+    )
+
+    corpus, truth = _near_dup_corpus(spark)
+    lsh = hyperplane_lsh_near_dupes(
+        corpus, "vec_id", "embedding", dim=16, threshold=0.95
+    )
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    # planted near-parallel pairs: per-band miss ~(1-0.986^2), all-8-band
+    # miss ~4e-13 — full recall is deterministic for test purposes
+    assert got == truth
+    # precision is exact by construction: every emitted pair verified
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs_exact(corpus, "vec_id", "embedding", 0.95).collect()
+    }
+    assert got <= exact
+
+
+def test_hyperplane_lsh_plan_bucketed(spark):
+    from datawarehousefinal_spark.operators.similarity import (
+        hyperplane_lsh_near_dupes,
+    )
+    from datawarehousefinal_spark.plans import assert_no_cartesian, assert_no_python_udf
+
+    corpus, _ = _near_dup_corpus(spark)
+    lsh = hyperplane_lsh_near_dupes(
+        corpus, "vec_id", "embedding", dim=16, threshold=0.95
+    )
+    assert_no_cartesian(lsh)
+    assert_no_python_udf(lsh)
