@@ -1099,6 +1099,122 @@ def csv_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "csv_typed_scan",
+    oracle="""
+    SELECT n_nationkey, CAST(n_regionkey AS INTEGER) AS n_regionkey, n_name
+    FROM nation
+    """,
+)
+def csv_typed_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: typed CSV scan with a declared schema and per-file dialect
+    options (';' separator, like the reference's per-file seps —
+    etl_final.ktr:631-907; Datos/preprocessing.py:91-121). The CSV is
+    materialized from the nation table, scanned back typed, and must
+    hash-match the source."""
+    import os
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from datawarehousefinal_spark.sources.readers import read_csv_typed
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_regionkey").cast("int"), "n_name"
+    )
+    rows = sorted((r[0], r[1], r[2]) for r in nation.collect())
+    path = f"/tmp/dwf_csv_typed_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("n_nationkey;n_regionkey;n_name\n")
+        for key, rkey, name in rows:
+            fh.write(f"{key};{rkey};{name}\n")
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_regionkey", IntegerType()),
+            StructField("n_name", StringType()),
+        ]
+    )
+    return read_csv_typed(spark, path, schema, sep=";")
+
+
+@query(
+    "parquet_sink_roundtrip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+           o_orderstatus,
+           count(*) AS n,
+           sum(o_totalprice) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def parquet_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: partitioned snappy parquet sink (machineLearning.py:167-171) —
+    aggregate, write partitionBy(anio) so downstream readers get partition
+    pruning, read back, and hash-match the direct aggregation. partitionBy
+    columns come back as the partition directory values (anio survives the
+    roundtrip typed via the written string; cast back to int)."""
+    import os
+
+    from datawarehousefinal_spark.sources.writers import write_parquet
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("anio"), F.col("o_orderstatus")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+        )
+    )
+    path = f"/tmp/dwf_pq_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_parquet(agg, path, partition_by=["anio"])
+    out = spark.read.parquet(path)
+    return out.select(
+        F.col("anio").cast("int"), "o_orderstatus", "n", "total"
+    )
+
+
+@query(
+    "csv_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
+    """,
+)
+def csv_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: CSV sink + typed re-scan (Datos/preprocessing.py:142-143)."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from datawarehousefinal_spark.sources.readers import read_csv_typed
+    from datawarehousefinal_spark.sources.writers import write_csv
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    path = f"/tmp/dwf_csv_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_csv(agg, path)
+    schema = StructType(
+        [
+            StructField("o_orderstatus", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    return read_csv_typed(spark, path, schema)
+
+
+@query(
     "cache_roundtrip",
     oracle="""
     SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
