@@ -85,18 +85,21 @@ def split_feature_types(
 
 def drop_ml_id_columns(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """P4 in its ML-layer form: drop surrogate-id/provenance/date-string
-    columns before modeling (machineLearning.py:271-276, 424-428)."""
-    drop = [
-        c
-        for c in df.columns
-        if c not in keep
+    columns before modeling (machineLearning.py:271-276, 424-428).
+    Delegates to the generic P4 predicate-drop operator."""
+    from datawarehousefinal_spark.operators.dataset import (
+        drop_columns_by_predicate,
+    )
+
+    return drop_columns_by_predicate(
+        df,
+        lambda c: c not in keep
         and (
             c.startswith("id_")
             or c == "source_fact"
             or c == "dim_fecha_fecha_completa"
-        )
-    ]
-    return df.drop(*drop)
+        ),
+    )
 
 
 def impute_most_frequent(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -196,7 +199,13 @@ def fit_preprocess(
     helpers = [c for c in out.columns if c.startswith("__")]
     out = out.drop(*helpers)
     if persist:
+        # materialize the feature frame, then release the intermediate —
+        # otherwise both frames stay pinned for the session lifetime and
+        # repeated fits accumulate dead cache. Callers own `out`'s
+        # lifecycle (unpersist it when done).
         out = out.persist()
+        out.count()
+        filled.unpersist()
     return model, out
 
 

@@ -25,6 +25,7 @@ deterministic across runs — LSH here has no run-to-run randomness.
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 from itertools import combinations
 
@@ -162,7 +163,13 @@ def lsh_band_buckets(
     Band key = md5 over that band's ``rows_per_band`` signature slots; two
     documents collide in a band iff those slots are all equal.
     """
-    num_sig_cols = sum(1 for f in sig.schema.fields if f.name.startswith("h"))
+    # signature slots are exactly h0..h{n-1} — a prefix match would
+    # miscount when the id column is named e.g. 'hash_id' or 'h17'
+    num_sig_cols = sum(
+        1
+        for f in sig.schema.fields
+        if f.name != id_col and re.fullmatch(r"h\d+", f.name)
+    )
     if bands * rows_per_band > num_sig_cols:
         raise ValueError(
             f"bands ({bands}) x rows_per_band ({rows_per_band}) = "

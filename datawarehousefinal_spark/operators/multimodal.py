@@ -71,7 +71,10 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("image").alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
-            F.length("text").cast("int").alias("width"),
+            # width must be the BYTE count of the payload, not the character
+            # count — they differ on any non-ASCII text, and decode_raw
+            # reshapes by width*height*channels
+            F.octet_length(F.encode("text", "UTF-8")).cast("int").alias("width"),
             F.lit(1).alias("height"),
             F.lit(1).alias("channels"),
             F.lit(1).alias("n_frames"),
@@ -130,14 +133,20 @@ def byte_stats(df: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            # zero-length payloads get NULL stats instead of killing the
+            # task (numpy min/max/mean raise on empty arrays)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
                     "n_bytes": [a.size for a in arrs],
-                    "mean_byte": [float(a.mean()) for a in arrs],
-                    "std_byte": [float(a.std()) for a in arrs],
-                    "min_byte": [int(a.min()) for a in arrs],
-                    "max_byte": [int(a.max()) for a in arrs],
+                    "mean_byte": [
+                        float(a.mean()) if a.size else None for a in arrs
+                    ],
+                    "std_byte": [
+                        float(a.std()) if a.size else None for a in arrs
+                    ],
+                    "min_byte": [int(a.min()) if a.size else None for a in arrs],
+                    "max_byte": [int(a.max()) if a.size else None for a in arrs],
                 }
             )
 

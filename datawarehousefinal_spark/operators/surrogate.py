@@ -114,5 +114,21 @@ def attach_surrogate_key(
     fact: DataFrame, dim: DataFrame, natural_keys: list[str], id_col: str
 ) -> DataFrame:
     """J4 phase 2: put the FK onto the fact rows via broadcast left join on
-    the natural keys. The (huge) fact side stays in place."""
-    return fact.join(F.broadcast(dim.select(id_col, *natural_keys)), natural_keys, "left")
+    the natural keys. The (huge) fact side stays in place.
+
+    NULL-SAFE like the rest of the dimension contract: ``build_dimension``
+    deliberately keys NULL-bearing combos, so the lookup matches NULL as a
+    value (``eqNullSafe`` keys still hash-join) — a plain column-list join
+    would leave every such fact row with an orphan NULL FK."""
+    d = F.broadcast(dim.select(id_col, *natural_keys)).alias("__dim")
+    f = fact.alias("__fact")
+    cond = reduce(
+        and_,
+        [
+            F.col(f"__fact.{k}").eqNullSafe(F.col(f"__dim.{k}"))
+            for k in natural_keys
+        ],
+    )
+    return f.join(d, cond, "left").select(
+        "__fact.*", F.col(f"__dim.{id_col}").alias(id_col)
+    )

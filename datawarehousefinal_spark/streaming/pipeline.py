@@ -119,10 +119,21 @@ def foreach_batch_dim_merge(
     )
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             existing = spark.read.parquet(dim_path)
-        except Exception:
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch" — any other failure
+            # (IO error, corrupt footer, permissions) must propagate, or
+            # the overwrite branch below would destroy the accumulated
+            # dimension and re-number every surrogate id.
+            klass = (
+                e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            ) or ""
+            if "PATH_NOT_FOUND" not in klass and "PATH_NOT_FOUND" not in str(e):
+                raise
             existing = None
         if existing is None:
             build_dimension(batch, natural_keys, id_col).write.mode(

@@ -115,3 +115,35 @@ def test_media_from_documents_schema(spark, sf_dir):
     r = media.first()
     assert bytes(r["payload"]).decode("utf-8")  # round-trips
     assert r["meta"]["width"] == len(bytes(r["payload"]))
+
+
+def test_byte_stats_empty_payload_yields_nulls(spark):
+    from datawarehousefinal_spark.operators.multimodal import (
+        byte_stats,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "xyz")], ["doc_id", "text"]
+    )
+    rows = {r["media_id"]: r for r in byte_stats(media_from_documents(docs)).collect()}
+    assert rows[2]["n_bytes"] == 0
+    assert rows[2]["mean_byte"] is None
+    assert rows[2]["min_byte"] is None
+    assert rows[1]["n_bytes"] == 3 and rows[1]["min_byte"] is not None
+
+
+def test_media_width_is_byte_count_for_non_ascii(spark):
+    from datawarehousefinal_spark.operators.multimodal import (
+        channel_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "café"), (2, "naïve")], ["doc_id", "text"])
+    media = media_from_documents(docs)
+    metas = {r["media_id"]: r["meta"] for r in media.collect()}
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid in (1, 2):
+        assert metas[mid]["width"] == len(payloads[mid])  # bytes, not chars
+    # decode path must not crash on the multi-byte payloads
+    assert channel_features(media).count() == 2

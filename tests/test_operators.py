@@ -108,3 +108,26 @@ def test_stratified_split_rejects_high_cardinality_label(spark):
     df = spark.range(0, 100).select(F.col("id").cast("string").alias("label"))
     with pytest.raises(ValueError, match="distinct"):
         stratified_split(df, "label", max_labels=10)
+
+
+def test_attach_surrogate_key_null_safe(spark):
+    """FK attach must match NULL-bearing natural keys as values (same
+    contract as build/merge): a plain column-list join would leave orphan
+    NULL FKs on exactly the combos build_dimension deliberately keys."""
+    from datawarehousefinal_spark.operators.surrogate import (
+        attach_surrogate_key,
+        build_dimension,
+    )
+
+    fact = spark.createDataFrame(
+        [("a", None, 10.0), (None, None, 20.0), ("a", "x", 30.0)],
+        ["k1", "k2", "m"],
+    )
+    dim = build_dimension(fact, ["k1", "k2"], "id_dim")
+    out = attach_surrogate_key(fact, dim, ["k1", "k2"], "id_dim")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["id_dim"] is not None for r in rows), "orphan NULL FKs"
+    # same combo -> same id
+    by_combo = {(r["k1"], r["k2"]): r["id_dim"] for r in rows}
+    assert len(set(by_combo.values())) == 3

@@ -18,17 +18,14 @@ from datawarehousefinal_spark.streaming import (
     windowed_event_counts,
 )
 
-SF = "/root/testdata/sf0.001"
-
-
 @pytest.fixture(scope="module")
-def event_stream_dir(spark, tmp_path_factory):
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
     """The events table (ts converted from raw int64-nanos to timestamp by
     the loader) re-written as three parquet 'arrival batches'."""
     from datawarehousefinal_spark.sources.testdata import load_table
 
     d = str(tmp_path_factory.mktemp("events_stream"))
-    events = load_table(spark, SF, "events")
+    events = load_table(spark, sf_dir, "events")
     for i in range(3):
         events.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
             "append"
@@ -36,15 +33,15 @@ def event_stream_dir(spark, tmp_path_factory):
     return d
 
 
-def _schema(spark):
+def _schema(spark, sf_dir):
     from datawarehousefinal_spark.sources.testdata import load_table
 
-    return load_table(spark, SF, "events").schema
+    return load_table(spark, sf_dir, "events").schema
 
 
-def test_windowed_counts_match_batch(spark, event_stream_dir):
+def test_windowed_counts_match_batch(spark, sf_dir, event_stream_dir):
     stream = read_parquet_stream(
-        spark, event_stream_dir, _schema(spark), max_files_per_trigger=1
+        spark, event_stream_dir, _schema(spark, sf_dir), max_files_per_trigger=1
     )
     assert stream.isStreaming
     name = f"wc_{uuid.uuid4().hex[:8]}"
@@ -59,7 +56,7 @@ def test_windowed_counts_match_batch(spark, event_stream_dir):
 
     batch = {
         (r["fecha"], r["n"])
-        for r in load_table(spark, SF, "events")
+        for r in load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("fecha"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -67,14 +64,14 @@ def test_windowed_counts_match_batch(spark, event_stream_dir):
     assert got == batch
 
 
-def test_streaming_dedup_collapses_replays(spark, event_stream_dir, tmp_path):
+def test_streaming_dedup_collapses_replays(spark, sf_dir, event_stream_dir, tmp_path):
     # replay the same batch dir twice by unioning a duplicated copy
     dup_dir = str(tmp_path / "dup")
     events = spark.read.parquet(event_stream_dir)
     events.write.mode("overwrite").parquet(dup_dir)
     events.limit(200).write.mode("append").parquet(dup_dir)  # 200 replays
 
-    stream = read_parquet_stream(spark, dup_dir, _schema(spark))
+    stream = read_parquet_stream(spark, dup_dir, _schema(spark, sf_dir))
     name = f"dd_{uuid.uuid4().hex[:8]}"
     run_to_memory(
         streaming_dedup(stream, ["event_id"], "ts", "30 days"), name, "append"
@@ -85,13 +82,13 @@ def test_streaming_dedup_collapses_replays(spark, event_stream_dir, tmp_path):
     assert out.select("event_id").distinct().count() == n_distinct
 
 
-def test_foreach_batch_dim_merge_incremental(spark, tmp_path):
+def test_foreach_batch_dim_merge_incremental(spark, sf_dir, tmp_path):
     from datawarehousefinal_spark.sources.testdata import load_table
 
     dim_path = str(tmp_path / "dim_event_type")
     merge = foreach_batch_dim_merge(dim_path, ["event_type"], "id_event_type")
 
-    events = load_table(spark, SF, "events")
+    events = load_table(spark, sf_dir, "events")
     types = [r[0] for r in events.select("event_type").distinct().collect()]
     first, rest = sorted(types)[:2], sorted(types)[2:]
 
@@ -111,11 +108,11 @@ def test_foreach_batch_dim_merge_incremental(spark, tmp_path):
         assert new[k] == v
 
 
-def test_foreach_batch_runs_inside_real_stream(spark, event_stream_dir, tmp_path):
+def test_foreach_batch_runs_inside_real_stream(spark, sf_dir, event_stream_dir, tmp_path):
     dim_path = str(tmp_path / "dim_stream")
     ckpt = str(tmp_path / "ckpt")
     stream = read_parquet_stream(
-        spark, event_stream_dir, _schema(spark), max_files_per_trigger=1
+        spark, event_stream_dir, _schema(spark, sf_dir), max_files_per_trigger=1
     )
     (
         stream.writeStream.foreachBatch(
