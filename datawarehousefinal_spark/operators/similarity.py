@@ -186,28 +186,38 @@ def hyperplane_lsh_near_dupes(
         for j in range(rows_per_band):
             key = key * 2 + F.col("__bits")[bnd * rows_per_band + j]
         entries.append(F.struct(F.lit(bnd).alias("band"), key.alias("key")))
+    # Candidate generation is ID-ONLY: the vectors must not ride through
+    # the band explode, the bucket-count shuffle, and both self-join sides
+    # (that would move ~2*num_bands copies of every vector). Vectors are
+    # re-joined by id for verification on the (sparse) candidate set —
+    # the same shape minhash_near_dupes uses for document text.
     keyed = sig.select(
-        id_col, "__v", "__n", F.explode(F.array(*entries)).alias("__e")
+        id_col, F.explode(F.array(*entries)).alias("__e")
     ).select(
-        id_col, "__v", "__n",
-        F.col("__e.band").alias("band"), F.col("__e.key").alias("key"),
+        id_col, F.col("__e.band").alias("band"), F.col("__e.key").alias("key")
     )
     sized = keyed.withColumn(
         "__c", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
     ).filter(F.col("__c") <= max_bucket)
-    a = sized.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), "band", "key",
-    )
-    b = sized.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), "band", "key",
-    )
-    return (
+    a = sized.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = sized.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cosine",
             dot_product(F.col("__va"), F.col("__vb"))
