@@ -413,26 +413,37 @@ def simhash_near_dupes(
     max_bucket: int = 1000,
     num_blocks: int | None = None,
     combo_size: int = 2,
+    exact_pair_cap: int = 100,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with GUARANTEED candidate recall.
 
     Block-combination blocking (the scheme of Manku et al.'s web-scale
     simhash dedup): split the 64-bit fingerprint into ``num_blocks`` bit
-    blocks and key each document on every ``combo_size``-subset of blocks.
-    A pair within hamming ``h`` differs in at most ``h`` blocks, hence
-    agrees on ≥ ``num_blocks - h``; whenever ``combo_size <= num_blocks -
-    max_hamming`` (enforced) some agreeing combo collides, so every
-    within-threshold pair becomes a candidate. Candidates are verified
-    with ``bit_count(xor) <= max_hamming`` — 100% precision.
+    blocks and key each fingerprint on every ``combo_size``-subset of
+    blocks. A pair within hamming ``h`` differs in at most ``h`` blocks,
+    hence agrees on ≥ ``num_blocks - h``; whenever ``combo_size <=
+    num_blocks - max_hamming`` (enforced) some agreeing combo collides, so
+    every within-threshold pair becomes a candidate. Candidates are
+    verified with ``bit_count(xor) <= max_hamming`` — 100% precision.
+
+    Banding runs over DISTINCT fingerprints, not documents. This is what
+    makes the recall guarantee survive real corpora: a boilerplate page
+    duplicated a million times is ONE row in every bucket, so the
+    ``max_bucket`` skew guard can never throw away exactly the documents a
+    dedup pass exists to catch (it trips only when > ``max_bucket``
+    *distinct* fingerprints crowd one combo key — genuine key-space
+    crowding, fixed by raising ``combo_size``). Identical-fingerprint
+    groups (hamming 0) are emitted directly: all pairs for groups of ≤
+    ``exact_pair_cap`` members, and rep→member star pairs (which still
+    connect every member for keep-first dedup) beyond that — listing all
+    C(n,2) pairs of a million-copy cluster is output no caller wants.
+    Cross-fingerprint candidate pairs expand to all member pairs.
 
     Defaults derive ``num_blocks = max_hamming + combo_size`` (the minimum
     satisfying the guarantee). Key width is ``combo_size`` blocks ≈
-    ``combo_size * 64/num_blocks`` bits — raise ``combo_size`` (which also
-    raises ``num_blocks``) when the corpus is large enough that buckets on
-    that key width would crowd: C(num_blocks, combo_size) tables trade
-    explode fan-out for exponentially more, smaller buckets.
+    ``combo_size * 64/num_blocks`` bits.
 
-    Output: ``id_a, id_b, hamming``.
+    Output: ``id_a, id_b, hamming`` (id_a < id_b).
     """
     if num_blocks is None:
         num_blocks = max_hamming + combo_size
@@ -448,6 +459,34 @@ def simhash_near_dupes(
     ]
 
     fp = simhash(df, id_col, text_col, shingle_width)
+    members = fp.withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("simhash"))
+    ).withColumn(
+        "__gsize", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    )
+
+    # -- hamming-0 tier: pairs within identical-fingerprint groups --------
+    small = members.filter(F.col("__gsize") <= exact_pair_cap)
+    sa = small.select(F.col("simhash").alias("__fp"), F.col(id_col).alias("id_a"))
+    sb = small.select(F.col("simhash").alias("__fp"), F.col(id_col).alias("id_b"))
+    exact_small = (
+        sa.join(sb, "__fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    exact_star = (
+        members.filter(
+            (F.col("__gsize") > exact_pair_cap) & (F.col(id_col) != F.col("__rep"))
+        )
+        .select(
+            F.col("__rep").alias("id_a"),  # rep = min(id) < every member id
+            F.col(id_col).alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+
+    # -- cross-fingerprint tier: band DISTINCT fingerprints ---------------
+    distinct_fp = members.select("simhash").distinct()
     combos = list(combinations(range(num_blocks), combo_size))
     # Key = the combo's block values packed into one long (blocks are < 64
     # bits total so any combo fits), table id distinguishes combos.
@@ -457,28 +496,36 @@ def simhash_near_dupes(
         for b in combo:
             key = F.shiftleft(key, bounds[b][1]).bitwiseOR(block_cols[b])
         entries.append(F.struct(F.lit(t).alias("table"), key.alias("key")))
-    keyed = fp.select(
-        id_col, "simhash", F.explode(F.array(*entries)).alias("__t")
+    keyed = distinct_fp.select(
+        "simhash", F.explode(F.array(*entries)).alias("__t")
     ).select(
-        id_col, "simhash", F.col("__t.table").alias("table"), F.col("__t.key").alias("key")
+        "simhash", F.col("__t.table").alias("table"), F.col("__t.key").alias("key")
     )
     sized = keyed.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("table", "key"))
     ).filter(F.col("__n") <= max_bucket)
-    a = sized.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"), "table", "key"
-    )
-    b = sized.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"), "table", "key"
-    )
-    return (
+    a = sized.select(F.col("simhash").alias("__fa"), "table", "key")
+    b = sized.select(F.col("simhash").alias("__fb"), "table", "key")
+    fp_pairs = (
         a.join(b, ["table", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("__fa") < F.col("__fb"))
         .select(
-            "id_a",
-            "id_b",
+            "__fa",
+            "__fb",
             F.bit_count(F.expr("__fa ^ __fb")).cast("int").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
     )
+    ma = fp.select(F.col("simhash").alias("__fa"), F.col(id_col).alias("__ida"))
+    mb = fp.select(F.col("simhash").alias("__fb"), F.col(id_col).alias("__idb"))
+    cross = (
+        fp_pairs.join(ma, "__fa")
+        .join(mb, "__fb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return exact_small.unionByName(exact_star).unionByName(cross)

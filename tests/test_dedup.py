@@ -111,3 +111,38 @@ def test_lsh_plan_is_bucketed_not_quadratic(spark, sf_dir):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_mega_duplicate_cluster_survives_skew_guard(spark):
+    """A heavily-duplicated text (larger than max_bucket would have allowed
+    under per-document banding) must still come out fully connected: the
+    banding runs on distinct fingerprints, so the skew guard can't drop
+    exact-duplicate clusters — the primary dedup target."""
+    from datawarehousefinal_spark.operators.dedup import simhash_near_dupes
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(i, base) for i in range(40)]  # one 40-copy cluster
+    rows += [(100 + i, f"unique document number {i} with its own words {i}")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # exact_pair_cap=10 forces the star path; max_bucket=5 would have
+    # silently dropped the cluster under per-document banding
+    out = simhash_near_dupes(
+        docs, "doc_id", "text", max_hamming=3, max_bucket=5, exact_pair_cap=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # star pairs: rep 0 connected to every other member
+    for i in range(1, 40):
+        assert (0, i) in pairs, f"member {i} disconnected"
+    assert all(r["hamming"] == 0 for r in out if r["id_a"] == 0 and r["id_b"] < 40)
+
+
+def test_simhash_small_identical_groups_emit_all_pairs(spark):
+    from datawarehousefinal_spark.operators.dedup import simhash_near_dupes
+
+    rows = [(1, "identical content here"), (2, "identical content here"),
+            (3, "identical content here"), (4, "completely different words entirely")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = simhash_near_dupes(docs, "doc_id", "text", max_hamming=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
