@@ -1,0 +1,113 @@
+"""Skew-mitigation operators: explicit salting for the cases AQE can't fix.
+
+The session factory enables AQE skew-join handling (session.py), which
+splits oversized sort-merge partitions at runtime — that is the first
+line of defense and needs no code. Explicit salting remains the right
+tool when:
+
+- a *shuffled* join has a handful of hot keys and the other side is too
+  big to broadcast but small enough to replicate ``num_salts`` times
+  (:func:`salted_join`);
+- an aggregation's combine step still concentrates one huge group on one
+  reducer — e.g. ``collect_list``/``count_distinct``-style state that
+  partial aggregation cannot shrink (:func:`salted_aggregate` two-stage
+  decomposition).
+
+Plain ``count/sum/min/max`` aggregations do NOT need salting in Spark:
+hash aggregation partial-combines map-side, so a skewed key contributes
+one row per map partition regardless of its row count. These helpers are
+for the residual cases, and each documents the cost it pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    replicated: DataFrame,
+    on: list[str],
+    num_salts: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Join a skew-keyed ``big`` frame against ``replicated`` by salting.
+
+    ``big`` rows get a uniform random salt in [0, num_salts); ``replicated``
+    is exploded once per salt value, and the join runs on ``on + [salt]`` —
+    a hot key's rows now spread over ``num_salts`` reducers instead of one.
+
+    Cost: ``replicated`` is shuffled ``num_salts``× larger — use only when
+    it is far smaller than ``big`` yet above the broadcast threshold
+    (below it, ``F.broadcast`` makes salting pointless). Row-level results
+    are identical to the plain join for ``inner``/``left`` joins (the salt
+    explode multiplies only the replicated side, and each big row matches
+    exactly its own salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    b = big.withColumn(_SALT, (F.rand(seed) * num_salts).cast("int"))
+    r = replicated.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return b.join(r, on + [_SALT], how).drop(_SALT)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    count: bool = True,
+    num_salts: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-stage (salted) aggregation: stage 1 aggregates on
+    ``group_cols + salt`` (spreading a hot group over ``num_salts``
+    reducers), stage 2 combines the per-salt partials.
+
+    Decomposable measures only: ``count`` and per-column ``sum`` (avg =
+    salted sum / salted count at the call site). Output columns:
+    ``n`` for the count, ``sum_<col>`` per sum column — identical values
+    to the plain ``groupBy`` (asserted in tests), two shuffles instead of
+    one: the price of never letting one reducer own a mega-group's state.
+    """
+    sum_cols = sum_cols or []
+    salted = df.withColumn(_SALT, (F.rand(seed) * num_salts).cast("int"))
+    partial_aggs: list[Column] = []
+    if count:
+        partial_aggs.append(F.count(F.lit(1)).alias("__pn"))
+    partial_aggs += [F.sum(c).alias(f"__ps_{c}") for c in sum_cols]
+    partial = salted.groupBy(*group_cols, _SALT).agg(*partial_aggs)
+    final_aggs: list[Column] = []
+    if count:
+        final_aggs.append(F.sum("__pn").alias("n"))
+    final_aggs += [F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in sum_cols]
+    return partial.groupBy(*group_cols).agg(*final_aggs)
+
+
+def two_stage_distinct_count(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+) -> DataFrame:
+    """Exact distinct count per group without a single-reducer hot spot.
+
+    Stage 1 dedups on ``(group, value)`` — that shuffle hashes on BOTH
+    columns, so a hot group's distinct state spreads across reducers by
+    value; stage 2 counts survivors per group, which partial-combines
+    map-side. No salt column is needed: the value itself is the salt.
+    Equivalent values to ``countDistinct``; for approximate needs use
+    ``approx_count_distinct`` (HLL, one pass) instead.
+
+    Output: ``group_cols..., n_distinct``.
+    """
+    deduped = df.select(*group_cols, distinct_col).dropDuplicates(
+        [*group_cols, distinct_col]
+    )
+    return deduped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )

@@ -1099,6 +1099,57 @@ def csv_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_skew_join_agg",
+    oracle="""
+    SELECT n_name, count(*) AS n, sum(c_acctbal) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def salted_skew_join_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation path: salted join (customer salted, nation
+    replicated 8x) then aggregate — must produce byte-identical results to
+    the plain join. At real scale this is the fallback for hot-keyed
+    shuffled joins where the small side exceeds the broadcast threshold;
+    AQE skew-join handles the rest (session.py)."""
+    from datawarehousefinal_spark.operators.skew import salted_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        salted_join(cust, nation, ["c_nationkey"], num_salts=8)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "two_stage_distinct_count",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY 1
+    """,
+)
+def two_stage_distinct_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group distinct count via dedup-then-count — the shuffle
+    hashes (group, value) so a hot group's distinct state spreads across
+    reducers, then the survivor count partial-combines map-side."""
+    from datawarehousefinal_spark.operators.skew import (
+        two_stage_distinct_count,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return two_stage_distinct_count(orders, ["o_orderstatus"], "o_custkey")
+
+
+@query(
     "csv_typed_scan",
     oracle="""
     SELECT n_nationkey, CAST(n_regionkey AS INTEGER) AS n_regionkey, n_name
