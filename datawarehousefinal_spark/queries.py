@@ -1099,6 +1099,43 @@ def csv_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH l AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'view'),
+         r AS (SELECT user_id, ts, value AS purchase_value FROM events
+               WHERE event_type = 'purchase'
+               QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id) = 1)
+    SELECT l.user_id, l.ts, l.event_id, r.purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native one): for every
+    'view' event, the value of the user's most recent prior-or-equal
+    'purchase'. cogroup + Arrow-batched pd.merge_asof per user; DuckDB
+    ASOF JOIN is the oracle. Right-side (user_id, ts) duplicates are
+    pre-deduped because 'most recent' is ill-defined on ties."""
+    from pyspark.sql import Window
+
+    from datawarehousefinal_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    return asof_join(left, right, ["user_id"], "ts")
+
+
+@query(
     "salted_skew_join_agg",
     oracle="""
     SELECT n_name, count(*) AS n, sum(c_acctbal) AS total_bal

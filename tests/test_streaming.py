@@ -132,3 +132,72 @@ def test_foreach_batch_runs_inside_real_stream(spark, sf_dir, event_stream_dir, 
     )
     assert dim.count() == n_types
     assert dim.select("id_event_type").distinct().count() == n_types
+
+
+def test_stateful_running_totals_carry_across_batches(spark, sf_dir, event_stream_dir):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    with maxFilesPerTrigger=1 the three arrival batches process
+    separately, and the LAST emission per key must equal the batch-mode
+    totals over the whole directory."""
+    from datawarehousefinal_spark.streaming.stateful import (
+        stateful_running_totals,
+    )
+
+    stream = read_parquet_stream(
+        spark, event_stream_dir, _schema(spark, sf_dir), max_files_per_trigger=1
+    )
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    totals = stateful_running_totals(stream, "event_type", "value")
+    (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    log = spark.table(name).collect()
+    assert len(log) > 0
+    # last (largest-n) emission per key
+    final = {}
+    for r in log:
+        if r["key"] not in final or r["n"] > final[r["key"]][0]:
+            final[r["key"]] = (r["n"], r["total"])
+    batch = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in spark.read.parquet(event_stream_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for k in batch:
+        assert final[k][0] == batch[k][0], k
+        assert abs(final[k][1] - batch[k][1]) < 1e-6 * max(1.0, abs(batch[k][1])), k
+    # state really carried: with 3 micro-batches there must be more
+    # emissions than keys
+    assert len(log) > len(batch)
+
+
+def test_session_window_counts_complete_mode(spark, sf_dir, event_stream_dir):
+    from datawarehousefinal_spark.streaming.stateful import session_window_counts
+
+    stream = read_parquet_stream(spark, event_stream_dir, _schema(spark, sf_dir))
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    sessions = session_window_counts(stream, "user_id", "ts", gap="6 hours")
+    (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.table(name)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert out.filter(F.col("session_end") <= F.col("session_start")).count() == 0
+    # session event counts partition the input
+    assert sum(r["n_events"] for r in rows) == spark.read.parquet(
+        event_stream_dir
+    ).count()
