@@ -102,6 +102,21 @@ def drop_ml_id_columns(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
+def label_encode(
+    df: DataFrame, col: str, out_col: str | None = None
+) -> tuple[Any, DataFrame]:
+    """M4: label encoding with an unknown-safe bucket — the reference's
+    ``LabelEncoder`` + manual unknown→0 (deeplearning/preprocessing.py:
+    29-38; etl_to_tensor.py:47-62). ``StringIndexer(handleInvalid='keep')``
+    routes unseen categories to the trailing index at transform time.
+    Returns (fitted indexer model, transformed df)."""
+    out_col = out_col or f"{col}_idx"
+    model = StringIndexer(
+        inputCol=col, outputCol=out_col, handleInvalid="keep"
+    ).fit(df)
+    return model, model.transform(df)
+
+
 def impute_most_frequent(df: DataFrame, cols: list[str]) -> DataFrame:
     """M1 (categorical half): most-frequent imputation — sklearn
     ``SimpleImputer(strategy='most_frequent')`` (machineLearning.py:293).

@@ -1136,6 +1136,42 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands AS (
+        SELECT CAST(i AS INTEGER) AS band_id,
+               CAST(i * 20000 AS DOUBLE) AS lo,
+               CAST(i * 20000 + 29999 AS DOUBLE) AS hi
+        FROM generate_series(0, 29) t(i)
+    )
+    SELECT o_orderkey, band_id
+    FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+    """,
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (custom operator): orders matched into
+    overlapping price bands via bucket-explode + hash join + exact
+    post-filter — never a nested-loop scan (asserted in tests). DuckDB's
+    inequality join is the oracle."""
+    from datawarehousefinal_spark.operators.rangejoin import (
+        bucketize_range_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bands = spark.range(0, 30).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 20000).cast("double").alias("lo"),
+        (F.col("id") * 20000 + 29999).cast("double").alias("hi"),
+    )
+    joined = bucketize_range_join(
+        orders, bands, "o_totalprice", "lo", "hi", bucket_width=10000.0
+    )
+    return joined.select("o_orderkey", "band_id")
+
+
+@query(
     "salted_skew_join_agg",
     oracle="""
     SELECT n_name, count(*) AS n, sum(c_acctbal) AS total_bal

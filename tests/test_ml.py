@@ -206,3 +206,21 @@ def test_linear_trend_forecast_closed_form(spark):
     # perfectly linear input → exact extrapolation: day 50 -> 160
     assert fc[0]["yhat"] == pytest.approx(160.0, rel=1e-9)
     assert fc[9]["yhat"] == pytest.approx(187.0, rel=1e-9)
+
+
+def test_label_encode_unknown_safe(spark):
+    """M4: unseen categories at transform time route to the trailing
+    'keep' bucket instead of failing."""
+    from datawarehousefinal_spark.ml.pipelines import label_encode
+
+    train = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",)], ["cat"]
+    )
+    model, encoded = label_encode(train, "cat")
+    idx = {r["cat"]: r["cat_idx"] for r in encoded.collect()}
+    assert idx["a"] == 0.0  # most frequent first
+    assert set(idx.values()) == {0.0, 1.0, 2.0}
+    unseen = spark.createDataFrame([("zzz",), ("a",)], ["cat"])
+    out = {r["cat"]: r["cat_idx"] for r in model.transform(unseen).collect()}
+    assert out["a"] == idx["a"]
+    assert out["zzz"] == 3.0  # the keep bucket
