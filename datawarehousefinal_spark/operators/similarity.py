@@ -136,6 +136,7 @@ def hyperplane_lsh_near_dupes(
     rows_per_band: int = 8,
     max_bucket: int = 1000,
     seed: int = 42,
+    signature: str = "hof",
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: random-hyperplane (SimHash-for-
     angles, Charikar 2002) LSH blocking + exact cosine verification.
@@ -160,25 +161,63 @@ def hyperplane_lsh_near_dupes(
     design — this is a near-DUP detector, not a range search.
 
     The hyperplanes are driver-generated literals (num_bits × dim floats —
-    bytes, not data); everything else is codegen column math, shuffles
-    touch only (band, key, id) rows, and verification happens on the
-    candidate set alone. This is the same shape as ``minhash_lsh_pairs``.
+    bytes, not data); shuffles touch only (band, key, id) rows, and
+    verification happens on the candidate set alone. This is the same
+    shape as ``minhash_lsh_pairs``.
+
+    ``signature`` picks the sign-bit kernel: ``'hof'`` (default) stays
+    JVM-side with higher-order-function dot products — zero Python in the
+    plan, but HOFs are CodegenFallback (interpreted per element), so the
+    kernel costs O(num_bits × dim) interpreted ops per vector.
+    ``'arrow'`` computes all bits in one Arrow-batched numpy matmul
+    (``mapInPandas``) — pays Python worker startup but runs the kernel at
+    BLAS speed; measured ~2× faster warm on the 2k-vector fixture and the
+    gap widens with corpus size. Both produce identical bits (parity
+    test); candidate generation and verification are unaffected.
 
     Output: ``id_a, id_b, cosine`` (id_a < id_b).
     """
     import numpy as np
 
     planes = np.random.RandomState(seed).normal(size=(num_bits, dim))
-    H = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
-    )
     vecs = corpus.select(
         F.col(id_col), as_double_array(vec_col).alias("__v")
     ).withColumn("__n", l2_norm(F.col("__v")))
-    sig = vecs.withColumn(
-        "__bits",
-        F.transform(H, lambda h: (dot_product(F.col("__v"), h) >= 0).cast("int")),
-    )
+    if signature == "hof":
+        H = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+        )
+        sig = vecs.withColumn(
+            "__bits",
+            F.transform(
+                H, lambda h: (dot_product(F.col("__v"), h) >= 0).cast("int")
+            ),
+        )
+    elif signature == "arrow":
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        in_fields = vecs.schema.fields
+        out_schema = StructType(
+            list(in_fields) + [StructField("__bits", ArrayType(IntegerType()))]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                M = np.stack(pdf["__v"].values).astype(np.float64)
+                bits = (M @ planes.T >= 0).astype(np.int32)
+                pdf = pdf.copy()
+                pdf["__bits"] = list(bits)
+                yield pdf
+
+        sig = vecs.mapInPandas(gen, out_schema)
+    else:
+        raise ValueError(f"signature must be 'hof' or 'arrow', got {signature!r}")
     num_bands = num_bits // rows_per_band
     entries = []
     for bnd in range(num_bands):

@@ -150,3 +150,25 @@ def test_hyperplane_lsh_plan_bucketed(spark):
     )
     assert_no_cartesian(lsh)
     assert_no_python_udf(lsh)
+
+
+def test_hyperplane_signature_strategies_agree(spark):
+    from datawarehousefinal_spark.operators.similarity import (
+        hyperplane_lsh_near_dupes,
+    )
+
+    corpus, truth = _near_dup_corpus(spark)
+    hof = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_near_dupes(
+            corpus, "vec_id", "embedding", dim=16, threshold=0.95
+        ).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_near_dupes(
+            corpus, "vec_id", "embedding", dim=16, threshold=0.95,
+            signature="arrow",
+        ).collect()
+    }
+    assert hof == arrow == truth
