@@ -1,0 +1,102 @@
+"""Slowly-changing-dimension (SCD type 2) operators.
+
+The reference's dimensions are type 1 — Kettle CombinationLookup
+overwrites in place and history is lost (etl_final.ktr:2747+). Type 2 is
+the warehouse-standard upgrade: each natural key keeps a row per
+attribute VERSION with a validity interval, so facts can join to the
+attribute values that were true at fact time.
+
+Both operators are pure window/column algebra — one shuffle on the
+natural key, no state, exactly re-playable in SQL (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Collapse an event/change log into SCD2 version rows.
+
+    For each key (ordered by ``ts_col``) a new version starts at every
+    row whose attributes differ from the previous row's (null-safely —
+    NULL→value and value→NULL are changes, NULL→NULL is not). Versions
+    carry ``valid_from`` (their first timestamp), ``valid_to`` (the next
+    version's start, NULL while current) and ``is_current``.
+
+    Repeated identical attribute rows collapse into their version;
+    output is one row per (key, version).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    changed = reduce(
+        or_,
+        [
+            ~F.col(c).eqNullSafe(F.lag(c).over(w))
+            for c in attr_cols
+        ],
+    ) | F.row_number().over(w).eqNullSafe(1)
+    versions = (
+        df.select(*key_cols, *attr_cols, F.col(ts_col))
+        .withColumn("__new_version", changed)
+        .filter(F.col("__new_version"))
+        .drop("__new_version")
+    )
+    wv = Window.partitionBy(*key_cols).orderBy(ts_col)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    scd2_dim: DataFrame,
+    key_cols: list[str],
+    fact_ts_col: str,
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time attribute lookup: each fact row gets the dimension
+    attributes that were valid at its timestamp — the as-of join against
+    the version table (``valid_from <= fact_ts < valid_to``). Facts
+    earlier than the key's first version carry NULLs.
+
+    Implemented with :func:`operators.asof.asof_join` on ``valid_from``
+    (one shuffle, no interval explosion) — correct because SCD2 intervals
+    per key are disjoint and contiguous, so "the last version starting at
+    or before fact_ts" IS the containing interval.
+    """
+    from datawarehousefinal_spark.operators.asof import asof_join
+
+    if attr_cols is None:
+        attr_cols = [
+            c
+            for c in scd2_dim.columns
+            if c not in key_cols and c not in ("valid_from", "valid_to", "is_current")
+        ]
+    right = scd2_dim.select(*key_cols, "valid_from", *attr_cols)
+    return asof_join(
+        facts,
+        right,
+        key_cols,
+        # asof joins on a shared timestamp column name: align the fact ts
+        # name with valid_from on a renamed view of the fact side
+        fact_ts_col,
+        right_value_cols=attr_cols,
+    ) if fact_ts_col == "valid_from" else asof_join(
+        facts.withColumnRenamed(fact_ts_col, "valid_from"),
+        right,
+        key_cols,
+        "valid_from",
+        right_value_cols=attr_cols,
+    ).withColumnRenamed("valid_from", fact_ts_col)

@@ -1099,6 +1099,38 @@ def csv_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_user_event_history",
+    oracle="""
+    WITH h AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    ),
+    v AS (
+        SELECT user_id, event_type, ts AS valid_from FROM h
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM v
+    """,
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 version table built from the events change log: one row
+    per (user, consecutive event_type run) with validity interval —
+    the history-preserving upgrade of the reference's type-1 overwrite
+    dims (Kettle CombinationLookup, etl_final.ktr:2747+)."""
+    from datawarehousefinal_spark.operators.scd import scd2_from_history
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_from_history(events, ["user_id"], ["event_type"], "ts")
+
+
+@query(
     "asof_join_last_purchase",
     oracle="""
     WITH l AS (SELECT user_id, ts, event_id FROM events

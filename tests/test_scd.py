@@ -1,0 +1,73 @@
+"""SCD2 operators: version collapse semantics and point-in-time lookup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.operators.scd import scd2_from_history, scd2_lookup
+
+
+def _ts(d):
+    return dt.datetime(2024, 1, d, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    # user 1: a -> a -> b -> b -> a   => versions a, b, a
+    # user 2: x (single)              => one current version
+    # user 3: NULL -> NULL -> y       => NULL run collapses, then y
+    rows = [
+        (1, "a", _ts(1)), (1, "a", _ts(2)), (1, "b", _ts(3)),
+        (1, "b", _ts(4)), (1, "a", _ts(5)),
+        (2, "x", _ts(1)),
+        (3, None, _ts(1)), (3, None, _ts(2)), (3, "y", _ts(3)),
+    ]
+    return spark.createDataFrame(rows, ["uid", "attr", "ts"])
+
+
+def test_version_collapse(spark, history):
+    scd = scd2_from_history(history, ["uid"], ["attr"], "ts")
+    rows = sorted(
+        ((r["uid"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in scd.collect()),
+        key=lambda t: (t[0], t[1] or "", t[2]),
+    )
+    assert rows == [
+        (1, "a", _ts(1), _ts(3), False),
+        (1, "a", _ts(5), None, True),
+        (1, "b", _ts(3), _ts(5), False),
+        (2, "x", _ts(1), None, True),
+        (3, None, _ts(1), _ts(3), False),
+        (3, "y", _ts(3), None, True),
+    ]
+
+
+def test_one_current_version_per_key(spark, history):
+    scd = scd2_from_history(history, ["uid"], ["attr"], "ts")
+    cur = scd.filter(F.col("is_current")).groupBy("uid").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_point_in_time_lookup(spark, history):
+    scd = scd2_from_history(history, ["uid"], ["attr"], "ts")
+    facts = spark.createDataFrame(
+        [(1, _ts(2)), (1, _ts(3)), (1, _ts(4)), (1, _ts(6)),
+         (2, _ts(5)), (3, _ts(1)), (9, _ts(1))],
+        ["uid", "fact_ts"],
+    )
+    out = {
+        (r["uid"], r["fact_ts"]): r["attr"]
+        for r in scd2_lookup(facts, scd, ["uid"], "fact_ts").collect()
+    }
+    assert out == {
+        (1, _ts(2)): "a",   # inside first 'a' version
+        (1, _ts(3)): "b",   # boundary: new version starts at its ts
+        (1, _ts(4)): "b",
+        (1, _ts(6)): "a",   # current version
+        (2, _ts(5)): "x",
+        (3, _ts(1)): None,  # NULL attribute version
+        (9, _ts(1)): None,  # unknown key
+    }
