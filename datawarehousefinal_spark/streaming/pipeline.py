@@ -129,9 +129,12 @@ def foreach_batch_dim_merge(
             # (IO error, corrupt footer, permissions) must propagate, or
             # the overwrite branch below would destroy the accumulated
             # dimension and re-number every surrogate id.
-            klass = (
-                e.getErrorClass() if hasattr(e, "getErrorClass") else None
-            ) or ""
+            if hasattr(e, "getCondition"):
+                klass = e.getCondition() or ""
+            elif hasattr(e, "getErrorClass"):  # pre-4.0 name
+                klass = e.getErrorClass() or ""
+            else:
+                klass = ""
             if "PATH_NOT_FOUND" not in klass and "PATH_NOT_FOUND" not in str(e):
                 raise
             existing = None

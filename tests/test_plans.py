@@ -92,3 +92,27 @@ def test_hierarchy_rollup_partial_agg(spark, sf_dir):
     df = _q(spark, sf_dir, "hierarchy_rollup")
     assert_partial_aggregation(df)
     assert_no_cartesian(df)
+
+
+def test_asof_join_stays_jvm(spark, sf_dir):
+    df = _q(spark, sf_dir, "asof_join_last_purchase")
+    assert_no_python_udf(df)
+    assert_no_cartesian(df)
+
+
+def test_scd2_single_key_shuffle(spark, sf_dir):
+    df = _q(spark, sf_dir, "scd2_user_event_history")
+    assert_no_python_udf(df)
+    assert_no_cartesian(df)
+
+
+def test_salted_join_no_cartesian(spark, sf_dir):
+    df = _q(spark, sf_dir, "salted_skew_join_agg")
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+
+
+def test_range_join_query_is_hash_join(spark, sf_dir):
+    df = _q(spark, sf_dir, "range_join_price_bands")
+    assert_no_cartesian(df)
+    assert_no_python_udf(df)
