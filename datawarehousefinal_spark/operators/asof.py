@@ -131,10 +131,8 @@ def latest_snapshot_per_key(
     right: DataFrame, key_cols: list[str], ts_col: str
 ) -> DataFrame:
     """Helper: collapse a snapshot table to one (latest) row per key —
-    the degenerate as-of join where every left timestamp is 'now'."""
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col))
-    return (
-        right.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    the degenerate as-of join where every left timestamp is 'now'.
+    Delegates to the A7/W3 top-n-per-group operator with n=1."""
+    from datawarehousefinal_spark.operators.analytics import top_n_per_group
+
+    return top_n_per_group(right, key_cols, [F.desc(ts_col)], 1)

@@ -517,8 +517,17 @@ def simhash_near_dupes(
         .distinct()
         .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
     )
-    ma = fp.select(F.col("simhash").alias("__fa"), F.col(id_col).alias("__ida"))
-    mb = fp.select(F.col("simhash").alias("__fb"), F.col(id_col).alias("__idb"))
+    # Cross-fp expansion mirrors the hamming-0 cap: members of groups
+    # larger than exact_pair_cap are represented by their rep — otherwise
+    # two near-identical mega-clusters (|A|x|B| member pairs) would blow
+    # the output quadratically, exactly what the cap exists to prevent.
+    # Every capped-group member stays reachable through its rep via the
+    # hamming-0 star pairs.
+    expand = members.filter(
+        (F.col("__gsize") <= exact_pair_cap) | (F.col(id_col) == F.col("__rep"))
+    )
+    ma = expand.select(F.col("simhash").alias("__fa"), F.col(id_col).alias("__ida"))
+    mb = expand.select(F.col("simhash").alias("__fb"), F.col(id_col).alias("__idb"))
     cross = (
         fp_pairs.join(ma, "__fa")
         .join(mb, "__fb")

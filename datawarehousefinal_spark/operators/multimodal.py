@@ -132,9 +132,15 @@ def byte_stats(df: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
-            # zero-length payloads get NULL stats instead of killing the
-            # task (numpy min/max/mean raise on empty arrays)
+            # NULL payloads decode as empty arrays; zero-length payloads
+            # get NULL stats instead of killing the task (numpy
+            # min/max/mean raise on empty arrays, frombuffer on None)
+            arrs = [
+                np.frombuffer(p, dtype=np.uint8)
+                if p is not None
+                else np.empty(0, dtype=np.uint8)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

@@ -31,6 +31,7 @@ def bucketize_range_join(
     bucket_width: float,
     how: str = "inner",
     max_buckets_per_interval: int = 10_000,
+    wide_strategy: str = "error",
 ) -> DataFrame:
     """Equi-join ``points`` to every interval containing them.
 
@@ -38,9 +39,19 @@ def bucketize_range_join(
     (point, containing interval). ``how='inner'`` (default) drops
     uncontained points; ``'left'`` keeps them with NULL interval columns.
     Intervals are treated as closed: lo <= p <= hi.
+
+    Intervals spanning >= ``max_buckets_per_interval`` buckets are
+    handled per ``wide_strategy``: ``'error'`` (default — refuse loudly),
+    ``'broadcast'`` (join the offenders exactly via broadcast BETWEEN;
+    right only when they are few), ``'drop'`` (exclude them, accepting
+    missing matches — the caller owns the incompleteness).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"bucketize_range_join supports inner/left, got {how!r}")
+    if wide_strategy not in ("error", "broadcast", "drop"):
+        raise ValueError(
+            f"wide_strategy must be error/broadcast/drop, got {wide_strategy!r}"
+        )
     clash = set(points.columns) & set(intervals.columns)
     if clash:
         raise ValueError(
@@ -50,26 +61,49 @@ def bucketize_range_join(
     p_bucket = F.floor(F.col(point_col) / bucket_width).cast("long")
     lo_b = F.floor(F.col(lo_col) / bucket_width).cast("long")
     hi_b = F.floor(F.col(hi_col) / bucket_width).cast("long")
+    is_wide = (hi_b - lo_b) >= F.lit(max_buckets_per_interval)
 
-    guarded = intervals.filter(
-        (hi_b - lo_b) < F.lit(max_buckets_per_interval)
-    )
-    exploded = guarded.withColumn(
+    if wide_strategy == "error":
+        # the guard must be LOUD: silently dropping an interval's matches
+        # makes the join quietly incomplete. The check is one tiny action
+        # over the (dim-sized) intervals frame.
+        n_wide = intervals.filter(is_wide).limit(1).count()
+        if n_wide:
+            raise ValueError(
+                f"interval(s) span >= {max_buckets_per_interval} buckets at "
+                f"width {bucket_width}; widen bucket_width, or pass "
+                f"wide_strategy='broadcast' (join the few offenders via "
+                f"broadcast BETWEEN) or 'drop' (accept missing matches)"
+            )
+    exploded = intervals.filter(~is_wide).withColumn(
         "__bucket", F.explode(F.sequence(lo_b, hi_b))
     )
-    pts = points.withColumn("__bucket", p_bucket)
     contained: Column = (F.col(point_col) >= F.col(lo_col)) & (
         F.col(point_col) <= F.col(hi_col)
     )
-    matched = pts.join(exploded, "__bucket").filter(contained).drop("__bucket")
+    # unique row id BEFORE any join: the left-mode anti-join below must
+    # identify matched point rows null-safely and without collapsing
+    # duplicate point rows — raw column equality does neither
+    pts = points.withColumn("__rid", F.monotonically_increasing_id())
+    matched = (
+        pts.withColumn("__bucket", p_bucket)
+        .join(exploded, "__bucket")
+        .filter(contained)
+        .drop("__bucket")
+    )
+    if wide_strategy == "broadcast":
+        # the few domain-spanning intervals join by plain BETWEEN against a
+        # broadcast — correct results at the cost of a scan × |wide|
+        matched = matched.unionByName(
+            pts.join(F.broadcast(intervals.filter(is_wide)), contained)
+        )
     if how == "inner":
-        return matched
-    # left: re-attach points that matched nothing
-    unmatched = pts.drop("__bucket").join(
-        matched.select(*points.columns).distinct(), points.columns, "left_anti"
+        return matched.drop("__rid")
+    unmatched = pts.join(
+        matched.select("__rid"), "__rid", "left_anti"
     )
     for c in intervals.columns:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
         )
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("__rid")

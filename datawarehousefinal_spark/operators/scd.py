@@ -84,19 +84,13 @@ def scd2_lookup(
             for c in scd2_dim.columns
             if c not in key_cols and c not in ("valid_from", "valid_to", "is_current")
         ]
-    right = scd2_dim.select(*key_cols, "valid_from", *attr_cols)
+    # asof joins on a shared timestamp column name: rename the DIM side's
+    # valid_from to the fact ts name (never the fact side — a fact frame
+    # that itself carries a 'valid_from' column, e.g. one derived from an
+    # SCD2 table, would end up with duplicate column names)
+    right = scd2_dim.select(
+        *key_cols, F.col("valid_from").alias(fact_ts_col), *attr_cols
+    )
     return asof_join(
-        facts,
-        right,
-        key_cols,
-        # asof joins on a shared timestamp column name: align the fact ts
-        # name with valid_from on a renamed view of the fact side
-        fact_ts_col,
-        right_value_cols=attr_cols,
-    ) if fact_ts_col == "valid_from" else asof_join(
-        facts.withColumnRenamed(fact_ts_col, "valid_from"),
-        right,
-        key_cols,
-        "valid_from",
-        right_value_cols=attr_cols,
-    ).withColumnRenamed("valid_from", fact_ts_col)
+        facts, right, key_cols, fact_ts_col, right_value_cols=attr_cols
+    )

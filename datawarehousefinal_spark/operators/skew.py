@@ -100,8 +100,10 @@ def two_stage_distinct_count(
     columns, so a hot group's distinct state spreads across reducers by
     value; stage 2 counts survivors per group, which partial-combines
     map-side. No salt column is needed: the value itself is the salt.
-    Equivalent values to ``countDistinct``; for approximate needs use
-    ``approx_count_distinct`` (HLL, one pass) instead.
+    Equivalent values to ``countDistinct`` — including its NULL rules:
+    ``count(col)`` in stage 2 skips the (deduped) NULL row, while groups
+    whose values are ALL NULL still surface with n_distinct = 0. For
+    approximate needs use ``approx_count_distinct`` (HLL, one pass).
 
     Output: ``group_cols..., n_distinct``.
     """
@@ -109,5 +111,5 @@ def two_stage_distinct_count(
         [*group_cols, distinct_col]
     )
     return deduped.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_distinct")
+        F.count(F.col(distinct_col)).alias("n_distinct")
     )

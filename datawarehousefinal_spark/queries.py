@@ -1146,9 +1146,10 @@ def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no native one): for every
     'view' event, the value of the user's most recent prior-or-equal
-    'purchase'. cogroup + Arrow-batched pd.merge_asof per user; DuckDB
-    ASOF JOIN is the oracle. Right-side (user_id, ts) duplicates are
-    pre-deduped because 'most recent' is ill-defined on ties."""
+    'purchase'. Pure-JVM union-and-carry window implementation (no Python
+    in the plan — asserted in test_plans.py); DuckDB ASOF JOIN is the
+    oracle. Right-side (user_id, ts) duplicates are pre-deduped because
+    'most recent' is ill-defined on ties."""
     from pyspark.sql import Window
 
     from datawarehousefinal_spark.operators.asof import asof_join

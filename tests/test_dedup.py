@@ -146,3 +146,28 @@ def test_simhash_small_identical_groups_emit_all_pairs(spark):
     out = simhash_near_dupes(docs, "doc_id", "text", max_hamming=2)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert {(1, 2), (1, 3), (2, 3)} <= pairs
+
+
+def test_simhash_cross_cluster_expansion_capped_by_reps(spark):
+    """Two near-identical mega-clusters produce rep-level cross pairs, not
+    |A|x|B| member pairs — mirroring the hamming-0 cap."""
+    from datawarehousefinal_spark.operators.dedup import simhash_near_dupes
+
+    t1 = "shared boilerplate text repeated across the corpus " * 4
+    t2 = t1[:-10] + "slightly!!"  # near-dup of t1, different fingerprint
+    rows = [(i, t1) for i in range(15)] + [(100 + i, t2) for i in range(15)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = simhash_near_dupes(
+        docs, "doc_id", "text", max_hamming=12, combo_size=2,
+        exact_pair_cap=10,
+    ).collect()
+    cross = [(r["id_a"], r["id_b"]) for r in out if r["hamming"] > 0]
+    # reps are min ids: 0 and 100 — at most rep-level cross pairs
+    assert len(cross) <= 1, cross
+    for a, b in cross:
+        assert a == 0 and b == 100
+    # every member still reachable via its rep (hamming-0 star pairs)
+    star = {(r["id_a"], r["id_b"]) for r in out if r["hamming"] == 0}
+    for i in range(1, 15):
+        assert (0, i) in star
+        assert (100, 100 + i) in star

@@ -124,13 +124,14 @@ def test_byte_stats_empty_payload_yields_nulls(spark):
     )
 
     docs = spark.createDataFrame(
-        [(1, "abc"), (2, ""), (3, "xyz")], ["doc_id", "text"]
+        [(1, "abc"), (2, ""), (3, "xyz"), (4, None)], "doc_id long, text string"
     )
     rows = {r["media_id"]: r for r in byte_stats(media_from_documents(docs)).collect()}
     assert rows[2]["n_bytes"] == 0
     assert rows[2]["mean_byte"] is None
     assert rows[2]["min_byte"] is None
     assert rows[1]["n_bytes"] == 3 and rows[1]["min_byte"] is not None
+    assert rows[4]["n_bytes"] == 0 and rows[4]["mean_byte"] is None  # NULL payload
 
 
 def test_media_width_is_byte_count_for_non_ascii(spark):

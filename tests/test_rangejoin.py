@@ -61,16 +61,47 @@ def test_collision_raises(spark, pts_bands):
         )
 
 
-def test_degenerate_interval_guard(spark, pts_bands):
+def test_degenerate_interval_error_by_default(spark, pts_bands):
     pts, bands = pts_bands
     wide = bands.unionByName(
         bands.sparkSession.createDataFrame(
             [(99, 0.0, 1e12)], ["band_id", "lo", "hi"]
         )
     )
-    out = bucketize_range_join(
-        pts, wide, "p", "lo", "hi", 50.0, max_buckets_per_interval=100
+    with pytest.raises(ValueError, match="buckets at"):
+        bucketize_range_join(
+            pts, wide, "p", "lo", "hi", 50.0, max_buckets_per_interval=100
+        )
+    # drop strategy: the offender is excluded, the rest still match
+    dropped = bucketize_range_join(
+        pts, wide, "p", "lo", "hi", 50.0,
+        max_buckets_per_interval=100, wide_strategy="drop",
     )
-    # the domain-spanning interval is guarded out, the rest still match
-    assert out.filter(F.col("band_id") == 99).count() == 0
-    assert out.count() > 0
+    assert dropped.filter(F.col("band_id") == 99).count() == 0
+    assert dropped.count() > 0
+    # broadcast strategy: exact results, wide interval matches every point
+    bc = bucketize_range_join(
+        pts, wide, "p", "lo", "hi", 50.0,
+        max_buckets_per_interval=100, wide_strategy="broadcast",
+    )
+    assert bc.filter(F.col("band_id") == 99).count() == pts.count()
+    naive = pts.join(
+        wide, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+    ).count()
+    assert bc.count() == naive
+
+
+def test_left_null_safe_with_null_point_attrs(spark):
+    """Matched rows with NULL attribute columns must not duplicate into the
+    NULL-padded unmatched branch (the anti-join is row-id based)."""
+    pts = spark.createDataFrame(
+        [(1, 10.0, None), (2, 10.0, "t"), (3, 9999.0, None)],
+        ["pid", "p", "tag"],
+    )
+    bands = spark.createDataFrame([(0, 0.0, 100.0)], ["band_id", "lo", "hi"])
+    out = bucketize_range_join(
+        pts, bands, "p", "lo", "hi", 50.0, how="left"
+    ).collect()
+    assert len(out) == 3
+    by_pid = {r["pid"]: r["band_id"] for r in out}
+    assert by_pid == {1: 0, 2: 0, 3: None}

@@ -84,3 +84,19 @@ def test_two_stage_distinct_count_equals_count_distinct(spark, skewed):
         for r in two_stage_distinct_count(skewed, ["k"], "v").collect()
     }
     assert got == plain
+
+
+def test_two_stage_distinct_count_excludes_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", None), ("h", None)],
+        "k string, v int",
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in two_stage_distinct_count(df, ["k"], "v").collect()
+    }
+    plain = {
+        r["k"]: r["d"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    assert got == plain == {"g": 2, "h": 0}
