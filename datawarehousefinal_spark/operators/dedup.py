@@ -458,7 +458,12 @@ def simhash_near_dupes(
         for start, width in bounds
     ]
 
-    fp = simhash(df, id_col, text_col, shingle_width)
+    # The fingerprint frame feeds the hamming-0 tiers, the distinct-fp
+    # banding, AND both expansion branches — without a persist the
+    # full shingle-explode + 22-aggregate fingerprint pass replicates
+    # once per consumer (7 scans in the physical plan). Fingerprints are
+    # (id, long) — ~24 bytes/doc, MEMORY_AND_DISK never OOMs.
+    fp = simhash(df, id_col, text_col, shingle_width).persist()
     members = fp.withColumn(
         "__rep", F.min(id_col).over(Window.partitionBy("simhash"))
     ).withColumn(
