@@ -273,6 +273,7 @@ def build_ivf_index(
     vec_col: str,
     num_partitions: int = 16,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index build: KMeans coarse quantizer over the corpus.
 
@@ -284,6 +285,12 @@ def build_ivf_index(
     transform that assigns partitions is a single distributed pass either
     way; and persist ``assigned`` partitioned by ``__centroid`` so probes
     prune files at scan time.
+
+    ``max_iter`` defaults LOW (8, vs Spark's 20): a coarse quantizer only
+    needs rough Voronoi cells — recall comes from ``nprobe``, not from a
+    converged clustering — and each extra iteration is a full corpus pass
+    at build time (FAISS trains IVF quantizers the same way: few
+    iterations over a sample).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -292,7 +299,11 @@ def build_ivf_index(
         F.col(id_col), as_double_array(vec_col).alias("__arr")
     ).withColumn("__features", array_to_vector("__arr"))
     model = KMeans(
-        k=num_partitions, seed=seed, featuresCol="__features", predictionCol="__centroid"
+        k=num_partitions,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__features",
+        predictionCol="__centroid",
     ).fit(vecs)
     assigned = model.transform(vecs).select(
         id_col,
