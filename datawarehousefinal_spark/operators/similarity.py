@@ -91,6 +91,43 @@ def cosine_topk(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """kNN majority-vote classification over a labeled embedding corpus:
+    each query's ``k`` nearest neighbors by exact cosine vote with their
+    labels; the most frequent label wins (ties to the smallest label —
+    deterministic).
+
+    Plan shape: :func:`cosine_topk` (queries broadcast, corpus scanned in
+    place) produces Q×k rows; the label join attaches ``label_col`` by
+    neighbor id (the Q×k side is the small one — it broadcasts); the vote
+    is a Q×distinct-label aggregate + a row_number window, all tiny.
+
+    Output: ``query_id, pred_label``.
+    """
+    topk = cosine_topk(corpus, queries, id_col, vec_col, k)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__c"), "__lbl")
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("__lbl").alias("pred_label"))
+    )
+
+
 def embedding_pairs_exact(
     corpus: DataFrame,
     id_col: str,

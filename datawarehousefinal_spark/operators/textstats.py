@@ -12,7 +12,7 @@ is SQL-expressible so the DuckDB oracle can replay it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datawarehousefinal_spark.operators.dedup import char_shingles
@@ -94,6 +94,28 @@ def corpus_length_stats(
             F.percentile(length, F.lit(p)).alias(f"p{int(p * 100)}_chars")
         )
     return df.agg(*aggs)
+
+
+def source_mix(df: DataFrame, source_col: str, text_col: str) -> DataFrame:
+    """Per-source corpus curation report — the table a training-mix
+    designer reads before weighting sources: document count, token total,
+    mean document length, and each source's share of all corpus tokens.
+
+    One map-side-combined groupBy over the corpus; the share is a window
+    over the AGGREGATED frame (cardinality = number of sources, a handful
+    of rows on one task — not a corpus-wide sort).
+
+    Output: ``source_col, n_docs, total_tokens, avg_chars, token_share``.
+    """
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("total_tokens"),
+        F.avg(F.length(text_col)).alias("avg_chars"),
+    )
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return per.withColumn(
+        "token_share", F.col("total_tokens").cast("double") / total
+    )
 
 
 def top_terms(df: DataFrame, text_col: str, n: int = 20) -> DataFrame:

@@ -786,6 +786,91 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_exact_dedup",
+    oracle=f"""
+    WITH store AS (
+        SELECT DISTINCT {_norm_sql('text')} AS norm
+        FROM documents WHERE doc_id % 2 = 0
+    ), batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 100000, '  ' || upper(text) || ' '
+        FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100
+        UNION ALL
+        SELECT doc_id + 200000, upper(text) || '  '
+        FROM documents WHERE doc_id % 2 = 1 AND doc_id < 40
+    ), ranked AS (
+        SELECT doc_id, norm,
+               row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id, {_norm_sql('text')} AS norm FROM batch)
+    )
+    SELECT r.doc_id FROM ranked r
+    WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM store s WHERE s.norm = r.norm)
+    """,
+)
+def incremental_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-based incremental exact dedup — the daily-ingest workflow: an
+    existing corpus (even doc_ids) is represented only by its content-hash
+    store; the new batch (odd doc_ids + injected normalized copies of both
+    halves) dedups against the store plus itself without reading corpus
+    text. Cross-batch copies hit the store, within-batch copies lose
+    keep-first, originals survive."""
+    from datawarehousefinal_spark.operators.incremental import (
+        exact_store,
+        incremental_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    cross_dups = corpus.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    batch_dups = odd.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    batch = odd.unionByName(cross_dups).unionByName(batch_dups)
+    store = exact_store(corpus, "text")
+    survivors, _delta = incremental_exact_dedup(batch, store, "text", ["doc_id"])
+    return survivors.select("doc_id")
+
+
+@query("incremental_minhash_dedup")  # no SQL oracle: xxhash64 signatures
+def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-based incremental NEAR-dup dedup: bootstrap a deduplicated
+    signature store from the first half of the corpus (batch 0 against an
+    empty store), then ingest the second half against it. Candidates come
+    from banded batch×store bucket joins; verification is signature-
+    estimated Jaccard — corpus text is never re-read. Rows-only driver
+    check (deterministic: seeded signature family); the pairwise-unique
+    survivor contract is asserted in tests/test_incremental.py."""
+    from datawarehousefinal_spark.operators.incremental import (
+        incremental_minhash_dedup,
+        minhash_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    empty = minhash_store(corpus, "doc_id", "text", 16, _W).limit(0)
+    _, store = incremental_minhash_dedup(
+        corpus, empty, "doc_id", "text",
+        threshold=0.9, num_hashes=16, shingle_width=_W,
+    )
+    # The bootstrap store is scanned several times by the ingest pass
+    # (banding + verification sides); persist it — in production it would
+    # be a parquet table, read, not recomputed.
+    store = store.persist()
+    survivors, _delta = incremental_minhash_dedup(
+        batch, store, "doc_id", "text",
+        threshold=0.9, num_hashes=16, shingle_width=_W,
+    )
+    return survivors.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (beyond-reference LLM-pipeline ops)
 # ---------------------------------------------------------------------------
@@ -1533,6 +1618,103 @@ def embedding_lsh_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_near_dupes(
         emb, "vec_id", "embedding", dim=64, threshold=0.45, signature="arrow"
+    )
+
+
+@query(
+    "knn_label_vote",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 50
+    ), scored AS (
+        SELECT q.qid, e.vec_id AS nid, e.label,
+               list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]) AS cos
+        FROM embeddings e, q WHERE e.vec_id != q.qid
+    ), topk AS (
+        SELECT qid, label FROM (
+            SELECT qid, label,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, nid) AS rn
+            FROM scored) WHERE rn <= 5
+    )
+    SELECT qid AS query_id, label AS pred_label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY count(*) DESC, label) AS rn2
+        FROM topk GROUP BY qid, label) WHERE rn2 = 1
+    """,
+)
+def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification over the labeled embedding corpus:
+    exact cosine top-5 neighbors for the first 50 vectors, most frequent
+    neighbor label wins (ties to the smallest label). The nearest-neighbor
+    retrieval applied: same broadcast-queries / corpus-in-place plan as
+    cosine_topk, plus a tiny vote aggregate."""
+    from datawarehousefinal_spark.operators.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    return knn_classify(emb, queries, "vec_id", "embedding", "label", k=5)
+
+
+@query(
+    "source_mix_report",
+    oracle=f"""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(len(toks))::BIGINT AS total_tokens,
+           avg(length(text))::DOUBLE AS avg_chars,
+           (sum(len(toks))::DOUBLE
+              / sum(sum(len(toks))) OVER ())::DOUBLE AS token_share
+    FROM (SELECT source, text, {_TOKS_SQL} AS toks FROM documents)
+    GROUP BY source
+    """,
+)
+def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix curation table: per-source document count, token
+    total, mean length, and share of all corpus tokens. One map-side
+    combined groupBy; the share window runs over the few aggregated
+    rows, never the corpus."""
+    from datawarehousefinal_spark.operators.textstats import source_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mix(docs, "source", "text").withColumns(
+        {
+            "n_docs": F.col("n_docs").cast("long"),
+            "total_tokens": F.col("total_tokens").cast("long"),
+        }
+    )
+
+
+@query(
+    "json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           avg(CAST(json_extract_string(props, '$.k') AS INTEGER))::DOUBLE
+             AS avg_k,
+           sum(CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT
+             AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER))::INTEGER
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: the events fixture carries a JSON
+    ``props`` string; parse it ONCE per row with ``from_json`` under a
+    declared schema (single codegen'd parse feeding every extracted
+    field — ``get_json_object`` would re-parse the document per path)
+    and roll up per event type. Missing/malformed keys become NULL and
+    drop out of the aggregates on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn("__p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("__p.k").alias("avg_k"),
+        F.sum("__p.k").cast("long").alias("sum_k"),
+        F.max("__p.k").alias("max_k"),
     )
 
 

@@ -151,6 +151,64 @@ def foreach_batch_dim_merge(
     return _merge
 
 
+def foreach_batch_incremental_dedup(
+    store_path: str,
+    survivors_path: str,
+    text_col: str,
+    order_cols: list[str],
+) -> Callable[[DataFrame, int], None]:
+    """Streaming ingest dedup: a ``foreachBatch`` sink that exact-dedups
+    each micro-batch against the content-hash store at ``store_path``,
+    appends the survivors to ``survivors_path``, and appends their hashes
+    to the store — the streaming face of
+    ``operators.incremental.incremental_exact_dedup`` (micro-batch =
+    ingest batch; the store is the only state, so state never lives in
+    the streaming engine and survives restarts for free).
+
+    Unlike ``dropDuplicatesWithinWatermark`` (bounded-horizon state held
+    BY the stream), the store remembers every document ever ingested —
+    a crawl re-fetching a page months later still dedups. A fully
+    completed micro-batch is replay-proof: the replay finds its hashes in
+    the store and contributes zero survivors.
+    """
+    from datawarehousefinal_spark.operators.incremental import (
+        exact_store,
+        incremental_exact_dedup,
+    )
+
+    def _dedup(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch.sparkSession
+        try:
+            store = spark.read.parquet(store_path)
+        except AnalysisException as e:
+            if hasattr(e, "getCondition"):
+                klass = e.getCondition() or ""
+            elif hasattr(e, "getErrorClass"):  # pre-4.0 name
+                klass = e.getErrorClass() or ""
+            else:
+                klass = ""
+            if "PATH_NOT_FOUND" not in klass and "PATH_NOT_FOUND" not in str(e):
+                raise
+            store = exact_store(batch.limit(0), text_col)
+        survivors, delta = incremental_exact_dedup(
+            batch, store, text_col, order_cols
+        )
+        # Survivors before delta: a crash between the writes leaves the
+        # store missing this batch's hashes, so the replay re-appends the
+        # same survivors — at-least-once on the survivor feed (downstream
+        # consumers dedup replays by content hash for free). Delta-first
+        # would instead LOSE documents: a store claiming hashes whose
+        # survivors never landed drops them on every future batch.
+        # Exactly-once needs a transactional table format this sandbox
+        # doesn't ship.
+        survivors.write.mode("append").parquet(survivors_path)
+        delta.write.mode("append").parquet(store_path)
+
+    return _dedup
+
+
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,

@@ -172,3 +172,36 @@ def test_hyperplane_signature_strategies_agree(spark):
         ).collect()
     }
     assert hof == arrow == truth
+
+
+def test_knn_classify_recovers_cluster_labels(spark):
+    """On a cleanly clustered corpus every query's 5 nearest neighbors are
+    its own cluster-mates, so the vote must return the true label."""
+    from datawarehousefinal_spark.operators.similarity import knn_classify
+
+    corpus = _clustered_vectors(spark)
+    queries = corpus.filter(F.col("vec_id") % 37 == 0)
+    pred = knn_classify(corpus, queries, "vec_id", "embedding", "cluster", k=5)
+    truth = {r["vec_id"]: r["cluster"] for r in queries.collect()}
+    got = {r["query_id"]: r["pred_label"] for r in pred.collect()}
+    assert got == truth
+
+
+def test_knn_classify_tie_breaks_to_smallest_label(spark):
+    """2-2 vote split (k=4) must deterministically pick the smaller label."""
+    from datawarehousefinal_spark.operators.similarity import knn_classify
+
+    # query at origin-ish; two neighbors of label 9 and two of label 3,
+    # all equidistant by symmetry
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.01], 9),
+        (2, [1.0, -0.01], 9),
+        (3, [0.99, 0.0], 3),
+        (4, [1.01, 0.0], 3),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pred = knn_classify(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", "label", k=4
+    )
+    assert pred.collect()[0]["pred_label"] == 3

@@ -201,3 +201,58 @@ def test_session_window_counts_complete_mode(spark, sf_dir, event_stream_dir):
     assert sum(r["n_events"] for r in rows) == spark.read.parquet(
         event_stream_dir
     ).count()
+
+
+def test_foreach_batch_incremental_dedup_stream(spark, sf_dir, tmp_path):
+    """Store-backed streaming ingest dedup: two arrival batches (originals,
+    then normalized copies + genuinely new docs) must land exactly one
+    survivor per distinct content, and a full replay with a fresh
+    checkpoint must add zero survivors (the store is the state)."""
+    from datawarehousefinal_spark.operators.incremental import exact_store
+    from datawarehousefinal_spark.sources.testdata import load_table
+    from datawarehousefinal_spark.streaming import (
+        foreach_batch_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "docs_stream")
+    docs.coalesce(1).write.mode("append").parquet(d)
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    news = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2-"), F.col("doc_id")).alias("text"),
+    )
+    copies.unionByName(news).coalesce(1).write.mode("append").parquet(d)
+
+    store_path = str(tmp_path / "hash_store")
+    surv_path = str(tmp_path / "survivors")
+    sink = foreach_batch_incremental_dedup(
+        store_path, surv_path, "text", ["doc_id"]
+    )
+    stream = read_parquet_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    expected = exact_store(docs, "text").count() + news.count()
+    surv = spark.read.parquet(surv_path)
+    assert surv.count() == expected
+    assert spark.read.parquet(store_path).count() == expected
+
+    # full replay, fresh checkpoint: every content is already in the store
+    (
+        read_parquet_stream(spark, d, docs.schema)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert spark.read.parquet(surv_path).count() == expected

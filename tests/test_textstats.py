@@ -77,3 +77,17 @@ def test_top_terms_tiebreak(spark):
     )
     rows = top_terms(df, "text", 2).collect()
     assert [(r["term"], r["n"]) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_source_mix_shares_and_totals(spark):
+    from datawarehousefinal_spark.operators.textstats import source_mix
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s1"), (3, "f", "s2")],
+        ["id", "text", "source"],
+    )
+    rows = {r["source"]: r for r in source_mix(df, "source", "text").collect()}
+    assert rows["s1"]["n_docs"] == 2 and rows["s1"]["total_tokens"] == 5
+    assert rows["s2"]["n_docs"] == 1 and rows["s2"]["total_tokens"] == 1
+    assert abs(rows["s1"]["token_share"] - 5 / 6) < 1e-12
+    assert abs(sum(r["token_share"] for r in rows.values()) - 1.0) < 1e-12
