@@ -996,6 +996,36 @@ def language_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_confusion_oracle() -> str:
+    score_cols, case = _lang_profiles_sql()
+    return f"""
+    WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+         s AS (SELECT lang, toks, {score_cols} FROM t)
+    SELECT lang AS lang_true, {case} AS lang_pred, count(*)::BIGINT AS n
+    FROM s GROUP BY 1, 2
+    """
+
+
+@query("lang_confusion", oracle=_lang_confusion_oracle())
+def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the fixture's ground-truth
+    ``lang`` column: (true, predicted, count) — the evaluation table a
+    corpus curator reads before trusting the classifier for filtering.
+    One projection + one map-side-combined groupBy over (lang,
+    lang_pred)."""
+    from datawarehousefinal_spark.operators.textstats import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            language_id("text").alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query(
     "doc_fingerprint",
     oracle=f"""
