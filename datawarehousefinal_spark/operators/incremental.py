@@ -44,6 +44,7 @@ from pyspark.storagelevel import StorageLevel
 from datawarehousefinal_spark.functions.textnorm import normalize_text
 from datawarehousefinal_spark.operators.dedup import (
     lsh_band_buckets,
+    lsh_candidate_pairs,
     minhash_signature,
 )
 
@@ -186,21 +187,9 @@ def incremental_minhash_dedup(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # -- within-batch tier (drop the larger id of each near-dup pair) -----
-    def capped_buckets(sig: DataFrame) -> DataFrame:
-        b = lsh_band_buckets(sig, id_col, bands, rows_per_band)
-        return b.withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-        ).filter(F.col("__n") <= max_bucket).drop("__n")
-
-    bbuckets = capped_buckets(bsig)
-    wb_cand = (
-        bbuckets.select(F.col(id_col).alias("id_a"), "band", "key")
-        .join(bbuckets.select(F.col(id_col).alias("id_b"), "band", "key"),
-              ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # Candidates come from the canonical banded self-join (shared with the
+    # full-corpus path) so the skew-guard semantics cannot drift.
+    wb_cand = lsh_candidate_pairs(bsig, id_col, bands, rows_per_band, max_bucket)
     wb_dropped = (
         wb_cand.join(_side(bsig, id_col, "a", num_hashes), "id_a")
         .join(_side(bsig, id_col, "b", num_hashes), "id_b")
@@ -210,11 +199,23 @@ def incremental_minhash_dedup(
     )
 
     # -- cross tier (drop any batch doc near a store doc) -----------------
-    sbuckets = capped_buckets(store_sig)
+    # Same banding, batch × store instead of self-join; both sides carry
+    # the max_bucket skew guard so a degenerate band on either side (e.g.
+    # the empty-document signature) cannot quadratically explode.
+    def capped_buckets(sig: DataFrame) -> DataFrame:
+        b = lsh_band_buckets(sig, id_col, bands, rows_per_band)
+        return b.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        ).filter(F.col("__n") <= max_bucket).drop("__n")
+
     cross_cand = (
-        bbuckets.select(F.col(id_col).alias("id_b"), "band", "key")
-        .join(sbuckets.select(F.col(id_col).alias("id_a"), "band", "key"),
-              ["band", "key"])
+        capped_buckets(bsig).select(F.col(id_col).alias("id_b"), "band", "key")
+        .join(
+            capped_buckets(store_sig).select(
+                F.col(id_col).alias("id_a"), "band", "key"
+            ),
+            ["band", "key"],
+        )
         .select("id_a", "id_b")
         .distinct()
     )

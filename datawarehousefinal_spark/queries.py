@@ -1709,12 +1709,7 @@ def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.textstats import source_mix
 
     docs = load_table(spark, sf_dir, "documents")
-    return source_mix(docs, "source", "text").withColumns(
-        {
-            "n_docs": F.col("n_docs").cast("long"),
-            "total_tokens": F.col("total_tokens").cast("long"),
-        }
-    )
+    return source_mix(docs, "source", "text")
 
 
 @query(

@@ -192,19 +192,31 @@ def foreach_batch_incremental_dedup(
             if "PATH_NOT_FOUND" not in klass and "PATH_NOT_FOUND" not in str(e):
                 raise
             store = exact_store(batch.limit(0), text_col)
-        survivors, delta = incremental_exact_dedup(
+        survivors, _delta = incremental_exact_dedup(
             batch, store, text_col, order_cols
         )
-        # Survivors before delta: a crash between the writes leaves the
-        # store missing this batch's hashes, so the replay re-appends the
-        # same survivors — at-least-once on the survivor feed (downstream
-        # consumers dedup replays by content hash for free). Delta-first
-        # would instead LOSE documents: a store claiming hashes whose
-        # survivors never landed drops them on every future batch.
-        # Exactly-once needs a transactional table format this sandbox
-        # doesn't ship.
-        survivors.write.mode("append").parquet(survivors_path)
-        delta.write.mode("append").parquet(store_path)
+        # Persist: the dedup pipeline (window shuffle + store scan +
+        # anti-join) feeds both writes; unpersisted it would execute
+        # twice per micro-batch. The store delta is re-derived from the
+        # persisted survivors (their hashes are unique by construction,
+        # so exact_store over them equals the operator's delta) instead
+        # of from _delta, whose lineage would re-run the pipeline.
+        survivors = survivors.persist()
+        try:
+            # Survivors before delta: a crash between the writes leaves
+            # the store missing this batch's hashes, so the replay
+            # re-appends the same survivors — at-least-once on the
+            # survivor feed (downstream consumers dedup replays by
+            # content hash for free). Delta-first would instead LOSE
+            # documents: a store claiming hashes whose survivors never
+            # landed drops them on every future batch. Exactly-once needs
+            # a transactional table format this sandbox doesn't ship.
+            survivors.write.mode("append").parquet(survivors_path)
+            exact_store(survivors, text_col).write.mode("append").parquet(
+                store_path
+            )
+        finally:
+            survivors.unpersist()
 
     return _dedup
 
