@@ -1487,6 +1487,51 @@ def csv_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jdbc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
+    """,
+)
+def jdbc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S6 against a REAL database: batched JDBC write of the status
+    aggregate into the Derby embedded engine (bundled in pyspark's jars —
+    the same jar Spark uses for its default metastore), then a
+    PARTITIONED JDBC scan back (4 range-predicate connections on ``n``;
+    Spark's JDBC bounds only split partitions, they never filter rows, so
+    out-of-range rows land in the edge partitions). The oracle checks the
+    roundtrip end-to-end against DuckDB's own aggregate."""
+    import os
+
+    from datawarehousefinal_spark.sources.readers import read_jdbc
+    from datawarehousefinal_spark.sources.writers import write_jdbc
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    db = f"/tmp/dwf_derby_{os.path.basename(sf_dir.rstrip('/'))}"
+    url = f"jdbc:derby:{db};create=true"
+    props = {
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        # Derby maps StringType to CLOB (not hashable/comparable);
+        # pin a plain VARCHAR via the DDL-override option instead.
+        "createTableColumnTypes": "o_orderstatus VARCHAR(4)",
+    }
+    write_jdbc(agg, url, "status_counts", mode="overwrite", properties=props)
+    return read_jdbc(
+        spark,
+        url,
+        "status_counts",
+        properties={"driver": props["driver"]},
+        partition_column="n",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=1_000_000,
+    )
+
+
+@query(
     "cache_roundtrip",
     oracle="""
     SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
