@@ -26,6 +26,66 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    """S8 at scale: partitioned parquet with WITHIN-FILE clustering.
+
+    ``repartition(partition_by)`` routes each output partition's rows to
+    one task (without it, every task writes a file into every partition —
+    the classic tasks × partitions small-file explosion), then
+    ``sortWithinPartitions(partition_by + cluster_by)`` lays rows out in
+    ``cluster_by`` order inside each file so parquet row-group min/max
+    stats become selective: a reader filtering on a clustered column
+    skips whole row groups instead of scanning them. This is the
+    data-layout half of predicate pushdown — pushdown prunes row groups
+    only when the layout makes the stats tight. ``max_records_per_file``
+    caps file size for object-store-friendly parallelism.
+    """
+    out = df.repartition(*[df[c] for c in partition_by]).sortWithinPartitions(
+        *partition_by, *cluster_by
+    )
+    writer = out.write.mode(mode).option("compression", compression)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_by).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_partitions: int,
+    out_path: str | None = None,
+    compression: str = "snappy",
+) -> str:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``target_partitions`` files.
+
+    Streaming sinks and incremental appends (e.g. the foreachBatch dedup
+    store) accrete one-file-per-micro-batch datasets; at 100 TB the file
+    LISTING becomes the bottleneck before the data does. One
+    ``repartition`` pass rewrites to evenly-sized files. Writes to
+    ``out_path`` (default ``path + "_compacted"``) rather than in place —
+    an in-place rewrite that dies mid-job loses the dataset; callers
+    atomically swap directories after success.
+    """
+    out_path = out_path or path.rstrip("/") + "_compacted"
+    (
+        spark.read.parquet(path)
+        .repartition(target_partitions)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(out_path)
+    )
+    return out_path
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """S9: CSV sink (processed CSV out, Datos/preprocessing.py:142-143)."""
     df.write.mode(mode).option("header", header).csv(path)

@@ -47,3 +47,44 @@ def test_events_micros_match_duckdb(spark, oracle_sf_dir):
     ).fetchall()
     duck_rows = {eid: ts.strftime("%Y-%m-%d %H:%M:%S.%f") for eid, ts in duck}
     assert spark_rows == duck_rows
+
+
+def test_write_parquet_clustered_layout(spark, sf_dir, tmp_path):
+    """One file per partition dir, rows sorted by the cluster column
+    inside each file (tight row-group min/max stats)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.sources.writers import write_parquet_clustered
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "clustered")
+    write_parquet_clustered(
+        events, out, partition_by=["event_type"], cluster_by=["ts"]
+    )
+    part_dirs = glob.glob(f"{out}/event_type=*")
+    n_types = events.select("event_type").distinct().count()
+    assert len(part_dirs) == n_types
+    for d in part_dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1  # no tasks-x-partitions file explosion
+        ts = [r["ts"] for r in spark.read.parquet(files[0]).select("ts").collect()]
+        assert ts == sorted(ts)
+    # nothing lost in the rewrite
+    assert spark.read.parquet(out).count() == events.count()
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from datawarehousefinal_spark.sources.writers import compact_parquet
+
+    events = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "fragmented")
+    events.repartition(20).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 20
+
+    out = compact_parquet(spark, frag, target_partitions=2)
+    assert len(glob.glob(f"{out}/*.parquet")) == 2
+    assert spark.read.parquet(out).count() == events.count()
