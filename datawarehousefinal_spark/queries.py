@@ -871,6 +871,24 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
+@query("corpus_curation_funnel")  # no SQL oracle: near-dup stage is LSH
+def corpus_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation composed from the engine's own
+    operators — length/quality/language rule filters, exact dedup,
+    MinHash-LSH near-dup dedup, seeded train/val hash split — returning
+    the per-stage funnel report (stage, n_rows), built as a lazy union of
+    aggregates (no driver-side counts). Rows-only driver check (the
+    near-dup stage is not SQL-expressible); stage semantics and split
+    determinism are asserted in tests/test_curation.py."""
+    from datawarehousefinal_spark.operators.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _curated, report = curate_corpus(
+        docs, min_quality=0.1, shingle_width=_W
+    )
+    return report
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (beyond-reference LLM-pipeline ops)
 # ---------------------------------------------------------------------------
