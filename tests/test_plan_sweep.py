@@ -1,0 +1,49 @@
+"""Plan lint over the ENTIRE query registry: every registered query's
+physical plan is built at sf0.001 and checked for quadratic joins.
+
+A CartesianProduct anywhere is an unconditional failure. A
+BroadcastNestedLoopJoin is allowed only for the queries that choose it
+deliberately — small-side-broadcast scoring/reference patterns whose
+docstrings document the bound — so a refactor that silently degrades a
+bucketed join to all-pairs fails here even if its row-level test still
+passes at toy scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datawarehousefinal_spark import queries as Q
+from datawarehousefinal_spark.plans.audit import physical_plan
+
+# Deliberate broadcast-NL users: a tiny broadcast side scored against the
+# corpus (cosine scoring, inequality self-pairing, 25-name fuzzy
+# reference). Each is documented at its definition.
+BNLJ_ALLOWED = {
+    "fuzzy_closest_match",
+    "cosine_topk",
+    "knn_label_vote",
+    "ivf_topk",
+    "embedding_near_dup_pairs",
+    "embedding_lsh_near_dups",
+    # Scalar broadcasts: a SINGLE-ROW aggregate (total count, max
+    # surrogate id, regression coefficients) cross-joined onto the frame —
+    # BuildRight of one row, bounded by construction. Verified against the
+    # plans: every BNLJ in these queries is `BuildRight, Cross` under a
+    # 1-row Aggregate subtree.
+    "class_weights",
+    "dim_merge_incremental",
+    "linreg_trend_forecast",
+    "time_split_train",
+}
+
+
+@pytest.mark.parametrize("name", sorted(Q.QUERIES))
+def test_no_quadratic_join(spark, sf_dir, name):
+    df = Q.QUERIES[name](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: BroadcastNestedLoopJoin in plan (not on the allow-list)"
+        )
