@@ -27,8 +27,8 @@ from pyspark.storagelevel import StorageLevel
 
 from datawarehousefinal_spark.operators.dedup import exact_dedup
 from datawarehousefinal_spark.operators.incremental import (
+    empty_minhash_store,
     incremental_minhash_dedup,
-    minhash_store,
 )
 from datawarehousefinal_spark.operators.textstats import (
     language_id,
@@ -46,9 +46,12 @@ def curate_corpus(
     allowed_langs: list[str] | None = None,
     near_dup_threshold: float = 0.9,
     num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
     shingle_width: int = 5,
     val_pct: int = 1,
     seed: int = 42,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel; returns ``(curated, report)``.
 
@@ -57,12 +60,21 @@ def curate_corpus(
     ``val_pct`` of 100 buckets go to val). ``report`` is the lazy funnel
     frame ``(stage, n_rows)``, one row per stage in order.
 
-    Intermediate survivors persist at MEMORY_AND_DISK: each stage's frame
-    feeds both the next stage and the report union, and the near-dup
-    stage scans its input several times. Callers should ``unpersist``
-    via Spark's cache eviction or session teardown; frames are bounded
-    by the corpus row count (ids + text).
+    ``bands × rows_per_band`` must fit within ``num_hashes`` (validated
+    by the banding layer with an explicit error) — lowering ``num_hashes``
+    below 16 requires lowering the banding parameters with it.
+
+    With ``persist`` (default), intermediate survivors cache at
+    MEMORY_AND_DISK: each stage's frame feeds both the next stage and the
+    report union, and the near-dup stage scans its input several times.
+    The entries are bounded by the corpus row count (ids + text) and live
+    until session teardown or LRU eviction; long-lived sessions invoking
+    the funnel repeatedly should pass ``persist=False`` and manage
+    caching themselves.
     """
+    def _maybe_persist(df: DataFrame) -> DataFrame:
+        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+
     length_ok = docs.filter(
         (F.length(text_col) >= min_chars) & (F.length(text_col) <= max_chars)
     )
@@ -72,25 +84,24 @@ def curate_corpus(
     rules = scored.filter(F.col("__q") >= min_quality)
     if allowed_langs is not None:
         rules = rules.filter(F.col("lang_pred").isin(allowed_langs))
-    rules = rules.drop("__q").persist(StorageLevel.MEMORY_AND_DISK)
+    rules = _maybe_persist(rules.drop("__q"))
 
-    exact = exact_dedup(
-        rules, text_col, [id_col], keep_count_col=None
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exact = _maybe_persist(
+        exact_dedup(rules, text_col, [id_col], keep_count_col=None)
+    )
 
-    empty_store = minhash_store(
-        exact, id_col, text_col, num_hashes, shingle_width
-    ).limit(0)
     near, _delta = incremental_minhash_dedup(
         exact,
-        empty_store,
+        empty_minhash_store(exact, id_col, num_hashes),
         id_col,
         text_col,
         threshold=near_dup_threshold,
         num_hashes=num_hashes,
+        bands=bands,
+        rows_per_band=rows_per_band,
         shingle_width=shingle_width,
     )
-    near = near.persist(StorageLevel.MEMORY_AND_DISK)
+    near = _maybe_persist(near)
 
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(100))
     curated = near.withColumn(

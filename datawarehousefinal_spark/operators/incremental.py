@@ -128,6 +128,27 @@ def minhash_store(
     )
 
 
+def empty_minhash_store(
+    df: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """A zero-row signature store with the correct schema — the bootstrap
+    input for deduplicating a corpus that has no store yet.
+
+    Built straight from a schema literal, NOT by signing the corpus and
+    ``limit(0)``-ing the result: the latter drags the whole
+    shingle-explode pipeline into the lineage (and ``_fan_out``'s
+    partition-count probe can eagerly execute upstream stages under AQE)
+    just to produce an empty frame.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col]]
+        + [StructField(f"h{j}", LongType()) for j in range(num_hashes)]
+    )
+    return df.sparkSession.createDataFrame([], schema)
+
+
 def _est_jaccard(num_hashes: int) -> Column:
     """Estimated Jaccard from two signatures exposed as ``__a{j}``/``__b{j}``
     columns: the fraction of agreeing slots (E[agree] = J, the MinHash

@@ -1528,7 +1528,11 @@ def jdbc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    db = f"/tmp/dwf_derby_{os.path.basename(sf_dir.rstrip('/'))}"
+    # pid-scoped path: embedded Derby allows only ONE JVM to boot a
+    # database, so a path shared across concurrent processes (driver
+    # verify + a local pytest run) would fail with XSDB6. Within one
+    # process, repeated runs reuse the same booted database.
+    db = f"/tmp/dwf_derby_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}"
     url = f"jdbc:derby:{db};create=true"
     props = {
         "driver": "org.apache.derby.jdbc.EmbeddedDriver",

@@ -150,6 +150,6 @@ def test_incremental_minhash_plan_not_quadratic(spark, sf_dir):
         batch, store, "doc_id", "text",
         threshold=0.9, num_hashes=K, shingle_width=W,
     )
-    plan = survivors._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    from datawarehousefinal_spark.plans.audit import assert_no_cartesian
+
+    assert_no_cartesian(survivors)
