@@ -1880,6 +1880,89 @@ def kmeans_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Event-time feature engineering (beyond-reference: sessionization + rolling
+# calendar windows over the events stream)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_SECS = 21_600  # 6 h — the events fixture's median intra-user gap
+# is ~7.3 h, so the fixture exercises both "same session" and "new session".
+
+
+@query(
+    "session_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > CAST({_SESSION_GAP_SECS} AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+             AS duration_secs
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h inactivity gap) rolled up to one row
+    per (user, session). One shuffle on user_id; the window and the
+    follow-up groupBy share that partitioning. event_id tie-breaks equal
+    timestamps so the replay is oracle-exact."""
+    from datawarehousefinal_spark.operators.timeseries import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(
+        events, "user_id", "ts", gap_seconds=_SESSION_GAP_SECS,
+        order_cols=("event_id",),
+    )
+
+
+@query(
+    "rolling_daily_stats",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           CAST(SUM(n) OVER w AS BIGINT) AS rolling_sum,
+           AVG(n) OVER w AS rolling_avg
+    FROM daily
+    WINDOW w AS (
+      PARTITION BY event_type
+      ORDER BY (day - DATE '1970-01-01')
+      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def rolling_daily_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling count per event_type. Aggregates to
+    |types| x |days| rows FIRST (map-side combine), then runs the RANGE
+    window over that tiny frame — the window never sees raw events."""
+    from datawarehousefinal_spark.operators.timeseries import rolling_daily_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_daily_stats(events, "event_type", "ts", window_days=7)
+
+
 @query("simhash_near_dupes")  # no SQL oracle: xxhash64 is Spark-side only
 def simhash_near_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints with block-combination candidate

@@ -1,0 +1,105 @@
+"""Sessionization and rolling-window semantics (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.operators.timeseries import (
+    rolling_daily_stats,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_sessionize_gap_semantics(spark):
+    # Gaps: 60 s (in), exactly 120 s (in — boundary stays in-session),
+    # 121 s (out — strict >).
+    rows = [
+        ("u1", _ts(0, 0), 1),
+        ("u1", _ts(1, 0), 2),      # +60 s      -> session 1
+        ("u1", _ts(3, 0), 3),      # +120 s ==  -> session 1
+        ("u1", _ts(5, 1), 4),      # +121 s >   -> session 2
+        ("u2", _ts(0, 0), 5),      # other entity, own numbering
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, eid long")
+    out = sessionize(df, "user", "ts", gap_seconds=120, order_cols=("eid",))
+    got = {r["eid"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_sessionize_tie_break_deterministic(spark):
+    # Two events at the identical timestamp: order_cols decides the order,
+    # and both land in the same session regardless.
+    rows = [("u", _ts(0), 2), ("u", _ts(0), 1), ("u", _ts(10), 3)]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, eid long")
+    out = sessionize(df, "user", "ts", gap_seconds=60, order_cols=("eid",))
+    got = {r["eid"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_session_stats_rollup(spark):
+    rows = [
+        ("u1", _ts(0, 0), 1),
+        ("u1", _ts(1, 30), 2),
+        ("u1", _ts(30, 0), 3),  # new session
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, eid long")
+    out = session_stats(df, "user", "ts", gap_seconds=120, order_cols=("eid",))
+    got = {r["session_seq"]: r for r in out.collect()}
+    assert got[1]["n_events"] == 2
+    assert got[1]["duration_secs"] == 90.0
+    assert got[1]["session_start"] == _ts(0, 0)
+    assert got[1]["session_end"] == _ts(1, 30)
+    assert got[2]["n_events"] == 1
+    assert got[2]["duration_secs"] == 0.0
+
+
+def test_rolling_daily_no_phantom_zeros(spark):
+    # Days 1, 2, 10: the gap must NOT pull day 1/2 into day 10's 7-day
+    # frame, and absent days contribute nothing (standard RANGE semantics).
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 12)),
+        ("a", dt.datetime(2024, 1, 1, 13)),
+        ("a", dt.datetime(2024, 1, 2, 12)),
+        ("a", dt.datetime(2024, 1, 10, 12)),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = rolling_daily_stats(df, "g", "ts", window_days=7)
+    got = {r["day"].isoformat(): (r["n"], r["rolling_sum"], r["rolling_avg"])
+           for r in out.collect()}
+    assert got == {
+        "2024-01-01": (2, 2, 2.0),
+        "2024-01-02": (1, 3, 1.5),
+        "2024-01-10": (1, 1, 1.0),
+    }
+
+
+def test_session_stats_single_shuffle_plan(spark, sf_dir):
+    """The window partitioning is reused by the groupBy: exactly one
+    Exchange in the whole plan (the 100 TB contract of the operator)."""
+    from datawarehousefinal_spark.sources.testdata import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = session_stats(
+        events, "user_id", "ts", gap_seconds=21_600, order_cols=("event_id",)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_rolling_daily_aggregates_before_window(spark, sf_dir):
+    """The window input must be the aggregated daily frame, not raw events:
+    the plan's HashAggregate sits below the Window node."""
+    from datawarehousefinal_spark.sources.testdata import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = rolling_daily_stats(events, "event_type", "ts", window_days=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
