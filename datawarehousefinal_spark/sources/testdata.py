@@ -27,21 +27,31 @@ DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark rejects
-    # outright unless nanosAsLong is set. The conf is runtime-settable and
-    # must be applied HERE (not only in our session factory) because the
-    # harness may hand us a vanilla SparkSession it built itself.
+    # events.parquet's ts column has shipped in two physical layouts across
+    # fixture generations: INT64 TIMESTAMP(NANOS) (which Spark only reads
+    # with nanosAsLong set, surfacing long nanos) and TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false) (which surfaces as timestamp_ntz). Normalize
+    # both to a session-zone TimestampType so every downstream operator and
+    # oracle sees one stable type. The conf is runtime-settable and must be
+    # applied HERE (not only in our session factory) because the harness may
+    # hand us a vanilla SparkSession it built itself.
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts arrives as long nanos — truncate to micros with INTEGER
-        # division (a float divide loses precision at 2026-epoch nanos:
-        # doubles have 53-bit mantissas, ulp ≈ 0.25 µs), the same thing
-        # DuckDB's TIMESTAMP_NS → TIMESTAMP cast does.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # long nanos — truncate to micros with INTEGER division (a
+            # float divide loses precision at 2026-epoch nanos: doubles
+            # have 53-bit mantissas, ulp ≈ 0.25 µs), the same thing
+            # DuckDB's TIMESTAMP_NS → TIMESTAMP cast does.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Naive micros: reinterpret the wall-clock value in the session
+            # zone (UTC, session.py) — identical instants, LTZ type.
+            df = df.withColumn("ts", F.to_timestamp("ts"))
     return df
 
 
