@@ -541,3 +541,36 @@ def linear_trend_forecast(
             * (proleptic_ordinal("fecha").cast("double") - F.col("xbar"))
         ).alias("yhat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S10-analog — feature cache (parquet feature table)
+# ---------------------------------------------------------------------------
+
+def write_feature_cache(
+    df: DataFrame,
+    path: str,
+    features_col: str = "features",
+    keep_cols: tuple[str, ...] = (),
+) -> None:
+    """Persist an assembled feature frame as a snappy-parquet feature
+    table — the engine's analog of the reference's torch tensor cache
+    (deeplearning/etl_to_tensor.py:84-87 saves ``(X_num, X_cat, y)``
+    tensors; SURVEY.md §2.1 S10 maps it to "Parquet feature table +
+    VectorAssembler").
+
+    The ML ``Vector`` column round-trips through parquet natively (the
+    VectorUDT is stored as its struct encoding and reads back as a
+    vector), so downstream estimators can ``fit`` straight off the
+    reloaded table without re-running the preprocessing pipeline — the
+    same skip-the-upstream-work contract the tensor cache gives the
+    reference. ``keep_cols`` selects id/label columns to carry alongside.
+    """
+    cols = [*keep_cols, features_col]
+    df.select(*cols).write.mode("overwrite").parquet(path, compression="snappy")
+
+
+def read_feature_cache(spark, path: str) -> DataFrame:
+    """Load a feature table written by :func:`write_feature_cache`; the
+    ``features`` column comes back as an ML ``Vector``, estimator-ready."""
+    return spark.read.parquet(path)

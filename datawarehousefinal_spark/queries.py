@@ -848,14 +848,14 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (deterministic: seeded signature family); the pairwise-unique
     survivor contract is asserted in tests/test_incremental.py."""
     from datawarehousefinal_spark.operators.incremental import (
+        empty_minhash_store,
         incremental_minhash_dedup,
-        minhash_store,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    empty = minhash_store(corpus, "doc_id", "text", 16, _W).limit(0)
+    empty = empty_minhash_store(corpus, "doc_id", 16)
     _, store = incremental_minhash_dedup(
         corpus, empty, "doc_id", "text",
         threshold=0.9, num_hashes=16, shingle_width=_W,

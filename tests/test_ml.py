@@ -224,3 +224,27 @@ def test_label_encode_unknown_safe(spark):
     out = {r["cat"]: r["cat_idx"] for r in model.transform(unseen).collect()}
     assert out["a"] == idx["a"]
     assert out["zzz"] == 3.0  # the keep bucket
+
+
+def test_feature_cache_roundtrip(spark, blobs, tmp_path):
+    """S10 analog: the assembled Vector column survives a parquet
+    roundtrip and a KMeans fits straight off the reloaded table."""
+    from pyspark.ml.linalg import VectorUDT
+
+    from datawarehousefinal_spark.ml.pipelines import (
+        read_feature_cache,
+        write_feature_cache,
+    )
+
+    _model, feats = fit_preprocess(blobs, exclude=("id", "label"))
+    path = str(tmp_path / "feature_cache")
+    write_feature_cache(feats, path, keep_cols=("id", "label"))
+    feats.unpersist()
+
+    reloaded = read_feature_cache(spark, path)
+    assert set(reloaded.columns) == {"id", "label", "features"}
+    assert isinstance(reloaded.schema["features"].dataType, VectorUDT)
+    assert reloaded.count() == blobs.count()
+    # estimator-ready with no re-preprocessing
+    model, clustered = fit_kmeans(reloaded, k=3)
+    assert clustered.select("cluster").distinct().count() == 3
