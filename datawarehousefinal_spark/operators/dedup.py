@@ -134,24 +134,40 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-document MinHash signature: columns ``h0..h{k-1}``.
 
-    One explode over shingles, one base hash + ``k`` affine transforms per
-    shingle row, one groupBy(id) with map-side partial ``min`` — the
-    classic two-stage signature build. Shuffle volume is k mins per
-    document, not shingles.
+    MAP-ONLY: shingling, base hashing, and the ``k`` affine-transform mins
+    all run as higher-order array expressions inside one row — no explode,
+    no shuffle, no aggregation hash map. (The classic explode +
+    map-side-combined ``min`` groupBy computes the same mins but
+    materializes |shingles| rows per document and pays a shuffle of k mins
+    per doc; per-row ``array_min(transform(...))`` is the same arithmetic
+    with zero data movement.) Values are identical to the two-stage build:
+    same base hash, same seeded affine family.
+
+    NULL texts produce no signature row (the explode formulation dropped
+    them implicitly; here the filter is explicit) — documents that cannot
+    shingle must not bucket together on NULL keys.
     """
-    sh = _fan_out(df).select(
-        id_col, F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
-    ).withColumn("__b", _base_hash(F.col("__sh"), hash_mode))
     params = _affine_params(num_hashes)
-    hashed = sh.select(
+    base = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
+        id_col,
+        F.transform(
+            char_shingles(text_col, shingle_width),
+            lambda s: _base_hash(s, hash_mode),
+        ).alias("__bh"),
+    )
+    # Separate projection on purpose: CollapseProject declines to inline a
+    # non-cheap producer expression referenced k times, so __bh's hash
+    # array is computed once per row, not once per h_j.
+    return base.select(
         id_col,
         *[
-            ((F.lit(a) * F.col("__b") + F.lit(c)) % _MERSENNE31).alias(f"h{j}")
+            F.array_min(
+                F.transform(
+                    "__bh", lambda b: (F.lit(a) * b + F.lit(c)) % _MERSENNE31
+                )
+            ).alias(f"h{j}")
             for j, (a, c) in enumerate(params)
         ],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
     )
 
 
@@ -359,25 +375,44 @@ def simhash(
     sums. Positive vote sum on bit i ⟺ more than half the shingles have
     bit i set, so it suffices to sum the 0/1 bits and compare against the
     shingle count — which lets the 64 per-bit sums pack into
-    ``_NUM_PACKED`` long aggregates (one map-side-combined groupBy).
-    """
-    sh = _fan_out(df).select(
-        F.col(id_col), F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
-    ).withColumn("__h", F.xxhash64("__sh"))
+    ``_NUM_PACKED`` long fields.
 
-    packed_sums = []
-    for k in range(_NUM_PACKED):
-        fields = []
-        for j in range(_FIELDS_PER_LONG):
-            i = k * _FIELDS_PER_LONG + j
-            if i >= 64:
-                break
-            bit = F.shiftrightunsigned("__h", i).bitwiseAND(F.lit(1))
-            fields.append(
-                F.shiftleft(bit, j * _FIELD_BITS) if j else bit.cast("long")
-            )
-        packed_sums.append(F.sum(reduce(lambda x, y: x + y, fields)).alias(f"p{k}"))
-    summed = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *packed_sums)
+    MAP-ONLY: the packed vote sums are per-row ``aggregate`` higher-order
+    expressions over the shingle-hash array — no explode, no shuffle, no
+    groupBy (the explode + map-side-combined-sum formulation computes the
+    same sums with |shingles| materialized rows per document and a
+    shuffle). NULL texts produce no fingerprint row, matching the explode
+    formulation's implicit drop.
+    """
+    base = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col),
+        F.transform(
+            char_shingles(text_col, shingle_width), lambda s: F.xxhash64(s)
+        ).alias("__hs"),
+    )
+
+    def packed_sum(k: int) -> Column:
+        def add_fields(acc: Column, h: Column) -> Column:
+            fields = []
+            for j in range(_FIELDS_PER_LONG):
+                i = k * _FIELDS_PER_LONG + j
+                if i >= 64:
+                    break
+                bit = F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))
+                fields.append(
+                    F.shiftleft(bit, j * _FIELD_BITS) if j else bit.cast("long")
+                )
+            return acc + reduce(lambda x, y: x + y, fields)
+
+        return F.aggregate(
+            "__hs", F.lit(0).cast("long"), add_fields
+        ).alias(f"p{k}")
+
+    summed = base.select(
+        F.col(id_col),
+        F.size("__hs").cast("long").alias("__n"),
+        *[packed_sum(k) for k in range(_NUM_PACKED)],
+    )
 
     def bit_set(i: int) -> Column:
         k, j = divmod(i, _FIELDS_PER_LONG)
