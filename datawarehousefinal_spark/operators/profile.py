@@ -1,0 +1,70 @@
+"""Table profiling — the engine's data-quality surface.
+
+The reference's only data-quality checks are printouts: the unmapped-
+category report (Datos/preprocessing.py:150, 325-327) and class-
+distribution prints (machineLearning.py:92-96). A warehouse engine needs
+the general form: per-column null counts, distinct cardinalities, and
+value ranges over any table — the summary a loader checks before
+accepting an ingest batch.
+
+Scale design: the whole profile is ONE aggregation pass. Every per-column
+statistic is an aggregate expression in a single ``df.agg`` (count/min/
+max combine map-side; multi-column ``countDistinct`` plans through
+Spark's Expand — one shuffle total, O(columns) state per partition), and
+the single wide result row is unpivoted driver-side into the canonical
+long format (column, n_total, n_nulls, n_distinct, min_value, max_value)
+with ``stack`` — no second scan, no per-column jobs. At a billion rows
+the cost is the one scan you cannot avoid; pass ``approx=True`` to swap
+exact distinct counts for HyperLogLog sketches (constant memory, ~2%
+error) when exact cardinalities aren't worth their shuffle width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-column profile of ``df`` in one aggregation pass.
+
+    Output (one row per profiled column, ordered by column name):
+    ``column, n_total, n_nulls, n_distinct, min_value, max_value`` —
+    min/max cast to string so heterogeneous column types share one
+    schema (the standard profiler shape).
+
+    ``approx`` swaps ``countDistinct`` for ``approx_count_distinct``;
+    keep exact (default) when the profile feeds an oracle or a uniqueness
+    check.
+    """
+    cols = columns or df.columns
+    distinct = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __total - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}"
+        for c in sorted(cols)
+    )
+    return wide.selectExpr(
+        "__total",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_nulls, n_distinct, min_value, max_value)",
+    ).select(
+        F.col("column"),
+        F.col("__total").cast("long").alias("n_total"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

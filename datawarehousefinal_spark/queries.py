@@ -1779,6 +1779,39 @@ def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(docs, "source", "text")
 
 
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*)::BIGINT AS n_total,
+        (count(*) - count({c}))::BIGINT AS n_nulls,
+        count(DISTINCT {c})::BIGINT AS n_distinct,
+        min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+        FROM orders"""
+    for c in sorted(_PROFILE_COLS)
+)
+
+
+@query("table_profile", oracle=_PROFILE_ORACLE)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table — per-column null count,
+    exact distinct cardinality, and min/max — computed in ONE aggregation
+    pass (operators/profile.py; the generalization of the reference's
+    ad-hoc data-quality printouts, Datos/preprocessing.py:150,
+    machineLearning.py:92-96). The oracle is a per-column UNION ALL
+    generated from the same column list."""
+    from datawarehousefinal_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, list(_PROFILE_COLS))
+
+
 @query(
     "json_props_rollup",
     oracle="""

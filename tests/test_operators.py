@@ -131,3 +131,22 @@ def test_attach_surrogate_key_null_safe(spark):
     # same combo -> same id
     by_combo = {(r["k1"], r["k2"]): r["id_dim"] for r in rows}
     assert len(set(by_combo.values())) == 3
+
+
+def test_profile_table_nulls_and_approx(spark):
+    from datawarehousefinal_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (None, "b")], ["x", "s"]
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["x"]["n_total"] == 4
+    assert prof["x"]["n_nulls"] == 1
+    assert prof["x"]["n_distinct"] == 3
+    assert prof["x"]["min_value"] == "1" and prof["x"]["max_value"] == "3"
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["s"]["n_distinct"] == 2
+    # approx mode keeps the same schema and exact null counts
+    aprof = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    assert aprof["s"]["n_nulls"] == 1
+    assert aprof["s"]["n_distinct"] >= 1
