@@ -64,3 +64,33 @@ def cube_all(
     if avg_col is not None:
         aggs.append(F.avg(avg_col).alias("promedio_edades"))
     return fact.cube(*dims).agg(*aggs)
+
+
+def pivot_measure(
+    fact: DataFrame,
+    row_dim: str,
+    col_dim: str,
+    col_values: list[str],
+    count_col: str,
+) -> DataFrame:
+    """Crosstab serving shape: one row per ``row_dim`` member, one count
+    column per ``col_dim`` member — the matrix layout a Mondrian client
+    renders for a two-dimension slice (J3/A1).
+
+    ``col_values`` is REQUIRED, not inferred: pivot without explicit
+    values runs an extra distinct-values job over the fact and then
+    builds an unbounded-width row. Declaring the members (dimension
+    members are known — that is what a dimension is) keeps this a single
+    groupBy pass with a fixed schema, and bounds output width at scale.
+    Cells with no facts surface as 0, matching what a cube cell count
+    shows.
+    """
+    out = (
+        fact.groupBy(row_dim)
+        .pivot(col_dim, col_values)
+        .agg(F.count(count_col))
+    )
+    return out.select(
+        row_dim,
+        *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in col_values],
+    )

@@ -1779,6 +1779,29 @@ def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(docs, "source", "text")
 
 
+@query(
+    "pivot_year_status",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+           (count(*) FILTER (WHERE o_orderstatus = 'F'))::BIGINT AS "F",
+           (count(*) FILTER (WHERE o_orderstatus = 'O'))::BIGINT AS "O",
+           (count(*) FILTER (WHERE o_orderstatus = 'P'))::BIGINT AS "P"
+    FROM orders GROUP BY anio
+    """,
+)
+def pivot_year_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A1 crosstab: movement count by year x status in the matrix
+    layout a cube client renders (operators/olap.pivot_measure; Mondrian
+    two-dim slice, Schema_Trabajo_Final.xml:56-91). Explicit member list
+    keeps it one groupBy pass with fixed schema."""
+    from datawarehousefinal_spark.operators.olap import pivot_measure
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "anio", F.year("o_orderdate").cast("int")
+    )
+    return pivot_measure(orders, "anio", "o_orderstatus", ["F", "O", "P"], "o_orderkey")
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",

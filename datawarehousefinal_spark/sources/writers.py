@@ -102,6 +102,32 @@ def compact_parquet(
     return out_path
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    compression: str = "snappy",
+) -> None:
+    """Idempotent partitioned ingest: overwrite ONLY the partitions
+    present in ``df``, leaving every other ``col=value`` directory
+    untouched (dynamic partition overwrite).
+
+    This is how a periodic loader (the reference re-runs yearly file
+    loads, etl_final.ktr:555-589) becomes re-runnable at scale: replaying
+    one day/year replaces exactly that directory — static overwrite would
+    truncate the whole dataset, and append would duplicate the replayed
+    rows. The conf is set per-write via ``.option()``, not mutated on the
+    session.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """S9: CSV sink (processed CSV out, Datos/preprocessing.py:142-143)."""
     df.write.mode(mode).option("header", header).csv(path)

@@ -118,3 +118,43 @@ def test_compact_parquet_preserves_partition_layout(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{out}/event_type=*")) == n_types
     assert len(glob.glob(f"{out}/event_type=*/*.parquet")) < 4 * n_types
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_overwrite_partitions_replaces_only_named_dirs(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: replaying one partition's data leaves
+    the other col=value directories byte-identical and undeleted."""
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.sources.writers import (
+        overwrite_partitions,
+        write_parquet,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "ingest")
+    write_parquet(events, out, partition_by=["event_type"])
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    some_type = sorted(before)[0]
+
+    # replay that partition with only half its rows
+    replay = events.filter(
+        (F.col("event_type") == some_type) & (F.col("event_id") % 2 == 0)
+    )
+    replay_n = replay.count()
+    overwrite_partitions(replay, out, ["event_type"])
+
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert after[some_type] == replay_n
+    for t, n in before.items():
+        if t != some_type:
+            assert after[t] == n
