@@ -122,3 +122,78 @@ def curate_corpus(
         )
         report = row if report is None else report.unionByName(row)
     return curated, report
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / training-mix rebalancing
+# ---------------------------------------------------------------------------
+
+# 60 bits of md5 → uniform integer in [0, 2^60). Engine-independent
+# (byte-identical in DuckDB/Postgres via ('0x' || substr(md5(s),1,15))),
+# so sampling decisions are exactly reproducible across engines, Spark
+# versions, and partitionings — unlike rand(seed), whose stream depends
+# on row order within partitions.
+_HASH_SPACE = 1 << 60
+
+
+def sample_hash(id_col, seed: int = 42):
+    """Uniform [0, 2^60) integer derived from md5(id ':' seed)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    tagged = F.concat(c.cast("string"), F.lit(f":{seed}"))
+    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Keep rows whose sample hash falls below ``fraction`` of the hash
+    space — a map-only, shuffle-free Bernoulli sample that is a pure
+    function of (id, seed): stable under re-runs, repartitioning, and
+    engine changes, and nested (a 10% sample is a subset of the 20%
+    sample at the same seed), which rand(seed) sampling guarantees none
+    of."""
+    threshold = int(fraction * _HASH_SPACE)
+    return df.filter(sample_hash(id_col, seed) < F.lit(threshold))
+
+
+def rebalance_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_shares: dict[str, float],
+    target_total: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Training-mix rebalancing: downsample each source toward
+    ``target_shares`` (source → share of ``target_total``), keeping every
+    row of sources that are already under their quota.
+
+    One aggregation for per-source counts (a few rows — broadcast back),
+    then a map-only hash filter: per-source keep-fraction
+    ``min(1, share·total/count)`` applied via the deterministic sample
+    hash. Expected output size per source is ``min(count, share·total)``;
+    like all Bernoulli sampling the realized count varies by O(√n), which
+    is what a data-mixing pass wants (exact-n would need a per-source
+    sort). No shuffle of the corpus itself.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    share = F.create_map(
+        *[F.lit(x) for kv in target_shares.items() for x in kv]
+    )
+    fractions = counts.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.coalesce(share[F.col(source_col)], F.lit(0.0))
+            * F.lit(float(target_total))
+            / F.col("__n"),
+        ).alias("__frac"),
+    )
+    thresholded = fractions.withColumn(
+        "__thr", F.floor(F.col("__frac") * F.lit(float(_HASH_SPACE))).cast("long")
+    ).drop("__frac")
+    return (
+        df.join(F.broadcast(thresholded), source_col)
+        .filter(sample_hash(id_col, seed) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -1779,6 +1779,48 @@ def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(docs, "source", "text")
 
 
+_MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_TOTAL = 60
+_MIX_SEED = 42
+_MIX_SPACE = float(1 << 60)
+
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {share}" for s, share in _MIX_SHARES.items()
+) + " ELSE 0.0 END"
+
+_MIX_ORACLE = f"""
+    WITH counts AS (
+      SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source
+    ),
+    thr AS (
+      SELECT source,
+             CAST(floor(least(1.0, {_MIX_CASE} * {float(_MIX_TOTAL)} / n)
+                  * {_MIX_SPACE}) AS BIGINT) AS t
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':{_MIX_SEED}'), 1, 15))::BIGINT < t
+    """
+
+
+@query("rebalanced_mix", oracle=_MIX_ORACLE)
+def rebalanced_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing (operators/curation.rebalance_sources):
+    downsample sources toward declared target shares with the
+    DETERMINISTIC md5 sample hash — a pure function of (id, seed), so the
+    exact surviving set is engine-independent and this query oracle-checks
+    value-for-value against DuckDB (rand()-based sampling could only ever
+    be rows-only). Map-only over the corpus; the only aggregation is the
+    per-source count broadcast back as a threshold."""
+    from datawarehousefinal_spark.operators.curation import rebalance_sources
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return rebalance_sources(
+        docs, "doc_id", "source", _MIX_SHARES, _MIX_TOTAL, seed=_MIX_SEED
+    )
+
+
 @query(
     "pivot_year_status",
     oracle="""

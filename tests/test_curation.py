@@ -67,3 +67,46 @@ def test_curation_plan_not_quadratic(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     curated, _ = curate_corpus(docs, min_quality=0.1, shingle_width=W)
     assert_no_cartesian(curated)
+
+
+def test_deterministic_sample_nested_and_stable(spark):
+    from datawarehousefinal_spark.operators.curation import deterministic_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s20 = deterministic_sample(df, "doc_id", 0.2, seed=7)
+    s10 = deterministic_sample(df, "doc_id", 0.1, seed=7)
+    ids20 = {r["doc_id"] for r in s20.collect()}
+    ids10 = {r["doc_id"] for r in s10.collect()}
+    # nested: the 10% sample is a subset of the 20% sample at one seed
+    assert ids10 <= ids20
+    # stable across re-evaluation and repartitioning
+    again = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            df.repartition(13), "doc_id", 0.2, seed=7
+        ).collect()
+    }
+    assert again == ids20
+    # roughly the right size (Bernoulli, 2000 trials)
+    assert 0.15 * 2000 < len(ids20) < 0.25 * 2000
+
+
+def test_rebalance_sources_quotas(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.curation import rebalance_sources
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = rebalance_sources(
+        df, "doc_id", "source", {"big": 0.5, "small": 0.5}, 200, seed=1
+    )
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # big is over quota (900 -> ~100 expected); small is under its 100-row
+    # quota so every one of its 100 rows is kept
+    assert counts["small"] == 100
+    assert 60 < counts["big"] < 140
+    # sources with no declared share are dropped entirely
+    out2 = rebalance_sources(df, "doc_id", "source", {"small": 1.0}, 50, seed=1)
+    assert out2.filter(F.col("source") == "big").count() == 0
