@@ -1779,6 +1779,61 @@ def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(docs, "source", "text")
 
 
+_CONTAM_N = 8
+
+_CONTAM_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 1)),
+               i -> array_to_string(list_slice(toks, i, i + {_CONTAM_N - 1}), ' ')
+             )) AS grams
+      FROM t
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0
+    ),
+    train_g AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 != 0
+    ),
+    hits AS (
+      SELECT doc_id, count(*)::BIGINT AS n_hits
+      FROM train_g JOIN bench USING (gram) GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, len(grams)::BIGINT AS n_grams FROM g WHERE doc_id % 10 != 0
+    )
+    SELECT totals.doc_id, totals.n_grams, hits.n_hits
+    FROM totals JOIN hits USING (doc_id)
+    WHERE hits.n_hits >= 1
+    """
+
+
+@query("contamination_report", oracle=_CONTAM_ORACLE.format(toks=_TOKS_SQL))
+def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): every tenth
+    document plays the benchmark set; the rest is the training corpus.
+    Per-train-doc count of distinct word 8-grams shared with the
+    benchmark — the standard eval-hygiene pass. Gram keys are the gram
+    STRINGS here (hash_grams=False) so the whole pipeline is exactly
+    SQL-replayable; production uses the xxhash64 key path (8-byte keys)."""
+    from datawarehousefinal_spark.operators.contamination import (
+        benchmark_grams,
+        contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    grams = benchmark_grams(bench, "text", _CONTAM_N, hash_grams=False)
+    return contamination_report(
+        train, grams, "doc_id", "text", _CONTAM_N, hash_grams=False
+    )
+
+
 _MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 _MIX_TOTAL = 60
 _MIX_SEED = 42
