@@ -1779,6 +1779,77 @@ def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(docs, "source", "text")
 
 
+_PII_ORACLE = r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' from 10.0.' || (doc_id % 256) || '.1 today'
+                     ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+           regexp_replace(
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS masked
+    FROM injected
+    WHERE doc_id % 7 = 0 OR doc_id % 13 = 0
+    """
+
+
+@query("pii_scrub", oracle=_PII_ORACLE)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/pii.py): deterministically inject an email
+    into every 7th document and an IPv4 into every 13th (both sides
+    replay the injection), then count and mask. All codegen regexp
+    expressions; patterns chosen so Java regex and RE2 agree, proven by
+    the value-hash match."""
+    from datawarehousefinal_spark.functions.pii import (
+        count_emails,
+        count_ipv4,
+        scrub_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 today"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    injected = docs.select("doc_id", t.alias("t")).filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 13 == 0)
+    )
+    return injected.select(
+        "doc_id",
+        count_emails("t").alias("n_emails"),
+        count_ipv4("t").alias("n_ips"),
+        scrub_pii("t").alias("masked"),
+    )
+
+
 _CONTAM_N = 8
 
 _CONTAM_ORACLE = f"""
