@@ -187,3 +187,32 @@ def doc_fingerprint(col: Column | str, shingle_width: int = 14) -> Column:
     byte-for-byte."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_min(F.transform(char_shingles(c, shingle_width), F.md5))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher-rules family): token
+    count, distinct-token count, distinct ratio, and the frequency share
+    of the single most repeated token — low distinct ratio or a dominant
+    token flags boilerplate/spam for the curation funnel.
+
+    Two-stage aggregation, one logical shuffle: explode to (doc, token)
+    → partial-combined counts → per-doc sum/count/max. Null texts are
+    excluded (no tokens to measure).
+
+    Output: ``id_col, n_tokens, n_distinct, distinct_ratio,
+    top_token_frac``.
+    """
+    exp = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("__tok")
+    )
+    counts = exp.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__n"))
+    return counts.groupBy(id_col).agg(
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)).cast("double") / F.sum("__n").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (F.max("__n").cast("double") / F.sum("__n").cast("double")).alias(
+            "top_token_frac"
+        ),
+    )

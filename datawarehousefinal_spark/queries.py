@@ -1779,6 +1779,31 @@ def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(docs, "source", "text")
 
 
+@query(
+    "repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM e GROUP BY doc_id, tok)
+    SELECT doc_id,
+           sum(n)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_distinct,
+           (count(*)::DOUBLE / sum(n)::DOUBLE) AS distinct_ratio,
+           (max(n)::DOUBLE / sum(n)::DOUBLE) AS top_token_frac
+    FROM c GROUP BY doc_id
+    """.format(toks=_TOKS_SQL),
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document
+    (operators/textstats.repetition_stats): distinct-token ratio and
+    top-token frequency share — the boilerplate/spam detectors of a
+    curation funnel. Two-stage partial-combined aggregation."""
+    from datawarehousefinal_spark.operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
 _PII_ORACLE = r"""
     WITH injected AS (
       SELECT doc_id,

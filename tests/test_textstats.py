@@ -91,3 +91,22 @@ def test_source_mix_shares_and_totals(spark):
     assert rows["s2"]["n_docs"] == 1 and rows["s2"]["total_tokens"] == 1
     assert abs(rows["s1"]["token_share"] - 5 / 6) < 1e-12
     assert abs(sum(r["token_share"] for r in rows.values()) - 1.0) < 1e-12
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from datawarehousefinal_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam ham"),
+            (2, "every token in this perfectly varied sentence differs"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}  # null text excluded
+    assert rows[1]["n_tokens"] == 10 and rows[1]["n_distinct"] == 2
+    assert rows[1]["top_token_frac"] == 0.9
+    assert rows[2]["distinct_ratio"] == 1.0
+    assert rows[2]["top_token_frac"] == rows[2]["n_tokens"] ** -1
