@@ -143,9 +143,13 @@ def minhash_signature(
     with zero data movement.) Values are identical to the two-stage build:
     same base hash, same seeded affine family.
 
-    NULL texts produce no signature row (the explode formulation dropped
-    them implicitly; here the filter is explicit) — documents that cannot
-    shingle must not bucket together on NULL keys.
+    NULL texts produce no signature row. This is a DELIBERATE behavior
+    change from the earlier explode formulation, which emitted one row for
+    NULL text (``char_shingles(NULL)`` yields ``[null]``, exploding to a
+    single xxhash64-of-null row) so all NULL docs bucketed together.
+    Signature stores built before the change may therefore contain
+    degenerate NULL-doc signature rows; rebuild or filter them before
+    comparing against newly built signatures.
     """
     params = _affine_params(num_hashes)
     base = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
@@ -381,8 +385,9 @@ def simhash(
     expressions over the shingle-hash array — no explode, no shuffle, no
     groupBy (the explode + map-side-combined-sum formulation computes the
     same sums with |shingles| materialized rows per document and a
-    shuffle). NULL texts produce no fingerprint row, matching the explode
-    formulation's implicit drop.
+    shuffle). NULL texts produce no fingerprint row (explicit filter — see
+    the note on ``minhash_signatures`` about the deliberate NULL-handling
+    change vs the old explode formulation).
     """
     base = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col),
@@ -439,6 +444,31 @@ def _block_bounds(num_blocks: int) -> list[tuple[int, int]]:
     return bounds
 
 
+def _auto_combo_size(
+    n_distinct: int, max_hamming: int, max_bucket: int, max_combo_size: int = 6
+) -> int:
+    """Smallest ``combo_size`` whose combo-key space keeps expected bucket
+    occupancy well under ``max_bucket``.
+
+    With ``num_blocks = max_hamming + combo_size`` blocks, a combo key is
+    ``combo_size * 64 / num_blocks`` bits wide, so a table holds
+    ``2**key_bits`` buckets and a uniform fingerprint population puts
+    ``n_distinct / 2**key_bits`` fingerprints in each. We require that
+    expectation to sit 16× under ``max_bucket`` so the crowded tail of the
+    occupancy distribution stays under the skew guard too. This is exactly
+    Manku et al.'s web-scale sizing move: bigger corpora get wider keys
+    (3–4 block combos) and correspondingly more combo tables — at
+    ``max_hamming=8`` the ladder is combo_size 2 → ~445K distinct
+    fingerprints, 3 → ~11M, 4 → ~164M, 5 → ~1.6B (each at the default
+    ``max_bucket=1000``).
+    """
+    for cs in range(2, max_combo_size):
+        key_bits = cs * 64.0 / (max_hamming + cs)
+        if n_distinct * 16 <= max_bucket * (2.0 ** key_bits):
+            return cs
+    return max_combo_size
+
+
 def simhash_near_dupes(
     df: DataFrame,
     id_col: str,
@@ -447,8 +477,9 @@ def simhash_near_dupes(
     shingle_width: int = 5,
     max_bucket: int = 1000,
     num_blocks: int | None = None,
-    combo_size: int = 2,
+    combo_size: int | None = None,
     exact_pair_cap: int = 100,
+    max_dropped_frac: float | None = 0.05,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with GUARANTEED candidate recall.
 
@@ -460,6 +491,43 @@ def simhash_near_dupes(
     num_blocks - max_hamming`` (enforced) some agreeing combo collides, so
     every within-threshold pair becomes a candidate. Candidates are
     verified with ``bit_count(xor) <= max_hamming`` — 100% precision.
+
+    Computes fingerprints with :func:`simhash`, then delegates to
+    :func:`simhash_near_dupes_from_fingerprints` — see it for the banding
+    semantics, the auto ``combo_size`` ladder, and the loud
+    ``max_dropped_frac`` crowding guard.
+
+    Output: ``id_a, id_b, hamming`` (id_a < id_b).
+    """
+    # The fingerprint frame feeds the hamming-0 tiers, the distinct-fp
+    # banding, AND both expansion branches — without a persist the
+    # full shingle-explode + 22-aggregate fingerprint pass replicates
+    # once per consumer (7 scans in the physical plan). Fingerprints are
+    # (id, long) — ~24 bytes/doc, MEMORY_AND_DISK never OOMs.
+    fp = simhash(df, id_col, text_col, shingle_width).persist()
+    return simhash_near_dupes_from_fingerprints(
+        fp,
+        id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        num_blocks=num_blocks,
+        combo_size=combo_size,
+        exact_pair_cap=exact_pair_cap,
+        max_dropped_frac=max_dropped_frac,
+    )
+
+
+def simhash_near_dupes_from_fingerprints(
+    fp: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    num_blocks: int | None = None,
+    combo_size: int | None = None,
+    exact_pair_cap: int = 100,
+    max_dropped_frac: float | None = 0.05,
+) -> DataFrame:
+    """Banding + verification tier over a ``(id_col, simhash)`` frame.
 
     Banding runs over DISTINCT fingerprints, not documents. This is what
     makes the recall guarantee survive real corpora: a boilerplate page
@@ -474,12 +542,40 @@ def simhash_near_dupes(
     C(n,2) pairs of a million-copy cluster is output no caller wants.
     Cross-fingerprint candidate pairs expand to all member pairs.
 
+    **Key sizing vs corpus size.** ``combo_size=None`` (the default)
+    auto-scales: one cheap count of the distinct fingerprints picks the
+    smallest combo width whose key space keeps expected bucket occupancy
+    16× under ``max_bucket`` (see :func:`_auto_combo_size`). A fixed
+    ``combo_size`` that is too narrow for the corpus — e.g. 2-block keys
+    (~13 bits at ``max_hamming=8``) over millions of distinct
+    fingerprints — would crowd every bucket past ``max_bucket`` and the
+    skew guard would silently degrade recall to the hamming-0 tier.
+
+    **No silent caps.** ``max_dropped_frac`` makes that failure loud: the
+    fraction of banding entries living in over-``max_bucket`` buckets is
+    measured (one count job over the persisted keyed frame) and a
+    ``RuntimeError`` names the fix (wider combos / higher ``max_bucket``)
+    when it exceeds the threshold. Pass ``None`` to skip the check and its
+    job (only sensible when ``combo_size`` is auto-scaled or the corpus is
+    known to fit).
+
     Defaults derive ``num_blocks = max_hamming + combo_size`` (the minimum
     satisfying the guarantee). Key width is ``combo_size`` blocks ≈
     ``combo_size * 64/num_blocks`` bits.
 
     Output: ``id_a, id_b, hamming`` (id_a < id_b).
     """
+    if combo_size is None:
+        if num_blocks is not None:
+            raise ValueError(
+                "auto combo_size derives num_blocks; pass combo_size "
+                "explicitly when fixing num_blocks"
+            )
+        # One count job over the (distinct long) frame — trivially cheap
+        # next to the banding it sizes. fp is persisted by callers that
+        # build it; the distinct count reuses that cache.
+        n_distinct = fp.select("simhash").distinct().count()
+        combo_size = _auto_combo_size(max(n_distinct, 1), max_hamming, max_bucket)
     if num_blocks is None:
         num_blocks = max_hamming + combo_size
     if combo_size > num_blocks - max_hamming:
@@ -493,12 +589,6 @@ def simhash_near_dupes(
         for start, width in bounds
     ]
 
-    # The fingerprint frame feeds the hamming-0 tiers, the distinct-fp
-    # banding, AND both expansion branches — without a persist the
-    # full shingle-explode + 22-aggregate fingerprint pass replicates
-    # once per consumer (7 scans in the physical plan). Fingerprints are
-    # (id, long) — ~24 bytes/doc, MEMORY_AND_DISK never OOMs.
-    fp = simhash(df, id_col, text_col, shingle_width).persist()
     members = fp.withColumn(
         "__rep", F.min(id_col).over(Window.partitionBy("simhash"))
     ).withColumn(
@@ -541,9 +631,29 @@ def simhash_near_dupes(
     ).select(
         "simhash", F.col("__t.table").alias("table"), F.col("__t.key").alias("key")
     )
-    sized = keyed.withColumn(
+    counted = keyed.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("table", "key"))
-    ).filter(F.col("__n") <= max_bucket)
+    )
+    if max_dropped_frac is not None:
+        # "No silent caps": measure how much of the banding the skew guard
+        # is about to throw away, and fail loudly when it is material —
+        # a quietly-degraded dedup pass is worse than an error. One extra
+        # aggregation job over the persisted keyed frame.
+        counted = counted.persist()
+        stats = counted.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(F.col("__n") > max_bucket, 1)).alias("dropped"),
+        ).first()
+        if stats["total"] and stats["dropped"] / stats["total"] > max_dropped_frac:
+            raise RuntimeError(
+                f"simhash banding dropped {stats['dropped']}/{stats['total']} "
+                f"({stats['dropped'] / stats['total']:.1%}) of combo-key entries to "
+                f"the max_bucket={max_bucket} skew guard (> max_dropped_frac="
+                f"{max_dropped_frac:.1%}) — candidate recall would silently "
+                f"degrade toward the hamming-0 tier. Use a larger combo_size "
+                f"(auto-scaling picks one: combo_size=None), or raise max_bucket."
+            )
+    sized = counted.filter(F.col("__n") <= max_bucket)
     a = sized.select(F.col("simhash").alias("__fa"), "table", "key")
     b = sized.select(F.col("simhash").alias("__fb"), "table", "key")
     fp_pairs = (

@@ -2215,14 +2215,15 @@ def rolling_daily_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("simhash_near_dupes")  # no SQL oracle: xxhash64 is Spark-side only
 def simhash_near_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints with block-combination candidate
-    generation (10 blocks, keys on every 2-block combo) — candidate recall
-    is GUARANTEED for hamming <= 8 (combo_size <= num_blocks - max_hamming
-    pigeonhole; the fixture's planted near-dups measure hamming <= 7).
+    generation — candidate recall is GUARANTEED for hamming <= 8
+    (combo_size <= num_blocks - max_hamming pigeonhole; the fixture's
+    planted near-dups measure hamming <= 7). combo_size auto-scales with
+    the distinct-fingerprint count (2-block keys here, 3-4 at web scale —
+    Manku-style sizing), and the max_bucket skew guard is loud: material
+    dropped-bucket fractions raise instead of silently losing recall.
     Rows-only driver check; tests/test_dedup.py asserts full recall against
     the exact-Jaccard truth at these parameters and bucketed candidates."""
     from datawarehousefinal_spark.operators.dedup import simhash_near_dupes
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dupes(
-        docs, "doc_id", "text", max_hamming=8, shingle_width=_W, combo_size=2
-    )
+    return simhash_near_dupes(docs, "doc_id", "text", max_hamming=8, shingle_width=_W)

@@ -171,3 +171,62 @@ def test_simhash_cross_cluster_expansion_capped_by_reps(spark):
     for i in range(1, 15):
         assert (0, i) in star
         assert (100, 100 + i) in star
+
+
+def test_auto_combo_size_ladder():
+    """Manku-style key sizing: bigger distinct-fingerprint populations get
+    wider combo keys. Boundary values from the docstring ladder at
+    max_hamming=8, max_bucket=1000."""
+    from datawarehousefinal_spark.operators.dedup import _auto_combo_size
+
+    assert _auto_combo_size(5_000, 8, 1000) == 2
+    assert _auto_combo_size(400_000, 8, 1000) == 2
+    assert _auto_combo_size(1_000_000, 8, 1000) == 3
+    assert _auto_combo_size(50_000_000, 8, 1000) == 4
+    assert _auto_combo_size(1_000_000_000, 8, 1000) == 5
+
+
+def test_simhash_crowding_raises_loudly_then_auto_scales(spark):
+    """The round-3 scale-recall cliff, reproduced at 50K DISTINCT
+    fingerprints: 2-block keys at max_hamming=8 are ~13 bits (~7K buckets),
+    so a tight max_bucket would have silently dropped most banding entries
+    and degraded recall to the hamming-0 tier. The operator must instead
+    (a) RAISE loudly when combo_size is forced too narrow, and (b) widen
+    the keys itself under auto combo_size so planted near-pairs surface."""
+    import random
+
+    import pytest
+
+    from datawarehousefinal_spark.operators.dedup import (
+        simhash_near_dupes_from_fingerprints,
+    )
+
+    rng = random.Random(42)
+    n = 50_000
+    fps = [(i, rng.getrandbits(63)) for i in range(n)]
+    planted = []
+    for k in range(20):
+        src_id, src_fp = fps[k * 1000]
+        flipped = src_fp
+        for b in rng.sample(range(63), 3):  # hamming exactly 3
+            flipped ^= 1 << b
+        fps.append((n + k, flipped))
+        planted.append((src_id, n + k))
+    fp_df = spark.createDataFrame(fps, ["doc_id", "simhash"]).persist()
+
+    # (a) forced-narrow keys: ~7 distinct fps per bucket on average, so a
+    # max_bucket of 5 drops the vast majority of entries -> loud error.
+    with pytest.raises(RuntimeError, match="skew guard"):
+        simhash_near_dupes_from_fingerprints(
+            fp_df, "doc_id", max_hamming=8, max_bucket=5, combo_size=2
+        ).collect()
+
+    # (b) auto combo_size widens to 3-block keys (~17.5 bits) for this
+    # population and the planted hamming-3 pairs all surface.
+    out = simhash_near_dupes_from_fingerprints(
+        fp_df, "doc_id", max_hamming=8, max_bucket=5
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    for a, b in planted:
+        assert (min(a, b), max(a, b)) in pairs, f"planted pair {(a, b)} lost"
+    fp_df.unpersist()
