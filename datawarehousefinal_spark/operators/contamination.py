@@ -31,14 +31,18 @@ def word_ngrams(
     """Distinct word ``n``-grams of a text column (array column).
 
     Documents shorter than ``n`` tokens contribute their whole token run
-    as one gram, so no document maps to an empty set. Grams are
-    space-joined token slices; with ``hash_grams`` each gram is reduced
-    to its xxhash64.
+    as one gram; documents with NO tokens (empty or whitespace-only text)
+    map to an EMPTY gram set — without that filter they'd all share the
+    single empty-string gram and cross-match every other token-less
+    document (e.g. get flagged as contaminated the moment the benchmark
+    set contains one empty-ish row). Grams are space-joined token slices;
+    with ``hash_grams`` each gram is reduced to its xxhash64.
     """
     toks = whitespace_tokens(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n)))
+    grams = F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n)))),
+        lambda g: g != F.lit(""),
     )
     if hash_grams:
         grams = F.transform(grams, lambda g: F.xxhash64(g))
@@ -73,23 +77,31 @@ def contamination_report(
     min_hits``. ``n_grams`` (the document's distinct gram count) lets the
     caller threshold on a fraction instead of an absolute count. Drop
     policy is the caller's: an anti-join of the corpus against these ids.
+
+    SINGLE-PASS: the corpus is tokenized and shingled exactly once — the
+    exploded grams LEFT-join the broadcast gram set with a hit marker, and
+    one groupBy produces both ``n_grams`` (all rows) and ``n_hits``
+    (marker rows). The earlier two-branch formulation recomputed
+    ``word_ngrams`` for the totals side, doubling the most expensive map
+    stage at scale. The left join also makes ``min_hits=0`` honest: clean
+    documents keep their gram rows and appear with ``n_hits = 0``. (Only
+    documents with an empty gram set — empty/whitespace-only text — never
+    appear, having no rows to group.)
     """
+    marked = bench_gram_set.select("gram").withColumn("__hit", F.lit(1))
     grams = (
         train.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col), F.explode(word_ngrams(text_col, n, hash_grams)).alias("gram")
         )
     )
-    hits = (
-        grams.join(F.broadcast(bench_gram_set), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    totals = train.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.size(word_ngrams(text_col, n, hash_grams)).cast("long").alias("n_grams")
-    )
     return (
-        totals.join(hits, id_col)
+        grams.join(F.broadcast(marked), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("__hit").cast("long").alias("n_hits"),
+        )
         .filter(F.col("n_hits") >= min_hits)
         .select(id_col, "n_grams", "n_hits")
     )

@@ -1883,10 +1883,10 @@ _CONTAM_ORACLE = f"""
     ),
     g AS (
       SELECT doc_id,
-             list_distinct(list_transform(
+             list_distinct(list_filter(list_transform(
                generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 1)),
                i -> array_to_string(list_slice(toks, i, i + {_CONTAM_N - 1}), ' ')
-             )) AS grams
+             ), x -> x <> '')) AS grams
       FROM t
     ),
     bench AS (
@@ -1894,17 +1894,13 @@ _CONTAM_ORACLE = f"""
     ),
     train_g AS (
       SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 != 0
-    ),
-    hits AS (
-      SELECT doc_id, count(*)::BIGINT AS n_hits
-      FROM train_g JOIN bench USING (gram) GROUP BY doc_id
-    ),
-    totals AS (
-      SELECT doc_id, len(grams)::BIGINT AS n_grams FROM g WHERE doc_id % 10 != 0
     )
-    SELECT totals.doc_id, totals.n_grams, hits.n_hits
-    FROM totals JOIN hits USING (doc_id)
-    WHERE hits.n_hits >= 1
+    SELECT train_g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           count(bench.gram)::BIGINT AS n_hits
+    FROM train_g LEFT JOIN bench ON train_g.gram = bench.gram
+    GROUP BY train_g.doc_id
+    HAVING count(bench.gram) >= 1
     """
 
 

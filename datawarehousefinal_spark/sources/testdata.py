@@ -37,6 +37,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # hand us a vanilla SparkSession it built itself.
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The ntz branch below reinterprets naive micros via the SESSION
+        # zone — on a vanilla harness-built session with a non-UTC zone the
+        # ntz fixtures would decode to different instants than the nanos
+        # fixtures (zone-independent epoch micros). Pin UTC here, not just
+        # in our session factory, so both layouts agree on any session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
