@@ -2125,6 +2125,68 @@ def kmeans_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("rf_confusion_matrix")  # no SQL oracle: iterative ensemble training
+def rf_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8-M11 end-to-end: the classification surface of the reference's
+    biggest analytics block (machineLearning.py:433-553) made
+    driver-visible. Label-encode event_type (M4), preprocess value +
+    calendar features through the M1-M5 pipeline, attach balanced class
+    weights (M9), train the zoo's seeded RandomForest (M8), and report the
+    confusion matrix (M11) as (label, prediction, n). Rows-only driver
+    check: the fixed seed + deterministic feature frame give stable
+    predictions; accuracy-level assertions live in tests/test_ml.py."""
+    from datawarehousefinal_spark.ml.pipelines import (
+        classifier_zoo,
+        confusion_matrix_df,
+        fit_preprocess,
+        label_encode,
+    )
+    from datawarehousefinal_spark.operators.analytics import attach_class_weights
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "value",
+            "event_type",
+            F.hour("ts").alias("hour"),
+            F.dayofweek("ts").alias("dow"),
+        )
+    )
+    _enc, labeled = label_encode(events, "event_type", "label")
+    _model, feats = fit_preprocess(
+        labeled.drop("event_type"), exclude=("label",)
+    )
+    weighted = attach_class_weights(feats, "label")
+    rf = classifier_zoo(weight_col="weight")["RandomForest"]
+    pred = rf.fit(weighted).transform(weighted)
+    return confusion_matrix_df(pred)
+
+
+@query("stratified_split_train")  # no SQL oracle: seeded sampleBy randomness
+def stratified_split_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: seeded stratified 80/20 split over events by event_type
+    (machineLearning.py:407-431's train_test_split(stratify=y)), reported
+    as per-label (label, n_train, n_test) so the driver sees a compact
+    stable frame instead of 100K sampled rows. Rows-only driver check:
+    sampleBy is seed-deterministic; the per-class ratio tolerance is
+    asserted in tests/test_operators.py."""
+    from datawarehousefinal_spark.operators.analytics import stratified_split
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    train, test = stratified_split(events, "event_type", 0.8, seed=42)
+    tr = train.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_train"))
+    te = test.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_test"))
+    return (
+        tr.join(te, "event_type", "full")
+        .select(
+            F.col("event_type").alias("label"),
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_test", F.lit(0)).alias("n_test"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time feature engineering (beyond-reference: sessionization + rolling
 # calendar windows over the events stream)
