@@ -66,6 +66,43 @@ def cube_all(
     return fact.cube(*dims).agg(*aggs)
 
 
+def register_star_views(
+    spark,
+    star: DataFrame,
+    name: str = "star_denormalizado",
+    cubes: dict[str, tuple[list[str], str, str | None]] | None = None,
+) -> list[str]:
+    """The ``spark.sql`` serving half of the Mondrian surface (SURVEY §7
+    P5): expose the denormalized star and its cubes as SQL views, the way
+    the reference's Mondrian schema declares cubes over the warehouse
+    tables (Schema_Trabajo_Final.xml:56-91).
+
+    ``cubes`` maps ``view_name -> (group_cols, count_col, avg_col)`` — the
+    schema's "Cantidad Movimientos" ``count(<fk>)`` and "Promedio"
+    ``avg(<measure>)`` measure pair per cube, surfaced as
+    ``cantidad_movimientos`` / ``promedio_medida`` columns.
+
+    Views are LAZY logical plans, not materializations: a client query
+    ``SELECT ... FROM v_cube WHERE anio = 2024`` still gets predicate
+    pushdown, column pruning, and broadcast dim joins through the view —
+    registering costs nothing until queried. Returns the created view
+    names (star first).
+    """
+    star.createOrReplaceTempView(name)
+    created = [name]
+    for view, (group_cols, count_col, avg_col) in (cubes or {}).items():
+        keys = ", ".join(f"`{c}`" for c in group_cols)
+        measures = f"count(`{count_col}`) AS cantidad_movimientos"
+        if avg_col is not None:
+            measures += f", avg(`{avg_col}`) AS promedio_medida"
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW `{view}` AS "
+            f"SELECT {keys}, {measures} FROM `{name}` GROUP BY {keys}"
+        )
+        created.append(view)
+    return created
+
+
 def pivot_measure(
     fact: DataFrame,
     row_dim: str,

@@ -117,6 +117,62 @@ def cube_measures_by_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({"promedio_edades": "promedio_medida"})
 
 
+@query(
+    "sql_cube_measures",
+    oracle="""
+    SELECT n.n_name AS nacionalidad,
+           c.c_mktsegment AS segmento,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def sql_cube_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql SERVING path of the Mondrian surface (SURVEY §7 P5's
+    second half): the star is registered as a view, the cube as a SQL view
+    over it (olap.register_star_views), and the result is read back with
+    plain SQL — what a BI client connected over Thrift would run. Same
+    cells as cube_measures_by_dims, via the declarative layer; views are
+    lazy, so Catalyst still broadcasts dims and prunes columns through
+    them."""
+    from datawarehousefinal_spark.operators.olap import register_star_views
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    star = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            F.col("n_name").alias("nacionalidad"),
+            F.col("c_mktsegment").alias("segmento"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    register_star_views(
+        spark,
+        star,
+        name="star_movimientos",
+        cubes={
+            "v_cube_movimientos": (
+                ["nacionalidad", "segmento"],
+                "o_custkey",
+                "o_totalprice",
+            )
+        },
+    )
+    return spark.sql(
+        "SELECT nacionalidad, segmento, cantidad_movimientos, promedio_medida "
+        "FROM v_cube_movimientos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar cleaning functions (SURVEY.md §2.7 F1-F12, F15)
 # ---------------------------------------------------------------------------

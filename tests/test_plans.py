@@ -116,3 +116,19 @@ def test_range_join_query_is_hash_join(spark, sf_dir):
     df = _q(spark, sf_dir, "range_join_price_bands")
     assert_no_cartesian(df)
     assert_no_python_udf(df)
+
+
+def test_sql_cube_view_keeps_broadcast_and_partial_agg(spark, sf_dir):
+    """The spark.sql serving path (register_star_views) must cost the same
+    as the DataFrame path: views are lazy, so the plan behind the SQL view
+    still broadcasts both dims and partially aggregates map-side — and the
+    cells match the DataFrame-path query exactly."""
+    df_sql = _q(spark, sf_dir, "sql_cube_measures")
+    assert_broadcast_join(df_sql, min_count=2)
+    assert_partial_aggregation(df_sql)
+    assert_no_cartesian(df_sql)
+    df_api = _q(spark, sf_dir, "cube_measures_by_dims")
+    key = lambda r: (r["nacionalidad"] or "", r["segmento"] or "")
+    a = sorted(df_sql.collect(), key=key)
+    b = sorted(df_api.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
