@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
-    approx: bool = False,
+    approx: bool = True,
 ) -> DataFrame:
     """Per-column profile of ``df`` in one aggregation pass.
 
@@ -37,9 +37,15 @@ def profile_table(
     min/max cast to string so heterogeneous column types share one
     schema (the standard profiler shape).
 
-    ``approx`` swaps ``countDistinct`` for ``approx_count_distinct``;
-    keep exact (default) when the profile feeds an oracle or a uniqueness
-    check.
+    ``approx=True`` (the default — this is the 100 TB path) uses
+    HyperLogLog sketches: constant per-column state, ~2% error, and the
+    whole profile stays a single map-side-combined aggregate. Pass
+    ``approx=False`` only when the profile feeds an oracle comparison or
+    an exact-uniqueness check: exact multi-column ``countDistinct`` plans
+    through Expand, which REPLICATES every input row once per distinct
+    aggregate — ~(1 + n_cols) shuffle rows per input row, measured ~10×
+    shuffle volume on the 9-column events profile — and keeps the distinct
+    values themselves as aggregation state until the final merge.
     """
     cols = columns or df.columns
     distinct = F.approx_count_distinct if approx else F.countDistinct

@@ -2077,7 +2077,10 @@ def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.profile import profile_table
 
     orders = load_table(spark, sf_dir, "orders")
-    return profile_table(orders, list(_PROFILE_COLS))
+    # approx=False ONLY because this feeds the DuckDB oracle's exact
+    # count(DISTINCT ...); production profiling keeps the approx default
+    # (HLL sketches - no Expand row replication).
+    return profile_table(orders, list(_PROFILE_COLS), approx=False)
 
 
 @query(

@@ -139,14 +139,19 @@ def test_profile_table_nulls_and_approx(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (3, "b"), (None, "b")], ["x", "s"]
     )
-    prof = {r["column"]: r for r in profile_table(df).collect()}
+    prof = {r["column"]: r for r in profile_table(df, approx=False).collect()}
     assert prof["x"]["n_total"] == 4
     assert prof["x"]["n_nulls"] == 1
     assert prof["x"]["n_distinct"] == 3
     assert prof["x"]["min_value"] == "1" and prof["x"]["max_value"] == "3"
     assert prof["s"]["n_nulls"] == 1
     assert prof["s"]["n_distinct"] == 2
-    # approx mode keeps the same schema and exact null counts
-    aprof = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    # approx (the default - the 100 TB path) keeps the same schema and
+    # exact null counts, and plans WITHOUT Expand row replication
+    aprof = {r["column"]: r for r in profile_table(df).collect()}
     assert aprof["s"]["n_nulls"] == 1
     assert aprof["s"]["n_distinct"] >= 1
+    from datawarehousefinal_spark.plans.audit import count_node
+
+    assert count_node(profile_table(df), "Expand") == 0
+    assert count_node(profile_table(df, approx=False), "Expand") >= 1

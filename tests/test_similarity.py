@@ -205,3 +205,22 @@ def test_knn_classify_tie_breaks_to_smallest_label(spark):
         df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", "label", k=4
     )
     assert pred.collect()[0]["pred_label"] == 3
+
+
+def test_cosine_topk_kernels_agree(spark):
+    """The Arrow matmul kernel and the JVM HOF kernel return identical
+    top-k sets and scores (modulo last-ulp summation order)."""
+    corpus = _clustered_vectors(spark, dim=40)  # >= ARROW_KERNEL_MIN_DIM
+    queries = corpus.filter(F.col("vec_id") < 5)
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+            for r in df.collect()
+        )
+
+    hof = canon(cosine_topk(corpus, queries, "vec_id", "embedding", 5, kernel="hof"))
+    arw = canon(cosine_topk(corpus, queries, "vec_id", "embedding", 5, kernel="arrow"))
+    auto = canon(cosine_topk(corpus, queries, "vec_id", "embedding", 5))
+    assert hof == arw == auto
+    assert len(hof) == 5 * 5
