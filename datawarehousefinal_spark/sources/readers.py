@@ -90,6 +90,109 @@ def repair_rows(bad: DataFrame, schema: StructType, sep: str = ",") -> DataFrame
     return parsed
 
 
+#: The reference's retry order (Datos/preprocessing.py:91-121) collapses
+#: to two strict probes: utf-8, then iso-8859-1. Its longer chain
+#: (latin-1 → iso-8859-1 → cp1252) is an illusion — latin-1/iso-8859-1
+#: strictly decode ANY byte sequence, so nothing after the first Latin
+#: codec is ever reached. iso-8859-1 is the name Spark's CSV charset
+#: whitelist accepts (latin-1/cp1252 are mapped onto it below; cp1252's
+#: extra printables live in the 0x80-0x9F block and surface as control
+#: chars under iso-8859-1 — the same bytes the reference produced).
+ENCODING_FALLBACK_CHAIN = ("utf-8", "iso-8859-1")
+
+#: Python codec name → Spark CSV charset-whitelist name.
+_SPARK_CHARSET = {
+    "utf-8": "utf-8",
+    "latin-1": "iso-8859-1",
+    "latin1": "iso-8859-1",
+    "iso-8859-1": "iso-8859-1",
+    "cp1252": "iso-8859-1",
+}
+
+
+def detect_encoding(
+    raw: bytes, encodings: tuple[str, ...] = ENCODING_FALLBACK_CHAIN
+) -> str:
+    """First encoding in ``encodings`` that strictly decodes ``raw``.
+
+    The tail of a truncated probe can split a multi-byte sequence, which
+    would false-fail utf-8 on a perfectly valid file — trim up to 3
+    trailing continuation bytes before the strict decode.
+    """
+    trimmed = raw
+    for _ in range(3):
+        if trimmed and trimmed[-1] & 0b1100_0000 == 0b1000_0000:
+            trimmed = trimmed[:-1]
+        else:
+            break
+    for enc in encodings:
+        try:
+            trimmed.decode(enc)
+            return enc
+        except UnicodeDecodeError:
+            continue
+    return encodings[-1]
+
+
+def read_csv_encoding_fallback(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType,
+    sep: str = ",",
+    header: bool = True,
+    quote: str = '"',
+    encodings: tuple[str, ...] = ENCODING_FALLBACK_CHAIN,
+    probe_bytes: int = 65536,
+) -> tuple[DataFrame, dict[str, str]]:
+    """S2: per-file encoding fallback chain, the reference's
+    utf-8 → latin-1 → iso-8859-1 → cp1252 retry loop
+    (Datos/preprocessing.py:91-121) restructured for a distributed scan.
+
+    Spark's CSV reader never *fails* on a wrong encoding — it silently
+    produces mojibake — so the try/except shape cannot run inside the
+    scan. Instead the first ``probe_bytes`` of each file are probed with
+    strict codecs in chain order (decode errors show up in the first
+    few KB of any real Latin-text file), files are grouped by winning
+    encoding, and ONE typed distributed scan per encoding group is
+    unioned — the probe reads KBs per file; the data path stays a normal
+    parallel scan with the declared schema.
+
+    Returns ``(df, {file: encoding})`` so ingest logs can record what was
+    chosen, like the reference's per-file printouts. Local filesystem
+    paths (globs allowed); for object stores, probe with the store's
+    range-read API instead.
+    """
+    import glob as _glob
+
+    patterns = [path] if isinstance(path, str) else list(path)
+    files = sorted({f for p in patterns for f in _glob.glob(p)} )
+    if not files:
+        raise FileNotFoundError(f"no CSV files match {patterns}")
+    chosen: dict[str, str] = {}
+    for f in files:
+        with open(f, "rb") as fh:
+            chosen[f] = detect_encoding(fh.read(probe_bytes), encodings)
+    groups: dict[str, list[str]] = {}
+    for f, enc in chosen.items():
+        groups.setdefault(enc, []).append(f)
+    parts = [
+        read_csv_typed(
+            spark,
+            fs,
+            schema,
+            sep=sep,
+            encoding=_SPARK_CHARSET.get(enc, enc),
+            header=header,
+            quote=quote,
+        )
+        for enc, fs in sorted(groups.items())
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df, chosen
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S5: parquet scan (Catalyst prunes columns/filters pushed down)."""
     return spark.read.parquet(path)

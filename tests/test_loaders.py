@@ -158,3 +158,34 @@ def test_overwrite_partitions_replaces_only_named_dirs(spark, sf_dir, tmp_path):
     for t, n in before.items():
         if t != some_type:
             assert after[t] == n
+
+
+def test_encoding_fallback_chain(spark, tmp_path):
+    """S2: a latin-1 file (bytes invalid in utf-8) and a utf-8 file read
+    through one call — per-file probe picks the right codec and both
+    decode to the same logical strings (Datos/preprocessing.py:91-121)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from datawarehousefinal_spark.sources.readers import (
+        detect_encoding,
+        read_csv_encoding_fallback,
+    )
+
+    latin = tmp_path / "l1.csv"
+    latin.write_bytes("id,name\n1,año señal\n2,café\n".encode("latin-1"))
+    utf8 = tmp_path / "u8.csv"
+    utf8.write_bytes("id,name\n3,año señal\n4,café\n".encode("utf-8"))
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("name", StringType())]
+    )
+    df, chosen = read_csv_encoding_fallback(
+        spark, str(tmp_path / "*.csv"), schema
+    )
+    assert chosen[str(latin)] == "iso-8859-1"
+    assert chosen[str(utf8)] == "utf-8"
+    names = {r["id"]: r["name"] for r in df.collect()}
+    assert names[1] == names[3] == "año señal"
+    assert names[2] == names[4] == "café"
+    # truncated multi-byte tail must not false-fail utf-8
+    raw = "x,ñoño\n".encode("utf-8")
+    assert detect_encoding(raw[:-1]) == "utf-8"
