@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     "dim_merge_incremental",
     "linreg_trend_forecast",
     "time_split_train",
+    # attach_class_weights' single-row total-count cross join (the same
+    # bounded pattern as class_weights) feeding the RF training frame.
+    "rf_confusion_matrix",
 }
 
 
