@@ -21,7 +21,7 @@ report is one DataFrame the caller materializes once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -154,6 +154,38 @@ def deterministic_sample(
     of."""
     threshold = int(fraction * _HASH_SPACE)
     return df.filter(sample_hash(id_col, seed) < F.lit(threshold))
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle — the order a training run reads the
+    corpus in.
+
+    Rows are totally ordered by ``md5(id ':' seed)`` (ties — 2^-128
+    events — break on the id): a pure function of (id, seed), so the
+    epoch order is stable under re-runs, repartitioning, executor counts,
+    and engine changes, and a new ``seed`` is a fresh epoch permutation
+    with zero re-materialization. ``rand()``-based shuffles guarantee
+    none of that. Cost is the one range-partitioned sort the semantics
+    require — there is no cheaper global shuffle — and writers typically
+    fuse it with the final sink (sorted parquet out).
+
+    ``rank_col`` additionally materializes the explicit 0-based position
+    via ``row_number`` over the same order, for consumers that need a
+    shuffle index (e.g. resumable readers). The rank window runs over the
+    single global order — Spark executes it as one partition — so only
+    ask for it at serving-shard granularity, not over the raw corpus.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    out = df.withColumn("__shuffle_key", key)
+    if rank_col is not None:
+        w = Window.orderBy("__shuffle_key", id_col)
+        out = out.withColumn(rank_col, F.row_number().over(w) - F.lit(1))
+    return out.orderBy("__shuffle_key", id_col).drop("__shuffle_key")
 
 
 def rebalance_sources(

@@ -2025,6 +2025,62 @@ def rebalanced_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "seeded_shuffle_rank",
+    oracle="""
+    SELECT (row_number() OVER (ORDER BY md5(doc_id::VARCHAR || ':7'), doc_id)
+            - 1)::BIGINT AS epoch_rank,
+           doc_id
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+)
+def seeded_shuffle_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (operators/curation.
+    seeded_shuffle): global order by md5(id:seed) — a pure function of
+    (id, seed), so the permutation is identical across runs, partition
+    layouts, and engines, and DuckDB reproduces it value-for-value (a
+    rand() shuffle could never be oracled). The explicit rank column is
+    requested at serving-shard granularity (1/20th of the corpus here) —
+    the rank window is a single global partition by construction."""
+    from datawarehousefinal_spark.operators.curation import seeded_shuffle
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+    )
+    shuffled = seeded_shuffle(docs, "doc_id", seed=7, rank_col="epoch_rank")
+    return shuffled.select(F.col("epoch_rank").cast("long"), "doc_id")
+
+
+@query(
+    "jsonl_sink_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def jsonl_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + declared-schema re-scan (sources.writers.write_jsonl /
+    sources.readers.read_jsonl) — the interchange format training corpora
+    ship in. The roundtrip must preserve every value byte-for-byte
+    (escaping included), which the oracle checks against the original
+    parquet rows."""
+    import os
+
+    from datawarehousefinal_spark.sources.readers import read_jsonl
+    from datawarehousefinal_spark.sources.writers import write_jsonl
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "lang", "source", "text")
+    )
+    path = f"/tmp/dwf_jsonl_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_jsonl(docs, path)
+    return read_jsonl(spark, path, docs.schema)
+
+
+@query(
     "pivot_year_status",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,

@@ -193,6 +193,19 @@ def read_csv_encoding_fallback(
     return df, chosen
 
 
+def read_jsonl(
+    spark: SparkSession, path: str | list[str], schema: StructType
+) -> DataFrame:
+    """JSON-Lines scan with a DECLARED schema (pair of
+    :func:`~datawarehousefinal_spark.sources.writers.write_jsonl`).
+
+    The schema is required, not inferred: inference is a second full read
+    of the data, and on a 100 TB corpus the one-pass declared-schema scan
+    is the only acceptable plan. Unused JSON keys are never materialized
+    (Spark prunes parsed fields to the declared/selected set)."""
+    return spark.read.schema(schema).json(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S5: parquet scan (Catalyst prunes columns/filters pushed down)."""
     return spark.read.parquet(path)

@@ -133,6 +133,23 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSON-Lines sink — the interchange format LLM training corpora ship
+    in (one JSON object per line; beyond-reference, no Kettle analog).
+    Spark's json writer IS jsonl: one object per line, one file per
+    partition, splittable when uncompressed (use zstd/gzip per-file
+    compression only when the consumer doesn't need split points)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

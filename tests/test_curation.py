@@ -110,3 +110,19 @@ def test_rebalance_sources_quotas(spark):
     # sources with no declared share are dropped entirely
     out2 = rebalance_sources(df, "doc_id", "source", {"small": 1.0}, 50, seed=1)
     assert out2.filter(F.col("source") == "big").count() == 0
+
+
+def test_seeded_shuffle_is_deterministic_permutation(spark):
+    from datawarehousefinal_spark.operators.curation import seeded_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    a = [r["id"] for r in seeded_shuffle(df, "id", seed=1).collect()]
+    b = [r["id"] for r in seeded_shuffle(df.repartition(7), "id", seed=1).collect()]
+    c = [r["id"] for r in seeded_shuffle(df, "id", seed=2).collect()]
+    assert a == b                      # partition-layout independent
+    assert sorted(a) == list(range(100))  # a permutation, nothing lost
+    assert a != c                      # a new seed is a new epoch order
+    assert a != list(range(100))       # actually shuffled
+    ranked = seeded_shuffle(df, "id", seed=1, rank_col="rk").collect()
+    assert [r["id"] for r in ranked] == a
+    assert [r["rk"] for r in ranked] == list(range(100))

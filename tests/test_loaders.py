@@ -189,3 +189,27 @@ def test_encoding_fallback_chain(spark, tmp_path):
     # truncated multi-byte tail must not false-fail utf-8
     raw = "x,ñoño\n".encode("utf-8")
     assert detect_encoding(raw[:-1]) == "utf-8"
+
+
+def test_jsonl_roundtrip_preserves_hostile_strings(spark, tmp_path):
+    """JSONL must survive embedded newlines, quotes, tabs, unicode, and
+    NULLs — the content real scraped corpora contain."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datawarehousefinal_spark.sources.readers import read_jsonl
+    from datawarehousefinal_spark.sources.writers import write_jsonl
+
+    rows = [
+        (1, 'line one\nline "two"\twith\ttabs'),
+        (2, "año — señal ✓   weird line sep"),
+        (3, None),
+        (4, '{"not": "parsed as nested"}'),
+    ]
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    back = {r["id"]: r["text"] for r in read_jsonl(spark, path, schema).collect()}
+    assert back == dict(rows)
