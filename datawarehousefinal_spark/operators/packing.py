@@ -1,0 +1,183 @@
+"""Sequence packing — grouping documents into fixed token-budget chunks,
+the last mile of a training-data pipeline (beyond-reference: the reference
+stops at per-row tensors, deeplearning/etl_to_tensor.py; an LLM corpus is
+served as packed sequences).
+
+Two packers with different contracts:
+
+- :func:`budgeted_chunks` — DETERMINISTIC sequential fill: documents are
+  laid on a line in a stable total order (typically the
+  ``seeded_shuffle`` order) and cut into ``budget``-token chunks; a
+  document belongs to the chunk its first token falls in. The assignment
+  is a pure function of (ids, token counts, seed) — engine-portable,
+  SQL-replayable (it is one cumulative sum), incremental-friendly — at
+  the cost of chunks overflowing by up to one document's tokens (the
+  standard "pack then truncate/roll over" serving contract).
+- :func:`greedy_pack` — first-fit-decreasing bin packing within each
+  serving shard: strictly respects the budget (oversized documents get a
+  singleton bin) and wastes less tail space, but the assignment depends
+  on shard composition, so it is shard-deterministic rather than
+  SQL-replayable. This is the packer to run per output shard AFTER the
+  global shuffle has fixed shard membership.
+
+Scale design: the cumulative sum in :func:`budgeted_chunks` is the
+textbook two-phase distributed prefix sum — per-partition partial sums
+via a partition-local window after a range repartition, plus a tiny
+per-partition-offset table cumulated on the driver side of a broadcast —
+so no global single-partition window ever sees the corpus.
+:func:`greedy_pack` is ``applyInPandas`` per shard: shards are
+serving-sized (millions of tokens, not terabytes) by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cumulative sum of ``value_col`` over the total order ``order_cols``
+    without a global single-partition window.
+
+    Two phases: (1) range-repartition on the order columns and run the
+    window WITHIN each partition — parallel, each task sorts its slice;
+    (2) aggregate per-partition totals (one tiny row per partition),
+    cumulate them into prefix offsets with a window over that tiny frame,
+    and broadcast-join the offset back. The result is independent of the
+    partitioning (a prefix sum over a total order is well-defined
+    wherever the cuts fall), but the ``partition id → offset`` pairing
+    must come from ONE materialization of the exchange — hence the
+    persist before the two consumers.
+
+    ``order_cols`` must form a UNIQUE key (append the row id): with
+    duplicate order keys split across range-partition boundaries, "the
+    order" itself would be ambiguous.
+    """
+    sc = df.sparkSession.sparkContext
+    n = num_partitions or sc.defaultParallelism
+    tagged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = tagged.withColumn("__local", F.sum(value_col).over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__ptot"))
+        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def budgeted_chunks(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    order_cols: list[str] | None = None,
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """Sequential-fill packing: cut the corpus laid out in ``order_cols``
+    order into ``budget``-token chunks; each document's chunk is the one
+    its FIRST token lands in (``floor((cumsum - tokens) / budget)``).
+
+    Deterministic and SQL-replayable (one prefix sum — see module
+    docstring for the overflow contract). ``order_cols`` defaults to
+    ``[id_col]``; pass a shuffle-hash column to pack in epoch order.
+    Output: input columns + ``chunk_col``.
+    """
+    order_cols = list(order_cols) if order_cols else [id_col]
+    if id_col not in order_cols:
+        order_cols = order_cols + [id_col]  # make the order key unique
+    cum = distributed_cumsum(df, order_cols, token_col, "__cum")
+    return cum.withColumn(
+        chunk_col,
+        F.floor((F.col("__cum") - F.col(token_col)) / F.lit(budget)).cast("long"),
+    ).drop("__cum")
+
+
+def chunk_stats(
+    packed: DataFrame, token_col: str, chunk_col: str = "chunk_id"
+) -> DataFrame:
+    """Per-chunk packing report: document count, token total, fill ratio
+    vs ``budget`` is ``total_tokens / budget`` in the caller's terms.
+    One map-side-combined aggregate."""
+    return packed.groupBy(chunk_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("long").alias("total_tokens"),
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Best-fit-decreasing bin packing within each ``shard_col`` group.
+
+    Strict budget: no pack exceeds ``budget`` unless a single document
+    does (oversized documents get a singleton pack — the caller's
+    truncation policy applies downstream). Packs are numbered in opening
+    order per shard and returned with the shard, so global ids are the
+    (shard, pack) pair. Deterministic per shard: documents are processed
+    in (tokens desc, id) order and each lands in the FULLEST open pack
+    that still fits it (``bisect`` over the sorted load list —
+    O(n log n) per shard, same 11/9·OPT quality class as first-fit-
+    decreasing).
+
+    ``applyInPandas`` is the right tool, not a hand-rolled shuffle:
+    packing is inherently sequential WITHIN a shard and shards are
+    serving-sized; Spark parallelizes across shards.
+    """
+    import bisect
+
+    import pandas as pd
+
+    out_fields = df.select(shard_col, id_col, token_col).schema.fields
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(out_fields) + [StructField(pack_col, LongType())])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[list] = []  # sorted [load, pack_idx]
+        next_pack = 0
+        assign: list[int] = []
+        for t in pdf[token_col]:
+            t = int(t)
+            i = bisect.bisect_right(loads, [budget - t, float("inf")]) - 1
+            if i >= 0:
+                load, pi = loads.pop(i)
+                bisect.insort(loads, [load + t, pi])
+                assign.append(pi)
+            else:
+                bisect.insort(loads, [t, next_pack])
+                assign.append(next_pack)
+                next_pack += 1
+        pdf[pack_col] = pd.Series(assign, dtype="int64")
+        return pdf
+
+    return (
+        df.select(shard_col, id_col, token_col)
+        .groupBy(shard_col)
+        .applyInPandas(pack, out_schema)
+    )

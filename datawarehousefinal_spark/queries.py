@@ -2080,6 +2080,54 @@ def jsonl_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, path, docs.schema)
 
 
+_PACK_BUDGET = 2048
+
+
+@query(
+    "sequence_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS_SQL})::BIGINT AS n_tokens,
+             md5(doc_id::VARCHAR || ':7') AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS chunk_id
+    FROM c
+    """,
+)
+def sequence_pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (operators/packing.budgeted_chunks):
+    the corpus in seeded-shuffle epoch order is cut into 2048-token
+    sequential-fill chunks — each document's chunk is where its first
+    token lands. The prefix sum underneath runs as the two-phase
+    distributed cumsum (partition-local windows + a broadcast offset
+    table, never a global single-partition window), and the oracle
+    replays the identical assignment as one DuckDB window — verifying the
+    distributed machinery value-for-value."""
+    from datawarehousefinal_spark.operators.packing import budgeted_chunks
+    from datawarehousefinal_spark.operators.textstats import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(whitespace_tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))).alias("__h"),
+    )
+    packed = budgeted_chunks(
+        docs, "doc_id", "n_tokens", _PACK_BUDGET, order_cols=["__h"]
+    )
+    return packed.select("doc_id", "n_tokens", "chunk_id")
+
+
 @query(
     "pivot_year_status",
     oracle="""
