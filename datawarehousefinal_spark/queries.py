@@ -2288,6 +2288,35 @@ def kmeans_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("feature_cache_roundtrip")  # no SQL oracle: ML VectorUDT storage
+def feature_cache_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: the tensor-cache analog (deeplearning/etl_to_tensor.py:84-87)
+    driven end-to-end: preprocess events through the M1-M5 pipeline,
+    persist the assembled feature table as snappy parquet
+    (ml/pipelines.write_feature_cache), reload it, and report
+    (n_rows, feature_dim) — proving the ML Vector column round-trips
+    parquet estimator-ready without re-running the pipeline. Rows-only
+    driver check (single deterministic row)."""
+    import os
+
+    from pyspark.ml.functions import vector_to_array
+
+    from datawarehousefinal_spark.ml.pipelines import (
+        fit_preprocess,
+        read_feature_cache,
+        write_feature_cache,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("value", "event_type")
+    _model, feats = fit_preprocess(events)
+    path = f"/tmp/dwf_feature_cache_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_feature_cache(feats, path)
+    back = read_feature_cache(spark, path)
+    return back.select(
+        F.size(vector_to_array("features")).alias("feature_dim")
+    ).groupBy("feature_dim").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+
 @query("rf_confusion_matrix")  # no SQL oracle: iterative ensemble training
 def rf_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8-M11 end-to-end: the classification surface of the reference's
