@@ -1,0 +1,124 @@
+"""Near-dup cluster resolution — connected components over a pair list.
+
+Every near-dup detector in this engine (:mod:`operators.dedup`,
+:mod:`operators.similarity`) emits PAIRS; real deduplication needs the
+transitive closure: if A~B and B~C, then A, B, C are one duplicate
+cluster and exactly one survives. A pairwise keep-min pass under-merges
+(it would keep both A and C when only B links them). Beyond-reference —
+the reference has no corpus dedup at all.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round, every node takes the minimum label among itself
+and its neighbors; at fixpoint, each node's label is the minimum id of
+its component — a deterministic cluster representative.
+
+Scale design: one round = one join (labels onto the symmetrized edge
+list) + one map-side-combined min-aggregate — shuffles keyed on node id,
+never materializing anything wider than (node, label). Rounds needed =
+the graph DIAMETER, and near-dup graphs have tiny diameters (duplicate
+clusters are quasi-cliques around a shared template; a 1M-copy cluster
+converges in one round). Convergence is checked each round (an early-exit
+``limit(1)`` probe, not a full count) and non-convergence at
+``max_iterations`` raises instead of returning partial components — no
+silent under-merge. For adversarial chain-shaped graphs (diameter ~ n),
+switch to pointer-doubling / large-star-small-star (O(log n) rounds at
+~2x the per-round cost); duplicate detection does not produce those
+shapes, so the simple propagation is the right default.
+
+Each round's label frame is ``localCheckpoint``-ed, not merely persisted:
+persistence short-circuits recomputation but the LOGICAL plan still
+doubles per iteration (every round references the last), so analysis
+cost grows exponentially and the plan string alone reaches gigabytes by
+round ~25 — checkpointing truncates the lineage to the materialized
+result, the standard discipline for iterative DataFrame algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``pairs``.
+
+    Output: ``(id, component)`` for every node appearing in ``pairs``,
+    where ``component`` is the minimum id in the node's component —
+    deterministic, engine-portable. Nodes with no edges are absent (the
+    caller's frame is the universe; absent = its own singleton).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = fwd.unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor = (
+            sym.join(labels, sym.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # truncate lineage — see module docstring
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds — "
+        f"the pair graph has a longer diameter than duplicate clusters "
+        f"produce; raise max_iterations or use a pointer-doubling variant."
+    )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    component_col: str | None = None,
+) -> DataFrame:
+    """Keep exactly one survivor per duplicate cluster: the component
+    representative (minimum id — keep-first semantics on the id order).
+
+    Rows never mentioned in ``pairs`` survive untouched (singleton
+    clusters). The anti-join ships only the non-representative id set —
+    at scale that is the duplicate mass, which is exactly what must move.
+    Pass ``component_col`` to keep the cluster id on survivors (e.g. to
+    count cluster sizes downstream).
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    out = df.join(losers, id_col, "left_anti")
+    if component_col is not None:
+        reps = comp.filter(F.col("id") == F.col("component")).select(
+            F.col("id").alias(id_col), F.col("component").alias(component_col)
+        )
+        out = out.join(reps, id_col, "left").withColumn(
+            component_col, F.coalesce(component_col, F.col(id_col))
+        )
+    return out

@@ -816,6 +816,48 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9, shingle_width=_W)
 
 
+@query(
+    "near_dup_components",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+        SELECT id_a, id_b FROM ({_JACCARD_PAIRS_SQL}) jp
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r)::BIGINT AS component
+    FROM reach GROUP BY id
+    """,
+)
+def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup cluster resolution (operators/graph.
+    connected_components): pair lists under-merge without the closure
+    (A~B, B~C must put A and C in one cluster). Edges come from the
+    MinHash-LSH scale path — whose pair set the driver already verifies
+    equal to the SQL-expressible Jaccard ground truth
+    (`minhash_lsh_pairs` green vs _JACCARD_PAIRS_SQL) — and the oracle
+    replays the closure as a DuckDB recursive CTE. Component = min doc_id
+    in the cluster: deterministic, engine-portable."""
+    from datawarehousefinal_spark.operators.dedup import minhash_near_dupes
+    from datawarehousefinal_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dupes(
+        docs, "doc_id", "text", 0.9, 16, 8, 2, _W, "xxhash64"
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").cast("long")
+    )
+
+
 @query("minhash_lsh_pairs", oracle=_JACCARD_PAIRS_SQL)
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard verification. Shares

@@ -1,0 +1,69 @@
+"""Connected-components tests: transitive closure correctness, determinism
+under partitioning, loud non-convergence, and duplicate resolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.operators.graph import (
+    connected_components,
+    resolve_duplicates,
+)
+
+
+def _comp(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_transitive_closure_merges_chains(spark):
+    # A-B, B-C, C-D one cluster; E-F another; pairwise min would under-merge
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    comp = _comp(connected_components(pairs))
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_components_deterministic_under_partitioning(spark):
+    import random
+
+    rng = random.Random(11)
+    # 50 star clusters of 6 + random chain links inside each cluster
+    pairs = []
+    for c in range(50):
+        base = c * 10
+        for m in range(1, 6):
+            pairs.append((base, base + m))
+        pairs.append((base + 1, base + 2))
+    rng.shuffle(pairs)
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    a = _comp(connected_components(df))
+    b = _comp(connected_components(df.repartition(17)))
+    assert a == b
+    assert all(v == (k // 10) * 10 for k, v in a.items())
+
+
+def test_nonconvergence_raises_loudly(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    # and converges fine when allowed to run
+    comp = _comp(connected_components(chain, max_iterations=40))
+    assert set(comp.values()) == {0}
+
+
+def test_resolve_duplicates_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 7), (2, 5)], ["id_a", "id_b"]  # {1,4,7} and {2,5}
+    )
+    out = resolve_duplicates(docs, pairs, "doc_id", component_col="cluster")
+    rows = {r["doc_id"]: r["cluster"] for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 6, 8, 9]  # 4,7,5 dropped
+    assert rows[1] == 1 and rows[2] == 2          # reps keep their cluster id
+    assert rows[0] == 0 and rows[9] == 9          # singletons untouched
