@@ -17,7 +17,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# Java's \b is Unicode-aware (an accented letter counts as a word char)
+# while RE2's is ASCII-only, so an IP glued to 'ñ' would mask in DuckDB
+# but not Spark. The Spark-side pattern emulates RE2's ASCII \b with
+# explicit lookaround (a Java-only feature — RE2 has none, so the oracle
+# keeps plain \b); tests/test_fuzz_differential.py proves the two
+# spellings equivalent on hostile strings.
+IPV4_RE = (
+    r"(?<![0-9A-Za-z_])\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(?![0-9A-Za-z_])"
+)
 PHONE_RE = r"\+?\d[\d().\- ]{6,}\d"
 
 EMAIL_TOKEN = "<EMAIL>"

@@ -52,8 +52,21 @@ def curate_corpus(
     val_pct: int = 1,
     seed: int = 42,
     persist: bool = True,
+    near_dup_mode: str = "greedy",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel; returns ``(curated, report)``.
+
+    ``near_dup_mode`` picks the near-dup stage's semantics:
+
+    - ``'greedy'`` (default): the incremental signature-store pass —
+      O(batch) at ingest time, the shape a daily pipeline runs, but a
+      greedy drop order (a doc is dropped if it matches any EARLIER
+      survivor; chains A~B~C may keep both A and C).
+    - ``'transitive'``: MinHash candidate pairs resolved through
+      :func:`operators.graph.resolve_duplicates` — connected components
+      over the pair graph, exactly one survivor (min id) per duplicate
+      CLUSTER. The batch-repass choice for a from-scratch curation where
+      chain under-merging matters.
 
     ``curated`` is the surviving corpus with two added columns:
     ``lang_pred`` and ``split`` ('train' / 'val' by seeded hash bucket —
@@ -90,17 +103,37 @@ def curate_corpus(
         exact_dedup(rules, text_col, [id_col], keep_count_col=None)
     )
 
-    near, _delta = incremental_minhash_dedup(
-        exact,
-        empty_minhash_store(exact, id_col, num_hashes),
-        id_col,
-        text_col,
-        threshold=near_dup_threshold,
-        num_hashes=num_hashes,
-        bands=bands,
-        rows_per_band=rows_per_band,
-        shingle_width=shingle_width,
-    )
+    if near_dup_mode == "greedy":
+        near, _delta = incremental_minhash_dedup(
+            exact,
+            empty_minhash_store(exact, id_col, num_hashes),
+            id_col,
+            text_col,
+            threshold=near_dup_threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            shingle_width=shingle_width,
+        )
+    elif near_dup_mode == "transitive":
+        from datawarehousefinal_spark.operators.dedup import minhash_near_dupes
+        from datawarehousefinal_spark.operators.graph import resolve_duplicates
+
+        pairs = minhash_near_dupes(
+            exact,
+            id_col,
+            text_col,
+            near_dup_threshold,
+            num_hashes,
+            bands,
+            rows_per_band,
+            shingle_width,
+        ).select("id_a", "id_b")
+        near = resolve_duplicates(exact, pairs, id_col)
+    else:
+        raise ValueError(
+            f"near_dup_mode must be 'greedy' or 'transitive', got {near_dup_mode!r}"
+        )
     near = _maybe_persist(near)
 
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(100))

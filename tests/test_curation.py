@@ -126,3 +126,29 @@ def test_seeded_shuffle_is_deterministic_permutation(spark):
     ranked = seeded_shuffle(df, "id", seed=1, rank_col="rk").collect()
     assert [r["id"] for r in ranked] == a
     assert [r["rk"] for r in ranked] == list(range(100))
+
+
+def test_funnel_transitive_mode_merges_chains(spark):
+    """A near-dup CHAIN (A~B, B~C, but not A~C at the threshold): the
+    greedy store pass may keep both chain ends; transitive mode resolves
+    the connected component and keeps exactly one survivor."""
+    from datawarehousefinal_spark.operators.curation import curate_corpus
+
+    base = " ".join(f"palabra{i} texto" for i in range(40))
+    rows = [
+        (1, "XQZWKJVY " + base[9:]),   # A ~ B (J=.936)
+        (2, base),                      # B ~ C (J=.931); A ~ C J=.873 < .9
+        (3, base[:-9] + " QWXZKJVY"),
+        (4, "completely different content here entirely about spark"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    common = dict(
+        min_chars=5, min_quality=0.0, near_dup_threshold=0.9, persist=False
+    )
+    trans, _ = curate_corpus(docs, near_dup_mode="transitive", **common)
+    t_ids = sorted(r["doc_id"] for r in trans.collect())
+    assert t_ids == [1, 4]  # whole chain collapses to its min id
+    greedy, _ = curate_corpus(docs, near_dup_mode="greedy", **common)
+    g_ids = sorted(r["doc_id"] for r in greedy.collect())
+    assert 1 in g_ids and 4 in g_ids and 2 not in g_ids
+    assert set(t_ids) <= set(g_ids)  # transitive is never weaker

@@ -1,0 +1,119 @@
+"""Seeded differential fuzz: the scalar-function surface vs its DuckDB
+oracle expressions on adversarial strings.
+
+The per-query oracles only exercise fixture text; the drift risk is in
+the scalar expressions themselves (regex dialects, unicode lowercasing,
+whitespace classes). This suite pushes a few hundred seeded hostile
+strings — accents, mixed scripts, whitespace runs, almost-emails,
+almost-IPs, empty/degenerate — through BOTH engines in one batch each
+and requires value-for-value agreement, so a Spark/DuckDB semantics gap
+can never hide behind tame fixtures.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.functions.pii import (
+    count_emails,
+    count_ipv4,
+    scrub_pii,
+)
+from datawarehousefinal_spark.functions.textnorm import normalize_text
+from datawarehousefinal_spark.operators.contamination import word_ngrams
+from datawarehousefinal_spark.operators.textstats import whitespace_tokens
+from datawarehousefinal_spark.queries import _norm_sql, _TOKS_SQL
+
+_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "áéíóúñÁÉÍÓÚÑüÜ"
+    "    \t\n"
+    ".,;:@%+-_()[]<>/\\'\"!?#$&*="
+)
+_SNIPPETS = [
+    "user@example.com", "a.b+c@test-site.org", "not@an", "@@", "a@b.co",
+    "10.0.0.1", "999.999.999.999", "1.2", "1.2.3.4.5", "v1.2.3",
+    "  doble   espacio  ", "año señal", "EL NIÑO", "\ttab\tstart",
+    "", "ñ1.2.3.4x", "fin@año.es",
+]
+
+
+def _gen_strings(n: int = 300, seed: int = 20260814) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        if i < len(_SNIPPETS):
+            out.append(_SNIPPETS[i])
+            continue
+        k = rng.randint(0, 60)
+        s = "".join(rng.choice(_CHARS) for _ in range(k))
+        if rng.random() < 0.3:
+            pos = rng.randint(0, len(s))
+            s = s[:pos] + rng.choice(_SNIPPETS) + s[pos:]
+        out.append(s)
+    return out
+
+
+def _duck(pdf: pd.DataFrame, select_expr: str):
+    con = duckdb.connect()
+    try:
+        con.register("t", pdf)
+        return con.execute(
+            f"SELECT i, {select_expr} AS v FROM t ORDER BY i"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_scalar_surface_agrees_with_duckdb_on_hostile_strings(spark):
+    strings = _gen_strings()
+    pdf = pd.DataFrame({"i": range(len(strings)), "s": strings})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            normalize_text("s").alias("norm"),
+            count_emails("s").alias("ne"),
+            count_ipv4("s").alias("ni"),
+            scrub_pii("s").alias("masked"),
+            whitespace_tokens("s").alias("toks"),
+            word_ngrams("s", n=3, hash_grams=False).alias("grams"),
+        ).collect()
+    }
+
+    norm = dict(_duck(pdf, _norm_sql("s")))
+    for i in got:
+        assert got[i]["norm"] == norm[i], (i, strings[i], got[i]["norm"], norm[i])
+
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    pii = _duck(
+        pdf,
+        f"len(regexp_extract_all(s, '{email_re}'))::BIGINT, "
+        f"len(regexp_extract_all(s, '{ip_re}'))::BIGINT, "
+        f"regexp_replace(regexp_replace(s, '{email_re}', '<EMAIL>', 'g'), "
+        f"'{ip_re}', '<IP>', 'g')",
+    )
+    for i, ne, ni, masked in pii:
+        assert got[i]["ne"] == ne, (i, strings[i])
+        assert got[i]["ni"] == ni, (i, strings[i])
+        assert got[i]["masked"] == masked, (i, strings[i], got[i]["masked"], masked)
+
+    toks = dict(_duck(pdf, _TOKS_SQL.replace("text", "s")))
+    for i in got:
+        assert got[i]["toks"] == toks[i], (i, strings[i], got[i]["toks"], toks[i])
+
+    grams_sql = (
+        f"list_distinct(list_filter(list_transform("
+        f"generate_series(1, greatest(len({_TOKS_SQL.replace('text', 's')}) - 2, 1)),"
+        f" x -> array_to_string(list_slice({_TOKS_SQL.replace('text', 's')}, x, x + 2), ' ')"
+        f"), g -> g <> ''))"
+    )
+    grams = dict(_duck(pdf, grams_sql))
+    for i in got:
+        assert sorted(got[i]["grams"]) == sorted(grams[i]), (i, strings[i])
