@@ -571,10 +571,13 @@ def simhash_near_dupes_from_fingerprints(
                 "auto combo_size derives num_blocks; pass combo_size "
                 "explicitly when fixing num_blocks"
             )
-        # One count job over the (distinct long) frame — trivially cheap
-        # next to the banding it sizes. fp is persisted by callers that
-        # build it; the distinct count reuses that cache.
-        n_distinct = fp.select("simhash").distinct().count()
+        # Sizing needs the order of magnitude, not the exact count: one
+        # shuffle-free HLL aggregate (partial-combined map-side) instead
+        # of a distinct + count job. fp is persisted by callers that
+        # build it; this pass populates that cache for the banding.
+        n_distinct = fp.agg(
+            F.approx_count_distinct("simhash").alias("n")
+        ).first()["n"]
         combo_size = _auto_combo_size(max(n_distinct, 1), max_hamming, max_bucket)
     if num_blocks is None:
         num_blocks = max_hamming + combo_size

@@ -117,3 +117,56 @@ def test_scalar_surface_agrees_with_duckdb_on_hostile_strings(spark):
     grams = dict(_duck(pdf, grams_sql))
     for i in got:
         assert sorted(got[i]["grams"]) == sorted(grams[i]), (i, strings[i])
+
+
+def test_date_surface_agrees_with_python_and_duckdb(spark):
+    """F9-F11 on random dates across five centuries: Spark's parse /
+    concat / proleptic ordinal vs Python's date (the reference
+    implementation, machineLearning.py:603) and vs the DuckDB oracle
+    expression — all three calendars must agree (Spark 3+ and DuckDB are
+    both proleptic Gregorian, like Python)."""
+    import datetime as dt
+
+    from datawarehousefinal_spark.functions.dates import (
+        concat_date_nonpadded,
+        parse_date_nonpadded,
+        proleptic_ordinal,
+    )
+
+    rng = random.Random(41)
+    days: list[dt.date] = [
+        dt.date(1583, 1, 1) + dt.timedelta(days=rng.randint(0, 300_000))
+        for _ in range(400)
+    ] + [dt.date(1600, 2, 29), dt.date(1900, 3, 1), dt.date(2000, 2, 29),
+         dt.date(2024, 12, 31)]
+    pdf = pd.DataFrame(
+        {
+            "i": range(len(days)),
+            "y": [d.year for d in days],
+            "m": [d.month for d in days],
+            "d": [d.day for d in days],
+            "s": [f"{d.year}/{d.month}/{d.day}" for d in days],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            concat_date_nonpadded("y", "m", "d").alias("fc"),
+            parse_date_nonpadded("s").alias("parsed"),
+            proleptic_ordinal(parse_date_nonpadded("s")).alias("ordinal"),
+        ).collect()
+    }
+    for i, d in enumerate(days):
+        assert got[i]["fc"] == f"{d.year}/{d.month}/{d.day}"
+        assert got[i]["parsed"] == d, (i, d, got[i]["parsed"])
+        assert got[i]["ordinal"] == d.toordinal(), (i, d)
+    duck = dict(
+        _duck(
+            pdf,
+            "CAST(make_date(y, m, d) - DATE '0001-01-01' + 1 AS BIGINT)",
+        )
+    )
+    for i, d in enumerate(days):
+        assert duck[i] == d.toordinal(), (i, d)
