@@ -444,6 +444,35 @@ def _block_bounds(num_blocks: int) -> list[tuple[int, int]]:
     return bounds
 
 
+def simhash_combo_keys(
+    fp_df: DataFrame, num_blocks: int, combo_size: int
+) -> DataFrame:
+    """Explode a ``simhash`` frame into its block-combination band keys:
+    ``(simhash, table, key)``, one row per ``combo_size``-subset of the
+    ``num_blocks`` fingerprint blocks. Key = the combo's block values
+    packed into one long (blocks total < 64 bits so any combo fits);
+    ``table`` distinguishes combos. Shared by the self-join near-dup path
+    and the incremental batch×store path so the key layout cannot drift
+    between them (stores never materialize keys — they derive from the
+    stored fingerprint, so banding parameters can change freely)."""
+    bounds = _block_bounds(num_blocks)
+    block_cols = [
+        F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit((1 << width) - 1))
+        for start, width in bounds
+    ]
+    entries = []
+    for t, combo in enumerate(combinations(range(num_blocks), combo_size)):
+        key = F.lit(0).cast("long")
+        for b in combo:
+            key = F.shiftleft(key, bounds[b][1]).bitwiseOR(block_cols[b])
+        entries.append(F.struct(F.lit(t).alias("table"), key.alias("key")))
+    return fp_df.select(
+        "simhash", F.explode(F.array(*entries)).alias("__t")
+    ).select(
+        "simhash", F.col("__t.table").alias("table"), F.col("__t.key").alias("key")
+    )
+
+
 def _auto_combo_size(
     n_distinct: int, max_hamming: int, max_bucket: int, max_combo_size: int = 6
 ) -> int:
@@ -586,11 +615,6 @@ def simhash_near_dupes_from_fingerprints(
             f"recall guarantee needs combo_size <= num_blocks - max_hamming "
             f"({combo_size} > {num_blocks} - {max_hamming})"
         )
-    bounds = _block_bounds(num_blocks)
-    block_cols = [
-        F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit((1 << width) - 1))
-        for start, width in bounds
-    ]
 
     members = fp.withColumn(
         "__rep", F.min(id_col).over(Window.partitionBy("simhash"))
@@ -620,20 +644,7 @@ def simhash_near_dupes_from_fingerprints(
 
     # -- cross-fingerprint tier: band DISTINCT fingerprints ---------------
     distinct_fp = members.select("simhash").distinct()
-    combos = list(combinations(range(num_blocks), combo_size))
-    # Key = the combo's block values packed into one long (blocks are < 64
-    # bits total so any combo fits), table id distinguishes combos.
-    entries = []
-    for t, combo in enumerate(combos):
-        key = F.lit(0).cast("long")
-        for b in combo:
-            key = F.shiftleft(key, bounds[b][1]).bitwiseOR(block_cols[b])
-        entries.append(F.struct(F.lit(t).alias("table"), key.alias("key")))
-    keyed = distinct_fp.select(
-        "simhash", F.explode(F.array(*entries)).alias("__t")
-    ).select(
-        "simhash", F.col("__t.table").alias("table"), F.col("__t.key").alias("key")
-    )
+    keyed = simhash_combo_keys(distinct_fp, num_blocks, combo_size)
     counted = keyed.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("table", "key"))
     )

@@ -43,9 +43,13 @@ from pyspark.storagelevel import StorageLevel
 
 from datawarehousefinal_spark.functions.textnorm import normalize_text
 from datawarehousefinal_spark.operators.dedup import (
+    _auto_combo_size,
     lsh_band_buckets,
     lsh_candidate_pairs,
     minhash_signature,
+    simhash,
+    simhash_combo_keys,
+    simhash_near_dupes_from_fingerprints,
 )
 
 # NULL text cannot be hashed; all-NULL rows form one dedup group (matching
@@ -258,4 +262,119 @@ def incremental_minhash_dedup(
     )
     survivors = batch.join(dropped, id_col, "left_anti")
     delta = bsig.join(dropped, id_col, "left_anti")
+    return survivors, delta
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: SimHash fingerprint store
+# ---------------------------------------------------------------------------
+
+def simhash_store(
+    df: DataFrame, id_col: str, text_col: str, shingle_width: int = 5
+) -> DataFrame:
+    """Build the SimHash store for an existing corpus: one 64-bit
+    fingerprint per document (``id_col``, ``simhash``) — 16 bytes/doc,
+    the most compact of the three stores. Band keys are never stored;
+    they derive from the fingerprint at query time
+    (:func:`dedup.simhash_combo_keys`), so ``max_hamming``/``combo_size``
+    can change without rebuilding."""
+    return simhash(df, id_col, text_col, shingle_width)
+
+
+def empty_simhash_store(df: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row SimHash store with the correct schema (bootstrap input) —
+    a schema literal for the same lineage reasons as
+    :func:`empty_minhash_store`."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([df.schema[id_col], StructField("simhash", LongType())])
+    return df.sparkSession.createDataFrame([], schema)
+
+
+def incremental_simhash_dedup(
+    batch: DataFrame,
+    store_fp: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_width: int = 5,
+    combo_size: int | None = None,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup-dedup a batch against a SimHash fingerprint store.
+
+    Returns ``(survivors, delta)`` with the same greedy contract as
+    :func:`incremental_minhash_dedup`: a batch doc is dropped when its
+    fingerprint is within ``max_hamming`` bits of any store fingerprint
+    or of any smaller-id batch doc; ``delta`` is the survivors'
+    fingerprint rows to append to the store.
+
+    Plan shape mirrors the minhash path — never all-pairs, no corpus
+    text:
+
+    1. batch fingerprints: one map-only pass (persisted — feeds both
+       tiers, the within-batch banding, and the delta).
+    2. within-batch tier: the canonical guaranteed-recall banding
+       (:func:`dedup.simhash_near_dupes_from_fingerprints`) over batch
+       fingerprints; the larger id of each pair drops.
+    3. cross tier: DISTINCT batch fingerprints ⋈ DISTINCT store
+       fingerprints on shared combo keys (``combo_size`` auto-sized from
+       the approximate distinct count of the union, so both sides key
+       identically), per-side ``max_bucket`` skew guard over distinct
+       fingerprints, verification = one ``bit_count(xor)`` per candidate.
+       Only (fingerprint, table, key) triples move.
+    """
+    bfp = simhash(batch, id_col, text_col, shingle_width).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # -- within-batch tier (drop the larger id of each near-dup pair) -----
+    wb_pairs = simhash_near_dupes_from_fingerprints(
+        bfp, id_col, max_hamming=max_hamming, max_bucket=max_bucket,
+        combo_size=combo_size,
+    )
+    wb_dropped = wb_pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+    # -- cross tier (drop any batch doc within range of a store doc) ------
+    b_distinct = bfp.select("simhash").distinct()
+    s_distinct = store_fp.select("simhash").distinct()
+    if combo_size is None:
+        n = (
+            b_distinct.unionByName(s_distinct)
+            .agg(F.approx_count_distinct("simhash").alias("n"))
+            .first()["n"]
+        )
+        combo_size = _auto_combo_size(max(n, 1), max_hamming, max_bucket)
+    num_blocks = max_hamming + combo_size
+
+    def capped(fp_distinct: DataFrame, tag: str) -> DataFrame:
+        keyed = simhash_combo_keys(fp_distinct, num_blocks, combo_size)
+        return (
+            keyed.withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy("table", "key"))
+            )
+            .filter(F.col("__n") <= max_bucket)
+            .select(F.col("simhash").alias(tag), "table", "key")
+        )
+
+    matched_fps = (
+        capped(b_distinct, "__bf")
+        .join(capped(s_distinct, "__sf"), ["table", "key"])
+        .filter(
+            F.bit_count(F.expr("__bf ^ __sf")) <= F.lit(max_hamming)
+        )
+        .select("__bf")
+        .distinct()
+    )
+    cross_dropped = bfp.join(
+        matched_fps, bfp["simhash"] == matched_fps["__bf"]
+    ).select(id_col).distinct()
+
+    dropped = (
+        wb_dropped.unionByName(cross_dropped)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    survivors = batch.join(dropped, id_col, "left_anti")
+    delta = bfp.join(dropped, id_col, "left_anti")
     return survivors, delta

@@ -969,6 +969,34 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
+@query("incremental_simhash_dedup")  # no SQL oracle: xxhash64 fingerprints
+def incremental_simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash variant of the store-based incremental dedup: the store
+    is one 64-bit fingerprint per document (16 bytes — the most compact
+    store), ingest candidates come from shared block-combination keys over
+    DISTINCT batch × store fingerprints, and verification is one
+    bit_count(xor) per candidate. Rows-only driver check (deterministic
+    xxhash64 fingerprints); the hamming-unique survivor contract is
+    asserted in tests/test_incremental.py."""
+    from datawarehousefinal_spark.operators.incremental import (
+        empty_simhash_store,
+        incremental_simhash_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    _, store = incremental_simhash_dedup(
+        corpus, empty_simhash_store(corpus, "doc_id"), "doc_id", "text",
+        max_hamming=8, shingle_width=_W,
+    )
+    store = store.persist()
+    survivors, _delta = incremental_simhash_dedup(
+        batch, store, "doc_id", "text", max_hamming=8, shingle_width=_W,
+    )
+    return survivors.select("doc_id")
+
+
 @query("corpus_curation_funnel")  # no SQL oracle: near-dup stage is LSH
 def corpus_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation composed from the engine's own

@@ -153,3 +153,77 @@ def test_incremental_minhash_plan_not_quadratic(spark, sf_dir):
     from datawarehousefinal_spark.plans.audit import assert_no_cartesian
 
     assert_no_cartesian(survivors)
+
+
+# ---------------------------------------------------------------------------
+# SimHash store
+# ---------------------------------------------------------------------------
+
+def test_incremental_simhash_contract(spark, sf_dir):
+    """Same contract as the minhash store, hamming metric: survivors ∪
+    store contain no pair within max_hamming, every dropped batch doc has
+    a real near fingerprint among the store or smaller-id batch docs."""
+    from datawarehousefinal_spark.operators.incremental import (
+        incremental_simhash_dedup,
+        simhash_store,
+    )
+
+    H = 8  # matches the registered simhash query's threshold
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus, batch = _split_halves(docs)
+    from datawarehousefinal_spark.operators.incremental import empty_simhash_store
+
+    _, store = incremental_simhash_dedup(
+        corpus, empty_simhash_store(corpus, "doc_id"), "doc_id", "text",
+        max_hamming=H, shingle_width=W,
+    )
+    survivors, delta = incremental_simhash_dedup(
+        batch, store, "doc_id", "text", max_hamming=H, shingle_width=W,
+    )
+
+    surv_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    dropped = batch_ids - surv_ids
+    assert dropped, "planted near-dup clusters should span the split"
+    assert {r["doc_id"] for r in delta.select("doc_id").collect()} == surv_ids
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    grown = {r["doc_id"]: r["simhash"] for r in store.unionByName(delta).collect()}
+    ids = sorted(grown)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            assert ham(grown[a], grown[b]) > H, f"near pair {a},{b} survived"
+
+    bfp = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_store(batch, "doc_id", "text", W).collect()
+    }
+    for d in dropped:
+        pool = {**grown, **{i: f for i, f in bfp.items() if i < d}}
+        best = min(ham(bfp[d], f) for i, f in pool.items() if i != d)
+        assert best <= H, f"doc {d} dropped without a near fingerprint"
+
+
+def test_incremental_simhash_idempotent_and_not_quadratic(spark, sf_dir):
+    from datawarehousefinal_spark.operators.incremental import (
+        incremental_simhash_dedup,
+        simhash_store,
+    )
+    from datawarehousefinal_spark.plans.audit import assert_no_cartesian
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus, batch = _split_halves(docs)
+    store = simhash_store(corpus, "doc_id", "text", W)
+    survivors, delta = incremental_simhash_dedup(
+        batch, store, "doc_id", "text", max_hamming=8, shingle_width=W,
+    )
+    assert_no_cartesian(survivors)
+    grown = store.unionByName(delta)
+    copies = batch.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    again, delta2 = incremental_simhash_dedup(
+        copies, grown, "doc_id", "text", max_hamming=8, shingle_width=W,
+    )
+    assert again.count() == 0
+    assert delta2.count() == 0
