@@ -327,17 +327,11 @@ def incremental_simhash_dedup(
     bfp = simhash(batch, id_col, text_col, shingle_width).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-
-    # -- within-batch tier (drop the larger id of each near-dup pair) -----
-    wb_pairs = simhash_near_dupes_from_fingerprints(
-        bfp, id_col, max_hamming=max_hamming, max_bucket=max_bucket,
-        combo_size=combo_size,
-    )
-    wb_dropped = wb_pairs.select(F.col("id_b").alias(id_col)).distinct()
-
-    # -- cross tier (drop any batch doc within range of a store doc) ------
     b_distinct = bfp.select("simhash").distinct()
     s_distinct = store_fp.select("simhash").distinct()
+    # Resolve the key width ONCE, from the union both tiers will see —
+    # the within-batch tier reuses it, so the whole pass runs exactly one
+    # sizing aggregate (and both sides provably key identically).
     if combo_size is None:
         n = (
             b_distinct.unionByName(s_distinct)
@@ -346,6 +340,19 @@ def incremental_simhash_dedup(
         )
         combo_size = _auto_combo_size(max(n, 1), max_hamming, max_bucket)
     num_blocks = max_hamming + combo_size
+
+    # -- within-batch tier (drop the larger id of each near-dup pair) -----
+    # max_dropped_frac=None: the skew check exists to catch FORCED-narrow
+    # keys, and combo_size was just auto-sized for this exact fingerprint
+    # population (16x margin) — re-measuring it here would only add two
+    # eager jobs per ingest.
+    wb_pairs = simhash_near_dupes_from_fingerprints(
+        bfp, id_col, max_hamming=max_hamming, max_bucket=max_bucket,
+        combo_size=combo_size, max_dropped_frac=None,
+    )
+    wb_dropped = wb_pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+    # -- cross tier (drop any batch doc within range of a store doc) ------
 
     def capped(fp_distinct: DataFrame, tag: str) -> DataFrame:
         keyed = simhash_combo_keys(fp_distinct, num_blocks, combo_size)

@@ -977,7 +977,14 @@ def incremental_simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT batch × store fingerprints, and verification is one
     bit_count(xor) per candidate. Rows-only driver check (deterministic
     xxhash64 fingerprints); the hamming-unique survivor contract is
-    asserted in tests/test_incremental.py."""
+    asserted in tests/test_incremental.py.
+
+    Bench-cost note (same shape as incremental_minhash_dedup): this entry
+    deliberately pays TWO full fingerprint builds — bootstrap from half
+    the corpus, then ingest of the other half — plus per-pass sizing and
+    banding over 45 combo tables, so its wall time at fixture scale is
+    dominated by fixed job overhead. The production ingest path reads the
+    store from parquet and is O(batch)."""
     from datawarehousefinal_spark.operators.incremental import (
         empty_simhash_store,
         incremental_simhash_dedup,
@@ -1013,6 +1020,40 @@ def corpus_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, min_quality=0.1, shingle_width=_W
     )
     return report
+
+
+@query("training_pipeline_e2e")  # no SQL oracle: funnel's near-dup stage is LSH
+def training_pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one composition of the
+    engine's operators: deterministic-hash downsample → curation funnel
+    (rules → exact dedup → transitive near-dup resolution via connected
+    components) → seeded epoch shuffle order → 2048-token sequential-fill
+    packing → per-chunk fill report (chunk_id, n_docs, total_tokens).
+    Every stage is the registered operator a user would call standalone;
+    this entry proves they compose. Rows-only driver check (deterministic
+    end to end: md5 sampling, xxhash dedup, md5 shuffle order)."""
+    from datawarehousefinal_spark.operators.curation import (
+        curate_corpus,
+        deterministic_sample,
+    )
+    from datawarehousefinal_spark.operators.packing import (
+        budgeted_chunks,
+        chunk_stats,
+    )
+    from datawarehousefinal_spark.operators.textstats import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sampled = deterministic_sample(docs, "doc_id", 0.5, seed=11)
+    curated, _report = curate_corpus(
+        sampled, min_quality=0.1, shingle_width=_W, near_dup_mode="transitive"
+    )
+    tokens = curated.select(
+        "doc_id",
+        F.size(whitespace_tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))).alias("__h"),
+    )
+    packed = budgeted_chunks(tokens, "doc_id", "n_tokens", 2048, order_cols=["__h"])
+    return chunk_stats(packed, "n_tokens").orderBy("chunk_id")
 
 
 # ---------------------------------------------------------------------------
