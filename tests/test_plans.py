@@ -149,3 +149,15 @@ def test_sql_cube_view_keeps_broadcast_and_partial_agg(spark, sf_dir):
     a = sorted(df_sql.collect(), key=key)
     b = sorted(df_api.collect(), key=key)
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_sequence_pack_distributed_cumsum_plan(spark, sf_dir):
+    """The prefix sum behind budgeted_chunks must be the two-phase shape:
+    the corpus-side running sum windows WITHIN partitions (partitioned by
+    __pid) and the per-partition offsets come back via a broadcast join —
+    the only unpartitioned window is the one over the tiny offsets frame."""
+    df = _q(spark, sf_dir, "sequence_pack_chunks")
+    plan = physical_plan(df)
+    assert "windowspecdefinition(__pid" in plan, plan[:2000]
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
