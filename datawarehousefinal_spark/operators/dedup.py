@@ -131,6 +131,7 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_width: int = 5,
     hash_mode: str = "xxhash64",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Per-document MinHash signature: columns ``h0..h{k-1}``.
 
@@ -143,6 +144,18 @@ def minhash_signature(
     with zero data movement.) Values are identical to the two-stage build:
     same base hash, same seeded affine family.
 
+    ``kernel``: ``'hof'`` keeps the k mins as JVM higher-order
+    expressions (CodegenFallback — interpreted per array element, k
+    mul-mod-min walks per shingle); ``'arrow'`` ships the base-hash ARRAY
+    (computed by the same JVM expressions, so signature values cannot
+    drift) through one Arrow-batched numpy ``minimum.reduceat`` (see
+    :mod:`operators.kernels` — bit-identical, parity-tested); ``'auto'``
+    picks arrow — measured 3.7× faster on the sf0.1 documents table
+    (5.17 s → 1.39 s, k=16) and the gap widens with k. At fixture scale
+    (sf0.001) hof wins by ~0.2 s of Python-worker spin-up, a one-time
+    session cost; auto still picks arrow because every corpus this
+    operator exists for is the large case.
+
     NULL texts produce no signature row. This is a DELIBERATE behavior
     change from the earlier explode formulation, which emitted one row for
     NULL text (``char_shingles(NULL)`` yields ``[null]``, exploding to a
@@ -151,6 +164,8 @@ def minhash_signature(
     degenerate NULL-doc signature rows; rebuild or filter them before
     comparing against newly built signatures.
     """
+    if kernel not in ("auto", "hof", "arrow"):
+        raise ValueError(f"kernel must be 'auto', 'hof' or 'arrow', got {kernel!r}")
     params = _affine_params(num_hashes)
     base = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
         id_col,
@@ -159,6 +174,10 @@ def minhash_signature(
             lambda s: _base_hash(s, hash_mode),
         ).alias("__bh"),
     )
+    if kernel in ("auto", "arrow"):
+        from datawarehousefinal_spark.operators.kernels import minhash_reduce_arrow
+
+        return minhash_reduce_arrow(base, id_col, params, _MERSENNE31)
     # Separate projection on purpose: CollapseProject declines to inline a
     # non-cheap producer expression referenced k times, so __bh's hash
     # array is computed once per row, not once per h_j.
@@ -370,7 +389,11 @@ _NUM_PACKED = -(-64 // _FIELDS_PER_LONG)  # 22
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, shingle_width: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_width: int = 5,
+    kernel: str = "auto",
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
@@ -388,13 +411,31 @@ def simhash(
     shuffle). NULL texts produce no fingerprint row (explicit filter — see
     the note on ``minhash_signatures`` about the deliberate NULL-handling
     change vs the old explode formulation).
+
+    ``kernel``: ``'hof'`` (and ``'auto'``) runs the packed vote sums as
+    JVM higher-order aggregates — MEASURED FASTER than the Arrow kernel
+    here (0.63 s vs 2.31 s on the sf0.1 documents table): packing 64 bit
+    sums into 22 longs keeps the interpreted-walker cost low while the
+    Arrow path pays 8 bytes/shingle serialization of the hash array.
+    ``'arrow'`` ships the xxhash64 ARRAY (same JVM hash expressions, so
+    fingerprints cannot drift) through one Arrow-batched numpy
+    ``unpackbits`` + ``add.reduceat`` vote count (see
+    :mod:`operators.kernels` — bit-identical, parity-tested); kept because
+    the trade flips for very long documents, where the per-shingle ship
+    cost amortizes against the 22-aggregate walk.
     """
+    if kernel not in ("auto", "hof", "arrow"):
+        raise ValueError(f"kernel must be 'auto', 'hof' or 'arrow', got {kernel!r}")
     base = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col),
         F.transform(
             char_shingles(text_col, shingle_width), lambda s: F.xxhash64(s)
         ).alias("__hs"),
     )
+    if kernel == "arrow":
+        from datawarehousefinal_spark.operators.kernels import simhash_reduce_arrow
+
+        return simhash_reduce_arrow(base, id_col)
 
     def packed_sum(k: int) -> Column:
         def add_fields(acc: Column, h: Column) -> Column:
@@ -546,6 +587,94 @@ def simhash_near_dupes(
     )
 
 
+def _resolve_banding(
+    fp: DataFrame,
+    max_hamming: int,
+    max_bucket: int,
+    num_blocks: int | None,
+    combo_size: int | None,
+) -> tuple[int, int]:
+    """Resolve (num_blocks, combo_size) for simhash banding, auto-sizing
+    ``combo_size`` from an HLL distinct-fingerprint estimate when the
+    caller didn't fix it, and enforcing the recall guarantee
+    ``combo_size <= num_blocks - max_hamming``."""
+    if combo_size is None:
+        if num_blocks is not None:
+            raise ValueError(
+                "auto combo_size derives num_blocks; pass combo_size "
+                "explicitly when fixing num_blocks"
+            )
+        # Sizing needs the order of magnitude, not the exact count: one
+        # shuffle-free HLL aggregate (partial-combined map-side) instead
+        # of a distinct + count job. fp is persisted by callers that
+        # build it; this pass populates that cache for the banding.
+        n_distinct = fp.agg(
+            F.approx_count_distinct("simhash").alias("n")
+        ).first()["n"]
+        combo_size = _auto_combo_size(max(n_distinct, 1), max_hamming, max_bucket)
+    if num_blocks is None:
+        num_blocks = max_hamming + combo_size
+    if combo_size > num_blocks - max_hamming:
+        raise ValueError(
+            f"recall guarantee needs combo_size <= num_blocks - max_hamming "
+            f"({combo_size} > {num_blocks} - {max_hamming})"
+        )
+    return num_blocks, combo_size
+
+
+def _simhash_fp_pairs(
+    distinct_fp: DataFrame,
+    num_blocks: int,
+    combo_size: int,
+    max_hamming: int,
+    max_bucket: int,
+    max_dropped_frac: float | None,
+) -> DataFrame:
+    """Banded candidate generation + hamming verification over DISTINCT
+    fingerprints: ``(__fa, __fb, hamming)`` with ``__fa < __fb`` and
+    ``0 < hamming <= max_hamming``. Shared by the pair-list path
+    (:func:`simhash_near_dupes_from_fingerprints`) and the direct
+    dropped-id path (:func:`simhash_dropped_ids`) so banding semantics —
+    combo keys, skew guard, loud-drop check — cannot drift between them."""
+    keyed = simhash_combo_keys(distinct_fp, num_blocks, combo_size)
+    counted = keyed.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("table", "key"))
+    )
+    if max_dropped_frac is not None:
+        # "No silent caps": measure how much of the banding the skew guard
+        # is about to throw away, and fail loudly when it is material —
+        # a quietly-degraded dedup pass is worse than an error. One extra
+        # aggregation job over the persisted keyed frame.
+        counted = counted.persist()
+        stats = counted.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(F.col("__n") > max_bucket, 1)).alias("dropped"),
+        ).first()
+        if stats["total"] and stats["dropped"] / stats["total"] > max_dropped_frac:
+            raise RuntimeError(
+                f"simhash banding dropped {stats['dropped']}/{stats['total']} "
+                f"({stats['dropped'] / stats['total']:.1%}) of combo-key entries to "
+                f"the max_bucket={max_bucket} skew guard (> max_dropped_frac="
+                f"{max_dropped_frac:.1%}) — candidate recall would silently "
+                f"degrade toward the hamming-0 tier. Use a larger combo_size "
+                f"(auto-scaling picks one: combo_size=None), or raise max_bucket."
+            )
+    sized = counted.filter(F.col("__n") <= max_bucket)
+    a = sized.select(F.col("simhash").alias("__fa"), "table", "key")
+    b = sized.select(F.col("simhash").alias("__fb"), "table", "key")
+    return (
+        a.join(b, ["table", "key"])
+        .filter(F.col("__fa") < F.col("__fb"))
+        .select(
+            "__fa",
+            "__fb",
+            F.bit_count(F.expr("__fa ^ __fb")).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
+    )
+
+
 def simhash_near_dupes_from_fingerprints(
     fp: DataFrame,
     id_col: str,
@@ -594,27 +723,9 @@ def simhash_near_dupes_from_fingerprints(
 
     Output: ``id_a, id_b, hamming`` (id_a < id_b).
     """
-    if combo_size is None:
-        if num_blocks is not None:
-            raise ValueError(
-                "auto combo_size derives num_blocks; pass combo_size "
-                "explicitly when fixing num_blocks"
-            )
-        # Sizing needs the order of magnitude, not the exact count: one
-        # shuffle-free HLL aggregate (partial-combined map-side) instead
-        # of a distinct + count job. fp is persisted by callers that
-        # build it; this pass populates that cache for the banding.
-        n_distinct = fp.agg(
-            F.approx_count_distinct("simhash").alias("n")
-        ).first()["n"]
-        combo_size = _auto_combo_size(max(n_distinct, 1), max_hamming, max_bucket)
-    if num_blocks is None:
-        num_blocks = max_hamming + combo_size
-    if combo_size > num_blocks - max_hamming:
-        raise ValueError(
-            f"recall guarantee needs combo_size <= num_blocks - max_hamming "
-            f"({combo_size} > {num_blocks} - {max_hamming})"
-        )
+    num_blocks, combo_size = _resolve_banding(
+        fp, max_hamming, max_bucket, num_blocks, combo_size
+    )
 
     members = fp.withColumn(
         "__rep", F.min(id_col).over(Window.partitionBy("simhash"))
@@ -643,43 +754,13 @@ def simhash_near_dupes_from_fingerprints(
     )
 
     # -- cross-fingerprint tier: band DISTINCT fingerprints ---------------
-    distinct_fp = members.select("simhash").distinct()
-    keyed = simhash_combo_keys(distinct_fp, num_blocks, combo_size)
-    counted = keyed.withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy("table", "key"))
-    )
-    if max_dropped_frac is not None:
-        # "No silent caps": measure how much of the banding the skew guard
-        # is about to throw away, and fail loudly when it is material —
-        # a quietly-degraded dedup pass is worse than an error. One extra
-        # aggregation job over the persisted keyed frame.
-        counted = counted.persist()
-        stats = counted.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.count(F.when(F.col("__n") > max_bucket, 1)).alias("dropped"),
-        ).first()
-        if stats["total"] and stats["dropped"] / stats["total"] > max_dropped_frac:
-            raise RuntimeError(
-                f"simhash banding dropped {stats['dropped']}/{stats['total']} "
-                f"({stats['dropped'] / stats['total']:.1%}) of combo-key entries to "
-                f"the max_bucket={max_bucket} skew guard (> max_dropped_frac="
-                f"{max_dropped_frac:.1%}) — candidate recall would silently "
-                f"degrade toward the hamming-0 tier. Use a larger combo_size "
-                f"(auto-scaling picks one: combo_size=None), or raise max_bucket."
-            )
-    sized = counted.filter(F.col("__n") <= max_bucket)
-    a = sized.select(F.col("simhash").alias("__fa"), "table", "key")
-    b = sized.select(F.col("simhash").alias("__fb"), "table", "key")
-    fp_pairs = (
-        a.join(b, ["table", "key"])
-        .filter(F.col("__fa") < F.col("__fb"))
-        .select(
-            "__fa",
-            "__fb",
-            F.bit_count(F.expr("__fa ^ __fb")).cast("int").alias("hamming"),
-        )
-        .distinct()
-        .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
+    fp_pairs = _simhash_fp_pairs(
+        members.select("simhash").distinct(),
+        num_blocks,
+        combo_size,
+        max_hamming,
+        max_bucket,
+        max_dropped_frac,
     )
     # Cross-fp expansion mirrors the hamming-0 cap: members of groups
     # larger than exact_pair_cap are represented by their rep — otherwise
@@ -702,3 +783,77 @@ def simhash_near_dupes_from_fingerprints(
         )
     )
     return exact_small.unionByName(exact_star).unionByName(cross)
+
+
+def simhash_dropped_ids(
+    fp: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    num_blocks: int | None = None,
+    combo_size: int | None = None,
+    max_dropped_frac: float | None = None,
+) -> DataFrame:
+    """Ids dropped by greedy keep-smallest-id SimHash dedup, computed
+    DIRECTLY — without materializing the pair list.
+
+    The greedy contract (:mod:`operators.incremental`): a document x is
+    dropped iff some document y with a smaller id has
+    ``hamming(fp_x, fp_y) <= max_hamming``. That decomposes per
+    fingerprint group:
+
+    - same fingerprint: x is dropped iff it is not its group's min id;
+    - different fingerprint: x is dropped iff some NEIGHBOR group (a
+      banded fingerprint pair within ``max_hamming``) has min id < x.id.
+
+    So it suffices to compute, per fingerprint, the min id over its
+    banded neighbor groups — member×member pair expansion (and the
+    ``exact_pair_cap`` output-capping machinery the pair formulation
+    needs to survive mega-clusters) never happens. The result is EXACT
+    for dedup purposes (identical dropped set to deriving it from
+    :func:`simhash_near_dupes_from_fingerprints` pairs, asserted in
+    tests/test_incremental.py), with roughly half the stages — this is
+    the path :func:`incremental.incremental_simhash_dedup` uses for its
+    within-batch tier.
+
+    Banding parameters, auto ``combo_size`` sizing, the ``max_bucket``
+    skew guard, and the ``max_dropped_frac`` loud-drop check are shared
+    with the pair path (same helpers), so recall semantics cannot drift
+    between the two formulations.
+
+    Output: single column ``id_col``.
+    """
+    num_blocks, combo_size = _resolve_banding(
+        fp, max_hamming, max_bucket, num_blocks, combo_size
+    )
+    reps = fp.groupBy("simhash").agg(F.min(id_col).alias("__m"))
+    fp_pairs = _simhash_fp_pairs(
+        fp.select("simhash").distinct(),
+        num_blocks,
+        combo_size,
+        max_hamming,
+        max_bucket,
+        max_dropped_frac,
+    )
+    # min neighbor-group rep per fingerprint (symmetrized pair list)
+    edges = fp_pairs.select(
+        F.col("__fa").alias("__f"), F.col("__fb").alias("__g")
+    ).unionByName(
+        fp_pairs.select(F.col("__fb").alias("__f"), F.col("__fa").alias("__g"))
+    )
+    neigh = (
+        edges.join(
+            reps.select(F.col("simhash").alias("__g"), F.col("__m").alias("__gm")),
+            "__g",
+        )
+        .groupBy("__f")
+        .agg(F.min("__gm").alias("__nm"))
+    )
+    return (
+        fp.join(reps, "simhash")
+        .join(neigh, fp["simhash"] == neigh["__f"], "left")
+        .filter(
+            (F.col(id_col) != F.col("__m")) | (F.col("__nm") < F.col(id_col))
+        )
+        .select(id_col)
+    )

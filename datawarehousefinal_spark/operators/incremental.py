@@ -49,7 +49,7 @@ from datawarehousefinal_spark.operators.dedup import (
     minhash_signature,
     simhash,
     simhash_combo_keys,
-    simhash_near_dupes_from_fingerprints,
+    simhash_dropped_ids,
 )
 
 # NULL text cannot be hashed; all-NULL rows form one dedup group (matching
@@ -224,6 +224,17 @@ def incremental_minhash_dedup(
     )
 
     # -- cross tier (drop any batch doc near a store doc) -----------------
+    # Bootstrap short-circuit: with an EMPTY store (the first-ever batch)
+    # the cross tier is a no-op, but its plan still schedules a dozen
+    # stages of banding/joins over zero rows — skip it entirely. The
+    # isEmpty probe is one read-first-row job (instant on the local
+    # bootstrap relation, one footer read on a parquet store).
+    if store_sig.isEmpty():
+        dropped = wb_dropped.persist(StorageLevel.MEMORY_AND_DISK)
+        survivors = batch.join(dropped, id_col, "left_anti")
+        delta = bsig.join(dropped, id_col, "left_anti")
+        return survivors, delta
+
     # Same banding, batch × store instead of self-join; both sides carry
     # the max_bucket skew guard so a degenerate band on either side (e.g.
     # the empty-document signature) cannot quadratically explode.
@@ -314,9 +325,11 @@ def incremental_simhash_dedup(
 
     1. batch fingerprints: one map-only pass (persisted — feeds both
        tiers, the within-batch banding, and the delta).
-    2. within-batch tier: the canonical guaranteed-recall banding
-       (:func:`dedup.simhash_near_dupes_from_fingerprints`) over batch
-       fingerprints; the larger id of each pair drops.
+    2. within-batch tier: the canonical guaranteed-recall banding via the
+       DIRECT dropped-id formulation (:func:`dedup.simhash_dropped_ids` —
+       same combo keys and skew guard as the pair path, no member×member
+       expansion): a doc drops iff it is not its fingerprint group's min
+       id or a banded neighbor group has a smaller min id.
     3. cross tier: DISTINCT batch fingerprints ⋈ DISTINCT store
        fingerprints on shared combo keys (``combo_size`` auto-sized from
        the approximate distinct count of the union, so both sides key
@@ -327,30 +340,40 @@ def incremental_simhash_dedup(
     bfp = simhash(batch, id_col, text_col, shingle_width).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Bootstrap short-circuit (see incremental_minhash_dedup): an empty
+    # store makes the cross tier a no-op — skip its stages entirely.
+    store_empty = store_fp.isEmpty()
     b_distinct = bfp.select("simhash").distinct()
-    s_distinct = store_fp.select("simhash").distinct()
     # Resolve the key width ONCE, from the union both tiers will see —
     # the within-batch tier reuses it, so the whole pass runs exactly one
     # sizing aggregate (and both sides provably key identically).
     if combo_size is None:
-        n = (
-            b_distinct.unionByName(s_distinct)
-            .agg(F.approx_count_distinct("simhash").alias("n"))
-            .first()["n"]
+        sizing = b_distinct if store_empty else b_distinct.unionByName(
+            store_fp.select("simhash").distinct()
         )
+        n = sizing.agg(F.approx_count_distinct("simhash").alias("n")).first()["n"]
         combo_size = _auto_combo_size(max(n, 1), max_hamming, max_bucket)
     num_blocks = max_hamming + combo_size
 
-    # -- within-batch tier (drop the larger id of each near-dup pair) -----
+    # -- within-batch tier (drop near-dups of smaller-id batch docs) ------
+    # Direct dropped-id formulation (dedup.simhash_dropped_ids): same
+    # banding, same greedy contract, about half the stages of deriving
+    # the set from the pair list (no member×member expansion).
     # max_dropped_frac=None: the skew check exists to catch FORCED-narrow
     # keys, and combo_size was just auto-sized for this exact fingerprint
     # population (16x margin) — re-measuring it here would only add two
     # eager jobs per ingest.
-    wb_pairs = simhash_near_dupes_from_fingerprints(
+    wb_dropped = simhash_dropped_ids(
         bfp, id_col, max_hamming=max_hamming, max_bucket=max_bucket,
         combo_size=combo_size, max_dropped_frac=None,
     )
-    wb_dropped = wb_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if store_empty:
+        dropped = wb_dropped.persist(StorageLevel.MEMORY_AND_DISK)
+        survivors = batch.join(dropped, id_col, "left_anti")
+        delta = bfp.join(dropped, id_col, "left_anti")
+        return survivors, delta
+
+    s_distinct = store_fp.select("simhash").distinct()
 
     # -- cross tier (drop any batch doc within range of a store doc) ------
 
