@@ -938,30 +938,31 @@ def incremental_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("incremental_minhash_dedup")  # no SQL oracle: xxhash64 signatures
 def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-based incremental NEAR-dup dedup: bootstrap a deduplicated
-    signature store from the first half of the corpus (batch 0 against an
-    empty store), then ingest the second half against it. Candidates come
-    from banded batch×store bucket joins; verification is signature-
-    estimated Jaccard — corpus text is never re-read. Rows-only driver
-    check (deterministic: seeded signature family); the pairwise-unique
-    survivor contract is asserted in tests/test_incremental.py."""
+    """Store-based incremental NEAR-dup dedup in the PRODUCTION ingest
+    shape: the first half of the corpus is the existing store (its
+    signatures stand in for the parquet signature table a daily pipeline
+    would read — built here because the driver can't pre-materialize
+    state), and the second half ingests against it. Candidates come from
+    banded batch×store bucket joins; verification is signature-estimated
+    Jaccard — corpus text is never re-read, and the ingest cost is
+    O(batch), not O(corpus). Rows-only driver check (deterministic:
+    seeded signature family); the pairwise-unique survivor contract AND
+    the empty-store bootstrap path are asserted in
+    tests/test_incremental.py."""
     from datawarehousefinal_spark.operators.incremental import (
-        empty_minhash_store,
         incremental_minhash_dedup,
+        minhash_store,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    empty = empty_minhash_store(corpus, "doc_id", 16)
-    _, store = incremental_minhash_dedup(
-        corpus, empty, "doc_id", "text",
-        threshold=0.9, num_hashes=16, shingle_width=_W,
-    )
-    # The bootstrap store is scanned several times by the ingest pass
-    # (banding + verification sides); persist it — in production it would
-    # be a parquet table, read, not recomputed.
-    store = store.persist()
+    # The store is scanned several times by the ingest pass (banding +
+    # verification sides); persist it — in production it would be a
+    # parquet table, read, not recomputed.
+    store = minhash_store(
+        corpus, "doc_id", "text", num_hashes=16, shingle_width=_W
+    ).persist()
     survivors, _delta = incremental_minhash_dedup(
         batch, store, "doc_id", "text",
         threshold=0.9, num_hashes=16, shingle_width=_W,
@@ -971,33 +972,26 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("incremental_simhash_dedup")  # no SQL oracle: xxhash64 fingerprints
 def incremental_simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SimHash variant of the store-based incremental dedup: the store
-    is one 64-bit fingerprint per document (16 bytes — the most compact
-    store), ingest candidates come from shared block-combination keys over
-    DISTINCT batch × store fingerprints, and verification is one
-    bit_count(xor) per candidate. Rows-only driver check (deterministic
-    xxhash64 fingerprints); the hamming-unique survivor contract is
-    asserted in tests/test_incremental.py.
-
-    Bench-cost note (same shape as incremental_minhash_dedup): this entry
-    deliberately pays TWO full fingerprint builds — bootstrap from half
-    the corpus, then ingest of the other half — plus per-pass sizing and
-    banding over 45 combo tables, so its wall time at fixture scale is
-    dominated by fixed job overhead. The production ingest path reads the
-    store from parquet and is O(batch)."""
+    """The SimHash variant of the store-based incremental dedup, in the
+    same PRODUCTION ingest shape as ``incremental_minhash_dedup``: the
+    store is one 64-bit fingerprint per document (16 bytes — the most
+    compact store) built from the corpus half, ingest candidates come
+    from shared block-combination keys over DISTINCT batch × store
+    fingerprints, verification is one bit_count(xor) per candidate, and
+    the within-batch tier uses the direct dropped-id formulation
+    (dedup.simhash_dropped_ids — no pair materialization). Rows-only
+    driver check (deterministic xxhash64 fingerprints); the
+    hamming-unique survivor contract and the empty-store bootstrap path
+    are asserted in tests/test_incremental.py."""
     from datawarehousefinal_spark.operators.incremental import (
-        empty_simhash_store,
         incremental_simhash_dedup,
+        simhash_store,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    _, store = incremental_simhash_dedup(
-        corpus, empty_simhash_store(corpus, "doc_id"), "doc_id", "text",
-        max_hamming=8, shingle_width=_W,
-    )
-    store = store.persist()
+    store = simhash_store(corpus, "doc_id", "text", shingle_width=_W).persist()
     survivors, _delta = incremental_simhash_dedup(
         batch, store, "doc_id", "text", max_hamming=8, shingle_width=_W,
     )
@@ -1839,6 +1833,30 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = build_ivf_index(emb, "vec_id", "embedding", 16)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(assigned, centroids, queries, "vec_id", "embedding", k=5, nprobe=4)
+
+
+@query("pq_ann_topk")  # no SQL oracle: numpy-trained codebooks
+def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (the memory-bounded
+    100 TB scale path, FAISS IVF-PQ's code layout): seeded driver-side
+    codebook training, one Arrow encode pass (64-dim float vectors →
+    8 one-byte codes, 64× compression), ADC shortlist over the CODES
+    only, exact squared-L2 re-score of the Q×50 shortlist ids. Rows-only
+    driver check (k rows per query); recall ≥0.9 vs exact (measured
+    ≈0.995) and code determinism are asserted in tests/test_pq.py."""
+    from datawarehousefinal_spark.operators.pq import (
+        pq_encode,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, "embedding", m=8, codes=256, sample_rows=500)
+    encoded = pq_encode(emb, "vec_id", "embedding", books)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk_rerank(
+        encoded, emb, queries, "vec_id", "embedding", books, k=5, rerank=50
+    )
 
 
 @query(
