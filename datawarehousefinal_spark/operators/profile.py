@@ -74,3 +74,35 @@ def profile_table(
         "min_value",
         "max_value",
     )
+
+
+def correlation_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE
+    aggregation pass.
+
+    All C(n,2) ``corr`` aggregates run in a single ``df.agg`` — one scan,
+    one map-side-combined shuffle of O(n²) constant-size moment buffers
+    (each corr keeps 6 doubles), regardless of row count — then the
+    single wide row unpivots driver-side with ``stack``. The profiler's
+    single-pass discipline applied to the bivariate case; never one job
+    per pair.
+
+    Output: ``col_a, col_b, corr`` for every ``col_a < col_b``
+    (lexicographic), the long-format upper triangle.
+    """
+    pairs = [
+        (a, b)
+        for i, a in enumerate(sorted(columns))
+        for b in sorted(columns)[i + 1 :]
+    ]
+    if not pairs:
+        raise ValueError("correlation_matrix needs at least two columns")
+    wide = df.agg(
+        *[F.corr(a, b).alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )

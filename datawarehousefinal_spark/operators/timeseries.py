@@ -121,3 +121,68 @@ def rolling_daily_stats(
         F.sum("n").over(w).cast("long").alias("rolling_sum"),
         F.avg("n").over(w).alias("rolling_avg"),
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+    filled_flag_col: str = "was_observed",
+) -> DataFrame:
+    """Densify a sparse per-group daily series and linearly interpolate
+    the missing values — the standard warehouse "resample + interpolate"
+    (sensor/metric series with holes; a model-training feature pipeline
+    needs a value for EVERY day).
+
+    Mechanics, all codegen and exactly SQL-replayable:
+
+    1. spine: per-group ``sequence(min(date), max(date))`` exploded — the
+       only rows created are the group's own calendar range, so a group
+       observed for a week can't inflate a year-long spine;
+    2. observations left-join the spine on (group, date) — one shuffle
+       each side, both already keyed by group;
+    3. one window sort per group supplies the four interpolation inputs
+       (previous/next observed value and date via ``last``/``first`` with
+       ``ignorenulls``), and the fill is pure column arithmetic:
+       ``prev + (next-prev) * days_since_prev / days_between``. Edges
+       (before the first / after the last observation) take the nearest
+       observed value (ffill/bfill).
+
+    Scale shape: |groups| × |days-in-range| rows after the spine — for
+    daily grain this is ~365 rows/group/year, dwarfed by the event data
+    that produced the dailies; the window runs inside the same group
+    partitioning the join already established.
+
+    Output: ``group_col, date_col, value_col`` (filled) and a boolean
+    ``filled_flag_col`` marking real observations.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    )
+    spine = bounds.select(
+        group_col,
+        F.explode(F.expr("sequence(__d0, __d1, interval 1 day)")).alias(date_col),
+    )
+    joined = spine.join(df, [group_col, date_col], "left")
+    w = Window.partitionBy(group_col).orderBy(date_col)
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    observed_date = F.when(F.col(value_col).isNotNull(), F.col(date_col))
+    pv = F.last(value_col, ignorenulls=True).over(wp)
+    pdt = F.last(observed_date, ignorenulls=True).over(wp)
+    nv = F.first(value_col, ignorenulls=True).over(wn)
+    ndt = F.first(observed_date, ignorenulls=True).over(wn)
+    frac = F.datediff(F.col(date_col), pdt) / F.datediff(ndt, pdt)
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(pv.isNull(), nv)   # before first observation: backfill
+        .when(nv.isNull(), pv)   # after last observation: forward fill
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return joined.select(
+        F.col(group_col),
+        F.col(date_col),
+        filled.alias(value_col),
+        F.col(value_col).isNotNull().alias(filled_flag_col),
+    )

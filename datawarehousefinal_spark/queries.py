@@ -2317,6 +2317,39 @@ def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "correlation_matrix",
+    oracle="""
+    SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+           corr(l_discount, l_extendedprice) AS corr FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_quantity',
+           corr(l_discount, l_quantity) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_quantity',
+           corr(l_extendedprice, l_quantity) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax',
+           corr(l_extendedprice, l_tax) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+    """,
+)
+def correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures — all six
+    pairs as aggregates in ONE scan (constant moment-buffer state per
+    pair), unpivoted to the long upper triangle. The bivariate companion
+    of table_profile's single-pass discipline."""
+    from datawarehousefinal_spark.operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@query(
     "json_props_rollup",
     oracle="""
     SELECT event_type,
@@ -2589,6 +2622,69 @@ def rolling_daily_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return rolling_daily_stats(events, "event_type", "ts", window_days=7)
+
+
+@query(
+    "gap_fill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
+      FROM events
+      WHERE (day(CAST(ts AS DATE)) % 3) = 1
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(d) d0, max(d) d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.d, daily.v
+      FROM spine s LEFT JOIN daily
+        ON daily.event_type = s.event_type AND daily.d = s.d
+    ),
+    w AS (
+      SELECT event_type, d, v,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          OVER wp AS pd,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          OVER wn AS nd
+      FROM j
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, d,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv) * date_diff('day', pd, d)
+                               / date_diff('day', pd, nd) END AS v,
+      v IS NOT NULL AS was_observed
+    FROM w
+    """,
+)
+def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + linear interpolation: the per-type daily value series is
+    deliberately sparsified (every third calendar day) and then densified
+    over each type's own date range, holes filled by linear interpolation
+    between the neighboring observations (nearest-value fill at the
+    edges). Spine + one window sort per group, all codegen — the classic
+    sensor/metric gap-fill a feature pipeline needs, oracle-exact."""
+    from datawarehousefinal_spark.operators.timeseries import gap_fill_interpolate
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.dayofmonth(F.to_date("ts")) % 3 == 1)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.avg("value").alias("v"))
+    )
+    return gap_fill_interpolate(daily, "event_type", "d", "v")
 
 
 @query("simhash_near_dupes")  # no SQL oracle: xxhash64 is Spark-side only

@@ -103,3 +103,71 @@ def test_rolling_daily_aggregates_before_window(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+def test_gap_fill_interpolate_edges_and_midpoints(spark):
+    from datawarehousefinal_spark.operators.timeseries import gap_fill_interpolate
+    import datetime as dt
+
+    rows = [
+        ("a", dt.date(2024, 1, 1), 10.0),
+        ("a", dt.date(2024, 1, 5), 30.0),   # 4-day gap: 15, 20, 25
+        ("a", dt.date(2024, 1, 7), 10.0),   # 2-day gap: 20
+        ("b", dt.date(2024, 2, 1), 7.0),    # single observation: no spine growth
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, v double")
+    out = {
+        (r["g"], r["d"]): (r["v"], r["was_observed"])
+        for r in gap_fill_interpolate(df, "g", "d", "v").collect()
+    }
+    assert len(out) == 7 + 1  # a: 7 consecutive days, b: 1 day
+    assert out[("a", dt.date(2024, 1, 2))] == (15.0, False)
+    assert out[("a", dt.date(2024, 1, 3))] == (20.0, False)
+    assert out[("a", dt.date(2024, 1, 4))] == (25.0, False)
+    assert out[("a", dt.date(2024, 1, 6))] == (20.0, False)
+    assert out[("a", dt.date(2024, 1, 5))] == (30.0, True)
+    assert out[("b", dt.date(2024, 2, 1))] == (7.0, True)
+
+
+def test_gap_fill_single_shuffle_per_side(spark):
+    """Spine build, join, and window all share the group hash
+    partitioning — no cartesian, no extra exchanges beyond the
+    group-key shuffles."""
+    from datawarehousefinal_spark.operators.timeseries import gap_fill_interpolate
+    from datawarehousefinal_spark.plans.audit import physical_plan
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1), 1.0)], "g string, d date, v double"
+    )
+    plan = physical_plan(gap_fill_interpolate(df, "g", "d", "v"))
+    assert "CartesianProduct" not in plan
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+    from datawarehousefinal_spark.operators.profile import correlation_matrix
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 3))
+    X[:, 1] = X[:, 0] * 0.5 + X[:, 1] * 0.1  # strong correlation
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in X], "x double, y double, z double"
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    ref = np.corrcoef(X.T)
+    assert abs(got[("x", "y")] - ref[0, 1]) < 1e-9
+    assert abs(got[("y", "z")] - ref[1, 2]) < 1e-9
+
+
+def test_correlation_matrix_rejects_single_column(spark):
+    import pytest
+    from datawarehousefinal_spark.operators.profile import correlation_matrix
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])
