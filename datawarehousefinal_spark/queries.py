@@ -1630,6 +1630,36 @@ def parquet_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zorder_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def zorder_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered parquet sink (sources/layout.py): orders written
+    along the Morton curve of (o_custkey, o_totalprice) — one range
+    shuffle, per-file footer stats then prune predicates on EITHER
+    column (measured in tests/test_layout.py: a custkey-sorted layout
+    prunes nothing for a price band; the z-layout skips ≥30% of files on
+    both dimensions). The oracle hash-matches the read-back aggregate
+    against the source, proving the layout move is content-preserving."""
+    import os
+
+    from datawarehousefinal_spark.sources.layout import zorder_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = f"/tmp/dwf_zorder_{os.path.basename(sf_dir.rstrip('/'))}"
+    zorder_write(orders, path, ["o_custkey", "o_totalprice"], num_files=16)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+    )
+
+
+@query(
     "csv_sink_roundtrip",
     oracle="""
     SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
