@@ -2717,6 +2717,82 @@ def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_interpolate(daily, "event_type", "d", "v")
 
 
+@query(
+    "event_funnel",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, ts, event_type,
+        min(CASE WHEN event_type = 'signup' THEN ts END)
+          OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'click'
+                           AND t0 IS NOT NULL AND ts > t0 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM s0
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase'
+                           AND t1 IS NOT NULL AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    pu AS (
+      SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+      FROM s2 GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS step_name, count(t0)::BIGINT AS n_users FROM pu
+    UNION ALL
+    SELECT 2, 'click', count(t1)::BIGINT FROM pu
+    UNION ALL
+    SELECT 3, 'purchase', count(t2)::BIGINT FROM pu
+    """,
+)
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: step k counts
+    users whose first step-k event is strictly after their first step-
+    (k-1) event. All k per-step timestamps are conditional min windows
+    over ONE user-key exchange (no joins, no repeated event passes);
+    oracle-exact."""
+    from datawarehousefinal_spark.operators.behavior import event_funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return event_funnel(
+        events, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+        CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   / 7.0) AS INTEGER) AS p
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, p,
+             min(p) OVER (PARTITION BY user_id) AS cohort
+      FROM active
+    )
+    SELECT cohort AS cohort_period, p - cohort AS offset,
+           count(*)::BIGINT AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    epoch-week, counted in each later active week. One distinct over
+    (user, week) — the only event-volume shuffle — then a min window and
+    a tiny aggregate; oracle-exact."""
+    from datawarehousefinal_spark.operators.behavior import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events, "user_id", "ts", period_days=7)
+
+
 @query("simhash_near_dupes")  # no SQL oracle: xxhash64 is Spark-side only
 def simhash_near_dupes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints with block-combination candidate

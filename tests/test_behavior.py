@@ -1,0 +1,88 @@
+"""Funnel / cohort-retention semantics (operators/behavior.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from datawarehousefinal_spark.operators.behavior import (
+    cohort_retention,
+    event_funnel,
+)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # u1 completes the full funnel in order
+        (1, _ts(1), "signup"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2 clicks BEFORE signing up: click must not count
+        (2, _ts(1), "click"), (2, _ts(2), "signup"),
+        # u3 purchase before click: stops at click
+        (3, _ts(1), "signup"), (3, _ts(2), "purchase"), (3, _ts(3), "click"),
+        # u4 never signs up
+        (4, _ts(1), "click"), (4, _ts(2), "purchase"),
+        # u5: same-timestamp step must NOT count (strictly after)
+        (5, _ts(1), "signup"), (5, _ts(1), "click"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_event_funnel_order_semantics(funnel_events):
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in event_funnel(
+            funnel_events, "user_id", "ts", "event_type",
+            ["signup", "click", "purchase"],
+        ).collect()
+    }
+    # signup: u1, u2, u3, u5
+    assert out == {"signup": 4, "click": 2, "purchase": 1}
+
+
+def test_event_funnel_single_exchange(funnel_events):
+    from datawarehousefinal_spark.plans.audit import physical_plan
+
+    df = event_funnel(
+        funnel_events, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"],
+    )
+    plan = physical_plan(df)
+    # k window steps + the per-user groupBy all share the user-key
+    # partitioning: exactly one user-key exchange in the event path
+    # (the final single-row stack aggregate adds its own 1-row exchange)
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_event_funnel_rejects_empty_steps(funnel_events):
+    with pytest.raises(ValueError):
+        event_funnel(funnel_events, "user_id", "ts", "event_type", [])
+
+
+def test_cohort_retention_triangle(spark):
+    rows = [
+        # cohort week 0 (2024-01-01 is epoch day 19723, week 2817)
+        (1, _ts(1)), (1, _ts(8)),   # active weeks 0 and +1
+        (2, _ts(2)),                # active week 0 only
+        # later cohort: first seen next week
+        (3, _ts(9)), (3, _ts(22)),  # active +0 and +2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_period"], r["offset"]): r["n_users"]
+        for r in cohort_retention(df, "user_id", "ts", period_days=7).collect()
+    }
+    cohorts = sorted({c for c, _ in out})
+    assert len(cohorts) == 2 and cohorts[1] == cohorts[0] + 1
+    c0, c1 = cohorts
+    assert out[(c0, 0)] == 2      # u1, u2
+    assert out[(c0, 1)] == 1      # u1 the next week
+    assert out[(c1, 0)] == 1      # u3
+    assert out[(c1, 2)] == 1      # u3 two weeks on
+    # multiple same-week events count a user once
+    assert sum(n for (c, o), n in out.items() if c == c0 and o == 0) == 2
