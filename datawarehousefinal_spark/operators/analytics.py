@@ -125,3 +125,60 @@ def stratified_split(
     train = with_id.stat.sampleBy(label_col, fractions, seed)
     test = with_id.join(train.select("__rid"), "__rid", "left_anti")
     return train.drop("__rid"), test.drop("__rid")
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n: int = 4,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group quantile binning: equal-count ``ntile(n)`` buckets of
+    ``value_col`` WITHIN each group — the feature-discretization
+    companion of the ML scaling ops, and the shape that scales: the
+    window partitions on the group key, so every group bins in parallel
+    (a GLOBAL exact ntile would need a total order — single-partition
+    window, the classic scale trap; at 100 TB bin globally with
+    approx-percentile boundaries instead and keep this exact form for
+    grouped features). Pass tie-breaker ``order_cols`` so equal values
+    order deterministically — required for oracle-exact replay.
+
+    Output: input columns + ``bucket`` (1-based int).
+    """
+    order = [F.col(value_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return df.withColumn("bucket", F.ntile(n).over(w))
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score outlier report: rows whose value deviates more
+    than ``threshold`` sample standard deviations from their group mean,
+    rolled up to ``group_col, n_outliers, max_abs_z``.
+
+    Two map-side-combined aggregations over the group key (moments, then
+    the outlier rollup) joined by that same key — groups with zero
+    spread (stddev 0/NULL) produce no outliers rather than a division
+    blow-up.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+    return (
+        df.join(stats, group_col)
+        .filter(F.col("__sd") > 0)
+        .withColumn("__z", z)
+        .filter(F.abs("__z") > threshold)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_outliers"),
+            F.max(F.abs("__z")).alias("max_abs_z"),
+        )
+    )

@@ -2718,6 +2718,61 @@ def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quartile_binning",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+           count(*)::BIGINT AS n, avg(value) AS avg_value
+    FROM b GROUP BY 1, 2
+    """,
+)
+def quartile_binning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equal-count quartiles of the event value (feature
+    discretization) rolled up to bucket sizes + means. The window
+    partitions on the group key — every group bins in parallel; event_id
+    tie-breaks equal values for oracle-exact replay."""
+    from datawarehousefinal_spark.operators.analytics import grouped_ntile
+
+    events = load_table(spark, sf_dir, "events")
+    binned = grouped_ntile(
+        events, "event_type", "value", n=4, order_cols=("event_id",)
+    )
+    return binned.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+@query(
+    "outlier_report",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, count(*)::BIGINT AS n_outliers,
+           max(abs((value - mu) / sd)) AS max_abs_z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE sd > 0 AND abs((value - mu) / sd) > 2
+    GROUP BY 1
+    """,
+)
+def outlier_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier report (|z| > 2 against the group's own
+    moments): two map-side-combined aggregations joined on the group
+    key; zero-spread groups emit nothing rather than dividing by zero."""
+    from datawarehousefinal_spark.operators.analytics import zscore_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return zscore_outliers(events, "event_type", "value", threshold=2.0)
+
+
+@query(
     "event_funnel",
     oracle="""
     WITH s0 AS (
