@@ -110,14 +110,21 @@ def train_pq_codebooks(
 
 
 def pq_encode(
-    corpus: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode the corpus: ``(id_col, codes array<int>)``, one nearest
-    codebook entry per subspace. One Arrow pass, argmin via matmul, no
-    shuffle; the output is the ~d×8/m-fold smaller searchable index."""
+    """Encode the corpus: ``(id_col, codes array<int>, *extra_cols)``,
+    one nearest codebook entry per subspace. One Arrow pass, argmin via
+    matmul, no shuffle; the output is the ~d×8/m-fold smaller searchable
+    index. ``extra_cols`` pass through untouched (e.g. the IVF
+    ``__centroid`` cell id for :func:`ivf_pq_topk`)."""
     m, k, dsub = codebooks.shape
     out_schema = StructType(
         [corpus.schema[id_col], StructField("codes", ArrayType(IntegerType()))]
+        + [corpus.schema[c] for c in extra_cols]
     )
     books = np.ascontiguousarray(codebooks)
     cnorm = (books**2).sum(axis=2)  # (m, k)
@@ -132,9 +139,14 @@ def pq_encode(
                 sub = X[:, s * dsub : (s + 1) * dsub]
                 d2 = cnorm[s][None, :] - 2.0 * sub @ books[s].T
                 out[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(out)})
+            cols = {id_col: pdf[id_col], "codes": list(out)}
+            for c in extra_cols:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
-    base = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    base = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v"), *extra_cols
+    )
     return base.mapInPandas(encode, schema=out_schema)
 
 
@@ -161,12 +173,55 @@ def pq_topk(
     Output: ``query_id, neighbor_id, pq_dist`` (ascending = nearest),
     ties broken on neighbor id.
     """
+    return _adc_topk(
+        encoded, queries, id_col, vec_col, codebooks, k, exclude_self,
+        cell_col=None, probes=None,
+    )
+
+
+def _adc_lookup_tables(
+    qrows, codebooks: np.ndarray
+) -> tuple[list, np.ndarray, np.ndarray]:
+    """(query ids, query matrix, per-query m×k distance tables).
+    T[q, s, c] = ||q_s − C[s, c]||² — includes the ||q_s||² term (constant
+    per query) so pq_dist is the actual approximated squared distance,
+    comparable across queries."""
     m, kc, dsub = codebooks.shape
     books = np.ascontiguousarray(codebooks)
-    qrows = (
-        queries.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
-        .collect()
-    )
+    qids = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    tables = np.empty((len(qids), m, kc), dtype=np.float64)
+    for s in range(m):
+        qs = Q[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = (
+            (qs**2).sum(axis=1)[:, None]
+            + (books[s] ** 2).sum(axis=1)[None, :]
+            - 2.0 * qs @ books[s].T
+        )
+    return qids, Q, tables
+
+
+def _adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    k: int,
+    exclude_self: bool,
+    cell_col: str | None,
+    probes: dict | None,
+) -> DataFrame:
+    """Shared ADC kernel: per-batch table-gather scoring + local top-k +
+    global top-k window. With ``cell_col``/``probes`` set (the IVF-PQ
+    path) each query only scores rows in its probed coarse cells."""
+    m = codebooks.shape[0]
+    qrows = [
+        (r[id_col], r["__v"])
+        for r in queries.select(
+            F.col(id_col), as_double_array(vec_col).alias("__v")
+        ).collect()
+    ]
     id_type = encoded.schema[id_col].dataType
     out_schema = StructType(
         [
@@ -178,19 +233,12 @@ def pq_topk(
     spark = encoded.sparkSession
     if not qrows:
         return spark.createDataFrame([], out_schema)
-    qids = [r[id_col] for r in qrows]
-    Q = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in qrows])
-    # Lookup tables: T[q, s, c] = ||q_s - C[s, c]||^2. Includes the ||q_s||^2
-    # term (constant per query) so pq_dist is the actual approximated
-    # squared distance, comparable across queries.
-    tables = np.empty((len(qids), m, kc), dtype=np.float64)
-    for s in range(m):
-        qs = Q[:, s * dsub : (s + 1) * dsub]
-        tables[:, s, :] = (
-            (qs**2).sum(axis=1)[:, None]
-            + (books[s] ** 2).sum(axis=1)[None, :]
-            - 2.0 * qs @ books[s].T
-        )
+    qids, _Q, tables = _adc_lookup_tables(qrows, codebooks)
+    probe_arrays = (
+        {q: np.asarray(sorted(cells)) for q, cells in probes.items()}
+        if probes is not None
+        else None
+    )
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         srange = np.arange(m)
@@ -199,15 +247,26 @@ def pq_topk(
                 continue
             C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
             ids = pdf[id_col].to_numpy()
+            cells = pdf[cell_col].to_numpy() if cell_col is not None else None
             out_q, out_n, out_d = [], [], []
             for qi, qid in enumerate(qids):
-                dist = tables[qi][srange[None, :], C].sum(axis=1)
-                if exclude_self:
-                    dist = np.where(ids == qid, np.inf, dist)
+                if cells is not None:
+                    mask = np.isin(cells, probe_arrays[qid])
+                    if exclude_self:
+                        mask &= ids != qid
+                    if not mask.any():
+                        continue
+                    sub_ids = ids[mask]
+                    dist = tables[qi][srange[None, :], C[mask]].sum(axis=1)
+                else:
+                    sub_ids = ids
+                    dist = tables[qi][srange[None, :], C].sum(axis=1)
+                    if exclude_self:
+                        dist = np.where(ids == qid, np.inf, dist)
                 top = min(k, len(dist))
                 idx = np.argpartition(dist, top - 1)[:top]
                 out_q.extend([qid] * top)
-                out_n.extend(ids[idx])
+                out_n.extend(sub_ids[idx])
                 out_d.extend(dist[idx])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "pq_dist": out_d}
@@ -253,14 +312,26 @@ def pq_topk_rerank(
         encoded, queries, id_col, vec_col, codebooks,
         k=rerank, exclude_self=exclude_self,
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(shortlist, corpus, queries, id_col, vec_col, k)
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact squared-L2 re-score of a (query_id, neighbor_id) shortlist:
+    hash joins by id (the query side broadcasts — small by contract),
+    zip_with/aggregate HOF distance, top-k window."""
     nvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__nv")
     )
     qvec = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
     )
-    # shortlist is Q×rerank id pairs: joins are hash joins on ids (the
-    # query side broadcasts — it is small by the pq_topk contract).
     scored = (
         shortlist.join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
@@ -280,3 +351,52 @@ def pq_topk_rerank(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "dist")
     )
+
+
+def ivf_pq_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 50,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style web-scale layout — coarse-cell
+    pruning (IVF) on top of code-only ADC scoring (PQ) with exact
+    re-rank.
+
+    ``assigned``/``centroids`` come from
+    :func:`similarity.build_ivf_index`; the corpus is encoded once with
+    its ``__centroid`` cell id carried through
+    (``pq_encode(extra_cols=...)``). Per query the ``nprobe`` nearest
+    coarse cells are resolved driver-side against the tiny centroid
+    table, and the ADC kernel scores ONLY rows whose cell is probed —
+    at scale, with the encoded index written partitioned by cell, that
+    prune happens at the parquet scan. The ADC shortlist then re-ranks
+    exactly by id join, same as :func:`pq_topk_rerank`.
+
+    Output: ``query_id, neighbor_id, dist`` (exact squared L2).
+    """
+    enc = pq_encode(
+        assigned, id_col, vec_col, codebooks, extra_cols=("__centroid",)
+    )
+    crows = centroids.collect()
+    cids = np.asarray([r["__centroid"] for r in crows])
+    C = np.stack([np.asarray(r["__cvec"], dtype=np.float64) for r in crows])
+    probes: dict = {}
+    for r in queries.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    ).collect():
+        qv = np.asarray(r["__v"], dtype=np.float64)
+        d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+        take = min(nprobe, len(cids))
+        probes[r[id_col]] = cids[np.argsort(d2)[:take]].tolist()
+    shortlist = _adc_topk(
+        enc, queries, id_col, vec_col, codebooks, rerank, exclude_self,
+        cell_col="__centroid", probes=probes,
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(shortlist, assigned, queries, id_col, vec_col, k)
