@@ -2718,6 +2718,52 @@ def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_violations",
+    oracle="""
+    SELECT 'discount_over_5pct' AS "check",
+           count(*) FILTER (WHERE l_discount > 0.05)::BIGINT AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'negative_price',
+           count(*) FILTER (WHERE l_extendedprice < 0)::BIGINT FROM lineitem
+    UNION ALL
+    SELECT 'null_shipdate',
+           count(*) FILTER (WHERE l_shipdate IS NULL)::BIGINT FROM lineitem
+    UNION ALL
+    SELECT 'unique_lineitem_pk', coalesce(sum(n - 1), 0)::BIGINT
+    FROM (SELECT count(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber) t
+    UNION ALL
+    SELECT 'fk_orderkey', count(*)::BIGINT
+    FROM lineitem l
+    WHERE l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def dq_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the fact load
+    (operators/quality.py): three row rules share ONE scan, plus a
+    uniqueness groupBy on the line-item PK and a broadcast anti-join FK
+    check against orders — the lazy union report an ingest job actions
+    once before publishing. Oracle-exact."""
+    from datawarehousefinal_spark.operators.quality import dq_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return dq_report(
+        li,
+        row_rules={
+            "null_shipdate": F.col("l_shipdate").isNull(),
+            "discount_over_5pct": F.col("l_discount") > 0.05,
+            "negative_price": F.col("l_extendedprice") < 0,
+        },
+        unique_keys={"unique_lineitem_pk": ["l_orderkey", "l_linenumber"]},
+        foreign_keys={"fk_orderkey": ("l_orderkey", orders, "o_orderkey")},
+    )
+
+
+@query(
     "quartile_binning",
     oracle="""
     WITH b AS (
