@@ -170,3 +170,48 @@ def test_date_surface_agrees_with_python_and_duckdb(spark):
     )
     for i, d in enumerate(days):
         assert duck[i] == d.toordinal(), (i, d)
+
+
+def test_gap_fill_agrees_with_python_reference(spark):
+    """Differential fuzz for gap_fill_interpolate: 60 random sparse
+    per-group daily series (random gaps, duplicates-free, single-point
+    groups, long holes) filled by Spark in ONE job and checked against a
+    direct pure-Python linear interpolation of the same series."""
+    import datetime as dt
+
+    from datawarehousefinal_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    rng = random.Random(20260814)
+    base = dt.date(2023, 1, 1)
+    rows, expected = [], {}
+    for g in range(60):
+        n_obs = rng.choice([1, 2, 3, 5, 8])
+        days = sorted(rng.sample(range(0, 60), n_obs))
+        vals = [round(rng.uniform(-50, 50), 3) for _ in days]
+        gname = f"g{g}"
+        for d, v in zip(days, vals):
+            rows.append((gname, base + dt.timedelta(days=d), v))
+        # python reference: dense spine + linear interpolation
+        for d in range(days[0], days[-1] + 1):
+            date = base + dt.timedelta(days=d)
+            if d in days:
+                expected[(gname, date)] = (vals[days.index(d)], True)
+                continue
+            prev_i = max(i for i, dd in enumerate(days) if dd < d)
+            next_i = min(i for i, dd in enumerate(days) if dd > d)
+            pd_, nd = days[prev_i], days[next_i]
+            pv, nv = vals[prev_i], vals[next_i]
+            val = pv + (nv - pv) * (d - pd_) / (nd - pd_)
+            expected[(gname, date)] = (val, False)
+    df = spark.createDataFrame(rows, "g string, d date, v double")
+    got = {
+        (r["g"], r["d"]): (r["v"], r["was_observed"])
+        for r in gap_fill_interpolate(df, "g", "d", "v").collect()
+    }
+    assert set(got) == set(expected)
+    for key, (v, flag) in expected.items():
+        gv, gflag = got[key]
+        assert gflag == flag, key
+        assert abs(gv - v) < 1e-9, (key, gv, v)
