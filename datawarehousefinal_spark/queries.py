@@ -2718,6 +2718,58 @@ def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_revenue_topk",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def segment_revenue_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic shipping-priority analytics (the TPC-H Q3 join shape on
+    the fixture tables): segment-filtered customers ⋈ orders ⋈ lineitem,
+    revenue aggregate, top-10. The segment filter prunes the customer
+    side BEFORE the join (predicate pushdown to the scan), the filtered
+    customer key set broadcasts, and the revenue agg is map-side
+    partial — the plan a 100 TB fact join needs. Oracle-exact including
+    the deterministic tie-break."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@query(
     "dq_violations",
     oracle="""
     SELECT 'discount_over_5pct' AS "check",
