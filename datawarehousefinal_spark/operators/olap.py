@@ -131,3 +131,60 @@ def pivot_measure(
         row_dim,
         *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in col_values],
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+def measure_state(
+    fact: DataFrame, group_cols: list[str], measure_col: str
+) -> DataFrame:
+    """Mergeable aggregate STATE for the cube measures: per group,
+    ``n`` (count of non-null measures, which is also the movement count
+    when the measure is the counted column) plus ``sum_m`` — the
+    decomposition under which count/sum/avg are all re-derivable and
+    ASSOCIATIVE, so states merge without touching the rows that built
+    them. This is incremental view maintenance for the serving cube: at
+    100 TB the nightly job aggregates ONLY the new partition and merges
+    its (tiny, |groups|-row) state into the stored one — never a
+    re-aggregation of the corpus.
+
+    Output: ``*group_cols, n (long), sum_m (double)``.
+    """
+    return fact.groupBy(*group_cols).agg(
+        F.count(measure_col).cast("long").alias("n"),
+        F.sum(F.col(measure_col).cast("double")).alias("sum_m"),
+    )
+
+
+def merge_measure_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two measure states (same schema): group-wise component sums.
+    ``merge(state(A), state(B)) ≡ state(A ∪ B)`` exactly — asserted
+    against the direct aggregation in the oracled
+    ``incremental_cube_merge`` query. One map-side-combined shuffle over
+    |groups| rows on each side; fact rows never participate."""
+    group_cols = [c for c in state.columns if c not in ("n", "sum_m")]
+    return (
+        state.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_m").alias("sum_m"),
+        )
+    )
+
+
+def serve_measures(state: DataFrame) -> DataFrame:
+    """Render a measure state into the cube's serving columns:
+    ``cantidad_movimientos`` (count) and ``promedio_edades`` (avg =
+    sum/count, NULL for empty groups) — the same contract as
+    :func:`cube_measures`, derived from state instead of rows."""
+    group_cols = [c for c in state.columns if c not in ("n", "sum_m")]
+    return state.select(
+        *group_cols,
+        F.col("n").alias("cantidad_movimientos"),
+        F.when(F.col("n") > 0, F.col("sum_m") / F.col("n")).alias(
+            "promedio_edades"
+        ),
+    )

@@ -2718,6 +2718,44 @@ def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_cube_merge",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+           o_orderstatus,
+           count(o_totalprice)::BIGINT AS cantidad_movimientos,
+           avg(o_totalprice) AS promedio_edades
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def incremental_cube_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for the serving cube: the measure
+    state (count + sum per cell — the associative decomposition) is
+    built separately over two halves of the fact, merged state-to-state
+    (|groups|-row frames; fact rows never re-aggregate), and served as
+    the cube's count/avg measures. The oracle is the DIRECT aggregation
+    over the whole table — hash-equality proves merge(state(A),
+    state(B)) ≡ state(A ∪ B) exactly. This is the nightly-ingest shape
+    at 100 TB: aggregate only the new partition, merge the tiny states."""
+    from datawarehousefinal_spark.operators.olap import (
+        measure_state,
+        merge_measure_state,
+        serve_measures,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("anio"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    state = measure_state(half_a, ["anio", "o_orderstatus"], "o_totalprice")
+    delta = measure_state(half_b, ["anio", "o_orderstatus"], "o_totalprice")
+    return serve_measures(merge_measure_state(state, delta))
+
+
+@query(
     "segment_revenue_topk",
     oracle="""
     SELECT l.l_orderkey AS orderkey,

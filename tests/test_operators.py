@@ -155,3 +155,31 @@ def test_profile_table_nulls_and_approx(spark):
 
     assert count_node(profile_table(df), "Expand") == 0
     assert count_node(profile_table(df, approx=False), "Expand") >= 1
+
+
+def test_measure_state_merge_identities(spark):
+    """merge(state, empty) == state; merge handles disjoint and
+    overlapping groups; serve derives avg = sum/n with NULL-for-empty."""
+    from datawarehousefinal_spark.operators.olap import (
+        measure_state,
+        merge_measure_state,
+        serve_measures,
+    )
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame(
+        [("x", 10.0), ("x", 20.0), ("y", 5.0)], "g string, m double"
+    )
+    b = spark.createDataFrame([("y", 7.0), ("z", 1.0)], "g string, m double")
+    sa = measure_state(a, ["g"], "m")
+    sb = measure_state(b, ["g"], "m")
+    empty = measure_state(b.filter(F.lit(False)), ["g"], "m")
+
+    ident = {r["g"]: (r["n"], r["sum_m"]) for r in merge_measure_state(sa, empty).collect()}
+    assert ident == {"x": (2, 30.0), "y": (1, 5.0)}
+
+    served = {
+        r["g"]: (r["cantidad_movimientos"], r["promedio_edades"])
+        for r in serve_measures(merge_measure_state(sa, sb)).collect()
+    }
+    assert served == {"x": (2, 15.0), "y": (2, 6.0), "z": (1, 1.0)}
