@@ -106,3 +106,43 @@ def correlation_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
     )
+
+
+def value_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Equal-width histogram of a numeric column: ``bucket (1-based),
+    lo, hi, n``.
+
+    Two passes by necessity (bounds, then counts — the same shape every
+    engine's histogram uses): a single-row min/max aggregate cross-joins
+    onto the rows (broadcast of ONE row — the bounded scalar-broadcast
+    pattern of ``class_weights``), bucket assignment is pure arithmetic,
+    and the count is one map-side-combined groupBy over ≤ ``bins``
+    distinct keys. The max value is clamped into the top bucket;
+    a constant column degenerates to one bucket. NULLs are excluded.
+    Bucket arithmetic is plain ``floor((v-lo)/w)`` on doubles so the
+    DuckDB oracle replays it bit-for-bit.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    stats = df.agg(
+        F.min(F.col(col)).cast("double").alias("__lo"),
+        F.max(F.col(col)).cast("double").alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    bucket = F.when(F.col("__hi") <= F.col("__lo"), F.lit(1)).otherwise(
+        F.least(
+            F.floor((F.col("__v") - F.col("__lo")) / width) + 1, F.lit(bins)
+        )
+    ).cast("int")
+    return (
+        df.select(F.col(col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.min(F.col("__lo") + (F.col("bucket") - 1) * width).alias("lo"),
+            F.min(F.col("__lo") + F.col("bucket") * width).alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )

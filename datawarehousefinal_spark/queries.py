@@ -2718,6 +2718,41 @@ def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_histogram",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST(CASE WHEN s.hi <= s.lo THEN 1
+                  ELSE least(floor((CAST(o_totalprice AS DOUBLE) - s.lo)
+                                   / ((s.hi - s.lo) / 10)) + 1, 10)
+                  END AS INTEGER) AS bucket,
+             s.lo, s.hi
+      FROM orders, s
+      WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bucket,
+           min(lo + (bucket - 1) * ((hi - lo) / 10)) AS lo,
+           min(lo + bucket * ((hi - lo) / 10)) AS hi,
+           count(*)::BIGINT AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 10-bucket histogram of order totals: single-row
+    min/max broadcast onto the rows, arithmetic bucket assignment, one
+    tiny groupBy — identical floor((v-lo)/w) arithmetic on both engines,
+    oracle-exact."""
+    from datawarehousefinal_spark.operators.profile import value_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return value_histogram(orders, "o_totalprice", bins=10)
+
+
+@query(
     "incremental_cube_merge",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,

@@ -38,6 +38,9 @@ BNLJ_ALLOWED = {
     # attach_class_weights' single-row total-count cross join (the same
     # bounded pattern as class_weights) feeding the RF training frame.
     "rf_confusion_matrix",
+    # value_histogram's single-row min/max bounds cross join — the same
+    # bounded scalar-broadcast pattern (BuildRight of one aggregate row).
+    "value_histogram",
 }
 
 
