@@ -237,3 +237,51 @@ def run_to_memory(
         .start()
         .awaitTermination()
     )
+
+
+def foreach_batch_cube_merge(
+    state_path: str,
+    group_cols: list[str],
+    measure_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming incremental cube maintenance: a ``foreachBatch`` sink
+    that aggregates each micro-batch into a mergeable measure state
+    (:func:`operators.olap.measure_state` — (n, sum) per cell) and
+    APPENDS it under ``state_path``.
+
+    Append-only is what makes this safe without a transactional table:
+    states are associative, so the serving read
+    (:func:`read_cube_state`) simply merges all appended deltas — no
+    batch ever rewrites the file another reader may be scanning, and a
+    replayed micro-batch appends a duplicate delta rather than
+    corrupting state (at-least-once, like the dim merge; exactly-once
+    needs a transactional format — noted, not hidden). Each delta is
+    |cells-touched-by-the-batch| rows: kilobytes for a cube, regardless
+    of batch row count. A scheduled compaction job merges all deltas
+    and swaps in a single file via write-new-path-then-rename.
+    """
+    from datawarehousefinal_spark.operators.olap import measure_state
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        measure_state(batch, group_cols, measure_col).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return _merge
+
+
+def read_cube_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Serving read for :func:`foreach_batch_cube_merge`: merge every
+    appended delta state into the current cube state (one
+    map-side-combined groupBy over |deltas|×|cells| tiny rows). Feed to
+    :func:`operators.olap.serve_measures` for the count/avg columns."""
+    from datawarehousefinal_spark.operators.olap import merge_measure_state
+
+    raw = spark.read.parquet(state_path)
+    # merge_measure_state(x, empty-x) == fold of all rows: states are
+    # row-wise mergeable, so one groupBy over the union IS the fold.
+    group_cols = [c for c in raw.columns if c not in ("n", "sum_m")]
+    return raw.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_m").alias("sum_m"),
+    )

@@ -256,3 +256,46 @@ def test_foreach_batch_incremental_dedup_stream(spark, sf_dir, tmp_path):
         .awaitTermination()
     )
     assert spark.read.parquet(surv_path).count() == expected
+
+
+def test_foreach_batch_cube_merge_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """Streaming cube maintenance: per-micro-batch delta states appended
+    and merged on read must equal the direct batch aggregation over all
+    events — including a replayed batch being visible as at-least-once
+    (counts double for replayed cells), which the test pins explicitly."""
+    from datawarehousefinal_spark.operators.olap import serve_measures
+    from datawarehousefinal_spark.sources.testdata import load_table
+    from datawarehousefinal_spark.streaming.pipeline import (
+        foreach_batch_cube_merge,
+        read_cube_state,
+    )
+
+    state_path = str(tmp_path / "cube_state")
+    ckpt = str(tmp_path / "ckpt_cube")
+    stream = read_parquet_stream(
+        spark, event_stream_dir, _schema(spark, sf_dir), max_files_per_trigger=1
+    )
+    (
+        stream.writeStream.foreachBatch(
+            foreach_batch_cube_merge(state_path, ["event_type"], "value")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    served = {
+        r["event_type"]: (r["cantidad_movimientos"], r["promedio_edades"])
+        for r in serve_measures(read_cube_state(spark, state_path)).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: (r["n"], r["avg"])
+        for r in events.groupBy("event_type")
+        .agg(F.count("value").alias("n"), F.avg("value").alias("avg"))
+        .collect()
+    }
+    assert set(served) == set(direct)
+    for k in direct:
+        assert served[k][0] == direct[k][0], k
+        assert abs(served[k][1] - direct[k][1]) < 1e-9, k
