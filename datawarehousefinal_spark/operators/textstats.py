@@ -216,3 +216,47 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "top_token_frac"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 500,
+    overlap: int = 50,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG/context-window prep
+    step): fixed-size character chunks with ``overlap`` characters of
+    context carried between consecutive chunks.
+
+    MAP-ONLY: start offsets are a per-row ``sequence`` (stride =
+    ``chunk_size - overlap``), chunks are ``substring`` slices exploded
+    with their 1-based index — no shuffle, no UDF, and exactly
+    SQL-replayable. Empty texts yield one empty chunk and NULL texts one
+    NULL chunk (Spark ``greatest`` skips NULLs, so the start sequence is
+    always non-empty — documents never vanish silently); the final chunk
+    is shorter when the text doesn't fill it. Complements :mod:`operators.packing`'s token-budget
+    chunker: this one is offset-deterministic for retrieval indexing,
+    that one packs token budgets for training.
+
+    Output: ``id_col, chunk_id (int, 1-based), chunk_text``.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    step = chunk_size - overlap
+    c = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(c) - overlap, F.lit(1)),
+        F.lit(step),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda s: F.substring(c, s, F.lit(chunk_size)))
+        ).alias("__pos", "chunk_text"),
+    ).select(
+        id_col,
+        (F.col("__pos") + 1).cast("int").alias("chunk_id"),
+        "chunk_text",
+    )

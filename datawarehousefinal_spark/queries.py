@@ -2718,6 +2718,38 @@ def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunking",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(length(text) - 50, 1), 450))
+               AS s,
+             text
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s)
+                AS INTEGER) AS chunk_id,
+           substr(text, s, 500) AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of the document corpus (500-char chunks,
+    50-char overlap — the retrieval-indexing prep step): offsets from a
+    per-row sequence, substring slices exploded with their index, zero
+    shuffles. Oracle replays the identical offset arithmetic with
+    generate_series + substr."""
+    from datawarehousefinal_spark.operators.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return chunk_documents(docs, "doc_id", "text", chunk_size=500, overlap=50)
+
+
+@query(
     "value_histogram",
     oracle="""
     WITH s AS (

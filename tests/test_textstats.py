@@ -110,3 +110,40 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert rows[1]["top_token_frac"] == 0.9
     assert rows[2]["distinct_ratio"] == 1.0
     assert rows[2]["top_token_frac"] == rows[2]["n_tokens"] ** -1
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    import pytest
+    from datawarehousefinal_spark.operators.textstats import chunk_documents
+
+    rows = [
+        (1, "abcdefghij"),   # len 10: chunks of 6, stride 4 -> starts 1,5
+        (2, "abc"),          # shorter than a chunk: single chunk
+        (3, None),           # NULL text: one NULL chunk, doc not dropped
+        (4, ""),             # empty text: one empty chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in chunk_documents(df, "doc_id", "text", 6, 2).collect()
+    }
+    assert out[(1, 1)] == "abcdef"
+    assert out[(1, 2)] == "efghij"          # 2-char overlap carried
+    assert out[(2, 1)] == "abc"
+    assert out[(3, 1)] is None
+    assert out[(4, 1)] == ""
+    assert len(out) == 5
+    # every character of doc 1 is covered by some chunk (no start past
+    # len-overlap: a further chunk would add only already-covered chars)
+    assert out[(1, 1)][: 6 - 2] + out[(1, 2)] == "abcdefghij"
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 5, 5)
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    from datawarehousefinal_spark.operators.textstats import chunk_documents
+    from datawarehousefinal_spark.plans.audit import assert_max_shuffles
+    from datawarehousefinal_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert_max_shuffles(chunk_documents(docs, "doc_id", "text"), 0)
