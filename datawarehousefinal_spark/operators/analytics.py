@@ -182,3 +182,37 @@ def zscore_outliers(
             F.max(F.abs("__z")).alias("max_abs_z"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize a numeric column: clamp values below the ``lower`` and
+    above the ``upper`` exact interpolated percentile — the standard
+    outlier treatment before scaling/regression (the robust companion of
+    the ML layer's StandardScaler).
+
+    The two cut points are ONE single-row percentile aggregate broadcast
+    onto the rows (the bounded scalar-broadcast pattern of
+    ``class_weights``/``value_histogram``); the clamp itself is pure
+    column arithmetic. Exact percentiles sort-aggregate per partition —
+    at 100 TB swap ``percentile`` for ``approx_percentile`` (documented
+    trade, same shape as the profiler's HLL switch).
+    """
+    q = df.agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("__qlo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("__qhi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.col("__qlo")),
+        F.col("__qhi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .withColumn(out_col or value_col, clamped)
+        .drop("__qlo", "__qhi")
+    )

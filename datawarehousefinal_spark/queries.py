@@ -2921,6 +2921,45 @@ def dq_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorized_stats",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS qlo,
+             quantile_cont(l_extendedprice, 0.99) AS qhi
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           avg(least(greatest(CAST(l_extendedprice AS DOUBLE), qlo), qhi))
+             AS avg_price,
+           min(least(greatest(CAST(l_extendedprice AS DOUBLE), qlo), qhi))
+             AS min_price,
+           max(least(greatest(CAST(l_extendedprice AS DOUBLE), qlo), qhi))
+             AS max_price
+    FROM lineitem, q
+    GROUP BY 1
+    """,
+)
+def winsorized_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price statistics: the 1st/99th exact interpolated
+    percentiles (one single-row aggregate, broadcast) clamp the price
+    column, then per-flag moments aggregate over the clamped values —
+    the standard outlier treatment before model fitting. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the interpolated
+    definition, so the clamp is oracle-exact."""
+    from datawarehousefinal_spark.operators.analytics import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice", 0.01, 0.99)
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
     "quartile_binning",
     oracle="""
     WITH b AS (

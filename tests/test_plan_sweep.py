@@ -41,6 +41,9 @@ BNLJ_ALLOWED = {
     # value_histogram's single-row min/max bounds cross join — the same
     # bounded scalar-broadcast pattern (BuildRight of one aggregate row).
     "value_histogram",
+    # winsorized_stats' single-row percentile cut-point cross join —
+    # the same bounded scalar-broadcast pattern.
+    "winsorized_stats",
 }
 
 
