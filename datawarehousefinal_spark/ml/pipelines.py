@@ -282,6 +282,42 @@ def pca_project_2d(
     ).drop("__pca")
 
 
+def pca_loadings(
+    df: DataFrame, k: int = 2, features_col: str = "features"
+) -> DataFrame:
+    """M7 made driver-reportable: the fitted PCA loading matrix plus
+    explained-variance ratios as a long-format frame
+    (machineLearning.py:392-397's ``pca.components_`` /
+    ``explained_variance_ratio_``).
+
+    An eigenvector's sign is arbitrary (±v span the same axis, and which
+    sign the solver emits can depend on iteration order), so each
+    component is SIGN-NORMALIZED: flipped so its largest-|loading| entry
+    is positive — the standard convention for comparable loadings.
+    Model coefficients are O(k·d) driver-side scalars by nature (the fit
+    itself is the distributed part), so ``createDataFrame`` here is not
+    a collect smell.
+
+    Output: ``component (1-based int), feature_idx (int), loading
+    (double), explained_variance (double)``.
+    """
+    import numpy as np
+
+    model = PCA(k=k, inputCol=features_col, outputCol="__pca").fit(df)
+    pc = model.pc.toArray()  # (n_features, k)
+    ev = model.explainedVariance.toArray()
+    rows = []
+    for j in range(k):
+        col = pc[:, j]
+        sign = 1.0 if col[int(np.argmax(np.abs(col)))] >= 0 else -1.0
+        for fi in range(pc.shape[0]):
+            rows.append((j + 1, fi, float(sign * col[fi]), float(ev[j])))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "component int, feature_idx int, loading double, explained_variance double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # M8-M10 — classification
 # ---------------------------------------------------------------------------
@@ -384,6 +420,21 @@ def grid_search_cv(
         seed=seed,
     )
     return cv.fit(train)
+
+
+def cv_metrics_table(cv_model: Any, spark) -> DataFrame:
+    """M10 report: one row per grid point — the flattened param map and
+    its cross-validated mean metric (sklearn ``cv_results_``,
+    machineLearning.py:536-553's best-params printout generalized).
+    O(grid) driver-side scalars; the fits themselves were distributed."""
+    rows = []
+    for pm, m in zip(cv_model.getEstimatorParamMaps(), cv_model.avgMetrics):
+        desc = ", ".join(
+            f"{p.name}={v}"
+            for p, v in sorted(pm.items(), key=lambda kv: kv[0].name)
+        )
+        rows.append((desc, float(m)))
+    return spark.createDataFrame(rows, "params string, avg_metric double")
 
 
 # ---------------------------------------------------------------------------

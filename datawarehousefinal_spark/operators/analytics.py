@@ -190,26 +190,38 @@ def winsorize(
     lower: float = 0.01,
     upper: float = 0.99,
     out_col: str | None = None,
+    approx: bool = True,
 ) -> DataFrame:
     """Winsorize a numeric column: clamp values below the ``lower`` and
-    above the ``upper`` exact interpolated percentile — the standard
-    outlier treatment before scaling/regression (the robust companion of
-    the ML layer's StandardScaler).
+    above the ``upper`` percentile — the standard outlier treatment
+    before scaling/regression (the robust companion of the ML layer's
+    StandardScaler). NULL values pass through as NULL (they are missing,
+    not small — without the guard, ``greatest(NULL, qlo)`` would
+    silently rewrite them to the lower cut).
 
     The two cut points are ONE single-row percentile aggregate broadcast
     onto the rows (the bounded scalar-broadcast pattern of
     ``class_weights``/``value_histogram``); the clamp itself is pure
-    column arithmetic. Exact percentiles sort-aggregate per partition —
-    at 100 TB swap ``percentile`` for ``approx_percentile`` (documented
-    trade, same shape as the profiler's HLL switch).
+    column arithmetic. ``approx=True`` (the default — this is the
+    100 TB path) uses ``approx_percentile`` (Greenwald-Khanna sketch:
+    constant-memory mergeable state, map-side combined). Pass
+    ``approx=False`` only when the cuts feed an oracle comparison:
+    EXACT ``percentile`` buffers every value of the column on the one
+    reducer that merges the final aggregation state — the same
+    single-machine trap as exact countDistinct, and the scale-killer at
+    the 100 TB target.
     """
+    fn = "approx_percentile" if approx else "percentile"
     q = df.agg(
-        F.expr(f"percentile({value_col}, {lower})").alias("__qlo"),
-        F.expr(f"percentile({value_col}, {upper})").alias("__qhi"),
+        F.expr(f"{fn}({value_col}, {lower})").cast("double").alias("__qlo"),
+        F.expr(f"{fn}({value_col}, {upper})").cast("double").alias("__qhi"),
     )
-    clamped = F.least(
-        F.greatest(F.col(value_col).cast("double"), F.col("__qlo")),
-        F.col("__qhi"),
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("__qlo")),
+            F.col("__qhi"),
+        ),
     )
     return (
         df.crossJoin(F.broadcast(q))

@@ -644,12 +644,22 @@ def _simhash_fp_pairs(
         # "No silent caps": measure how much of the banding the skew guard
         # is about to throw away, and fail loudly when it is material —
         # a quietly-degraded dedup pass is worse than an error. One extra
-        # aggregation job over the persisted keyed frame.
-        counted = counted.persist()
-        stats = counted.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.count(F.when(F.col("__n") > max_bucket, 1)).alias("dropped"),
-        ).first()
+        # map-side-combined aggregate over the combo keys (NOT a persist
+        # of the counted frame — that cache had no owner to release it;
+        # the self-join below re-derives the window, whose shuffle AQE's
+        # exchange reuse already dedups across the a/b branches).
+        stats = (
+            keyed.groupBy("table", "key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .agg(
+                F.coalesce(F.sum("__bn"), F.lit(0)).alias("total"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__bn") > max_bucket, F.col("__bn"))),
+                    F.lit(0),
+                ).alias("dropped"),
+            )
+            .first()
+        )
         if stats["total"] and stats["dropped"] / stats["total"] > max_dropped_frac:
             raise RuntimeError(
                 f"simhash banding dropped {stats['dropped']}/{stats['total']} "

@@ -63,33 +63,38 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
-        neighbor = (
-            sym.join(labels, sym.dst == labels.id)
-            .select(F.col("src").alias("id"), "component")
+    try:
+        for _ in range(max_iterations):
+            neighbor = (
+                sym.join(labels, sym.dst == labels.id)
+                .select(F.col("src").alias("id"), "component")
+            )
+            new_labels = (
+                labels.unionByName(neighbor)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint()  # truncate lineage — see module docstring
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            f"— the pair graph has a longer diameter than duplicate clusters "
+            f"produce; raise max_iterations or use a pointer-doubling variant."
         )
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # truncate lineage — see module docstring
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            sym.unpersist()
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds — "
-        f"the pair graph has a longer diameter than duplicate clusters "
-        f"produce; raise max_iterations or use a pointer-doubling variant."
-    )
+    finally:
+        # Converged labels are localCheckpoint-materialized, so the edge
+        # cache is safe to drop on BOTH exits — including the raise, which
+        # previously stranded it for the session lifetime.
+        sym.unpersist()
 
 
 def resolve_duplicates(

@@ -35,6 +35,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _range_bucket_expr(
+    df: DataFrame, order_cols: list[str], n: int, seed: int = 42
+):
+    """A deterministic range-bucket id (0..<=n-1) for the total order
+    ``order_cols``, as a pure column expression.
+
+    Samples ~20·n order keys (one bounded, column-pruned pass), picks
+    n-1 evenly spaced boundary tuples on the driver, and FREEZES them
+    into the plan as struct literals: ``bucket = Σ 1[key >= boundary_i]``
+    via Spark's lexicographic struct comparison. Because the boundaries
+    are literals, the bucket is a pure function of the row — any two
+    plan branches that recompute it agree by construction, which is what
+    lets the prefix sum below run WITHOUT pinning a materialization
+    (``repartitionByRange`` + ``spark_partition_id`` would re-sample per
+    execution, forcing a persist whose lifetime no one owns). Rows with
+    a NULL order key land in bucket 0, matching ASC NULLS FIRST.
+    """
+    keys = df.select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(order_cols)]
+    )
+    total = keys.count()
+    target = 20 * n
+    sampled = (
+        keys
+        if total <= target
+        else keys.sample(False, min(1.0, (target * 1.2 + 10) / total), seed)
+    )
+    rows = [
+        tuple(r)
+        for r in sampled.limit(10 * target).collect()
+        if all(v is not None for v in r)
+    ]
+    rows.sort()
+    boundaries = []
+    if rows and n > 1:
+        step = len(rows) / n
+        seen = set()
+        for i in range(1, n):
+            b = rows[min(int(i * step), len(rows) - 1)]
+            if b not in seen:
+                seen.add(b)
+                boundaries.append(b)
+    key = F.struct(*[F.col(c).alias(f"__k{i}") for i, c in enumerate(order_cols)])
+    types = [df.schema[c].dataType for c in order_cols]
+    bucket = F.lit(0)
+    for b in boundaries:
+        blit = F.struct(
+            *[
+                F.lit(v).cast(t).alias(f"__k{i}")
+                for i, (v, t) in enumerate(zip(b, types))
+            ]
+        )
+        bucket = bucket + F.coalesce((key >= blit).cast("int"), F.lit(0))
+    return bucket
+
+
 def distributed_cumsum(
     df: DataFrame,
     order_cols: list[str],
@@ -45,28 +101,23 @@ def distributed_cumsum(
     """Cumulative sum of ``value_col`` over the total order ``order_cols``
     without a global single-partition window.
 
-    Two phases: (1) range-repartition on the order columns and run the
-    window WITHIN each partition — parallel, each task sorts its slice;
-    (2) aggregate per-partition totals (one tiny row per partition),
-    cumulate them into prefix offsets with a window over that tiny frame,
-    and broadcast-join the offset back. The result is independent of the
-    partitioning (a prefix sum over a total order is well-defined
-    wherever the cuts fall), but the ``partition id → offset`` pairing
-    must come from ONE materialization of the exchange — hence the
-    persist before the two consumers.
+    Two phases over a DETERMINISTIC range bucket (:func:`_range_bucket_expr`
+    — boundary literals frozen into the plan): (1) the window runs WITHIN
+    each bucket — parallel, each task sorts its slice; (2) per-bucket
+    totals (one tiny row per bucket) cumulate into prefix offsets with a
+    window over that tiny frame and broadcast-join back. Both phases
+    recompute the bucket id independently and agree by construction, so
+    nothing is persisted and nothing leaks — a long-lived session can
+    call this per-batch without stranding cached corpus copies.
 
     ``order_cols`` must form a UNIQUE key (append the row id): with
-    duplicate order keys split across range-partition boundaries, "the
-    order" itself would be ambiguous.
+    duplicate order keys split across bucket boundaries, "the order"
+    itself would be ambiguous. Bucket balance comes from the boundary
+    sample, exactly like ``repartitionByRange``'s sampling.
     """
     sc = df.sparkSession.sparkContext
     n = num_partitions or sc.defaultParallelism
-    tagged = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
+    tagged = df.withColumn("__pid", _range_bucket_expr(df, order_cols, n))
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local = tagged.withColumn("__local", F.sum(value_col).over(w_local))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

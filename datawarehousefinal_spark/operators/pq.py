@@ -264,10 +264,19 @@ def _adc_topk(
                     if exclude_self:
                         dist = np.where(ids == qid, np.inf, dist)
                 top = min(k, len(dist))
-                idx = np.argpartition(dist, top - 1)[:top]
+                # The global window breaks ties on (pq_dist, neighbor_id);
+                # the local cut must apply the SAME tie-break or which
+                # tied candidate survives would depend on partitioning
+                # (identical vectors produce bit-equal ADC distances).
+                # argpartition finds the k-th distance in O(n); every
+                # entry tied with it is kept for the id-ordered cut.
+                part = np.argpartition(dist, top - 1)[:top]
+                kth = dist[part].max()
+                cand = np.flatnonzero(dist <= kth)
+                order = cand[np.lexsort((sub_ids[cand], dist[cand]))[:top]]
                 out_q.extend([qid] * top)
-                out_n.extend(sub_ids[idx])
-                out_d.extend(dist[idx])
+                out_n.extend(sub_ids[order])
+                out_d.extend(dist[order])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "pq_dist": out_d}
             )

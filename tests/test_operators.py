@@ -183,3 +183,23 @@ def test_measure_state_merge_identities(spark):
         for r in serve_measures(merge_measure_state(sa, sb)).collect()
     }
     assert served == {"x": (2, 15.0), "y": (2, 6.0), "z": (1, 1.0)}
+
+
+def test_winsorize_null_passthrough_and_approx(spark):
+    """NULLs must stay NULL (greatest/least skip NULLs, so an unguarded
+    clamp rewrites them to the lower cut), on both percentile paths."""
+    from datawarehousefinal_spark.operators.analytics import winsorize
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 1000.0), (4, 50.0), (5, 60.0)],
+        "id int, v double",
+    )
+    for approx in (False, True):
+        rows = {r["id"]: r["v"] for r in winsorize(df, "v", 0.1, 0.9, approx=approx).collect()}
+        assert rows[2] is None, f"approx={approx}: NULL became {rows[2]}"
+        # interior values untouched
+        assert rows[4] == 50.0
+        assert rows[3] <= 1000.0 and rows[1] >= 10.0
+    # the EXACT path interpolates, so the extremes strictly move
+    exact = {r["id"]: r["v"] for r in winsorize(df, "v", 0.1, 0.9, approx=False).collect()}
+    assert exact[3] < 1000.0 and exact[1] > 10.0

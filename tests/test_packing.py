@@ -59,6 +59,20 @@ def test_budgeted_chunks_sequential_fill_invariants(spark):
     assert sum(r["total_tokens"] for r in stats) == sum(t for _, t in rows)
 
 
+def test_budgeted_chunks_strands_no_cache(spark):
+    """The prefix sum must not pin anything in the block manager: the
+    range-bucket ids are literal-frozen (pure row functions), so no
+    materialization needs persisting — two back-to-back packing calls
+    leave the persistent-RDD registry exactly as they found it."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    rows = [(i, (i * 37) % 211 + 1) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    for _ in range(2):
+        budgeted_chunks(df, "id", "toks", 1000).count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, f"stranded cached RDDs: {before} -> {after}"
+
+
 def test_greedy_pack_strict_budget_and_determinism(spark):
     rng = random.Random(5)
     rows = [(i % 4, i, rng.randint(50, 900)) for i in range(800)]
