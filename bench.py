@@ -77,6 +77,22 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Round-over-round comparison on the common query set: BENCH_PREV.json
+    # is the prior round's BENCH_LOCAL snapshot (committed at round start),
+    # so the record carries its own ratio and no one has to recompute it.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_PREV.json")) as fh:
+            prev = json.load(fh)["queries"]
+        common = sorted(set(prev) & set(timings))
+        now_sum = round(sum(timings[q] for q in common), 4)
+        prev_sum = round(sum(prev[q] for q in common), 4)
+        out["common_n"] = len(common)
+        out["common_now"] = now_sum
+        out["common_prev"] = prev_sum
+        out["ratio"] = round(now_sum / prev_sum, 4) if prev_sum else None
+    except (OSError, ValueError, KeyError):
+        pass
     line = json.dumps(out)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),

@@ -68,11 +68,12 @@ def event_funnel(
     counts = per_user.agg(
         *[F.count(F.col(t)).cast("long").alias(f"__n{i}") for i, t in enumerate(t_cols)]
     )
-    stack_args = ", ".join(
-        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(steps)
-    )
-    return counts.selectExpr(
-        f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
+    from datawarehousefinal_spark.operators.unpivot import unpivot_single_row
+
+    return unpivot_single_row(
+        counts,
+        [(i + 1, s, F.col(f"__n{i}")) for i, s in enumerate(steps)],
+        ["step", "step_name", "n_users"],
     )
 
 

@@ -168,17 +168,33 @@ CHANNEL_FEATURES_SCHEMA = StructType(
 )
 
 
-def channel_features(df: DataFrame) -> DataFrame:
-    """Per-channel mean/std feature vector from raw image payloads —
-    the feature-extraction step of an image-dedup/quality pipeline."""
+def channel_features(df: DataFrame, codec_col: str | None = None) -> DataFrame:
+    """Per-channel mean/std feature vector from image payloads — the
+    feature-extraction step of an image-dedup/quality pipeline.
+
+    Default path decodes the raw uint8 format (REAL, numpy reshape).
+    With ``codec_col``, rows whose codec is neither NULL nor ``'raw'``
+    decode through :func:`decode_compressed` — PIL behind an import
+    guard, so on a cluster image with Pillow installed PNG/JPEG payloads
+    feature-extract in the same Arrow batches, and without it the task
+    fails LOUDLY (NotImplementedError) instead of emitting garbage.
+    Compressed rows take their dims from the decoded array, not the
+    declared meta (the payload is authoritative for its own shape)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             means, stds = [], []
-            for p, h, w, c in zip(
-                pdf["payload"], pdf["height"], pdf["width"], pdf["channels"]
+            codecs = pdf[codec_col] if codec_col else None
+            for i, (p, h, w, c) in enumerate(
+                zip(pdf["payload"], pdf["height"], pdf["width"], pdf["channels"])
             ):
-                img = decode_raw(p, int(h), int(w), int(c)).astype(np.float64)
+                codec = codecs.iloc[i] if codecs is not None else None
+                if codec not in (None, "raw"):
+                    img = np.asarray(decode_compressed(p), dtype=np.float64)
+                    if img.ndim == 2:  # grayscale decodes 2-D
+                        img = img[:, :, None]
+                else:
+                    img = decode_raw(p, int(h), int(w), int(c)).astype(np.float64)
                 means.append(img.mean(axis=(0, 1)).tolist())
                 stds.append(img.std(axis=(0, 1)).tolist())
             yield pd.DataFrame(
@@ -195,6 +211,7 @@ def channel_features(df: DataFrame) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.col("meta.width").alias("width"),
         F.col("meta.channels").alias("channels"),
+        *([F.col(codec_col)] if codec_col else []),
     )
     return flat.mapInPandas(gen, CHANNEL_FEATURES_SCHEMA)
 

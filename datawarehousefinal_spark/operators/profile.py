@@ -47,30 +47,46 @@ def profile_table(
     shuffle volume on the 9-column events profile — and keeps the distinct
     values themselves as aggregation state until the final merge.
     """
-    cols = columns or df.columns
+    from datawarehousefinal_spark.operators.unpivot import unpivot_single_row
+
+    cols = sorted(columns or df.columns)
     distinct = F.approx_count_distinct if approx else F.countDistinct
+    # index-based aliases: a column NAME never appears inside another
+    # identifier or SQL string, so dots/quotes/backticks in source column
+    # names can't break resolution — names reach the output only as
+    # literal values via the unpivot.
     aggs = [F.count(F.lit(1)).alias("__total")]
-    for c in cols:
+    for i, c in enumerate(cols):
+        # backtick-quote for exact-name resolution: a bare F.col parses
+        # '.' as struct nesting (`` escapes literal backticks).
+        col = F.col("`" + c.replace("`", "``") + "`")
         aggs += [
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            distinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.count(col).alias(f"__nn_{i}"),
+            distinct(col).alias(f"__nd_{i}"),
+            F.min(col).cast("string").alias(f"__mn_{i}"),
+            F.max(col).cast("string").alias(f"__mx_{i}"),
         ]
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __total - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}"
-        for c in sorted(cols)
+    long = unpivot_single_row(
+        wide,
+        [
+            (
+                c,
+                (F.col("__total") - F.col(f"__nn_{i}")).cast("long"),
+                F.col(f"__nd_{i}").cast("long"),
+                F.col(f"__mn_{i}"),
+                F.col(f"__mx_{i}"),
+            )
+            for i, c in enumerate(cols)
+        ],
+        ["column", "n_nulls", "n_distinct", "min_value", "max_value"],
+        keep_cols=["__total"],
     )
-    return wide.selectExpr(
-        "__total",
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(column, n_nulls, n_distinct, min_value, max_value)",
-    ).select(
+    return long.select(
         F.col("column"),
         F.col("__total").cast("long").alias("n_total"),
-        F.col("n_nulls").cast("long").alias("n_nulls"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "n_nulls",
+        "n_distinct",
         "min_value",
         "max_value",
     )
@@ -90,6 +106,8 @@ def correlation_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
     Output: ``col_a, col_b, corr`` for every ``col_a < col_b``
     (lexicographic), the long-format upper triangle.
     """
+    from datawarehousefinal_spark.operators.unpivot import unpivot_single_row
+
     pairs = [
         (a, b)
         for i, a in enumerate(sorted(columns))
@@ -100,11 +118,10 @@ def correlation_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
     wide = df.agg(
         *[F.corr(a, b).alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)]
     )
-    stack_args = ", ".join(
-        f"'{a}', '{b}', __c_{i}" for i, (a, b) in enumerate(pairs)
-    )
-    return wide.selectExpr(
-        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    return unpivot_single_row(
+        wide,
+        [(a, b, F.col(f"__c_{i}")) for i, (a, b) in enumerate(pairs)],
+        ["col_a", "col_b", "corr"],
     )
 
 

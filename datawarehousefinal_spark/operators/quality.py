@@ -47,9 +47,12 @@ def row_rule_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             for i, n in enumerate(names)
         ]
     )
-    stack_args = ", ".join(f"'{n}', __v{i}" for i, n in enumerate(names))
-    return wide.selectExpr(
-        f"stack({len(names)}, {stack_args}) AS (check, n_violations)"
+    from datawarehousefinal_spark.operators.unpivot import unpivot_single_row
+
+    return unpivot_single_row(
+        wide,
+        [(n, F.col(f"__v{i}")) for i, n in enumerate(names)],
+        ["check", "n_violations"],
     )
 
 

@@ -86,3 +86,22 @@ def test_cohort_retention_triangle(spark):
     assert out[(c1, 2)] == 1      # u3 two weeks on
     # multiple same-week events count a user once
     assert sum(n for (c, o), n in out.items() if c == c0 and o == 0) == 2
+
+
+def test_event_funnel_quoted_step_names(spark):
+    """Step names are plan literals, not interpolated SQL — a quote (or
+    any other character) in a step name must not break the unpivot."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "it's a start"),
+        (1, "2024-01-01 01:00:00", 'then "end"'),
+        (2, "2024-01-01 00:30:00", "it's a start"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, event_type string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {r["step_name"]: r["n_users"] for r in event_funnel(
+        df, "user_id", "ts", "event_type", ["it's a start", 'then "end"']
+    ).collect()}
+    assert out == {"it's a start": 2, 'then "end"': 1}

@@ -80,3 +80,22 @@ def test_dq_report_union_shape(fact, dim):
 def test_dq_report_requires_rules(fact):
     with pytest.raises(ValueError):
         dq_report(fact)
+
+
+def test_row_rules_quoted_names_and_odd_columns(spark):
+    """Rule names are literals (quote-safe); profiled column names never
+    enter identifiers (dot-safe)."""
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.profile import profile_table
+    from datawarehousefinal_spark.operators.quality import row_rule_report
+
+    df = spark.createDataFrame([(1, None), (2, 5)], ["a", "b"])
+    out = {r["check"]: r["n_violations"] for r in row_rule_report(
+        df, {"b isn't null": F.col("b").isNull(), 'a "big"': F.col("a") > 1}
+    ).collect()}
+    assert out == {"b isn't null": 1, 'a "big"': 1}
+
+    odd = df.withColumnRenamed("a", "weird.col'name")
+    prof = {r["column"]: r["n_nulls"] for r in profile_table(odd).collect()}
+    assert prof == {"weird.col'name": 0, "b": 1}
