@@ -212,9 +212,14 @@ def winsorize(
     the 100 TB target.
     """
     fn = "approx_percentile" if approx else "percentile"
+    # ONE array-percentile aggregate: two scalar percentile aggregates
+    # would each keep their own copy of the aggregation state (on the
+    # exact path, that is every value of the column — twice).
     q = df.agg(
-        F.expr(f"{fn}({value_col}, {lower})").cast("double").alias("__qlo"),
-        F.expr(f"{fn}({value_col}, {upper})").cast("double").alias("__qhi"),
+        F.expr(f"{fn}({value_col}, array({lower}D, {upper}D))").alias("__q")
+    ).select(
+        F.col("__q")[0].cast("double").alias("__qlo"),
+        F.col("__q")[1].cast("double").alias("__qhi"),
     )
     clamped = F.when(
         F.col(value_col).isNotNull(),

@@ -260,3 +260,80 @@ def chunk_documents(
         (F.col("__pos") + 1).cast("int").alias("chunk_id"),
         "chunk_text",
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a bag of query terms
+    — the lexical retrieval companion of the embedding ANN surface
+    (beyond-reference; the standard Robertson/Sparck-Jones formula with
+    the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` non-negative idf).
+
+    Scale shape: tokens explode map-side and are FILTERED TO THE QUERY
+    TERMS before anything shuffles, so the one (doc, term) aggregation
+    carries |query| terms per doc, not the vocabulary; document
+    frequencies and corpus stats are tiny aggregates broadcast onto the
+    scored rows; ranking is a global top-k (sort of |matching docs|,
+    LIMIT pushes the k cut into each partition). Tokenization is
+    lowercase alnum-runs — exactly replayable in SQL (the oracled query
+    proves it).
+
+    Output: ``id_col, score (double)`` — top ``k`` by (score desc, id).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("__term"),
+    )
+    # doc length = ALL tokens (needed before the query-term filter);
+    # one map-side-combined aggregate per doc computes both the length
+    # and the per-query-term tfs in a single shuffle via conditional
+    # aggregation instead of a second pass.
+    tf_cols = [
+        F.count(F.when(F.col("__term") == t, 1)).cast("double").alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.count(F.when(F.col(f"__tf{i}") > 0, 1))
+            .cast("double")
+            .alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df{i}") + 0.5) / (F.col(f"__df{i}") + 0.5)
+        )
+        tf = F.col(f"__tf{i}")
+        part = idf * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+        )
+        score = part if score is None else score + part
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -858,6 +858,46 @@ def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "near_dup_components_stars",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+        SELECT id_a, id_b FROM ({_JACCARD_PAIRS_SQL}) jp
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r)::BIGINT AS component
+    FROM reach GROUP BY id
+    """,
+)
+def near_dup_components_stars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as `near_dup_components`, resolved by the
+    large-star/small-star contraction (graph.connected_components_stars)
+    instead of min-label propagation — the O(log² n)-round variant for
+    graphs whose diameter min-label can't afford. Shares the recursive-CTE
+    oracle, so the driver proves both algorithms produce the identical
+    closure."""
+    from datawarehousefinal_spark.operators.dedup import minhash_near_dupes
+    from datawarehousefinal_spark.operators.graph import connected_components_stars
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dupes(
+        docs, "doc_id", "text", 0.9, 16, 8, 2, _W, "xxhash64"
+    ).select("id_a", "id_b")
+    comp = connected_components_stars(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").cast("long")
+    )
+
+
 @query("minhash_lsh_pairs", oracle=_JACCARD_PAIRS_SQL)
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard verification. Shares
@@ -3163,7 +3203,10 @@ def cv_grid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         zoo = classifier_zoo(weight_col=None)
         lr = zoo["LogisticRegression"]
         grid = default_param_grids(zoo)["LogisticRegression"]
-        cv_model = grid_search_cv(feats, lr, grid, folds=3)
+        # parallelism ≈ |grid| x folds: every fold-model is independent,
+        # and each individual LR fit underuses the cluster on this data
+        # size — overlapping them is the whole point of a CV fleet.
+        cv_model = grid_search_cv(feats, lr, grid, folds=3, parallelism=9)
     finally:
         feats.unpersist()
     return cv_metrics_table(cv_model, spark)
@@ -3214,6 +3257,56 @@ def streaming_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return serve_measures(read_cube_state(spark, state))
+
+
+@query(
+    "bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS DOUBLE) AS dl,
+             CAST(count(*) FILTER (WHERE term = 'hash') AS DOUBLE) AS tf0,
+             CAST(count(*) FILTER (WHERE term = 'join') AS DOUBLE) AS tf1,
+             CAST(count(*) FILTER (WHERE term = 'broadcast') AS DOUBLE) AS tf2
+      FROM toks WHERE term <> '' GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(count(*) FILTER (WHERE tf0 > 0) AS DOUBLE) AS df0,
+             CAST(count(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1,
+             CAST(count(*) FILTER (WHERE tf2 > 0) AS DOUBLE) AS df2
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT doc_id,
+        ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
+          * (tf0*(1.2 + 1.0)/(tf0 + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl)))
+        + ln(1 + (n - df1 + 0.5)/(df1 + 0.5))
+          * (tf1*(1.2 + 1.0)/(tf1 + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl)))
+        + ln(1 + (n - df2 + 0.5)/(df2 + 0.5))
+          * (tf2*(1.2 + 1.0)/(tf2 + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl)))
+        AS score
+      FROM per_doc, stats
+    )
+    SELECT doc_id, score FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the documents corpus for the query
+    terms (hash, join, broadcast) — tokens are filtered to the query
+    terms before the one (doc, term) shuffle; idf/corpus stats are a
+    broadcast single row; oracle-exact against the same formula in
+    DuckDB (ln-idf, k1=1.2, b=0.75)."""
+    from datawarehousefinal_spark.operators.textstats import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", ["hash", "join", "broadcast"], k=10)
 
 
 # ---------------------------------------------------------------------------

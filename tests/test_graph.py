@@ -67,3 +67,34 @@ def test_resolve_duplicates_keeps_one_per_cluster(spark):
     assert sorted(rows) == [0, 1, 2, 3, 6, 8, 9]  # 4,7,5 dropped
     assert rows[1] == 1 and rows[2] == 2          # reps keep their cluster id
     assert rows[0] == 0 and rows[9] == 9          # singletons untouched
+
+
+def test_stars_matches_propagation_on_random_graph(spark):
+    import random
+
+    from datawarehousefinal_spark.operators.graph import (
+        connected_components,
+        connected_components_stars,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    b = {(r["id"], r["component"]) for r in connected_components_stars(df).collect()}
+    assert a == b
+
+
+def test_stars_converges_on_high_diameter_chain(spark):
+    """A 300-node chain has diameter 300 — min-label propagation would
+    need 300 rounds (and raises at its default budget); the star
+    contraction closes it in O(log^2 n) rounds within the default 50."""
+    from datawarehousefinal_spark.operators.graph import connected_components_stars
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["id_a", "id_b"]
+    )
+    out = connected_components_stars(chain).collect()
+    assert len(out) == 301
+    assert {r["component"] for r in out} == {0}
