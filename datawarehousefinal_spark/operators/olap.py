@@ -188,3 +188,72 @@ def serve_measures(state: DataFrame) -> DataFrame:
             "promedio_edades"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable moment states (variance/min/max in one incremental pass)
+# ---------------------------------------------------------------------------
+
+MOMENT_COLS = ("n", "sum_m", "sum_sq", "min_m", "max_m")
+
+
+def moment_state(
+    fact: DataFrame, group_cols: list[str], measure_col: str
+) -> DataFrame:
+    """:func:`measure_state` generalized to the full second-moment
+    decomposition: per group ``(n, Σx, Σx², min, max)`` — every one of
+    count/sum/avg/variance/stddev/min/max re-derives from it, and every
+    component merges associatively (sums add, min/max fold), so the
+    nightly 100 TB job still aggregates only the new partition and folds
+    a |groups|-row state. This is the textbook mergeable-aggregate
+    argument: any algebraic aggregate with a bounded summary travels as
+    state; holistic ones (exact median) need a sketch instead.
+
+    Output: ``*group_cols, n (long), sum_m, sum_sq, min_m, max_m``.
+    """
+    m = F.col(measure_col).cast("double")
+    return fact.groupBy(*group_cols).agg(
+        F.count(m).cast("long").alias("n"),
+        F.sum(m).alias("sum_m"),
+        F.sum(m * m).alias("sum_sq"),
+        F.min(m).alias("min_m"),
+        F.max(m).alias("max_m"),
+    )
+
+
+def merge_moment_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two moment states (same schema): component sums + min/max
+    folds per group. ``merge(state(A), state(B)) ≡ state(A ∪ B)``
+    exactly for n/sums/min/max (floating addition reassociates within
+    the usual ulp tolerance the oracle gate already rounds away)."""
+    group_cols = [c for c in state.columns if c not in MOMENT_COLS]
+    return (
+        state.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_m").alias("sum_m"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("min_m").alias("min_m"),
+            F.max("max_m").alias("max_m"),
+        )
+    )
+
+
+def serve_moments(state: DataFrame) -> DataFrame:
+    """Render a moment state into serving measures: count, avg,
+    population variance (``Σx²/n − (Σx/n)²``, clamped at 0 against
+    float cancellation), min, max."""
+    group_cols = [c for c in state.columns if c not in MOMENT_COLS]
+    mean = F.col("sum_m") / F.col("n")
+    var = F.greatest(
+        F.col("sum_sq") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    return state.select(
+        *group_cols,
+        F.col("n").alias("cantidad_movimientos"),
+        F.when(F.col("n") > 0, mean).alias("promedio_medida"),
+        F.when(F.col("n") > 0, var).alias("varianza_medida"),
+        F.col("min_m").alias("min_medida"),
+        F.col("max_m").alias("max_medida"),
+    )

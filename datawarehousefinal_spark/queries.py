@@ -3260,6 +3260,45 @@ def streaming_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_cube_moments",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+           o_orderstatus,
+           count(o_totalprice)::BIGINT AS cantidad_movimientos,
+           avg(o_totalprice) AS promedio_medida,
+           var_pop(o_totalprice) AS varianza_medida,
+           min(o_totalprice) AS min_medida,
+           max(o_totalprice) AS max_medida
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def incremental_cube_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_cube_merge` generalized to second moments: the
+    (n, Σx, Σx², min, max) state is built over two halves of the fact,
+    merged component-wise, and served as count/avg/var_pop/min/max.
+    Hash-equality against the direct whole-table aggregation proves the
+    full moment decomposition merges exactly — variance included, the
+    measure a count/sum-only state cannot serve."""
+    from datawarehousefinal_spark.operators.olap import (
+        merge_moment_state,
+        moment_state,
+        serve_moments,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("anio"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    state = moment_state(half_a, ["anio", "o_orderstatus"], "o_totalprice")
+    delta = moment_state(half_b, ["anio", "o_orderstatus"], "o_totalprice")
+    return serve_moments(merge_moment_state(state, delta))
+
+
+@query(
     "bm25_topk",
     oracle="""
     WITH toks AS (

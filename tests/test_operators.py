@@ -203,3 +203,36 @@ def test_winsorize_null_passthrough_and_approx(spark):
     # the EXACT path interpolates, so the extremes strictly move
     exact = {r["id"]: r["v"] for r in winsorize(df, "v", 0.1, 0.9, approx=False).collect()}
     assert exact[3] < 1000.0 and exact[1] > 10.0
+
+
+def test_moment_state_merge_identities(spark):
+    """merge(state(A), state(B)) == state(A ∪ B) for the full moment
+    decomposition (n/Σx/Σx²/min/max), and the served variance matches
+    var_pop of the union."""
+    from datawarehousefinal_spark.operators.olap import (
+        merge_moment_state,
+        moment_state,
+        serve_moments,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 100)] + [
+        ("b", float(v)) for v in (5, 5, 7)
+    ]
+    df = spark.createDataFrame(rows, "g string, m double")
+    half_a = df.filter("m <= 4")
+    half_b = df.filter("m > 4")
+    merged = merge_moment_state(
+        moment_state(half_a, ["g"], "m"), moment_state(half_b, ["g"], "m")
+    )
+    direct = moment_state(df, ["g"], "m")
+    key = lambda r: (r["g"], r["n"], round(r["sum_m"], 9), round(r["sum_sq"], 9), r["min_m"], r["max_m"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+    served = {r["g"]: r for r in serve_moments(merged).collect()}
+    truth = {
+        r["g"]: r
+        for r in df.groupBy("g").agg(F.var_pop("m").alias("v"), F.avg("m").alias("a")).collect()
+    }
+    for g in ("a", "b"):
+        assert abs(served[g]["varianza_medida"] - truth[g]["v"]) < 1e-6
+        assert abs(served[g]["promedio_medida"] - truth[g]["a"]) < 1e-9
