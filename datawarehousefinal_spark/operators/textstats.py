@@ -337,3 +337,90 @@ def bm25_topk(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def bm25_build_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build the BM25 index: the production counterpart of the ad-hoc
+    :func:`bm25_topk` (which re-tokenizes the corpus once per branch —
+    fine for one query, wrong for a query WORKLOAD; this is the same
+    build-once/query-many split as the incremental dedup stores).
+
+    Returns ``(postings, doclens)``:
+
+    * postings — ``(term, id_col, tf)``: one tokenize pass, one
+      map-side-combined (term, doc) count. WRITE THIS PARTITIONED (or
+      bucketed) BY TERM — then every query's term filter partition-prunes
+      and only the matching posting lists are ever read.
+    * doclens — ``(id_col, dl)``: derived from postings by a second tiny
+      aggregate over it (no second tokenize pass).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    postings = toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    doclens = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return postings, doclens
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    doclens: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank documents for ``query_terms`` from a prebuilt index — the
+    only corpus-sized input that moves is the matching posting lists
+    (term-partition-pruned when the index is stored partitioned by
+    term). Per-term idf and corpus stats are single-row/|terms|-row
+    broadcast aggregates; the per-(doc, term) contribution sums in one
+    map-side-combined groupBy; ranking is a global top-k
+    (TakeOrderedAndProject — k rows per partition move).
+
+    Same formula, same results as :func:`bm25_topk` (asserted in
+    tests): Lucene non-negative idf, k1/b defaults.
+    """
+    terms = [t.lower() for t in query_terms]
+    corpus = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    matching = postings.filter(F.col("term").isin(terms))
+    dfs = matching.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    scored = (
+        matching.join(F.broadcast(dfs), "term")
+        .join(doclens, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum(contrib).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

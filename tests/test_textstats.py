@@ -147,3 +147,31 @@ def test_chunk_documents_is_shuffle_free(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     assert_max_shuffles(chunk_documents(docs, "doc_id", "text"), 0)
+
+
+def test_bm25_index_path_matches_adhoc(spark, sf_dir):
+    """The build-once/query-many index path must rank identically to the
+    self-contained two-pass operator."""
+    from datawarehousefinal_spark.operators.textstats import (
+        bm25_build_index,
+        bm25_topk,
+        bm25_topk_from_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["hash", "join", "broadcast"]
+    adhoc = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()
+    ]
+    postings, doclens = bm25_build_index(docs, "doc_id", "text")
+    indexed = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_from_index(
+            postings, doclens, "doc_id", terms, k=10
+        ).collect()
+    ]
+    assert adhoc == indexed
+    assert len(adhoc) == 10
+    scores = [s for _, s in adhoc]
+    assert scores == sorted(scores, reverse=True)
