@@ -3348,6 +3348,55 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", ["hash", "join", "broadcast"], k=10)
 
 
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT event_type AS key,
+           count(*)::BIGINT AS n,
+           sum(COALESCE(value, 0)) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_stateful_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming made driver-visible AND oracled: the
+    events table streams as 3 micro-batches through
+    ``applyInPandasWithState`` running totals (Spark-managed per-key
+    state across batches, Arrow-batched compute); each batch appends the
+    totals-so-far per key, so the LAST emission per key (max n) is the
+    final state — which must hash-match the direct batch aggregation.
+    The stateful-operator analog of streaming_cube_counts' proof."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+    )
+    from datawarehousefinal_spark.streaming.stateful import (
+        stateful_running_totals,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/dwf_stream_state_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    events.repartition(3).write.parquet(src)
+    stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
+    table = f"dwf_stateful_totals_{tag}"
+    spark.catalog.dropTempView(table)
+    run_to_memory(stateful_running_totals(stream, "event_type", "value"), table)
+    log = spark.table(table)
+    w = Window.partitionBy("key").orderBy(F.desc("n"))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "n", "total")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
