@@ -3349,6 +3349,38 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_sink_roundtrip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+           o_orderstatus,
+           count(*) AS n,
+           sum(o_totalprice) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def orc_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/scan roundtrip (the parquet_sink_roundtrip contract on
+    Spark's second native columnar format): aggregate, write
+    partitionBy(anio) zlib ORC, read back, hash-match the direct
+    aggregation. Partition values come back as directory strings — cast
+    anio back to int."""
+    import os
+
+    from datawarehousefinal_spark.sources.readers import read_orc
+    from datawarehousefinal_spark.sources.writers import write_orc
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("anio"), F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+    path = f"/tmp/dwf_orc_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_orc(agg, path, partition_by=["anio"])
+    out = read_orc(spark, path)
+    return out.select(F.col("anio").cast("int"), "o_orderstatus", "n", "total")
+
+
+@query(
     "streaming_stateful_totals",
     oracle="""
     SELECT event_type AS key,

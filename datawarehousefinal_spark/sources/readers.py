@@ -244,3 +244,10 @@ def read_jdbc(
             .option("upperBound", upper_bound)
         )
     return reader.load()
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning work exactly as
+    for parquet (Catalyst data-source v2; ORC carries its own stripe
+    min/max + optional bloom indexes)."""
+    return spark.read.orc(path)

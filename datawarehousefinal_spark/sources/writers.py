@@ -170,3 +170,20 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zlib",
+) -> None:
+    """ORC sink — the second columnar format Spark ships natively
+    (beyond-reference format coverage; same partitioned-directory
+    contract as :func:`write_parquet`, ORC's own min/max/bloom indexes
+    replace parquet row-group stats)."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

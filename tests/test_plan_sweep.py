@@ -44,6 +44,9 @@ BNLJ_ALLOWED = {
     # winsorized_stats' single-row percentile cut-point cross join —
     # the same bounded scalar-broadcast pattern.
     "winsorized_stats",
+    # bm25_topk's single-row corpus-stats (N, avgdl, dfs) cross join —
+    # the same bounded scalar-broadcast pattern.
+    "bm25_topk",
 }
 
 
