@@ -33,6 +33,14 @@ iterative connected-components a clustering formulation would.
 Reference scope: the reference has no dedup at all (SURVEY.md §2.3 J5 is
 an unwired Levenshtein step); this module is beyond-reference scale
 machinery in the same family as :mod:`operators.dedup`.
+
+Persist lifetime: the batch-signature and dropped-id frames persist
+(MEMORY_AND_DISK) because both returned outputs — (survivors, delta) —
+consume them; they are id-only/batch-bounded, and the blocks release via
+the ContextCleaner once the caller drops the returned frames. A caller
+holding many batches' outputs alive in one session should materialize
+(write) each batch's outputs and release the references — the
+foreachBatch sinks in :mod:`streaming.pipeline` already do.
 """
 
 from __future__ import annotations

@@ -51,6 +51,15 @@ def _range_bucket_expr(
     (``repartitionByRange`` + ``spark_partition_id`` would re-sample per
     execution, forcing a persist whose lifetime no one owns). Rows with
     a NULL order key land in bucket 0, matching ASC NULLS FIRST.
+
+    Costs, honestly: one column-pruned count + one bounded sample collect
+    at plan-build time (RangePartitioner pays an equivalent sampling
+    job), and the bucket expression is ``n-1`` struct comparisons per
+    row — linear in the bucket count, so keep ``n`` at cores-to-a-few-
+    hundred (each bucket is one window task anyway; with the typical
+    single numeric order key the comparisons are scalar ``>=``, pure
+    codegen). Boundary QUALITY only affects balance, never correctness —
+    any boundary set yields the same prefix sums.
     """
     keys = df.select(
         *[F.col(c).alias(f"__k{i}") for i, c in enumerate(order_cols)]

@@ -213,3 +213,24 @@ def test_jsonl_roundtrip_preserves_hostile_strings(spark, tmp_path):
     write_jsonl(df, path)
     back = {r["id"]: r["text"] for r in read_jsonl(spark, path, schema).collect()}
     assert back == dict(rows)
+
+
+def test_orc_roundtrip_and_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.sources.readers import read_orc
+    from datawarehousefinal_spark.sources.writers import write_orc
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 5).cast("int").alias("part"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_by=["part"])
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == sum(range(1000))
+    pruned = back.filter(F.col("part") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters")[1][:80]
+    assert pruned.count() == 200
