@@ -637,52 +637,62 @@ def _simhash_fp_pairs(
     dropped-id path (:func:`simhash_dropped_ids`) so banding semantics —
     combo keys, skew guard, loud-drop check — cannot drift between them."""
     keyed = simhash_combo_keys(distinct_fp, num_blocks, combo_size)
+    # The counted frame feeds the guard aggregate AND both self-join
+    # branches — three scans of the banding window unpersisted (measured
+    # +60% on the registered query). The persist is SCOPED: try/finally
+    # releases it whether the guard raises or the pair frame finishes,
+    # and the pair output is localCheckpoint-ed EAGERLY (it is the
+    # function's result — verified near-dup pairs, orders of magnitude
+    # smaller than the banding entries) so nothing downstream re-reads
+    # the cache after the unpersist.
     counted = keyed.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("table", "key"))
-    )
-    if max_dropped_frac is not None:
-        # "No silent caps": measure how much of the banding the skew guard
-        # is about to throw away, and fail loudly when it is material —
-        # a quietly-degraded dedup pass is worse than an error. One extra
-        # map-side-combined aggregate over the combo keys (NOT a persist
-        # of the counted frame — that cache had no owner to release it;
-        # the self-join below re-derives the window, whose shuffle AQE's
-        # exchange reuse already dedups across the a/b branches).
-        stats = (
-            keyed.groupBy("table", "key")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .agg(
-                F.coalesce(F.sum("__bn"), F.lit(0)).alias("total"),
+    ).persist()
+    try:
+        if max_dropped_frac is not None:
+            # "No silent caps": measure how much of the banding the skew
+            # guard is about to throw away, and fail loudly when it is
+            # material — a quietly-degraded dedup pass is worse than an
+            # error. This aggregate also populates the cache the join
+            # branches read.
+            stats = counted.agg(
+                F.count(F.lit(1)).alias("total"),
                 F.coalesce(
-                    F.sum(F.when(F.col("__bn") > max_bucket, F.col("__bn"))),
-                    F.lit(0),
+                    F.sum(F.when(F.col("__n") > max_bucket, 1)), F.lit(0)
                 ).alias("dropped"),
+            ).first()
+            if (
+                stats["total"]
+                and stats["dropped"] / stats["total"] > max_dropped_frac
+            ):
+                raise RuntimeError(
+                    f"simhash banding dropped {stats['dropped']}/{stats['total']} "
+                    f"({stats['dropped'] / stats['total']:.1%}) of combo-key entries to "
+                    f"the max_bucket={max_bucket} skew guard (> max_dropped_frac="
+                    f"{max_dropped_frac:.1%}) — candidate recall would silently "
+                    f"degrade toward the hamming-0 tier. Use a larger combo_size "
+                    f"(auto-scaling picks one: combo_size=None), or raise max_bucket."
+                )
+        sized = counted.filter(F.col("__n") <= max_bucket)
+        a = sized.select(F.col("simhash").alias("__fa"), "table", "key")
+        b = sized.select(F.col("simhash").alias("__fb"), "table", "key")
+        return (
+            a.join(b, ["table", "key"])
+            .filter(F.col("__fa") < F.col("__fb"))
+            .select(
+                "__fa",
+                "__fb",
+                F.bit_count(F.expr("__fa ^ __fb")).cast("int").alias("hamming"),
             )
-            .first()
+            # hamming-verify BEFORE the distinct: candidates failing the
+            # threshold never enter the dedup shuffle (the distinct only
+            # collapses pairs that collided in several combo tables).
+            .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        if stats["total"] and stats["dropped"] / stats["total"] > max_dropped_frac:
-            raise RuntimeError(
-                f"simhash banding dropped {stats['dropped']}/{stats['total']} "
-                f"({stats['dropped'] / stats['total']:.1%}) of combo-key entries to "
-                f"the max_bucket={max_bucket} skew guard (> max_dropped_frac="
-                f"{max_dropped_frac:.1%}) — candidate recall would silently "
-                f"degrade toward the hamming-0 tier. Use a larger combo_size "
-                f"(auto-scaling picks one: combo_size=None), or raise max_bucket."
-            )
-    sized = counted.filter(F.col("__n") <= max_bucket)
-    a = sized.select(F.col("simhash").alias("__fa"), "table", "key")
-    b = sized.select(F.col("simhash").alias("__fb"), "table", "key")
-    return (
-        a.join(b, ["table", "key"])
-        .filter(F.col("__fa") < F.col("__fb"))
-        .select(
-            "__fa",
-            "__fb",
-            F.bit_count(F.expr("__fa ^ __fb")).cast("int").alias("hamming"),
-        )
-        .distinct()
-        .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
-    )
+    finally:
+        counted.unpersist()
 
 
 def simhash_near_dupes_from_fingerprints(
