@@ -61,6 +61,25 @@ def _range_bucket_expr(
     codegen). Boundary QUALITY only affects balance, never correctness —
     any boundary set yields the same prefix sums.
     """
+    from pyspark.sql.types import NumericType
+
+    first_type = df.schema[order_cols[0]].dataType
+    if n > 1 and isinstance(first_type, NumericType):
+        # Fast path — the typical packing order key leads with a
+        # near-unique numeric (shuffle rank, row id): ONE approxQuantile
+        # job yields the boundaries directly, and bucketing on the first
+        # column alone stays a pure row function (ties share a bucket —
+        # balance degrades only under heavy first-column duplication,
+        # correctness never).
+        probs = [i / n for i in range(1, n)]
+        qs = df.stat.approxQuantile(order_cols[0], probs, 0.01)
+        bucket = F.lit(0)
+        for q in sorted(set(qs)):
+            bucket = bucket + F.coalesce(
+                (df[order_cols[0]] >= F.lit(q)).cast("int"), F.lit(0)
+            )
+        return bucket
+
     keys = df.select(
         *[F.col(c).alias(f"__k{i}") for i, c in enumerate(order_cols)]
     )
