@@ -13,7 +13,7 @@ Two packers with different contracts:
   SQL-replayable (it is one cumulative sum), incremental-friendly — at
   the cost of chunks overflowing by up to one document's tokens (the
   standard "pack then truncate/roll over" serving contract).
-- :func:`greedy_pack` — first-fit-decreasing bin packing within each
+- :func:`greedy_pack` — best-fit-decreasing bin packing within each
   serving shard: strictly respects the budget (oversized documents get a
   singleton bin) and wastes less tail space, but the assignment depends
   on shard composition, so it is shard-deterministic rather than
