@@ -890,3 +890,57 @@ def simhash_dropped_ids(
         )
         .select(id_col)
     )
+
+
+def ngram_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    hash_grams: bool = True,
+    min_shared: int = 0,
+) -> DataFrame:
+    """Per-document duplicate-n-gram coverage — the corpus-internal
+    diagnostic behind "remove documents mostly made of text seen
+    elsewhere" (the n-gram-bucketed approximation of suffix-array
+    substring dedup; pair-based near-dup detectors miss a document
+    STITCHED from many sources because no single pair crosses the
+    similarity threshold).
+
+    Shape: one gram explode (map-side), one gram doc-frequency
+    aggregate, one gram-keyed join back, one per-doc rollup — all
+    shuffles carry (id, gram-key) pairs, with 8-byte xxhash64 keys by
+    default (``hash_grams=False`` keys on gram text for exact SQL
+    replay — the oracled query path). Boilerplate grams shared by
+    millions of documents are single hot join keys: AQE's skew-join
+    splitting handles them (enabled in session.py), and the frequency
+    side is one row per gram regardless of its document count.
+    Documents with no tokens have no grams and are absent (consistent
+    with the contamination operator's empty-doc hygiene).
+
+    Output: ``id_col, n_grams (long), n_shared (long, grams whose
+    corpus doc-frequency >= 2), coverage (double)``, filtered to
+    ``n_shared >= min_shared``.
+    """
+    from datawarehousefinal_spark.operators.contamination import word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n, hash_grams)).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    out = (
+        grams.join(freq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.when(F.col("__df") >= 2, 1)).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "coverage",
+            (F.col("n_shared") * F.lit(1.0) / F.col("n_grams")).cast("double"),
+        )
+    )
+    if min_shared > 0:
+        out = out.filter(F.col("n_shared") >= min_shared)
+    return out

@@ -530,3 +530,54 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def ivf_index_append(
+    centroids: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign a NEW embedding batch to the existing IVF coarse quantizer
+    — incremental index maintenance (the ANN face of the incremental
+    dedup stores): a growing corpus appends each ingest's assignments to
+    the stored index WITHOUT refitting KMeans or touching prior rows.
+
+    One broadcast cross of the batch against the tiny centroid table +
+    an argmin window per vector — map-side work only; the batch never
+    shuffles on anything but its own rows. Output rows have exactly the
+    stored-index schema (``id, vec, __centroid, __norm``), so
+    ``stored.unionByName(ivf_index_append(...))`` — or a parquet append
+    partitioned by ``__centroid`` — IS the updated index, and
+    :func:`ivf_topk` serves it unchanged. Quantizer drift is the
+    documented trade (FAISS appends to a fixed coarse quantizer the same
+    way): refit on a sample when the cell-size histogram degrades.
+
+    Assignment metric is squared L2 to the centroid (what the KMeans
+    fit minimizes), tie-broken on centroid id — deterministic,
+    partitioning-independent.
+    """
+    v = batch.select(
+        F.col(id_col), as_double_array(vec_col).alias("__arr")
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d2",
+        F.aggregate(
+            F.zip_with(
+                F.col("__arr"), F.col("__cvec"), lambda a, c: (a - c) * (a - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("__d2", "__centroid")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__arr").alias(vec_col),
+            "__centroid",
+            l2_norm(F.col("__arr")).alias("__norm"),
+        )
+    )

@@ -3348,6 +3348,54 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", ["hash", "join", "broadcast"], k=10)
 
 
+_COVERAGE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_filter(list_transform(
+               generate_series(1, greatest(len(toks) - {{nm1}}, 1)),
+               i -> array_to_string(list_slice(toks, i, i + {{nm1}}), ' ')
+             ), x -> x <> '')) AS grams
+      FROM t
+    ),
+    eg AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ),
+    f AS (
+      SELECT gram, count(*) AS df FROM eg GROUP BY 1
+    )
+    SELECT eg.doc_id,
+           count(*)::BIGINT AS n_grams,
+           count(CASE WHEN f.df >= 2 THEN 1 END)::BIGINT AS n_shared,
+           count(CASE WHEN f.df >= 2 THEN 1 END) * 1.0 / count(*) AS coverage
+    FROM eg JOIN f USING (gram)
+    GROUP BY 1
+    HAVING count(CASE WHEN f.df >= 2 THEN 1 END) >= 1
+    """
+
+
+@query(
+    "ngram_coverage_report",
+    oracle=_COVERAGE_ORACLE.format(toks=_TOKS_SQL, nm1=_CONTAM_N - 1),
+)
+def ngram_coverage_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal duplicate-n-gram coverage (dedup.ngram_coverage):
+    per document, how many of its distinct word 8-grams appear in at
+    least one OTHER document — the diagnostic that catches stitched/
+    templated documents no pairwise near-dup threshold flags. Gram keys
+    are the gram strings here (hash_grams=False) for exact SQL replay;
+    production uses xxhash64 keys. Reports only docs with n_shared >= 1
+    (the interesting tail)."""
+    from datawarehousefinal_spark.operators.dedup import ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_coverage(
+        docs, "doc_id", "text", n=_CONTAM_N, hash_grams=False, min_shared=1
+    )
+
+
 @query(
     "orc_sink_roundtrip",
     oracle="""

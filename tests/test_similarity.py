@@ -224,3 +224,33 @@ def test_cosine_topk_kernels_agree(spark):
     auto = canon(cosine_topk(corpus, queries, "vec_id", "embedding", 5))
     assert hof == arw == auto
     assert len(hof) == 5 * 5
+
+
+def test_ivf_index_append_matches_quantizer_assignment(spark, sf_dir):
+    """Appended rows must land in the same cell the fitted quantizer
+    would assign (same squared-L2 argmin), and the unioned index serves
+    ivf_topk unchanged."""
+    from datawarehousefinal_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    id_col = emb.columns[0]
+    vec_col = [c for c in emb.columns if c != id_col][0]
+    assigned, centroids = build_ivf_index(emb, id_col, vec_col, num_partitions=4)
+    truth = {r[id_col]: r["__centroid"] for r in assigned.collect()}
+
+    batch = emb.limit(40)
+    appended = ivf_index_append(centroids, batch, id_col, vec_col)
+    got = {r[id_col]: r["__centroid"] for r in appended.collect()}
+    assert got == {k: truth[k] for k in got}
+
+    # the union (stored ∪ appended schema) serves unchanged
+    union = assigned.unionByName(appended).dropDuplicates([id_col])
+    queries = emb.limit(3)
+    out = ivf_topk(union, centroids, queries, id_col, vec_col, k=5, nprobe=2)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows)
