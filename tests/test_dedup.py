@@ -230,3 +230,17 @@ def test_simhash_crowding_raises_loudly_then_auto_scales(spark):
     for a, b in planted:
         assert (min(a, b), max(a, b)) in pairs, f"planted pair {(a, b)} lost"
     fp_df.unpersist()
+
+
+def test_ngram_coverage_shapes_agree(spark, sf_dir):
+    """window and join formulations must produce identical reports (the
+    join shape exists for boilerplate-gram skew; semantics are one)."""
+    from datawarehousefinal_spark.operators.dedup import ngram_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = sorted(map(tuple, ngram_coverage(docs, "doc_id", "text", via="window").collect()))
+    b = sorted(map(tuple, ngram_coverage(docs, "doc_id", "text", via="join").collect()))
+    assert a == b and len(a) > 0
+    # planted near-dups must surface with high coverage
+    top = max(r[3] for r in a)
+    assert top >= 0.9
