@@ -3348,6 +3348,36 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", ["hash", "join", "broadcast"], k=10)
 
 
+@query("ivf_append_assignments")  # no SQL oracle: KMeans quantizer centroids
+def ivf_append_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance made driver-visible: fit the IVF
+    coarse quantizer on the even-id half of the embeddings, assign the
+    odd-id half as an append batch (similarity.ivf_index_append — no
+    refit, no touch of stored rows), and report per-cell counts of the
+    appended batch. Rows-only driver check (num_partitions rows; seeded
+    KMeans → stable); assignment-identity vs the fitted quantizer is
+    asserted in tests/test_similarity.py."""
+    from datawarehousefinal_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    id_col = emb.columns[0]
+    vec_col = [c for c in emb.columns if c != id_col][0]
+    stored = emb.filter(F.col(id_col) % 2 == 0)
+    batch = emb.filter(F.col(id_col) % 2 == 1)
+    _assigned, centroids = build_ivf_index(
+        stored, id_col, vec_col, num_partitions=4
+    )
+    appended = ivf_index_append(centroids, batch, id_col, vec_col)
+    return (
+        appended.groupBy("__centroid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("__centroid")
+    )
+
+
 _COVERAGE_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, {{toks}} AS toks FROM documents
