@@ -47,6 +47,9 @@ BNLJ_ALLOWED = {
     # bm25_topk's single-row corpus-stats (N, avgdl, dfs) cross join —
     # the same bounded scalar-broadcast pattern.
     "bm25_topk",
+    # ivf_index_append's num_partitions-row centroid-table cross join —
+    # the same tiny-broadcast scoring pattern as ivf_topk.
+    "ivf_append_assignments",
 }
 
 
