@@ -60,12 +60,15 @@ def load_or_build_dataset(
     """C3: parquet-cache-or-build keyed by the fact list
     (machineLearning.py:132-173)."""
     path = os.path.join(cache_dir, f"dataset_{cache_key}.parquet")
-    try:
+    # Probe for a COMPLETE cache (_SUCCESS marker), not just the directory:
+    # an interrupted writer leaves a partial dir that a bare read would
+    # happily serve. The local-path check keeps the miss path quiet (no
+    # analyzer exception); on an object store this would be a head request.
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return spark.read.parquet(path)
-    except Exception:
-        df = build_fn()
-        df.write.mode("overwrite").option("compression", "snappy").parquet(path)
-        return spark.read.parquet(path)
+    df = build_fn()
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    return spark.read.parquet(path)
 
 
 def drop_columns_by_predicate(df: DataFrame, predicate) -> DataFrame:

@@ -50,6 +50,42 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_SCRATCH_REGISTERED: set[str] = set()
+
+
+def _scratch_path(name: str, sf_dir: str, suffix: str = "") -> str:
+    """Per-process scratch location for sink-roundtrip queries.
+
+    Fixed shared /tmp paths let concurrent runs on the same sf (driver
+    correctness vs a local bench/verify) interleave an overwrite with a
+    read-back — the `zorder_sink_roundtrip` flake in CORRECTNESS_r05. The
+    pid suffix makes each process hermetic (the pattern jdbc_roundtrip
+    already used for Derby). Cleanup happens at process exit — the
+    returned DataFrame is lazy, so the files must survive until the
+    driver collects it — which also keeps /tmp from accumulating
+    per-run garbage.
+    """
+    import atexit
+    import os
+    import shutil
+
+    def _cleanup(p: str) -> None:
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/dwf_{name}_{tag}_{os.getpid()}{suffix}"
+    if path not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(path)
+        atexit.register(_cleanup, path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Flagship + OLAP measures (SURVEY.md §2.5 A1-A3, §2.3 J1/J3)
 # ---------------------------------------------------------------------------
@@ -1415,7 +1451,7 @@ def csv_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rows = sorted((r[0], r[1]) for r in nation.collect())
-    path = f"/tmp/dwf_csv_repair_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    path = _scratch_path("csv_repair", sf_dir, ".csv")
     with open(path, "w", encoding="utf-8") as fh:
         fh.write("n_nationkey,n_name\n")
         for key, name in rows:
@@ -1617,7 +1653,7 @@ def csv_typed_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", F.col("n_regionkey").cast("int"), "n_name"
     )
     rows = sorted((r[0], r[1], r[2]) for r in nation.collect())
-    path = f"/tmp/dwf_csv_typed_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    path = _scratch_path("csv_typed", sf_dir, ".csv")
     with open(path, "w", encoding="utf-8") as fh:
         fh.write("n_nationkey;n_regionkey;n_name\n")
         for key, rkey, name in rows:
@@ -1661,7 +1697,7 @@ def parquet_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
         )
     )
-    path = f"/tmp/dwf_pq_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch_path("pq_sink", sf_dir)
     write_parquet(agg, path, partition_by=["anio"])
     out = spark.read.parquet(path)
     return out.select(
@@ -1691,7 +1727,7 @@ def zorder_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    path = f"/tmp/dwf_zorder_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch_path("zorder", sf_dir)
     zorder_write(orders, path, ["o_custkey", "o_totalprice"], num_files=16)
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
@@ -1724,7 +1760,7 @@ def csv_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    path = f"/tmp/dwf_csv_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch_path("csv_sink", sf_dir)
     write_csv(agg, path)
     schema = StructType(
         [
@@ -1802,7 +1838,7 @@ def cache_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = os.path.basename(sf_dir.rstrip("/"))
     return load_or_build_dataset(
         spark,
-        "/tmp/dwf_cache",
+        _scratch_path("cache", sf_dir),
         f"status_counts_{key}",
         lambda: orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")),
     )
@@ -2274,7 +2310,7 @@ def jsonl_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 50 == 0)
         .select("doc_id", "lang", "source", "text")
     )
-    path = f"/tmp/dwf_jsonl_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch_path("jsonl_sink", sf_dir)
     write_jsonl(docs, path)
     return read_jsonl(spark, path, docs.schema)
 
@@ -2541,7 +2577,7 @@ def feature_cache_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("value", "event_type")
     _model, feats = fit_preprocess(events)
-    path = f"/tmp/dwf_feature_cache_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch_path("feature_cache", sf_dir)
     write_feature_cache(feats, path)
     back = read_feature_cache(spark, path)
     return back.select(
@@ -3242,7 +3278,7 @@ def streaming_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events").select("event_type", "value")
-    base = f"/tmp/dwf_stream_cube_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch_path("stream_cube", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src, state, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
     events.repartition(3).write.parquet(src)
@@ -3452,7 +3488,7 @@ def orc_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("anio"), F.col("o_orderstatus"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
     )
-    path = f"/tmp/dwf_orc_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _scratch_path("orc_sink", sf_dir)
     write_orc(agg, path, partition_by=["anio"])
     out = read_orc(spark, path)
     return out.select(F.col("anio").cast("int"), "o_orderstatus", "n", "total")
@@ -3490,7 +3526,7 @@ def streaming_stateful_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("event_type", "value")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = f"/tmp/dwf_stream_state_{tag}"
+    base = _scratch_path("stream_state", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
     events.repartition(3).write.parquet(src)
