@@ -211,13 +211,18 @@ def winsorize(
     single-machine trap as exact countDistinct, and the scale-killer at
     the 100 TB target.
     """
-    fn = "approx_percentile" if approx else "percentile"
     # ONE array-percentile aggregate: two scalar percentile aggregates
     # would each keep their own copy of the aggregation state (on the
-    # exact path, that is every value of the column — twice).
-    q = df.agg(
-        F.expr(f"{fn}({value_col}, array({lower}D, {upper}D))").alias("__q")
-    ).select(
+    # exact path, that is every value of the column — twice). Built from
+    # column objects, not an interpolated SQL string, so column names
+    # with dots/quotes/backticks resolve like everywhere else.
+    pcts = F.array(F.lit(float(lower)), F.lit(float(upper)))
+    agg = (
+        F.percentile_approx(F.col(value_col), pcts)
+        if approx
+        else F.percentile(F.col(value_col), pcts)
+    )
+    q = df.agg(agg.alias("__q")).select(
         F.col("__q")[0].cast("double").alias("__qlo"),
         F.col("__q")[1].cast("double").alias("__qhi"),
     )

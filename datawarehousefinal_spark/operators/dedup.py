@@ -549,7 +549,7 @@ def simhash_near_dupes(
     num_blocks: int | None = None,
     combo_size: int | None = None,
     exact_pair_cap: int = 100,
-    max_dropped_frac: float | None = 0.05,
+    max_dropped_frac: float | None | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by SimHash with GUARANTEED candidate recall.
 
@@ -597,7 +597,11 @@ def _resolve_banding(
     """Resolve (num_blocks, combo_size) for simhash banding, auto-sizing
     ``combo_size`` from an HLL distinct-fingerprint estimate when the
     caller didn't fix it, and enforcing the recall guarantee
-    ``combo_size <= num_blocks - max_hamming``."""
+    ``combo_size <= num_blocks - max_hamming``. Returns
+    ``(num_blocks, combo_size, auto_sized)`` — the flag tells callers
+    whether the 16x-headroom auto-sizing ran (which makes the
+    ``max_dropped_frac`` loud-drop guard nearly redundant)."""
+    auto_sized = combo_size is None
     if combo_size is None:
         if num_blocks is not None:
             raise ValueError(
@@ -619,7 +623,7 @@ def _resolve_banding(
             f"recall guarantee needs combo_size <= num_blocks - max_hamming "
             f"({combo_size} > {num_blocks} - {max_hamming})"
         )
-    return num_blocks, combo_size
+    return num_blocks, combo_size, auto_sized
 
 
 def _simhash_fp_pairs(
@@ -703,7 +707,7 @@ def simhash_near_dupes_from_fingerprints(
     num_blocks: int | None = None,
     combo_size: int | None = None,
     exact_pair_cap: int = 100,
-    max_dropped_frac: float | None = 0.05,
+    max_dropped_frac: float | None | str = "auto",
 ) -> DataFrame:
     """Banding + verification tier over a ``(id_col, simhash)`` frame.
 
@@ -733,9 +737,11 @@ def simhash_near_dupes_from_fingerprints(
     fraction of banding entries living in over-``max_bucket`` buckets is
     measured (one count job over the persisted keyed frame) and a
     ``RuntimeError`` names the fix (wider combos / higher ``max_bucket``)
-    when it exceeds the threshold. Pass ``None`` to skip the check and its
-    job (only sensible when ``combo_size`` is auto-scaled or the corpus is
-    known to fit).
+    when it exceeds the threshold. The default ``"auto"`` enforces 5%
+    only when the caller FORCED a combo_size — with auto-scaling the
+    sizing ladder already guarantees 16x bucket headroom, so the guard
+    job is skipped. Pass a float to always enforce, ``None`` to always
+    skip.
 
     Defaults derive ``num_blocks = max_hamming + combo_size`` (the minimum
     satisfying the guarantee). Key width is ``combo_size`` blocks ≈
@@ -743,9 +749,16 @@ def simhash_near_dupes_from_fingerprints(
 
     Output: ``id_a, id_b, hamming`` (id_a < id_b).
     """
-    num_blocks, combo_size = _resolve_banding(
+    num_blocks, combo_size, auto_sized = _resolve_banding(
         fp, max_hamming, max_bucket, num_blocks, combo_size
     )
+    if max_dropped_frac == "auto":
+        # Auto-sizing already targets 16x bucket headroom, so the
+        # loud-drop guard would spend a full aggregate over the banding
+        # to confirm what the sizing ladder just guaranteed; it earns
+        # its job only when the caller FORCED a (possibly too-narrow)
+        # combo_size. Explicit floats always enforce.
+        max_dropped_frac = None if auto_sized else 0.05
 
     # members feeds several plan branches off the caller-persisted fp;
     # the branches re-run only the cheap window over the cached
@@ -847,7 +860,7 @@ def simhash_dropped_ids(
 
     Output: single column ``id_col``.
     """
-    num_blocks, combo_size = _resolve_banding(
+    num_blocks, combo_size, _auto = _resolve_banding(
         fp, max_hamming, max_bucket, num_blocks, combo_size
     )
     # reps doubles as the distinct-fingerprint set for banding (one row

@@ -142,11 +142,16 @@ def connected_components_stars(
     )
 
     def _fingerprint(e: DataFrame) -> tuple:
+        # bit_xor folds, not sum: XOR cannot overflow (sum of longs
+        # wraps, which ANSI mode would turn into a throw), and two
+        # independently-seeded hash folds make a false fixpoint on
+        # unequal edge sets practically impossible.
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h1"),
+            F.bit_xor(F.xxhash64("v", "u", F.lit(0x9E3779B9))).alias("h2"),
         ).first()
-        return (row["n"], row["h"])
+        return (row["n"], row["h1"], row["h2"])
 
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -52,9 +52,11 @@ def _range_bucket_expr(
     execution, forcing a persist whose lifetime no one owns). Rows with
     a NULL order key land in bucket 0, matching ASC NULLS FIRST.
 
-    Costs, honestly: one column-pruned count + one bounded sample collect
-    at plan-build time (RangePartitioner pays an equivalent sampling
-    job), and the bucket expression is ``n-1`` struct comparisons per
+    Costs, honestly: ONE bounded plan-build job either way — an
+    ``approxQuantile`` on the typical numeric leading key, else a
+    rand-ordered ``limit(20n)`` (physically TakeOrderedAndProject:
+    per-partition top-k + driver merge, no shuffle, no separate count
+    pass) — and the bucket expression is ``n-1`` struct comparisons per
     row — linear in the bucket count, so keep ``n`` at cores-to-a-few-
     hundred (each bucket is one window task anyway; with the typical
     single numeric order key the comparisons are scalar ``>=``, pure
@@ -68,31 +70,35 @@ def _range_bucket_expr(
         # Fast path — the typical packing order key leads with a
         # near-unique numeric (shuffle rank, row id): ONE approxQuantile
         # job yields the boundaries directly, and bucketing on the first
-        # column alone stays a pure row function (ties share a bucket —
-        # balance degrades only under heavy first-column duplication,
-        # correctness never).
+        # column alone stays a pure row function.
         probs = [i / n for i in range(1, n)]
         qs = df.stat.approxQuantile(order_cols[0], probs, 0.01)
-        bucket = F.lit(0)
-        for q in sorted(set(qs)):
-            bucket = bucket + F.coalesce(
-                (df[order_cols[0]] >= F.lit(q)).cast("int"), F.lit(0)
-            )
-        return bucket
+        distinct_qs = sorted(set(qs))
+        # A heavily duplicated leading key collapses the sampled
+        # boundaries, which would funnel the tied rows into one bucket —
+        # recreating the single-task window this machinery exists to
+        # avoid. Fall through to the full-tuple struct path when the
+        # boundary set degenerates (unless there IS no further column
+        # to break ties with, in which case the struct path would
+        # degenerate identically).
+        if len(distinct_qs) >= max(2, n // 4) or len(order_cols) == 1:
+            bucket = F.lit(0)
+            for q in distinct_qs:
+                bucket = bucket + F.coalesce(
+                    (df[order_cols[0]] >= F.lit(q)).cast("int"), F.lit(0)
+                )
+            return bucket
 
     keys = df.select(
         *[F.col(c).alias(f"__k{i}") for i, c in enumerate(order_cols)]
     )
-    total = keys.count()
     target = 20 * n
-    sampled = (
-        keys
-        if total <= target
-        else keys.sample(False, min(1.0, (target * 1.2 + 10) / total), seed)
-    )
+    # One bounded job: a seeded-rand top-k is a uniform sample collected
+    # without first counting the corpus (TakeOrderedAndProject — each
+    # partition keeps its local k, the driver merges; nothing shuffles).
     rows = [
         tuple(r)
-        for r in sampled.limit(10 * target).collect()
+        for r in keys.orderBy(F.rand(seed)).limit(target).collect()
         if all(v is not None for v in r)
     ]
     rows.sort()

@@ -3215,7 +3215,8 @@ def cv_grid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's translated regParam grid, reported as one row per grid
     point (params, avg_metric). Rows-only driver check (|grid| rows);
     fold assignment is seed-deterministic. Spark parallelizes each fit
-    AND runs grid points concurrently (parallelism=4)."""
+    AND runs grid points concurrently (parallelism=9, one slot per
+    fold-model: |grid|=3 x folds=3)."""
     from datawarehousefinal_spark.ml.pipelines import (
         classifier_zoo,
         cv_metrics_table,
