@@ -189,6 +189,23 @@ def deterministic_sample(
     return df.filter(sample_hash(id_col, seed) < F.lit(threshold))
 
 
+def deterministic_sample_exact(
+    df: DataFrame, id_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """Exact-``n`` deterministic sample: the ``n`` rows with the smallest
+    md5(id ':' seed) keys (ties — 2^-128 events — break on the id).
+
+    A pure function of (ids, seed): stable under re-runs, repartitioning,
+    and engines — and therefore SQL-replayable (``ORDER BY md5(...)
+    LIMIT n``), unlike the rand-ordered exact sample whose order no
+    other engine can reproduce. Physically TakeOrderedAndProject:
+    each partition keeps its local top-n, the driver merges — no
+    shuffle, no full sort. Nested like :func:`deterministic_sample`:
+    the top-100 is a subset of the top-200 at the same seed."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    return df.orderBy(key, F.col(id_col)).limit(n)
+
+
 def seeded_shuffle(
     df: DataFrame,
     id_col: str,

@@ -905,6 +905,32 @@ def simhash_dropped_ids(
     )
 
 
+def _probe_max_gram_df(
+    grams: DataFrame,
+    id_col: str,
+    probe_fraction: float,
+    seed: int = 42,
+) -> float:
+    """Estimate the corpus-max gram doc-frequency from a deterministic
+    hash-sample of DOCUMENTS (sampling docs scales every gram's df by
+    ``probe_fraction`` in expectation, so a gram shared by half the
+    corpus is unmissable in any non-trivial sample). One bounded job:
+    explode over the sampled docs, count per gram, max — the same
+    shape the real pass takes, at ``probe_fraction`` of the cost."""
+    cells = 1_000_000
+    cut = max(1, int(probe_fraction * cells))
+    sampled = grams.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(cells)) < cut
+    )
+    row = (
+        sampled.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .agg(F.max("__df").alias("__m"))
+        .first()
+    )
+    return (row["__m"] or 0) * (cells / cut)
+
+
 def ngram_coverage(
     df: DataFrame,
     id_col: str,
@@ -912,7 +938,9 @@ def ngram_coverage(
     n: int = 8,
     hash_grams: bool = True,
     min_shared: int = 0,
-    via: str = "window",
+    via: str = "auto",
+    hot_gram_df: int = 100_000,
+    probe_fraction: float = 0.01,
 ) -> DataFrame:
     """Per-document duplicate-n-gram coverage — the corpus-internal
     diagnostic behind "remove documents mostly made of text seen
@@ -921,7 +949,7 @@ def ngram_coverage(
     STITCHED from many sources because no single pair crosses the
     similarity threshold).
 
-    Shape (``via="window"``, default): one gram explode (map-side), ONE
+    Shape (``via="window"``): one gram explode (map-side), ONE
     gram-keyed exchange with the doc-frequency as an unordered count
     window, one per-doc rollup — measured ~2× faster than the
     aggregate-plus-join-back formulation (which pays the gram exchange
@@ -929,11 +957,16 @@ def ngram_coverage(
     join shape for corpora with mega-hot boilerplate grams: AQE splits
     skewed JOIN partitions but not skewed WINDOW partitions, so a gram
     shared by half the corpus serializes one window task while the join
-    shape spreads it. Keys are 8-byte xxhash64 by default
-    (``hash_grams=False`` keys on gram text for exact SQL replay — the
-    oracled query path). Documents with no tokens have no grams and are
-    absent (consistent with the contamination operator's empty-doc
-    hygiene).
+    shape spreads it. ``via="auto"`` (default) picks between them with
+    one cheap probe — :func:`_probe_max_gram_df` on a
+    ``probe_fraction`` hash-sample of documents — switching to the join
+    shape when the estimated max gram doc-frequency reaches
+    ``hot_gram_df`` (the point where one window task would own a
+    partition ``hot_gram_df`` rows deep). Keys are 8-byte xxhash64 by
+    default (``hash_grams=False`` keys on gram text for exact SQL
+    replay — the oracled query path). Documents with no tokens have no
+    grams and are absent (consistent with the contamination operator's
+    empty-doc hygiene).
 
     Output: ``id_col, n_grams (long), n_shared (long, grams whose
     corpus doc-frequency >= 2), coverage (double)``, filtered to
@@ -941,12 +974,15 @@ def ngram_coverage(
     """
     from datawarehousefinal_spark.operators.contamination import word_ngrams
 
-    if via not in ("window", "join"):
-        raise ValueError(f"via must be 'window' or 'join', got {via!r}")
+    if via not in ("auto", "window", "join"):
+        raise ValueError(f"via must be 'auto', 'window' or 'join', got {via!r}")
     grams = df.select(
         F.col(id_col),
         F.explode(word_ngrams(text_col, n, hash_grams)).alias("gram"),
     )
+    if via == "auto":
+        est = _probe_max_gram_df(grams, id_col, probe_fraction)
+        via = "join" if est >= hot_gram_df else "window"
     if via == "window":
         counted = grams.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("gram"))

@@ -1669,6 +1669,62 @@ def csv_typed_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "encoding_fallback_scan",
+    oracle="""
+    SELECT n_nationkey, n_name || 'ñ' AS n_name_tagged FROM nation
+    """,
+)
+def encoding_fallback_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: per-file encoding-fallback scan (sources.readers.
+    read_csv_encoding_fallback — the reference's utf-8 → latin-1 retry
+    loop, Datos/preprocessing.py:91-121). Two ';'-separated files are
+    materialized from the nation table with every name tagged 'ñ': the
+    even-key file utf-8, the odd-key file latin-1 (whose 0xF1 'ñ' bytes
+    fail a strict utf-8 decode). The probe must route each file to its
+    codec, the per-encoding typed scans union, and the result must
+    hash-match the tagged source — a wrong codec anywhere shows up as
+    mojibake in the value hash."""
+    import os
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from datawarehousefinal_spark.sources.readers import (
+        read_csv_encoding_fallback,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = sorted((r[0], r[1]) for r in nation.collect())
+    base = _scratch_path("enc_fallback", sf_dir)
+    os.makedirs(base, exist_ok=True)
+    files = {
+        0: (os.path.join(base, "even_utf8.csv"), "utf-8"),
+        1: (os.path.join(base, "odd_latin1.csv"), "latin-1"),
+    }
+    handles = {
+        parity: open(path, "w", encoding=enc)
+        for parity, (path, enc) in files.items()
+    }
+    try:
+        for fh in handles.values():
+            fh.write("n_nationkey;n_name_tagged\n")
+        for key, name in rows:
+            handles[key % 2].write(f"{key};{name}ñ\n")
+    finally:
+        for fh in handles.values():
+            fh.close()
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name_tagged", StringType()),
+        ]
+    )
+    df, _chosen = read_csv_encoding_fallback(
+        spark, os.path.join(base, "*.csv"), schema, sep=";"
+    )
+    return df
+
+
+@query(
     "parquet_sink_roundtrip",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
@@ -1844,15 +1900,29 @@ def cache_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("seeded_sample_100")  # no SQL oracle: rand() ordering is Spark-side
+@query(
+    "seeded_sample_100",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY md5(o_orderkey::VARCHAR || ':42'), o_orderkey
+    LIMIT 100
+    """,
+)
 def seeded_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1: exact-n seeded sample (machineLearning.py:146-147). Rows-only
-    driver check — the contract is |result| == n and determinism per seed
-    (asserted in tests)."""
-    from datawarehousefinal_spark.operators.dataset import seeded_sample_exact
+    """C1: exact-n seeded sample (machineLearning.py:146-147), via the
+    HASH-ordered sampler (curation.deterministic_sample_exact): the 100
+    smallest md5(id:seed) rows — a pure function of (ids, seed), so
+    DuckDB replays the exact row set and the driver hash-checks it
+    (the rand-ordered variant, dataset.seeded_sample_exact, keeps
+    reference parity and is pinned by pytest determinism tests; its
+    order is Spark-internal and can never be oracled)."""
+    from datawarehousefinal_spark.operators.curation import (
+        deterministic_sample_exact,
+    )
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    return seeded_sample_exact(orders, 100)
+    return deterministic_sample_exact(orders, "o_orderkey", 100)
 
 
 # ---------------------------------------------------------------------------

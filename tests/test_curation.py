@@ -91,6 +91,31 @@ def test_deterministic_sample_nested_and_stable(spark):
     assert 0.15 * 2000 < len(ids20) < 0.25 * 2000
 
 
+def test_deterministic_sample_exact_nested_and_stable(spark):
+    from datawarehousefinal_spark.operators.curation import (
+        deterministic_sample_exact,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    top100 = {r["doc_id"] for r in
+              deterministic_sample_exact(df, "doc_id", 100, seed=7).collect()}
+    top200 = {r["doc_id"] for r in
+              deterministic_sample_exact(df, "doc_id", 200, seed=7).collect()}
+    assert len(top100) == 100 and len(top200) == 200
+    # nested: the top-100 is a subset of the top-200 at one seed
+    assert top100 <= top200
+    # stable across repartitioning (pure function of ids + seed)
+    again = {r["doc_id"] for r in
+             deterministic_sample_exact(
+                 df.repartition(13), "doc_id", 100, seed=7
+             ).collect()}
+    assert again == top100
+    # a different seed is a different sample
+    other = {r["doc_id"] for r in
+             deterministic_sample_exact(df, "doc_id", 100, seed=8).collect()}
+    assert other != top100
+
+
 def test_rebalance_sources_quotas(spark):
     from pyspark.sql import functions as F
 

@@ -244,3 +244,31 @@ def test_ngram_coverage_shapes_agree(spark, sf_dir):
     # planted near-dups must surface with high coverage
     top = max(r[3] for r in a)
     assert top >= 0.9
+
+
+def test_ngram_coverage_auto_shape_switch(spark, sf_dir):
+    """via='auto' probes max gram doc-frequency and flips to the join
+    shape (AQE-splittable) when a gram is hot enough to serialize one
+    window task — and the chosen shape shows in the physical plan."""
+    from datawarehousefinal_spark.operators.dedup import ngram_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # Uniform corpus, generous threshold: auto keeps the window shape.
+    win = ngram_coverage(
+        docs, "doc_id", "text", via="auto",
+        hot_gram_df=10**9, probe_fraction=1.0,
+    )
+    assert "Window" in plan(win)
+    # Same corpus, threshold of 1: every shared gram counts as hot —
+    # auto must pick the join shape (no Window operator in the plan).
+    join = ngram_coverage(
+        docs, "doc_id", "text", via="auto",
+        hot_gram_df=1, probe_fraction=1.0,
+    )
+    assert "Window" not in plan(join)
+    # and the two auto outcomes agree value-for-value
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, join.collect()))
