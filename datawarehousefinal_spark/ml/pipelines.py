@@ -625,3 +625,204 @@ def read_feature_cache(spark, path: str) -> DataFrame:
     """Load a feature table written by :func:`write_feature_cache`; the
     ``features`` column comes back as an ML ``Vector``, estimator-ready."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# M13 — embedding tabular classifier (capability closure of the torch path)
+# ---------------------------------------------------------------------------
+
+def embedding_tabular_classifier(
+    df: DataFrame,
+    categorical: list[str],
+    numeric: list[str],
+    label_col: str,
+    emb_dim: int = 16,
+    hidden: tuple[int, ...] = (64, 32),
+    max_iter: int = 100,
+    seed: int = SEED,
+) -> tuple[PipelineModel, DataFrame]:
+    """M13: the reference's torch embedding tabular classifier
+    (deeplearning/model.py:5-32 ``DWEmbeddingClassifier``,
+    deeplearning/train.py:10-79) re-expressed with public Spark ML parts.
+
+    The torch model is per-categorical ``nn.Embedding(cardinality+1,
+    emb_dim)`` lookups concatenated with the numerics, feeding a ReLU
+    MLP. A linear layer applied to a ONE-HOT input *is* an embedding
+    lookup (row i of the weight matrix is category i's embedding), so
+    the same function class is: unknown-safe one-hot per categorical
+    (``dropLast=False`` — the 'keep' bucket gets its own slot, matching
+    the reference's +1 unknown embedding row) + imputed/scaled numerics,
+    into a ``MultilayerPerceptronClassifier`` whose FIRST hidden layer
+    is the embedding bottleneck, sized ``emb_dim * len(categorical) +
+    len(numeric)`` — the width the torch concat produces — followed by
+    the classifier stack (the reference's 256→128, scaled by
+    ``hidden``). Trained end-to-end with L-BFGS like the torch model's
+    AdamW loop trains embeddings and classifier jointly; labels are
+    StringIndexer-encoded (deeplearning/fit_encoders.py's
+    LabelEncoder).
+
+    Distributed-by-construction: every stage is pyspark.ml (JVM); the
+    driver holds only the weight vectors. Returns ``(fitted pipeline,
+    predictions on df)`` — predictions carry ``label`` and
+    ``prediction`` for the M11 metrics helpers.
+    """
+    stages: list[Any] = []
+    assemble: list[str] = []
+    if numeric:
+        imputed = [f"__imp_{c}" for c in numeric]
+        stages.append(
+            Imputer(strategy="mean", inputCols=numeric, outputCols=imputed)
+        )
+        stages.append(VectorAssembler(inputCols=imputed, outputCol="__num_raw"))
+        stages.append(
+            StandardScaler(
+                inputCol="__num_raw",
+                outputCol="__num_scaled",
+                withMean=True,
+                withStd=True,
+            )
+        )
+        assemble.append("__num_scaled")
+    for c in categorical:
+        stages.append(
+            StringIndexer(inputCol=c, outputCol=f"__idx_{c}", handleInvalid="keep")
+        )
+        stages.append(
+            OneHotEncoder(inputCol=f"__idx_{c}", outputCol=f"__ohe_{c}", dropLast=False)
+        )
+        assemble.append(f"__ohe_{c}")
+    stages.append(VectorAssembler(inputCols=assemble, outputCol="__etc_features"))
+    label_stage = StringIndexer(
+        inputCol=label_col, outputCol="label", handleInvalid="keep"
+    ).fit(df)
+    n_classes = len(label_stage.labels)
+    # input width = Σ(cardinality+1) one-hot slots + numerics; known only
+    # after the indexers fit, so fit the feature pipeline first, then the
+    # MLP. The feature frame is persisted across the L-BFGS iterations
+    # (each scans it) and released before returning; the returned
+    # predictions re-derive features lazily from ``df`` — no cache leak.
+    feature_model = Pipeline(stages=stages).fit(df)
+    feats = label_stage.transform(feature_model.transform(df)).persist()
+    try:
+        input_dim = feats.select("__etc_features").head()["__etc_features"].size
+        bottleneck = emb_dim * len(categorical) + len(numeric)
+        layers = [input_dim, bottleneck, *hidden, n_classes]
+        mlp = MultilayerPerceptronClassifier(
+            seed=seed,
+            maxIter=max_iter,
+            layers=layers,
+            featuresCol="__etc_features",
+            labelCol="label",
+        ).fit(feats)
+    finally:
+        feats.unpersist()
+    model = PipelineModel(stages=[*feature_model.stages, label_stage, mlp])
+    pred = model.transform(df)
+    helpers = [c for c in pred.columns if c.startswith("__")]
+    return model, pred.drop(*helpers)
+
+
+# ---------------------------------------------------------------------------
+# M8 gap closure — RBF-kernel SVC via random Fourier features
+# ---------------------------------------------------------------------------
+
+def random_fourier_features(
+    df: DataFrame,
+    features_col: str = "features",
+    out_col: str = "rff",
+    n_components: int = 100,
+    gamma: float = 1.0,
+    seed: int = SEED,
+) -> DataFrame:
+    """Rahimi-Recht random Fourier feature map approximating the RBF
+    kernel ``k(x,y) = exp(-gamma * ||x-y||^2)``: ``z(x) = sqrt(2/D) *
+    cos(W x + b)`` with ``W ~ N(0, 2*gamma)`` entries and ``b ~
+    U[0, 2pi)``, so ``z(x)·z(y) -> k(x,y)`` as D grows ("Random
+    Features for Large-Scale Kernel Machines", NeurIPS 2007).
+
+    W and b are driver-generated from ``seed`` (D x d floats — KBs) and
+    closed over into one Arrow-batched ``pandas_udf``: the projection is
+    a numpy matmul per batch (BLAS), map-only, no shuffle — the same
+    vectorized-kernel pattern as operators.kernels. The output is an ML
+    ``Vector`` column, estimator-ready.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    input_dim = df.select(features_col).head()[features_col].size
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0.0, np.sqrt(2.0 * gamma), size=(input_dim, n_components))
+    b = rng.uniform(0.0, 2.0 * np.pi, size=n_components)
+    scale = np.sqrt(2.0 / n_components)
+
+    @pandas_udf("array<double>")
+    def rff(xs):  # type: ignore[no-untyped-def]  # scalar pandas_udf
+        mat = np.vstack(xs.to_numpy())           # (batch, d)
+        z = scale * np.cos(mat @ w + b)          # (batch, D) — one BLAS call
+        return pd.Series(list(z))
+
+    arr = vector_to_array(F.col(features_col))
+    return df.withColumn(out_col, array_to_vector(rff(arr)))
+
+
+def rbf_svc_approx(
+    train: DataFrame,
+    features_col: str = "features",
+    label_col: str = "label",
+    n_components: int = 100,
+    gamma: float = 1.0,
+    reg_param: float = 0.01,
+    weight_col: str | None = None,
+    max_iter: int = 50,
+    seed: int = SEED,
+):
+    """M8 gap closure: the reference zoo's kernel ``SVC()``
+    (machineLearning.py:459 — sklearn's default RBF kernel) approximated
+    with public techniques Spark can distribute: the
+    :func:`random_fourier_features` lift followed by ``LinearSVC`` in
+    ``OneVsRest`` — a linear separator in RFF space approximates the
+    RBF-kernel separator, without the kernel matrix no cluster could
+    materialize (n^2 entries at corpus scale).
+
+    Returns ``(ovr_model, transform_fn)`` where ``transform_fn(df)``
+    applies the SAME frozen feature map (same seed → same W, b) and the
+    fitted model — use it for test/serving frames.
+    """
+    # Persist the lifted frame across the fit: every L-BFGS iteration of
+    # every one-vs-rest binary model rescans its input, and without the
+    # persist each rescan re-runs the Arrow projection kernel. Released
+    # before returning; parallelism=4 overlaps the independent binary
+    # fits (each underuses the cluster at post-lift widths).
+    lifted = random_fourier_features(
+        train, features_col, "__rff", n_components, gamma, seed
+    ).persist()
+    try:
+        w = {"weightCol": weight_col} if weight_col else {}
+        svc = LinearSVC(
+            featuresCol="__rff",
+            labelCol=label_col,
+            regParam=reg_param,
+            maxIter=max_iter,
+            **w,
+        )
+        ovr = OneVsRest(
+            classifier=svc,
+            featuresCol="__rff",
+            labelCol=label_col,
+            parallelism=4,
+            **w,
+        ).fit(lifted)
+    finally:
+        lifted.unpersist()
+
+    def transform_fn(df: DataFrame) -> DataFrame:
+        out = ovr.transform(
+            random_fourier_features(
+                df, features_col, "__rff", n_components, gamma, seed
+            )
+        )
+        return out.drop("__rff")
+
+    return ovr, transform_fn

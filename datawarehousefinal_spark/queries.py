@@ -3319,6 +3319,87 @@ def cv_grid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cv_metrics_table(cv_model, spark)
 
 
+@query("embedding_tabular_classifier")  # no SQL oracle: iterative training
+def embedding_tabular_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 capability closure made driver-visible: the reference's torch
+    embedding tabular classifier (deeplearning/model.py:5-32,
+    deeplearning/train.py:10-79) as one-hot → embedding-bottleneck MLP
+    (ml.pipelines.embedding_tabular_classifier). Calendar categoricals
+    (hour, dow — the cardinality-bounded columns an embedding table is
+    for) + the value numeric predict event_type on a deterministic 10%
+    hash-sample of events (training is iterative; the sample bounds
+    bench cost the way the reference's batch loader bounds epochs).
+    Reports the confusion matrix (label, prediction, n); accuracy-level
+    assertions live in tests/test_ml.py."""
+    from datawarehousefinal_spark.ml.pipelines import (
+        confusion_matrix_df,
+        embedding_tabular_classifier,
+    )
+
+    # coalesce: the sample is ~1% of a fact partition's width — iterative
+    # fits schedule their per-iteration tasks over the partition count, so
+    # size partitions to the sampled data, not to the source layout.
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0)
+        .select(
+            "value",
+            "event_type",
+            F.hour("ts").cast("string").alias("hour"),
+            F.dayofweek("ts").cast("string").alias("dow"),
+        )
+        .coalesce(4)
+    )
+    _model, pred = embedding_tabular_classifier(
+        events,
+        categorical=["hour", "dow"],
+        numeric=["value"],
+        label_col="event_type",
+        emb_dim=8,
+        hidden=(32,),
+        max_iter=40,
+    )
+    return confusion_matrix_df(pred)
+
+
+@query("rbf_svc_approx")  # no SQL oracle: iterative training
+def rbf_svc_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 gap closure made driver-visible: the reference zoo's kernel
+    SVC (machineLearning.py:459) as random-Fourier-features + LinearSVC
+    one-vs-rest (ml.pipelines.rbf_svc_approx — the kernel trick without
+    the n^2 kernel matrix no cluster could hold). Preprocessed calendar/
+    value features on a deterministic 10% hash-sample of events; reports
+    the confusion matrix (label, prediction, n). The
+    beats-linear-on-a-ring proof lives in tests/test_ml.py."""
+    from datawarehousefinal_spark.ml.pipelines import (
+        confusion_matrix_df,
+        fit_preprocess,
+        label_encode,
+        rbf_svc_approx,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0)
+        .select(
+            "value",
+            "event_type",
+            F.hour("ts").alias("hour"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .coalesce(4)  # size partitions to the sample (see above)
+    )
+    _enc, labeled = label_encode(events, "event_type", "label")
+    _model, feats = fit_preprocess(labeled.drop("event_type"), exclude=("label",))
+    try:
+        _ovr, transform_fn = rbf_svc_approx(
+            feats, n_components=64, gamma=0.5, max_iter=30
+        )
+        return confusion_matrix_df(transform_fn(feats).localCheckpoint())
+    finally:
+        feats.unpersist()
+
+
 @query(
     "streaming_cube_counts",
     oracle="""

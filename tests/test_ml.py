@@ -248,3 +248,74 @@ def test_feature_cache_roundtrip(spark, blobs, tmp_path):
     # estimator-ready with no re-preprocessing
     model, clustered = fit_kmeans(reloaded, k=3)
     assert clustered.select("cluster").distinct().count() == 3
+
+
+def test_embedding_tabular_classifier_learns_categorical_signal(spark):
+    """M13 closure: a label decided BY the categorical column is only
+    learnable through the embedding path (the single numeric is noise) —
+    the one-hot→bottleneck first layer must carry the signal, like the
+    torch model's nn.Embedding lookups (deeplearning/model.py:5-32)."""
+    from datawarehousefinal_spark.ml.pipelines import (
+        embedding_tabular_classifier,
+    )
+
+    cats = ["ant", "bee", "cat", "dog", "elk"]
+    rows = [
+        (i, cats[i % 5], float((i * 7) % 11) / 11.0, cats[i % 5])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["id", "animal", "noise", "target"])
+    model, pred = embedding_tabular_classifier(
+        df, categorical=["animal"], numeric=["noise"], label_col="target",
+        emb_dim=4, hidden=(16,), max_iter=60,
+    )
+    acc = pred.filter(F.col("label") == F.col("prediction")).count() / 500
+    assert acc >= 0.95
+    # the fitted pipeline transforms a fresh frame end-to-end, unknown-safe
+    fresh = spark.createDataFrame(
+        [(0, "ant", 0.5, "ant"), (1, "UNSEEN", 0.5, "bee")],
+        ["id", "animal", "noise", "target"],
+    )
+    out = model.transform(fresh)
+    assert out.count() == 2 and "prediction" in out.columns
+
+
+def test_rbf_svc_approx_beats_linear_on_ring(spark):
+    """A ring-vs-center labeling is the canonical linearly-inseparable
+    fixture: LinearSVC cannot beat ~2/3 (majority class), the RFF lift
+    (machineLearning.py:459's kernel SVC, Rahimi-Recht construction)
+    must separate it."""
+    import math as _m
+
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.classification import LinearSVC
+
+    from datawarehousefinal_spark.ml.pipelines import rbf_svc_approx
+
+    rows = []
+    for i in range(600):
+        r = 0.5 if i % 3 else 2.0          # 2/3 inner disk, 1/3 outer ring
+        theta = 2 * _m.pi * ((i * 37) % 600) / 600.0
+        jr = r + 0.05 * ((i * 13) % 7 - 3) / 3.0
+        rows.append((jr * _m.cos(theta), jr * _m.sin(theta), 0.0 if i % 3 else 1.0))
+    df = spark.createDataFrame(rows, ["x", "y", "label"]).coalesce(2)
+    feats = VectorAssembler(
+        inputCols=["x", "y"], outputCol="features"
+    ).transform(df).persist()
+
+    linear = LinearSVC(featuresCol="features", labelCol="label").fit(feats)
+    lin_acc = (
+        linear.transform(feats).filter(F.col("label") == F.col("prediction")).count()
+        / 600
+    )
+
+    _model, transform_fn = rbf_svc_approx(
+        feats, n_components=100, gamma=1.0, reg_param=0.01
+    )
+    rff_acc = (
+        transform_fn(feats).filter(F.col("label") == F.col("prediction")).count()
+        / 600
+    )
+    assert rff_acc >= 0.95, f"rff_acc={rff_acc}"
+    assert rff_acc > lin_acc + 0.2, f"lin={lin_acc} rff={rff_acc}"
+    feats.unpersist()
