@@ -3695,6 +3695,91 @@ def streaming_stateful_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_dedup_daily_counts",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_dedup_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup made driver-visible AND oracled: the
+    events table plus PLANTED replays (every 7th event duplicated) is
+    re-served as a 3-batch parquet stream through
+    ``dropDuplicatesWithinWatermark`` (streaming/pipeline.
+    streaming_dedup — Spark keeps per-key state only for the watermark
+    horizon), and the surviving rows' daily counts must hash-match the
+    direct aggregation of the ORIGINAL table — every replay collapsed,
+    every original kept. The watermark is set beyond the fixture's time
+    span so no genuine row is late-dropped; at production scale the
+    horizon bounds state exactly like the windowed aggregations'."""
+    import shutil
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    base = _scratch_path("stream_dedup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    replays = events.filter(F.col("event_id") % 7 == 0)
+    events.unionByName(replays).repartition(3).write.parquet(src)
+    stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
+    deduped = streaming_dedup(
+        stream, ["event_id"], "ts", watermark="36500 days"
+    )
+    table = "dwf_stream_dedup_counts"
+    spark.catalog.dropTempView(table)
+    run_to_memory(deduped, table, "append")
+    return (
+        spark.table(table)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS fecha, count(*)::BIGINT AS movement_count
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked windowed aggregation made driver-visible AND
+    oracled — A4's daily counts as a genuine event-time streaming
+    aggregate (streaming/pipeline.windowed_event_counts: tumbling 1-day
+    windows, watermark-bounded state), driven over a 3-batch re-serve of
+    the events table. Complete output mode emits every window's final
+    count after availableNow drains the source, which must hash-match
+    the batch daily aggregation exactly — the streaming face of
+    ``daily_counts``."""
+    import shutil
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    base = _scratch_path("stream_window", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    events.repartition(3).write.parquet(src)
+    stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
+    counts = windowed_event_counts(stream, "ts", "1 day", "1 day")
+    table = "dwf_stream_window_counts"
+    spark.catalog.dropTempView(table)
+    run_to_memory(counts, table, "complete")
+    return spark.table(table).select(
+        "fecha", F.col("movement_count").cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
