@@ -3830,9 +3830,8 @@ _DRIVER_WINDOW = [
     "near_dup_components",
     "near_dup_components_stars",
     "ngram_coverage_report",
-    # text
-    "repetition_stats",
-    "doc_chunking",
+    # text (repetition_stats / doc_chunking green in r05, unchanged —
+    # rotated out for the two new streaming entries below)
     "bm25_topk",
     # ML (new capability closures; linreg stays as the oracled M12 face)
     "linreg_trend_forecast",
@@ -3861,6 +3860,8 @@ _DRIVER_WINDOW = [
     "segment_revenue_topk",
     "streaming_cube_counts",
     "streaming_stateful_totals",
+    "streaming_dedup_daily_counts",
+    "streaming_windowed_counts",
 ]
 
 
