@@ -3486,9 +3486,7 @@ def incremental_cube_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_moments(merge_moment_state(state, delta))
 
 
-@query(
-    "bm25_topk",
-    oracle="""
+_BM25_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
              unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
@@ -3522,8 +3520,10 @@ def incremental_cube_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, score FROM scored WHERE score > 0
     ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("bm25_topk", oracle=_BM25_ORACLE)
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval over the documents corpus for the query
     terms (hash, join, broadcast) — tokens are filtered to the query
@@ -3534,6 +3534,33 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, "doc_id", "text", ["hash", "join", "broadcast"], k=10)
+
+
+@query("bm25_append_topk", oracle=_BM25_ORACLE)
+def bm25_append_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance, hash-proven: the index is
+    built on ~2/3 of the corpus (doc_id % 3 != 0), the last third is
+    appended via ``textstats.bm25_index_append`` — tokenizing ONLY the
+    batch, never re-reading the indexed corpus — and the query is
+    served from the merged index. The result must hash-match the SAME
+    full-corpus oracle as ``bm25_topk``: every BM25 statistic (tf, df,
+    N, avgdl) is a mergeable state, so append ≡ rebuild exactly."""
+    from datawarehousefinal_spark.operators.textstats import (
+        bm25_build_index,
+        bm25_index_append,
+        bm25_topk_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    postings, doclens = bm25_build_index(base, "doc_id", "text")
+    postings, doclens = bm25_index_append(
+        postings, doclens, batch, "doc_id", "text"
+    )
+    return bm25_topk_from_index(
+        postings, doclens, "doc_id", ["hash", "join", "broadcast"], k=10
+    )
 
 
 @query("ivf_append_assignments")  # no SQL oracle: KMeans quantizer centroids
@@ -3821,8 +3848,8 @@ _DRIVER_WINDOW = [
     "source_mix_report",
     "pii_scrub",
     "contamination_report",
-    # similarity / ANN
-    "cosine_topk",
+    # similarity / ANN (cosine_topk green in r05, unchanged — rotated
+    # out for bm25_append_topk)
     "embedding_near_dup_pairs",
     "ivf_append_assignments",
     # dedup / graph (checksum + guard + auto-shape changes)
@@ -3833,6 +3860,7 @@ _DRIVER_WINDOW = [
     # text (repetition_stats / doc_chunking green in r05, unchanged —
     # rotated out for the two new streaming entries below)
     "bm25_topk",
+    "bm25_append_topk",
     # ML (new capability closures; linreg stays as the oracled M12 face)
     "linreg_trend_forecast",
     "embedding_tabular_classifier",

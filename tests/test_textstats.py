@@ -175,3 +175,42 @@ def test_bm25_index_path_matches_adhoc(spark, sf_dir):
     assert len(adhoc) == 10
     scores = [s for _, s in adhoc]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_index_append_equals_rebuild(spark, sf_dir):
+    """Appending a batch to the index (tokenizing only the batch) must
+    reproduce the from-scratch rebuild exactly — every BM25 statistic is
+    a mergeable state over disjoint doc sets. dedup_ids=True makes
+    at-least-once ingest idempotent."""
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.textstats import (
+        bm25_build_index,
+        bm25_index_append,
+        bm25_topk_from_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    p, d = bm25_build_index(base, "doc_id", "text")
+    p2, d2 = bm25_index_append(p, d, batch, "doc_id", "text")
+    fp, fd = bm25_build_index(docs, "doc_id", "text")
+    assert sorted(map(tuple, p2.collect())) == sorted(map(tuple, fp.collect()))
+    assert sorted(map(tuple, d2.collect())) == sorted(map(tuple, fd.collect()))
+    terms = ["hash", "join", "broadcast"]
+    merged = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_from_index(p2, d2, "doc_id", terms, k=10).collect()
+    ]
+    rebuilt = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_from_index(fp, fd, "doc_id", terms, k=10).collect()
+    ]
+    assert merged == rebuilt and len(merged) == 10
+    # replaying the SAME batch with dedup_ids=True changes nothing
+    p3, d3 = bm25_index_append(p2, d2, batch, "doc_id", "text", dedup_ids=True)
+    assert d3.count() == d2.count()
+    assert p3.count() == p2.count()
