@@ -3563,6 +3563,47 @@ def bm25_append_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_meta_sniff",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+           CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 11 + 1 AS INTEGER) AS height
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def image_meta_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image metadata extraction, hash-checked: deterministic
+    PNG/GIF/BMP/JPEG header payloads (multimodal.synth_image_bytes —
+    dims derived from the doc id) are sniffed by the library-free
+    header parser (multimodal.sniff_image_meta, Arrow-batched
+    mapInPandas, bytes never leave the executor) and must reproduce the
+    planted (format, width, height) exactly. This is the REAL half of
+    compressed-image handling — pixel decode stays behind
+    decode_compressed's loud PIL guard."""
+    from datawarehousefinal_spark.operators.multimodal import (
+        sniff_image_meta,
+        synth_image_bytes,
+    )
+
+    fmts = ["png", "gif", "bmp", "jpeg"]
+    ids = [
+        r[0]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 50 == 0)
+        .collect()
+    ]
+    rows = [
+        (i, synth_image_bytes(fmts[i % 4], i % 37 + 1, i % 11 + 1))
+        for i in ids
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return sniff_image_meta(media)
+
+
 @query("ivf_append_assignments")  # no SQL oracle: KMeans quantizer centroids
 def ivf_append_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance made driver-visible: fit the IVF
@@ -3848,9 +3889,10 @@ _DRIVER_WINDOW = [
     "source_mix_report",
     "pii_scrub",
     "contamination_report",
-    # similarity / ANN (cosine_topk green in r05, unchanged — rotated
-    # out for bm25_append_topk)
-    "embedding_near_dup_pairs",
+    # similarity / ANN / multimodal (cosine_topk and
+    # embedding_near_dup_pairs green in r05, unchanged — rotated out for
+    # bm25_append_topk and image_meta_sniff)
+    "image_meta_sniff",
     "ivf_append_assignments",
     # dedup / graph (checksum + guard + auto-shape changes)
     "simhash_near_dupes",

@@ -213,3 +213,46 @@ def test_channel_features_codec_dispatch(spark):
     except ImportError:
         with pytest.raises(Exception, match="decode_compressed is a stub"):
             both.collect()
+
+
+def test_sniff_image_dims_four_formats_and_garbage():
+    from datawarehousefinal_spark.operators.multimodal import (
+        sniff_image_dims,
+        synth_image_bytes,
+    )
+
+    for fmt in ("png", "gif", "bmp", "jpeg"):
+        assert sniff_image_dims(synth_image_bytes(fmt, 640, 480)) == (fmt, 640, 480)
+        assert sniff_image_dims(synth_image_bytes(fmt, 1, 1)) == (fmt, 1, 1)
+    # BMP top-down rows encode a negative height — dims still positive
+    import struct
+    bmp = bytearray(synth_image_bytes("bmp", 10, 7))
+    bmp[22:26] = struct.pack("<i", -7)
+    assert sniff_image_dims(bytes(bmp)) == ("bmp", 10, 7)
+    # garbage / truncated / NULL payloads report unknown, never raise
+    assert sniff_image_dims(b"not an image") == (None, None, None)
+    assert sniff_image_dims(b"\x89PNG\r\n\x1a\x00rest") == (None, None, None)
+    assert sniff_image_dims(b"\xff\xd8\xff") == (None, None, None)
+    assert sniff_image_dims(b"") == (None, None, None)
+    assert sniff_image_dims(None) == (None, None, None)
+
+
+def test_sniff_image_meta_mapinpandas(spark):
+    from datawarehousefinal_spark.operators.multimodal import (
+        sniff_image_meta,
+        synth_image_bytes,
+    )
+
+    rows = [
+        (0, synth_image_bytes("png", 100, 50)),
+        (1, synth_image_bytes("jpeg", 33, 44)),
+        (2, b"junk"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in sniff_image_meta(df).collect()}
+    assert got[0] == ("png", 100, 50)
+    assert got[1] == ("jpeg", 33, 44)
+    assert got[2] == (None, None, None)
+    assert got[3] == (None, None, None)
