@@ -217,6 +217,90 @@ def sniff_image_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(gen, IMAGE_META_SCHEMA)
 
 
+def sniff_audio_meta_bytes(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """REAL header-level audio metadata — ``(format, channels,
+    sample_rate, bits_per_sample)`` parsed from the payload bytes per the
+    public RIFF/WAVE spec, no audio library: ``RIFF``+``WAVE`` magic,
+    then a chunk walk (id + little-endian uint32 size, word-aligned) to
+    the ``fmt `` chunk whose fields are little-endian
+    (audio_format u16, channels u16, sample_rate u32, byte_rate u32,
+    block_align u16, bits u16). Unknown/truncated payloads return all
+    ``None`` — same report-don't-throw contract as
+    :func:`sniff_image_dims`."""
+    import struct
+
+    if payload is None:
+        return None, None, None, None
+    b = bytes(payload)
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None, None, None, None
+        i = 12
+        while i + 8 <= len(b):
+            chunk_id = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if chunk_id == b"fmt " and i + 8 + 16 <= len(b):
+                _fmt, ch, sr, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", b[i + 8 : i + 24]
+                )
+                return "wav", int(ch), int(sr), int(bits)
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+    except (struct.error, IndexError):
+        pass
+    return None, None, None, None
+
+
+def synth_wav_bytes(channels: int, sample_rate: int, bits: int = 16) -> bytes:
+    """Minimal VALID RIFF/WAVE header (fmt chunk only, no samples) — the
+    test/fixture twin of :func:`sniff_audio_meta_bytes`."""
+    import struct
+
+    # the spec fields are u32/u16; clamp derived rates for parameter
+    # combinations no real encoder would produce (sniffers ignore them)
+    byte_rate = min(sample_rate * channels * bits // 8, 0xFFFFFFFF)
+    block_align = min(channels * bits // 8, 0xFFFF)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+    ]
+)
+
+
+def sniff_audio_meta(df: DataFrame) -> DataFrame:
+    """Ingest-time audio metadata extraction: :func:`sniff_audio_meta_bytes`
+    per payload in Arrow batches — map-only, no shuffle, the audio-side
+    twin of :func:`sniff_image_meta`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffed = [sniff_audio_meta_bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "format": [s[0] for s in sniffed],
+                    "channels": pd.array([s[1] for s in sniffed], dtype="Int32"),
+                    "sample_rate": pd.array([s[2] for s in sniffed], dtype="Int32"),
+                    "bits_per_sample": pd.array(
+                        [s[3] for s in sniffed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, AUDIO_META_SCHEMA)
+
+
 def decode_compressed(payload: bytes):  # pragma: no cover - stub path
     """STUB: compressed-image decode requires an image codec library that
     is not available in this environment. The call either delegates to PIL

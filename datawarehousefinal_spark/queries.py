@@ -3604,6 +3604,50 @@ def image_meta_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_image_meta(media)
 
 
+@query(
+    "audio_meta_sniff",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'wav' AS format,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+           CAST(8000 * (doc_id % 6 + 1) AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER)
+               AS bits_per_sample
+    FROM documents WHERE doc_id % 50 = 25
+    """,
+)
+def audio_meta_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction, hash-checked — the RIFF/WAVE twin of
+    image_meta_sniff: deterministic WAV headers (multimodal.
+    synth_wav_bytes, params derived from the doc id) sniffed by the
+    library-free chunk walker (multimodal.sniff_audio_meta, Arrow
+    mapInPandas) must reproduce the planted
+    (channels, sample_rate, bits) exactly."""
+    from datawarehousefinal_spark.operators.multimodal import (
+        sniff_audio_meta,
+        synth_wav_bytes,
+    )
+
+    ids = [
+        r[0]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 50 == 25)
+        .collect()
+    ]
+    rows = [
+        (
+            i,
+            synth_wav_bytes(
+                i % 2 + 1, 8000 * (i % 6 + 1), 8 if i % 3 == 0 else 16
+            ),
+        )
+        for i in ids
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return sniff_audio_meta(media)
+
+
 @query("ivf_append_assignments")  # no SQL oracle: KMeans quantizer centroids
 def ivf_append_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance made driver-visible: fit the IVF

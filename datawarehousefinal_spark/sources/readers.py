@@ -117,7 +117,11 @@ def detect_encoding(
 
     The tail of a truncated probe can split a multi-byte sequence, which
     would false-fail utf-8 on a perfectly valid file — trim up to 3
-    trailing continuation bytes before the strict decode.
+    trailing continuation bytes, AND the dangling lead byte they (or the
+    probe cut) left behind, before the strict decode. Without the lead
+    trim, any probe ending exactly on a complete multi-byte character
+    would strip its continuations, leave the bare lead, and false-fail
+    (found by the hypothesis roundtrip property).
     """
     trimmed = raw
     for _ in range(3):
@@ -125,6 +129,8 @@ def detect_encoding(
             trimmed = trimmed[:-1]
         else:
             break
+    if trimmed and trimmed[-1] & 0b1100_0000 == 0b1100_0000:
+        trimmed = trimmed[:-1]
     for enc in encodings:
         try:
             trimmed.decode(enc)

@@ -256,3 +256,42 @@ def test_sniff_image_meta_mapinpandas(spark):
     assert got[1] == ("jpeg", 33, 44)
     assert got[2] == (None, None, None)
     assert got[3] == (None, None, None)
+
+
+def test_sniff_audio_meta_bytes_wav_and_garbage():
+    from datawarehousefinal_spark.operators.multimodal import (
+        sniff_audio_meta_bytes,
+        synth_wav_bytes,
+    )
+
+    assert sniff_audio_meta_bytes(synth_wav_bytes(2, 44100, 16)) == (
+        "wav", 2, 44100, 16,
+    )
+    assert sniff_audio_meta_bytes(synth_wav_bytes(1, 16000, 8)) == (
+        "wav", 1, 16000, 8,
+    )
+    # a LIST chunk before fmt must be walked over (word-aligned sizes)
+    import struct
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # size 3 -> padded
+    fmt = struct.pack("<HHIIHH", 1, 2, 48000, 48000 * 4, 4, 16)
+    body = b"WAVE" + odd + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert sniff_audio_meta_bytes(wav) == ("wav", 2, 48000, 16)
+    assert sniff_audio_meta_bytes(b"RIFFxxxxAVI ") == (None, None, None, None)
+    assert sniff_audio_meta_bytes(b"junk") == (None, None, None, None)
+    assert sniff_audio_meta_bytes(None) == (None, None, None, None)
+
+
+def test_sniff_audio_meta_mapinpandas(spark):
+    from datawarehousefinal_spark.operators.multimodal import (
+        sniff_audio_meta,
+        synth_wav_bytes,
+    )
+
+    rows = [(0, synth_wav_bytes(2, 44100)), (1, b"nope")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["format"], r["channels"], r["sample_rate"],
+                           r["bits_per_sample"])
+           for r in sniff_audio_meta(df).collect()}
+    assert got[0] == ("wav", 2, 44100, 16)
+    assert got[1] == (None, None, None, None)
