@@ -163,3 +163,114 @@ def value_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+def drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a table — the
+    drift monitor a training-data pipeline runs between crawls (and a
+    warehouse runs between loads): per column,
+    ``psi = Σ (p_new - p_old) · ln(p_new / p_old)`` over equal-width
+    buckets (numeric, bounds from the OLD snapshot — the reference
+    distribution, standard PSI practice) or category values
+    (categorical; bounded-cardinality contract, like ``value_counts``).
+    Rules of thumb: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major.
+
+    Scale shape: per column, one min/max single-row broadcast (numeric
+    only), one map-side-combined count per side over ≤ bins (or
+    |categories|) keys, a full outer join of the two TINY count frames,
+    and a single-row total broadcast — the corpus is scanned once per
+    side per column and only bucket counts ever shuffle. Proportions are
+    ``eps``-smoothed so empty and brand-new buckets contribute finite
+    terms. NULLs are excluded (profile the null-rate drift via
+    ``profile_table``). Bucket arithmetic is the same plain
+    ``floor((v - lo)/w)`` double math as :func:`value_histogram`, so the
+    DuckDB oracle replays the assignment bit-for-bit.
+
+    Output: one row per column — ``col_name, kind, psi (double),
+    n_old, n_new`` (non-null row counts).
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+
+    def one(col: str, kind: str) -> DataFrame:
+        if kind == "numeric":
+            stats = old.agg(
+                F.min(F.col(col)).cast("double").alias("__lo"),
+                F.max(F.col(col)).cast("double").alias("__hi"),
+            )
+            width = (F.col("__hi") - F.col("__lo")) / bins
+            bucket = (
+                F.when(F.col("__hi") <= F.col("__lo"), F.lit(1))
+                .otherwise(
+                    F.least(
+                        F.floor((F.col("__v") - F.col("__lo")) / width) + 1,
+                        F.lit(bins),
+                    )
+                )
+                .cast("int")
+                .cast("string")
+            )
+
+            def keyed(df: DataFrame) -> DataFrame:
+                return (
+                    df.select(F.col(col).cast("double").alias("__v"))
+                    .filter(F.col("__v").isNotNull())
+                    .crossJoin(F.broadcast(stats))
+                    .select(bucket.alias("__b"))
+                )
+
+        else:
+
+            def keyed(df: DataFrame) -> DataFrame:
+                return (
+                    df.select(F.col(col).cast("string").alias("__b"))
+                    .filter(F.col("__b").isNotNull())
+                )
+
+        ob = keyed(old).groupBy("__b").agg(F.count(F.lit(1)).alias("__co"))
+        nb = keyed(new).groupBy("__b").agg(F.count(F.lit(1)).alias("__cn"))
+        j = (
+            ob.join(nb, "__b", "full_outer")
+            .select(
+                F.coalesce("__co", F.lit(0)).alias("__co"),
+                F.coalesce("__cn", F.lit(0)).alias("__cn"),
+            )
+        )
+        tot = j.agg(
+            F.sum("__co").cast("double").alias("__to"),
+            F.sum("__cn").cast("double").alias("__tn"),
+        )
+        po = F.greatest(F.col("__co") / F.col("__to"), F.lit(eps))
+        pn = F.greatest(F.col("__cn") / F.col("__tn"), F.lit(eps))
+        return (
+            j.crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum((pn - po) * F.log(pn / po)).alias("psi"),
+                F.sum("__co").cast("long").alias("n_old"),
+                F.sum("__cn").cast("long").alias("n_new"),
+            )
+            .select(
+                F.lit(col).alias("col_name"),
+                F.lit(kind).alias("kind"),
+                "psi",
+                "n_old",
+                "n_new",
+            )
+        )
+
+    parts = [one(c, "numeric") for c in (numeric_cols or [])] + [
+        one(c, "categorical") for c in (categorical_cols or [])
+    ]
+    if not parts:
+        raise ValueError("pass at least one numeric or categorical column")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3605,6 +3605,80 @@ def image_meta_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_report_orders",
+    oracle="""
+    WITH o AS (SELECT o_totalprice, o_orderstatus FROM orders
+               WHERE o_orderdate < DATE '1996-01-01'),
+         nw AS (SELECT o_totalprice, o_orderstatus FROM orders
+                WHERE o_orderdate >= DATE '1996-01-01'),
+         b AS (SELECT min(o_totalprice)::DOUBLE AS lo,
+                      max(o_totalprice)::DOUBLE AS hi FROM o),
+         obn AS (SELECT CASE WHEN hi <= lo THEN 1
+                             ELSE LEAST(CAST(floor((o_totalprice::DOUBLE - lo)
+                                              / ((hi - lo) / 10)) AS INTEGER) + 1,
+                                        10) END AS bk,
+                        count(*) AS c
+                 FROM o, b WHERE o_totalprice IS NOT NULL GROUP BY 1),
+         nbn AS (SELECT CASE WHEN hi <= lo THEN 1
+                             ELSE LEAST(CAST(floor((o_totalprice::DOUBLE - lo)
+                                              / ((hi - lo) / 10)) AS INTEGER) + 1,
+                                        10) END AS bk,
+                        count(*) AS c
+                 FROM nw, b WHERE o_totalprice IS NOT NULL GROUP BY 1),
+         jn AS (SELECT COALESCE(obn.c, 0)::DOUBLE AS co,
+                       COALESCE(nbn.c, 0)::DOUBLE AS cn
+                FROM obn FULL JOIN nbn ON obn.bk = nbn.bk),
+         tn AS (SELECT sum(co) AS t_o, sum(cn) AS t_n FROM jn),
+         num AS (SELECT 'o_totalprice' AS col_name, 'numeric' AS kind,
+                        sum((GREATEST(cn / t_n, 1e-6) - GREATEST(co / t_o, 1e-6))
+                            * ln(GREATEST(cn / t_n, 1e-6)
+                                 / GREATEST(co / t_o, 1e-6))) AS psi,
+                        CAST(sum(co) AS BIGINT) AS n_old,
+                        CAST(sum(cn) AS BIGINT) AS n_new
+                 FROM jn, tn),
+         obc AS (SELECT o_orderstatus AS bk, count(*) AS c FROM o
+                 WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+         nbc AS (SELECT o_orderstatus AS bk, count(*) AS c FROM nw
+                 WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+         jc AS (SELECT COALESCE(obc.c, 0)::DOUBLE AS co,
+                       COALESCE(nbc.c, 0)::DOUBLE AS cn
+                FROM obc FULL JOIN nbc ON obc.bk = nbc.bk),
+         tc AS (SELECT sum(co) AS t_o, sum(cn) AS t_n FROM jc),
+         cat AS (SELECT 'o_orderstatus' AS col_name, 'categorical' AS kind,
+                        sum((GREATEST(cn / t_n, 1e-6) - GREATEST(co / t_o, 1e-6))
+                            * ln(GREATEST(cn / t_n, 1e-6)
+                                 / GREATEST(co / t_o, 1e-6))) AS psi,
+                        CAST(sum(co) AS BIGINT) AS n_old,
+                        CAST(sum(cn) AS BIGINT) AS n_new
+                 FROM jc, tc)
+    SELECT * FROM num UNION ALL SELECT * FROM cat
+    """,
+)
+def drift_report_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitoring (operators/profile.drift_report): PSI of
+    the order-price distribution and the status mix between pre-1996
+    orders (the reference window) and the rest (the actual) — equal-width
+    buckets from the OLD snapshot's bounds, eps-smoothed proportions, one
+    row per column. DuckDB replays the identical bucket math and PSI sum,
+    so the whole drift pipeline is hash-checked. The status mix shifts
+    hugely across the date split (F dominates early years), the price
+    distribution barely — the report must quantify both."""
+    from datawarehousefinal_spark.operators.profile import drift_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("date")
+    old = orders.filter(F.col("o_orderdate") < cut)
+    new = orders.filter(F.col("o_orderdate") >= cut)
+    return drift_report(
+        old,
+        new,
+        numeric_cols=["o_totalprice"],
+        categorical_cols=["o_orderstatus"],
+        bins=10,
+    )
+
+
+@query(
     "audio_meta_sniff",
     oracle="""
     SELECT doc_id AS media_id,
