@@ -3605,6 +3605,65 @@ def image_meta_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join made driver-visible AND
+    oracled: the events table re-serves as a 3-batch stream, two
+    streaming branches (views, purchases) of the SAME source join on
+    user within a 1-hour attribution window
+    (streaming/pipeline.stream_stream_interval_join — watermarked both
+    sides, time-range-bounded state), and the drained result must
+    hash-match the batch interval join DuckDB computes directly. The
+    watermark is set beyond the fixture's span so no pair is
+    late-dropped; production sets it to the real lateness horizon."""
+    import shutil
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    base = _scratch_path("stream_ssjoin", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    events.repartition(3).write.parquet(src)
+    stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, "user_id", max_delay="1 hour", watermark="36500 days"
+    )
+    table = "dwf_stream_interval_join"
+    spark.catalog.dropTempView(table)
+    run_to_memory(joined, table, "append")
+    return spark.table(table).select(
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        "user_id",
+    )
+
+
+@query(
     "drift_report_orders",
     oracle="""
     WITH o AS (SELECT o_totalprice, o_orderstatus FROM orders

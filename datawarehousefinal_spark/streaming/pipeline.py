@@ -96,6 +96,49 @@ def streaming_dedup(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream INNER join on a key plus an event-time interval —
+    the attribution primitive (each left event matched to every right
+    event on the same key that lands within ``max_delay`` AFTER it).
+
+    This is Structured Streaming's documented stream-stream join
+    contract: both sides are watermarked and the join carries a
+    time-range condition, which is what lets Spark bound both join
+    states (a buffered left row can be dropped once the right
+    watermark passes ``left_ts + max_delay``). ``watermark`` trades
+    state size against late-data tolerance — rows later than it are
+    dropped, so set it to the pipeline's real lateness horizon.
+
+    The right side's columns are suffixed ``_r`` (the key is emitted
+    once, from the left).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = (
+        right.withWatermark(right_ts, watermark)
+        .select(
+            [F.col(c).alias(f"{c}_r") for c in right.columns]
+        )
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}_r"))
+        & (F.col(f"r.{right_ts}_r") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}_r")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner").drop(f"{on}_r")
+
+
 def foreach_batch_dim_merge(
     dim_path: str,
     natural_keys: list[str],

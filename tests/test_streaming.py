@@ -299,3 +299,47 @@ def test_foreach_batch_cube_merge_matches_batch(spark, sf_dir, event_stream_dir,
     for k in direct:
         assert served[k][0] == direct[k][0], k
         assert abs(served[k][1] - direct[k][1]) < 1e-9, k
+
+
+def test_stream_stream_interval_join_planted_pairs(spark, tmp_path):
+    """Inclusive interval bounds and key matching on a planted fixture:
+    purchases at +0s, +1h (inclusive edge), +1h1s (outside), wrong user."""
+    import datetime as dt
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 10, t0, "view"),
+        (2, 10, t0, "purchase"),                            # +0s: match
+        (3, 10, t0 + dt.timedelta(hours=1), "purchase"),    # +1h edge: match
+        (4, 10, t0 + dt.timedelta(hours=1, seconds=1), "purchase"),  # out
+        (5, 11, t0 + dt.timedelta(minutes=5), "purchase"),  # wrong user
+        (6, 10, t0 - dt.timedelta(seconds=1), "purchase"),  # before view
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    df.repartition(2).write.parquet(src)
+    stream = read_parquet_stream(spark, src, df.schema, max_files_per_trigger=1)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, "user_id", max_delay="1 hour", watermark="365 days"
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name, "append")
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.table(name).collect()
+    }
+    assert got == {(1, 2), (1, 3)}
