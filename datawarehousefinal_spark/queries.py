@@ -3605,6 +3605,62 @@ def image_meta_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_counts",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows made driver-visible AND oracled: the
+    events table streams as 3 micro-batches through
+    ``F.session_window`` per user (streaming/pipeline.
+    session_window_counts — Spark merges session state across batches),
+    and the drained complete-mode result must hash-match DuckDB's
+    lag-based island detection with the SAME break rule: sessions
+    break only when the gap EXCEEDS 30 minutes — Spark merges windows
+    on touching boundaries, so an event at exactly prev + gap still
+    joins the session (pinned by the gap-edge test)."""
+    import shutil
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+        session_window_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    base = _scratch_path("stream_sessions", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    events.repartition(3).write.parquet(src)
+    stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
+    sessions = session_window_counts(
+        stream, "user_id", "ts", gap="30 minutes", watermark="36500 days"
+    )
+    table = "dwf_stream_session_counts"
+    spark.catalog.dropTempView(table)
+    run_to_memory(sessions, table, "complete")
+    return spark.table(table).select(
+        "user_id", "session_start", F.col("n_events").cast("long")
+    )
+
+
+@query(
     "streaming_interval_join",
     oracle="""
     SELECT v.event_id AS view_id,

@@ -96,6 +96,39 @@ def streaming_dedup(
     )
 
 
+def session_window_counts(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event-time SESSION windows per key — the streaming face of the
+    batch sessionization (operators/timeseries): ``F.session_window``
+    opens a [ts, ts + gap) window per event and MERGES windows that
+    overlap OR touch, so a session breaks only when the gap to the
+    previous event EXCEEDS ``gap`` — an event landing at precisely
+    ``prev + gap`` still joins the session (pinned by the gap-edge
+    test). Spark maintains and merges the session state across
+    micro-batches; the watermark bounds it.
+
+    Output: ``key_col, session_start (timestamp), n_events``.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("__w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("__w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

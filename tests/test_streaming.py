@@ -343,3 +343,45 @@ def test_stream_stream_interval_join_planted_pairs(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert got == {(1, 2), (1, 3)}
+
+
+def test_session_window_counts_gap_edge(spark, tmp_path):
+    """Sessions merge on TOUCHING windows (an event at exactly
+    prev + gap joins the session; only a strictly larger gap breaks)
+    and merge across micro-batches."""
+    import datetime as dt
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+        session_window_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (10, t0),
+        (10, t0 + dt.timedelta(minutes=29, seconds=59)),  # inside: merges
+        (10, t0 + dt.timedelta(minutes=59, seconds=59)),  # chains on prev
+        (10, t0 + dt.timedelta(minutes=89, seconds=59)),  # exact gap: MERGES
+        (10, t0 + dt.timedelta(minutes=120)),             # gap > 30min: NEW
+        (11, t0),
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.repartition(2).write.parquet(src)
+    stream = read_parquet_stream(spark, src, df.schema, max_files_per_trigger=1)
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        session_window_counts(stream, "user_id", "ts", "30 minutes", "365 days"),
+        name,
+        "complete",
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table(name).collect()
+    )
+    assert got == [
+        (10, t0, 4),
+        (10, t0 + dt.timedelta(minutes=120), 1),
+        (11, t0, 1),
+    ]
