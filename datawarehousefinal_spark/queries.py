@@ -3605,6 +3605,42 @@ def image_meta_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def compaction_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (sources.writers.compact_parquet):
+    orders written deliberately fragmented (64 files — the
+    one-file-per-micro-batch accretion pattern of streaming sinks),
+    compacted to 4 evenly-sized files in a new directory, read back, and
+    the aggregate must hash-match the source — content-preserving by
+    oracle, file-count reduction pinned in tests/test_loaders.py."""
+    import glob as _glob
+
+    from datawarehousefinal_spark.sources.writers import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch_path("compact_src", sf_dir)
+    orders.repartition(64).write.mode("overwrite").parquet(path)
+    out = compact_parquet(
+        spark, path, target_partitions=4, out_path=_scratch_path("compact_out", sf_dir)
+    )
+    n_files = len(_glob.glob(f"{out}/part-*.parquet"))
+    if n_files > 4:
+        raise RuntimeError(f"compaction left {n_files} files, expected <= 4")
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+
+
+@query(
     "streaming_session_counts",
     oracle="""
     WITH m AS (
