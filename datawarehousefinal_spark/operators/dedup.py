@@ -1004,3 +1004,85 @@ def ngram_coverage(
     if min_shared > 0:
         out = out.filter(F.col("n_shared") >= min_shared)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (C4 / CCNet / RefinedWeb boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    keep: str = "first",
+    min_repeat: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide line-level dedup — the C4/CCNet/RefinedWeb boilerplate
+    step the reference's row-level pipeline has no counterpart for
+    (beyond-reference scale surface, SURVEY.md §7 P7). Splits each
+    document on ``delim`` (a literal, not a regex), finds lines that
+    repeat across the corpus, drops the repeats, and reassembles the
+    surviving text in original order.
+
+    - ``keep="first"``: keep exactly one copy of each repeated line, the
+      one with the smallest ``(id, position)`` — C4's "discard all but
+      one of any span occurring more than once".
+    - ``keep="none"``: drop EVERY occurrence of a line whose corpus
+      count >= ``min_repeat`` — boilerplate removal (nav bars, cookie
+      banners, newsletter footers repeat on every page; no copy is
+      content).
+
+    Lines shorter than ``min_line_chars`` never participate (an empty
+    line or lone bullet repeating corpus-wide is structure, not
+    duplication) — they are always kept.
+
+    Scale shape: exactly two shuffles, both on uniform keys. (1) a
+    window over ``sha2(line)`` — short lines get a synthetic per-row key
+    so one code path serves both, and no giant "all the empty lines"
+    partition ever forms; (2) the reassembly ``groupBy(id)``, whose
+    per-group state is bounded by document size. No UDFs; the collected
+    line array per document is the document itself, so memory is the
+    same order as the input row. NULL texts are excluded (nothing to
+    split) — filter or fillna upstream if they must survive.
+
+    Output: ``id_col, n_lines (long), n_kept (long), text_out (string,
+    "" when every line was dropped)``.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    lines = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(delim), -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    eligible = F.length("__line") >= min_line_chars
+    keyed = lines.withColumn(
+        "__key",
+        F.when(eligible, F.sha2(F.col("__line"), 256)).otherwise(
+            F.concat_ws(":", F.lit("u"), F.col(id_col), F.col("__pos"))
+        ),
+    )
+    w = Window.partitionBy("__key")
+    ranked = keyed.withColumn(
+        "__rn", F.row_number().over(w.orderBy(id_col, "__pos"))
+    ).withColumn("__cnt", F.count(F.lit(1)).over(w))
+    if keep == "first":
+        keep_cond = F.col("__rn") == 1
+    else:
+        keep_cond = F.col("__cnt") < min_repeat
+    flagged = ranked.withColumn("__keep", keep_cond)
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(F.col("__keep"), F.struct("__pos", "__line"))
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("__keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_sorted, lambda s: s["__line"]), delim
+        ).alias("text_out"),
+    )

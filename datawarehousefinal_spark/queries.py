@@ -4118,6 +4118,74 @@ def streaming_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Line-level dedup (C4/CCNet boilerplate removal — beyond-reference P7)
+# ---------------------------------------------------------------------------
+
+_BOILER = "subscribe to our newsletter for free updates"
+
+
+@query(
+    "line_dedup_boilerplate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || chr(10) || '{_BOILER}'
+                  ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+    l AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, arr FROM s),
+    l2 AS (SELECT doc_id, pos, arr[pos] AS line FROM l),
+    k AS (
+      SELECT doc_id, pos, line,
+             count(*) OVER (
+               PARTITION BY CASE WHEN length(line) >= 1 THEN 'h' || line
+                            ELSE 'u:' || doc_id || ':' || pos END
+             ) AS cnt,
+             length(line) >= 1 AS elig
+      FROM l2
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_lines,
+           count(*) FILTER (WHERE NOT elig OR cnt < 2)::BIGINT AS n_kept,
+           coalesce(
+             string_agg(line, chr(10) ORDER BY pos)
+               FILTER (WHERE NOT elig OR cnt < 2),
+             '') AS text_out
+    FROM k GROUP BY doc_id
+    """,
+)
+def line_dedup_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style corpus line dedup in boilerplate-removal mode
+    (keep="none"): every fifth document gets a planted newsletter footer
+    line, and the operator strips EVERY copy because the line's corpus
+    count crosses min_repeat. Two uniform-key shuffles (sha2(line)
+    window, then the per-document reassembly groupBy); the oracle
+    replays the split/count/reassemble with string_split + a windowed
+    count + ordered string_agg. The reference has no corpus-level text
+    operator (its fuzzy step is row-local, etl_final.ktr:3608-3645) —
+    this is beyond-reference training-pipeline surface."""
+    from datawarehousefinal_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return line_dedup(
+        planted, "doc_id", "text", keep="none", min_repeat=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
 # The verify driver samples the FIRST 50 registry entries in order (verified
@@ -4180,8 +4248,9 @@ _DRIVER_WINDOW = [
     "session_stats",
     "rolling_daily_stats",
     "gap_fill_daily",
-    "event_funnel",
     "cohort_retention",
+    # corpus text (new this session; event_funnel green r01-r05 rotated out)
+    "line_dedup_boilerplate",
     # quality / profile / stats (winsorize expr hardening)
     "table_profile",
     "correlation_matrix",

@@ -272,3 +272,68 @@ def test_ngram_coverage_auto_shape_switch(spark, sf_dir):
     assert "Window" not in plan(join)
     # and the two auto outcomes agree value-for-value
     assert sorted(map(tuple, win.collect())) == sorted(map(tuple, join.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (C4 / boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_LINED = [
+    (1, "unique alpha\nSUBSCRIBE NOW\nunique beta"),
+    (2, "SUBSCRIBE NOW\nunique gamma"),
+    (3, "unique delta\nSUBSCRIBE NOW"),
+    (4, "\nunique epsilon\n"),
+    (5, "\nunique zeta"),
+]
+
+
+def _line_rows(spark, keep, **kw):
+    from datawarehousefinal_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(_LINED, ["id", "text"])
+    out = line_dedup(df, "id", "text", keep=keep, **kw)
+    return {r["id"]: r for r in out.collect()}
+
+
+def test_line_dedup_keep_first(spark):
+    rows = _line_rows(spark, "first")
+    # Only the (1, pos=1) copy of the repeated line survives.
+    assert rows[1]["text_out"] == "unique alpha\nSUBSCRIBE NOW\nunique beta"
+    assert rows[2]["text_out"] == "unique gamma"
+    assert rows[3]["text_out"] == "unique delta"
+    assert (rows[2]["n_lines"], rows[2]["n_kept"]) == (2, 1)
+
+
+def test_line_dedup_keep_none_drops_all_copies(spark):
+    rows = _line_rows(spark, "none")
+    assert rows[1]["text_out"] == "unique alpha\nunique beta"
+    assert rows[2]["text_out"] == "unique gamma"
+    assert rows[3]["text_out"] == "unique delta"
+
+
+def test_line_dedup_short_lines_always_kept(spark):
+    # Empty lines repeat across docs 4 and 5 but are below min_line_chars
+    # — structure, not duplication; both documents keep them verbatim.
+    rows = _line_rows(spark, "none")
+    assert rows[4]["text_out"] == "\nunique epsilon\n"
+    assert rows[5]["text_out"] == "\nunique zeta"
+    assert rows[4]["n_lines"] == 3 and rows[4]["n_kept"] == 3
+
+
+def test_line_dedup_doc_fully_dropped_yields_empty_text(spark):
+    from datawarehousefinal_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same line"), (2, "same line")], ["id", "text"]
+    )
+    rows = {r["id"]: r for r in line_dedup(df, "id", "text", keep="none").collect()}
+    assert rows[1]["text_out"] == "" and rows[2]["text_out"] == ""
+    assert rows[1]["n_kept"] == 0
+
+
+def test_line_dedup_plan_has_no_python_udf(spark):
+    from datawarehousefinal_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(_LINED, ["id", "text"])
+    plan = line_dedup(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -45,8 +45,16 @@ BNLJ_ALLOWED = {
     # the same bounded scalar-broadcast pattern.
     "winsorized_stats",
     # bm25_topk's single-row corpus-stats (N, avgdl, dfs) cross join —
-    # the same bounded scalar-broadcast pattern.
+    # the same bounded scalar-broadcast pattern. The append variant
+    # scores through the identical shape (verified: `BuildRight, Cross`
+    # under the 1-row stats Aggregate) over the merged index.
     "bm25_topk",
+    "bm25_append_topk",
+    # drift_report_orders' PSI snapshot compare: single-row min/max
+    # bucket bounds and single-row per-side totals cross-joined onto the
+    # bucket counts (verified: every BNLJ is `BuildRight, Cross` under a
+    # 1-row Aggregate / IdentityBroadcastMode subtree).
+    "drift_report_orders",
     # ivf_index_append's num_partitions-row centroid-table cross join —
     # the same tiny-broadcast scoring pattern as ivf_topk.
     "ivf_append_assignments",
