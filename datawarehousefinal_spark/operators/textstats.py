@@ -456,3 +456,87 @@ def bm25_index_append(
         batch = batch.join(doclens.select(id_col), id_col, "left_anti")
     new_p, new_d = bm25_build_index(batch, id_col, text_col)
     return postings.unionByName(new_p), doclens.unionByName(new_d)
+
+
+def _word_ngrams_all(text_col: Column | str, n: int) -> Column:
+    """ALL word n-grams with multiplicity (array<string>) — unlike
+    :func:`contamination.word_ngrams` (distinct, hashed) this keeps every
+    occurrence and the gram text, because repetition scoring needs counts
+    and character lengths. Documents shorter than ``n`` tokens contribute
+    their whole token run as one gram; token-less documents contribute
+    none (the empty-string gram is filtered)."""
+    toks = whitespace_tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n)))),
+        lambda g: g != F.lit(""),
+    )
+
+
+def dup_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-family repetition signals per document (Rae et al. 2021,
+    public quality rules; the DataTrove/Dolma reproductions use the same
+    two statistics): for each ``n`` in ``ns``,
+
+    - ``frac_dup_{n}gram_chars``: characters in repeat occurrences of
+      duplicated n-grams — ``sum((count-1) * len(gram))`` over grams the
+      document repeats — divided by the document's character count, and
+    - ``frac_top_{n}gram_chars``: characters claimed by the most
+      dominant n-gram — ``max(count * len(gram)) / chars`` (dominance by
+      covered characters, which is deterministic; "most frequent" alone
+      is tie-ambiguous).
+
+    Both are the overlap-ignoring published approximations — gram char
+    spans may overlap, so fractions can exceed 1 for degenerate
+    repetition, which is exactly the signal (Gopher cuts at ~0.2).
+
+    Scale shape: per ``n``, one map-only gram explode, a
+    ``groupBy(id, gram)`` partial-combined count, a ``groupBy(id)``
+    reduce, and an id-keyed join back to the document spine — all keys
+    uniform (gram counts are per-document, so a corpus-wide hot gram
+    never concentrates on one task, unlike corpus-level gram stats).
+    Everything is codegen'd column expressions; SQL-replayable.
+
+    Output: ``id_col, n_chars (long)`` + the two fraction columns
+    (double, 0.0 for token-less documents) per requested ``n``.
+    """
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.length(text_col).cast("long").alias("n_chars")
+    )
+    out = base
+    for n in ns:
+        grams = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.explode(_word_ngrams_all(text_col, n)).alias("gram")
+        )
+        counts = grams.groupBy(id_col, "gram").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        glen = F.length("gram")
+        agg = counts.groupBy(id_col).agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__cnt") >= 2, (F.col("__cnt") - 1) * glen)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"__dup{n}"),
+            F.max(F.col("__cnt") * glen).cast("long").alias(f"__top{n}"),
+        )
+        out = out.join(agg, id_col, "left")
+    chars = F.col("n_chars")
+    fracs = []
+    for n in ns:
+        for fam, src in (("dup", f"__dup{n}"), ("top", f"__top{n}")):
+            fracs.append(
+                F.when(
+                    chars > 0,
+                    F.coalesce(F.col(src), F.lit(0)).cast("double") / chars,
+                )
+                .otherwise(F.lit(0.0))
+                .cast("double")
+                .alias(f"frac_{fam}_{n}gram_chars")
+            )
+    return out.select(F.col(id_col), chars, *fracs)

@@ -4185,6 +4185,75 @@ def line_dedup_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gopher_repetition_report",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    i2 AS (
+      SELECT doc_id, unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i,
+             toks
+      FROM d
+    ),
+    g2 AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram FROM i2
+      WHERE array_to_string(toks[i:i+1], ' ') <> ''
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY ALL),
+    a2 AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN cnt >= 2
+                          THEN (cnt - 1) * length(gram) END), 0) AS dup2,
+             max(cnt * length(gram)) AS top2
+      FROM c2 GROUP BY doc_id
+    ),
+    i5 AS (
+      SELECT doc_id, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i,
+             toks
+      FROM d
+    ),
+    g5 AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram FROM i5
+      WHERE array_to_string(toks[i:i+4], ' ') <> ''
+    ),
+    c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY ALL),
+    a5 AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN cnt >= 2
+                          THEN (cnt - 1) * length(gram) END), 0) AS dup5,
+             max(cnt * length(gram)) AS top5
+      FROM c5 GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars,
+           CAST(coalesce(coalesce(a2.dup2, 0) / nullif(d.n_chars, 0), 0) AS DOUBLE)
+             AS frac_dup_2gram_chars,
+           CAST(coalesce(coalesce(a2.top2, 0) / nullif(d.n_chars, 0), 0) AS DOUBLE)
+             AS frac_top_2gram_chars,
+           CAST(coalesce(coalesce(a5.dup5, 0) / nullif(d.n_chars, 0), 0) AS DOUBLE)
+             AS frac_dup_5gram_chars,
+           CAST(coalesce(coalesce(a5.top5, 0) / nullif(d.n_chars, 0), 0) AS DOUBLE)
+             AS frac_top_5gram_chars
+    FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+    """,
+)
+def gopher_repetition_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules over the corpus (dup/top n-gram character
+    fractions for n=2 and n=5) — the published quality signals a
+    training-data funnel cuts on, complementing repetition_stats' token
+    ratios. Per-document gram counts keep every key uniform (a
+    corpus-hot gram still groups per doc), and the oracle replays the
+    identical slice/count/ratio arithmetic with list functions."""
+    from datawarehousefinal_spark.operators.textstats import dup_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, "doc_id", "text", ns=(2, 5))
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
@@ -4249,8 +4318,10 @@ _DRIVER_WINDOW = [
     "rolling_daily_stats",
     "gap_fill_daily",
     "cohort_retention",
-    # corpus text (new this session; event_funnel green r01-r05 rotated out)
+    # corpus text (new this session; event_funnel and json_props_rollup,
+    # green r01-r05 and unchanged, rotated out to make room)
     "line_dedup_boilerplate",
+    "gopher_repetition_report",
     # quality / profile / stats (winsorize expr hardening)
     "table_profile",
     "correlation_matrix",
@@ -4262,7 +4333,6 @@ _DRIVER_WINDOW = [
     # OLAP / SQL / streaming
     "two_stage_distinct_count",
     "pivot_year_status",
-    "json_props_rollup",
     "incremental_cube_merge",
     "incremental_cube_moments",
     "segment_revenue_topk",

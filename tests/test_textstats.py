@@ -214,3 +214,43 @@ def test_bm25_index_append_equals_rebuild(spark, sf_dir):
     p3, d3 = bm25_index_append(p2, d2, batch, "doc_id", "text", dedup_ids=True)
     assert d3.count() == d2.count()
     assert p3.count() == p2.count()
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngram_stats_known_values(spark):
+    from datawarehousefinal_spark.operators.textstats import dup_ngram_stats
+
+    # "ab cd ab cd ab" → 2-grams: "ab cd"(x2), "cd ab"(x2) → dup chars =
+    # (2-1)*5 + (2-1)*5 = 10; top = 2*5 = 10; chars = 14.
+    df = spark.createDataFrame([(1, "ab cd ab cd ab"), (2, "x y z")], ["id", "t"])
+    rows = {r["id"]: r for r in dup_ngram_stats(df, "id", "t", ns=(2,)).collect()}
+    assert rows[1]["n_chars"] == 14
+    assert abs(rows[1]["frac_dup_2gram_chars"] - 10 / 14) < 1e-12
+    assert abs(rows[1]["frac_top_2gram_chars"] - 10 / 14) < 1e-12
+    # no repeated 2-gram in doc 2
+    assert rows[2]["frac_dup_2gram_chars"] == 0.0
+    assert abs(rows[2]["frac_top_2gram_chars"] - 3 / 5) < 1e-12
+
+
+def test_dup_ngram_stats_short_doc_whole_run_gram(spark):
+    from datawarehousefinal_spark.operators.textstats import dup_ngram_stats
+
+    # Fewer tokens than n → the whole token run is the single gram.
+    df = spark.createDataFrame([(1, "ab cd")], ["id", "t"])
+    row = dup_ngram_stats(df, "id", "t", ns=(5,)).collect()[0]
+    assert row["frac_dup_5gram_chars"] == 0.0
+    assert abs(row["frac_top_5gram_chars"] - 5 / 5) < 1e-12
+
+
+def test_dup_ngram_stats_empty_doc_zero_fracs(spark):
+    from datawarehousefinal_spark.operators.textstats import dup_ngram_stats
+
+    df = spark.createDataFrame([(1, "   "), (2, "")], ["id", "t"])
+    rows = {r["id"]: r for r in dup_ngram_stats(df, "id", "t", ns=(2,)).collect()}
+    assert rows[1]["frac_dup_2gram_chars"] == 0.0
+    assert rows[2]["frac_top_2gram_chars"] == 0.0
+    assert len(rows) == 2, "token-less documents must not vanish"
