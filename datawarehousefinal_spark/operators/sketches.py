@@ -1,0 +1,127 @@
+"""Mergeable sketch stores — HLL distinct counts and KLL quantiles
+maintained incrementally, no history rescan.
+
+Beyond-reference scale surface (SURVEY.md §7 P7). At 100 TB the question
+"how many distinct users ever / what's the p99 so far" cannot re-scan
+history nightly; the standard answer is a *mergeable sketch store*: one
+small binary sketch per partition (day), merged on demand for any
+grouping, appended per batch. Spark ships Apache DataSketches aggregates
+(`hll_sketch_agg` / `hll_union_agg`, `kll_sketch_agg_double` /
+`kll_sketch_merge_double`, Spark 3.5+) — everything here is a JVM-side
+aggregate over those, so sketches merge map-side and the store's row
+count is the number of partitions, not the number of events.
+
+Error contracts (public DataSketches bounds): HLL relative standard
+error ≈ 1.04 / sqrt(2^lgk) (~1.6% at lgk=12); KLL rank error ~1.65% at
+k=200. Estimates are deterministic for a fixed input multiset and
+parameters (the sketches hash values, no run-time randomness), so
+append-vs-rebuild equality is an exact assertion, not a tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_build_store(
+    df: DataFrame,
+    key_col: str,
+    part_cols: list[str],
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-partition HLL sketch store: one row per ``part_cols`` group
+    holding a binary sketch of the distinct ``key_col`` values plus its
+    estimate. The aggregate partial-combines map-side — only sketches
+    cross the wire, never keys."""
+    return df.groupBy(*part_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    ).withColumn(
+        "distinct_est", F.hll_sketch_estimate("sketch").cast("long")
+    )
+
+
+def hll_append(store: DataFrame, batch_sketches: DataFrame,
+               part_cols: list[str]) -> DataFrame:
+    """Merge a new batch's per-partition sketches into the store —
+    sketch-union per partition key, counts added. Partitions seen only
+    on one side pass through; history is never rescanned."""
+    merged = (
+        store.select(*part_cols, "sketch", "n_rows")
+        .unionByName(batch_sketches.select(*part_cols, "sketch", "n_rows"))
+        .groupBy(*part_cols)
+        .agg(
+            F.hll_union_agg("sketch").alias("sketch"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+    return merged.withColumn(
+        "distinct_est", F.hll_sketch_estimate("sketch").cast("long")
+    )
+
+
+def hll_rollup(store: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distinct estimate at a coarser grain by sketch-union (e.g. daily
+    store → monthly / global distincts) — the merge that a raw
+    count(distinct) would need a full re-shuffle of history for."""
+    agg = [
+        F.hll_union_agg("sketch").alias("sketch"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    ]
+    g = store.groupBy(*group_cols).agg(*agg) if group_cols else store.agg(*agg)
+    return g.withColumn(
+        "distinct_est", F.hll_sketch_estimate("sketch").cast("long")
+    )
+
+
+def kll_build_store(
+    df: DataFrame,
+    value_col: str,
+    part_cols: list[str],
+    k: int = 200,
+) -> DataFrame:
+    """Per-partition KLL quantile sketch store over a double column."""
+    return df.filter(F.col(value_col).isNotNull()).groupBy(*part_cols).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(k)
+        ).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def _kll_fold(sketches: Column) -> Column:
+    """Fold an array of KLL sketches with the pairwise merge scalar
+    (``kll_sketch_merge_double`` is binary, not an aggregate): first
+    element seeds the fold, the rest merge in. KLL merge is
+    order-insensitive for the readouts we expose. Fan-in per group is
+    the store's partition count for that group — sketches are ~KB, so
+    even a 10k-day global rollup folds a few MB on one task."""
+    rest = F.slice(sketches, 2, F.greatest(F.size(sketches) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.element_at(sketches, 1),
+        lambda acc, s: F.kll_sketch_merge_double(acc, s),
+    )
+
+
+def kll_quantiles(
+    store: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge the store's sketches (optionally per group) and read out
+    quantiles — one row per group with ``q_<pct>`` double columns."""
+    group_cols = group_cols or []
+    agg = [
+        F.collect_list("sketch").alias("__sketches"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    ]
+    g = store.groupBy(*group_cols).agg(*agg) if group_cols else store.agg(*agg)
+    g = g.withColumn("sketch", _kll_fold(F.col("__sketches")))
+    cols = [
+        F.kll_sketch_get_quantile_double("sketch", F.lit(float(q)))
+        .alias(f"q_{int(round(q * 100)):02d}")
+        for q in quantiles
+    ]
+    return g.select(*group_cols, F.col("n_rows"), *cols)

@@ -4292,6 +4292,52 @@ def bloom_prune_join_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hll_sketch_store_daily")
+def hll_sketch_store_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user store maintained incrementally: build
+    per-day sketches for the first month-half, append the rest as a new
+    batch (history never rescanned), then roll the store up to one
+    global distinct estimate. No DuckDB oracle — DataSketches HLL isn't
+    SQL-replayable — so the driver records rows-only; the accuracy
+    (±5% vs exact) and append≡rebuild exactness are pinned in
+    tests/test_sketches.py."""
+    from datawarehousefinal_spark.operators.sketches import (
+        hll_append,
+        hll_build_store,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    old = ev.filter(F.dayofmonth("day") <= 15)
+    new = ev.filter(F.dayofmonth("day") > 15)
+    store = hll_append(
+        hll_build_store(old, "user_id", ["day"]),
+        hll_build_store(new, "user_id", ["day"]),
+        ["day"],
+    )
+    return hll_rollup(store, []).select("n_rows", "distinct_est")
+
+
+@query("kll_quantile_store")
+def kll_quantile_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile store: per-day sketches of the event value
+    merged to global p50/p95/p99 — the no-rescan path to "p99 so far"
+    at 100 TB. Rows-only (DataSketches KLL isn't SQL-replayable); rank
+    error is pinned at <5% in tests/test_sketches.py."""
+    from datawarehousefinal_spark.operators.sketches import (
+        kll_build_store,
+        kll_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.to_date("ts").alias("day")
+    )
+    store = kll_build_store(ev, "value", ["day"])
+    return kll_quantiles(store, [0.5, 0.95, 0.99])
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
