@@ -4256,6 +4256,7 @@ def gopher_repetition_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bloom_prune_join_revenue",
+    "snapshot_diff_orders",
     oracle="""
     SELECT o_orderpriority,
            count(*)::BIGINT AS n_items,
@@ -4338,6 +4339,70 @@ def kll_quantile_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantiles(store, [0.5, 0.95, 0.99])
 
 
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    d AS (
+      SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                  WHEN new.o_orderkey IS NULL THEN 'removed'
+                  WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                  THEN 'changed' ELSE 'unchanged' END AS status
+      FROM old FULL OUTER JOIN new USING (o_orderkey)
+    )
+    SELECT status, count(*)::BIGINT AS n_rows FROM d GROUP BY status
+    """,
+)
+def snapshot_diff_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (the CDC/audit primitive): tonight's
+    orders snapshot deterministically removes every 13th key, bumps the
+    price of every 7th, and appends re-keyed copies of every 17th — the
+    diff classifies each key through ONE co-partitioned full-outer join
+    and the summary counts statuses. Oracle replays the same plant and
+    classification with IS DISTINCT FROM (the null-safe compare Spark
+    does with <=>)."""
+    from datawarehousefinal_spark.operators.profile import (
+        snapshot_diff_summary,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return snapshot_diff_summary(orders, new, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
@@ -4399,13 +4464,13 @@ _DRIVER_WINDOW = [
     "rbf_svc_approx",
     # behavior / timeseries
     "session_stats",
-    "rolling_daily_stats",
     "gap_fill_daily",
     # new this session; event_funnel, json_props_rollup, cohort_retention
     # (green r01-r05, unchanged) rotated out to make room
     "line_dedup_boilerplate",
     "gopher_repetition_report",
     "bloom_prune_join_revenue",
+    "snapshot_diff_orders",
     # quality / profile / stats (winsorize expr hardening)
     "table_profile",
     "correlation_matrix",

@@ -38,3 +38,49 @@ def test_drift_report_identity_and_shift(spark):
         base, novel, numeric_cols=["v"], categorical_cols=["c"]
     ).collect()}
     assert math.isfinite(nv["c"]["psi"]) and nv["c"]["psi"] > 1.0
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    from datawarehousefinal_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (5, "e", 50)],
+        ["k", "s", "v"],
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert rows[1]["status"] == "unchanged" and rows[1]["n_changed_cols"] == 0
+    assert rows[2]["status"] == "changed" and rows[2]["n_changed_cols"] == 1
+    assert rows[3]["status"] == "removed"
+    assert rows[4]["status"] == "changed", "NULL -> value must count as change"
+    assert rows[5]["status"] == "added"
+
+
+def test_snapshot_diff_scoped_compare_cols(spark):
+    from datawarehousefinal_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10)], ["k", "s", "v"])
+    new = spark.createDataFrame([(1, "a", 99)], ["k", "s", "v"])
+    row = snapshot_diff(old, new, ["k"], compare_cols=["s"]).collect()[0]
+    assert row["status"] == "unchanged", "v is out of scope"
+
+
+def test_snapshot_diff_plan_single_join_no_bnlj(spark, sf_dir):
+    from datawarehousefinal_spark.operators.profile import snapshot_diff
+    from datawarehousefinal_spark.plans.audit import physical_plan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = physical_plan(snapshot_diff(o, o.limit(10), ["o_orderkey"]))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
