@@ -4256,7 +4256,6 @@ def gopher_repetition_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bloom_prune_join_revenue",
-    "snapshot_diff_orders",
     oracle="""
     SELECT o_orderpriority,
            count(*)::BIGINT AS n_items,
