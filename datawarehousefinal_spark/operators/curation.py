@@ -279,3 +279,38 @@ def rebalance_sources(
         .filter(sample_hash(id_col, seed) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def weighted_sample_exact(
+    df: DataFrame, id_col: str, weight_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """Exact-``n`` weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme (public: Inf. Proc. Letters 2006)
+    on deterministic hash randomness: each row gets the key
+    ``ln(u) / w`` with ``u = (sample_hash(id, seed) + 0.5) / 2^60``,
+    and the ``n`` LARGEST keys win (higher weight pulls the key toward
+    zero). Inclusion probability is proportional-to-weight in the
+    without-replacement sense; the sample at ``n`` is nested inside the
+    sample at ``n+1`` for the same seed (the key order is fixed).
+
+    The training-data use: sample documents proportional to a quality
+    or length score when building a mixture, reproducibly — a pure
+    function of (ids, weights, seed), stable under re-runs and
+    repartitioning, so an external engine can replay the exact row set
+    (``ORDER BY ln(u)/w DESC LIMIT n``).
+
+    Physically TakeOrderedAndProject: per-partition local top-n, driver
+    merge — no shuffle, no full sort. Rows with NULL or non-positive
+    weight are excluded (they cannot be drawn — A-ES is defined for
+    w > 0).
+    """
+    u = (sample_hash(id_col, seed).cast("double") + F.lit(0.5)) / F.lit(
+        float(_HASH_SPACE)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .orderBy(key.desc(), F.col(id_col))
+        .limit(n)
+    )

@@ -4402,6 +4402,34 @@ def snapshot_diff_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_summary(orders, new, ["o_orderkey"])
 
 
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    ORDER BY ln((CAST(concat('0x',
+                 substr(md5(doc_id::VARCHAR || ':42'), 1, 15)) AS BIGINT)
+                 + 0.5) / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE) DESC,
+             doc_id
+    LIMIT 200
+    """,
+)
+def weighted_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement, 200
+    documents drawn proportional to length (the quality-weighted
+    mixture draw): key = ln(u)/w on md5-hash randomness, n largest win
+    — a pure function of (ids, weights, seed), so DuckDB replays the
+    exact row set with the same arithmetic. TakeOrderedAndProject:
+    local top-n per partition, no shuffle."""
+    from datawarehousefinal_spark.operators.curation import (
+        weighted_sample_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_exact(docs, "doc_id", "n_chars", 200)
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
@@ -4463,13 +4491,13 @@ _DRIVER_WINDOW = [
     "rbf_svc_approx",
     # behavior / timeseries
     "session_stats",
-    "gap_fill_daily",
     # new this session; event_funnel, json_props_rollup, cohort_retention
     # (green r01-r05, unchanged) rotated out to make room
     "line_dedup_boilerplate",
     "gopher_repetition_report",
     "bloom_prune_join_revenue",
     "snapshot_diff_orders",
+    "weighted_sample_docs",
     # quality / profile / stats (winsorize expr hardening)
     "table_profile",
     "correlation_matrix",

@@ -177,3 +177,54 @@ def test_funnel_transitive_mode_merges_chains(spark):
     g_ids = sorted(r["doc_id"] for r in greedy.collect())
     assert 1 in g_ids and 4 in g_ids and 2 not in g_ids
     assert set(t_ids) <= set(g_ids)  # transitive is never weaker
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def _docs_wl(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+
+
+def test_weighted_sample_deterministic_and_exact_n(spark, sf_dir):
+    from datawarehousefinal_spark.operators.curation import weighted_sample_exact
+
+    docs = _docs_wl(spark, sf_dir)
+    a = sorted(r["doc_id"] for r in weighted_sample_exact(docs, "doc_id", "n_chars", 50).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample_exact(docs, "doc_id", "n_chars", 50).collect())
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_nested(spark, sf_dir):
+    from datawarehousefinal_spark.operators.curation import weighted_sample_exact
+
+    docs = _docs_wl(spark, sf_dir)
+    small = {r["doc_id"] for r in weighted_sample_exact(docs, "doc_id", "n_chars", 30).collect()}
+    big = {r["doc_id"] for r in weighted_sample_exact(docs, "doc_id", "n_chars", 60).collect()}
+    assert small <= big
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from datawarehousefinal_spark.operators.curation import weighted_sample_exact
+
+    # 100 light rows (w=1) + 100 heavy rows (w=100): a 50-draw should be
+    # dominated by heavy rows (deterministic for the fixed seed).
+    rows = [(i, 1.0) for i in range(100)] + [(i + 100, 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    picked = [r["id"] for r in weighted_sample_exact(df, "id", "w", 50).collect()]
+    heavy = sum(1 for i in picked if i >= 100)
+    assert heavy >= 45, f"only {heavy}/50 draws were heavy-weight rows"
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from datawarehousefinal_spark.operators.curation import weighted_sample_exact
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)], ["id", "w"]
+    )
+    picked = {r["id"] for r in weighted_sample_exact(df, "id", "w", 10).collect()}
+    assert picked == {1, 5}
