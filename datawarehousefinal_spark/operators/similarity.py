@@ -581,3 +581,55 @@ def ivf_index_append(
             l2_norm(F.col("__arr")).alias("__norm"),
         )
     )
+
+
+def embedding_centroids(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-label mean vector (class centroid) over an embedding column —
+    the embedding-space diagnostic base (class separation, drift of a
+    source's centroid, IVF seeding sanity).
+
+    Dimension-exploded two-stage aggregation: ``posexplode`` the vector,
+    partial-combined ``avg`` per ``(label, pos)`` — the shuffle key is
+    (label × dimension), uniform and tiny regardless of corpus size —
+    then per-label reassembly of the ordered dimension array. All
+    column expressions; vector math in double (see module header).
+
+    Output: ``label_col, n_vectors (long), centroid (array<double>)``.
+    """
+    x = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(label_col),
+        F.posexplode(as_double_array(vec_col)).alias("__pos", "__v"),
+    )
+    c = x.groupBy(label_col, "__pos").agg(
+        F.avg("__v").alias("__v"), F.count(F.lit(1)).alias("__n")
+    )
+    return c.groupBy(label_col).agg(
+        F.max("__n").cast("long").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
+            lambda s: s["__v"],
+        ).alias("centroid"),
+    )
+
+
+def centroid_pairwise_cosine(centroids: DataFrame, label_col: str) -> DataFrame:
+    """Cosine similarity between every pair of label centroids
+    (``label_a < label_b``). The centroid frame has one row per label —
+    SMALL BY CONTRACT — so the inequality self-pair is a broadcast
+    nested-loop over label-count² rows, the same bounded pattern as
+    fuzzy_closest_match. Output: ``label_a, label_b, cosine (double)``.
+    """
+    a = centroids.select(
+        F.col(label_col).alias("label_a"), F.col("centroid").alias("__ca")
+    )
+    b = centroids.select(
+        F.col(label_col).alias("label_b"), F.col("centroid").alias("__cb")
+    )
+    ca, cb = F.col("__ca"), F.col("__cb")
+    cos = dot_product(ca, cb) / (l2_norm(ca) * l2_norm(cb))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", cos.cast("double").alias("cosine"))
+    )

@@ -4430,6 +4430,46 @@ def weighted_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_exact(docs, "doc_id", "n_chars", 200)
 
 
+@query(
+    "centroid_cosine_matrix",
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             embedding
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c AS (
+      SELECT label, pos, avg(CAST(embedding[pos] AS DOUBLE)) AS v
+      FROM x GROUP BY label, pos
+    ),
+    cent AS (SELECT label, list(v ORDER BY pos) AS vec FROM c GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec))) AS DOUBLE)
+             AS cosine
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+)
+def centroid_cosine_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class-separation diagnostic: per-label centroids
+    (dimension-exploded two-stage avg — shuffle key is label×dim, tiny
+    and uniform at any corpus size) and the cosine between every
+    centroid pair (label-count² broadcast pair, small by contract).
+    Oracle replays the same mean/dot arithmetic with DuckDB list
+    functions; double rounding differences sit far below the 6-sig-digit
+    compare."""
+    from datawarehousefinal_spark.operators.similarity import (
+        centroid_pairwise_cosine,
+        embedding_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = embedding_centroids(emb, "embedding", "label")
+    return centroid_pairwise_cosine(cents, "label")
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
@@ -4498,9 +4538,9 @@ _DRIVER_WINDOW = [
     "bloom_prune_join_revenue",
     "snapshot_diff_orders",
     "weighted_sample_docs",
+    "centroid_cosine_matrix",
     # quality / profile / stats (winsorize expr hardening)
     "table_profile",
-    "correlation_matrix",
     "value_histogram",
     "dq_violations",
     "winsorized_stats",

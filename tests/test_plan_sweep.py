@@ -55,6 +55,10 @@ BNLJ_ALLOWED = {
     # bucket counts (verified: every BNLJ is `BuildRight, Cross` under a
     # 1-row Aggregate / IdentityBroadcastMode subtree).
     "drift_report_orders",
+    # centroid_cosine_matrix's label<label centroid self-pair — one row
+    # per label on both sides (small by contract, like fuzzy's 25-name
+    # reference side).
+    "centroid_cosine_matrix",
     # ivf_index_append's num_partitions-row centroid-table cross join —
     # the same tiny-broadcast scoring pattern as ivf_topk.
     "ivf_append_assignments",

@@ -254,3 +254,47 @@ def test_ivf_index_append_matches_quantizer_assignment(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 15
     assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_centroids_known_values(spark):
+    from datawarehousefinal_spark.operators.similarity import (
+        centroid_pairwise_cosine,
+        embedding_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [3.0, 0.0]),
+            (3, "b", [0.0, 2.0]),
+            (4, "c", [1.0, 1.0]),
+        ],
+        ["id", "label", "vec"],
+    )
+    cents = embedding_centroids(df, "vec", "label")
+    rows = {r["label"]: r for r in cents.collect()}
+    assert rows["a"]["centroid"] == [2.0, 0.0] and rows["a"]["n_vectors"] == 2
+    assert rows["b"]["centroid"] == [0.0, 2.0]
+    cos = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in centroid_pairwise_cosine(cents, "label").collect()
+    }
+    assert abs(cos[("a", "b")]) < 1e-12  # orthogonal
+    assert abs(cos[("a", "c")] - 2 ** -0.5) < 1e-12
+    assert len(cos) == 3
+
+
+def test_embedding_centroids_ignore_null_vectors(spark):
+    from datawarehousefinal_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [(1, "a", [2.0, 2.0]), (2, "a", None)],
+        "id int, label string, vec array<double>",
+    )
+    row = embedding_centroids(df, "vec", "label").collect()[0]
+    assert row["centroid"] == [2.0, 2.0] and row["n_vectors"] == 1
