@@ -314,3 +314,52 @@ def weighted_sample_exact(
         .orderBy(key.desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float,
+    target_total: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing — the multilingual /
+    multi-source pretraining mix (public: the p^α sampling of the
+    multilingual BERT/XLM-R recipes): target share of source ``s`` is
+    ``n_s^α / Σ n^α``, so ``α=1`` keeps natural proportions, ``α=0``
+    flattens to uniform, and intermediate values damp head sources
+    while boosting the tail.
+
+    Downsample-only (without-replacement engine): the per-source keep
+    fraction is ``min(1, target_s / n_s)`` — a tail source whose quota
+    exceeds its row count keeps every row rather than duplicating
+    (upsampling is an epoch-scheduling decision, not a row transform).
+    Mechanics follow :func:`rebalance_sources`: one tiny per-source
+    count aggregate (the Σ n^α normalizer is a window over that
+    sources-count-sized frame — single task on a handful of rows, never
+    the corpus), thresholds broadcast back, then a map-only
+    deterministic hash filter. No corpus shuffle; replayable by any
+    engine.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    pw = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    norm = counts.select(
+        F.col(source_col),
+        F.col("__n"),
+        pw.alias("__pw"),
+        F.sum(pw).over(Window.partitionBy()).alias("__spw"),
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(target_total)) * F.col("__pw") / F.col("__spw") / F.col("__n"),
+    )
+    thresholded = norm.select(
+        source_col,
+        F.floor(frac * F.lit(float(_HASH_SPACE))).cast("long").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholded), source_col)
+        .filter(sample_hash(id_col, seed) < F.col("__thr"))
+        .drop("__thr")
+    )

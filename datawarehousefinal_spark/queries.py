@@ -4470,6 +4470,43 @@ def centroid_cosine_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_pairwise_cosine(cents, "label")
 
 
+@query(
+    "temperature_rebalanced_mix",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (
+      SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS pw,
+             sum(pow(CAST(n AS DOUBLE), 0.5)) OVER () AS spw
+      FROM c
+    ),
+    thr AS (
+      SELECT source,
+             CAST(floor(least(1.0, 260.0 * pw / spw / n)
+                        * 1152921504606846976.0) AS BIGINT) AS thr
+      FROM t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE CAST(concat('0x',
+               substr(md5(d.doc_id::VARCHAR || ':42'), 1, 15)) AS BIGINT)
+          < thr
+    """,
+)
+def temperature_rebalanced_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature mix over the 20-source corpus, budget 260: head
+    sources are damped toward the tail's share (the multilingual-recipe
+    p^α draw), selection via the deterministic hash filter — map-only
+    over the corpus, normalizer windowed over the 20-row count frame.
+    Oracle replays count→pow→threshold→hash arithmetic exactly."""
+    from datawarehousefinal_spark.operators.curation import (
+        temperature_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = temperature_rebalance(docs, "doc_id", "source", 0.5, 260)
+    return out.select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
@@ -4539,10 +4576,10 @@ _DRIVER_WINDOW = [
     "snapshot_diff_orders",
     "weighted_sample_docs",
     "centroid_cosine_matrix",
+    "temperature_rebalanced_mix",
     # quality / profile / stats (winsorize expr hardening)
     "table_profile",
     "value_histogram",
-    "dq_violations",
     "winsorized_stats",
     "quartile_binning",
     "outlier_report",

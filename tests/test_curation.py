@@ -228,3 +228,38 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     picked = {r["id"] for r in weighted_sample_exact(df, "id", "w", 10).collect()}
     assert picked == {1, 5}
+
+
+def test_temperature_rebalance_flattens_at_alpha_zero(spark):
+    from datawarehousefinal_spark.operators.curation import temperature_rebalance
+
+    # 900 'big' rows vs 100 'small': alpha=0 targets 50/50 of budget 100.
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = temperature_rebalance(df, "id", "src", 0.0, 100)
+    got = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(got["big"] - 50) <= 20, got
+    assert abs(got["small"] - 50) <= 20, got
+
+
+def test_temperature_rebalance_alpha_one_keeps_natural_shares(spark):
+    from datawarehousefinal_spark.operators.curation import temperature_rebalance
+
+    rows = [(i, "big") for i in range(800)] + [(800 + i, "small") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = temperature_rebalance(df, "id", "src", 1.0, 500)
+    got = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # natural: 400/100 expected (Bernoulli spread allowed)
+    assert abs(got["big"] - 400) <= 60, got
+    assert abs(got["small"] - 100) <= 35, got
+
+
+def test_temperature_rebalance_tail_kept_whole_not_upsampled(spark):
+    from datawarehousefinal_spark.operators.curation import temperature_rebalance
+
+    rows = [(i, "big") for i in range(1000)] + [(1000 + i, "tiny") for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = temperature_rebalance(df, "id", "src", 0.0, 400)
+    got = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["tiny"] == 5, "tail source must keep every row, never duplicate"
+    assert got["big"] < 1000
