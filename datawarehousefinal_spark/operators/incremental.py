@@ -45,6 +45,8 @@ foreachBatch sinks in :mod:`streaming.pipeline` already do.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -416,3 +418,99 @@ def incremental_simhash_dedup(
     survivors = batch.join(dropped, id_col, "left_anti")
     delta = bfp.join(dropped, id_col, "left_anti")
     return survivors, delta
+
+
+# ---------------------------------------------------------------------------
+# Incremental line-level dedup (C4 boilerplate removal, batch-over-store)
+# ---------------------------------------------------------------------------
+
+def line_store(
+    df: DataFrame, text_col: str, delim: str = "\n", min_line_chars: int = 1
+) -> DataFrame:
+    """Line-hash store for :func:`incremental_line_dedup`: one row per
+    distinct sha2 of an ELIGIBLE line (>= ``min_line_chars``) in the
+    corpus — column ``line_hash``. Short lines never enter the store
+    (they are structure, exempt from dedup; see dedup.line_dedup)."""
+    lines = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.col(text_col), re.escape(delim), -1)).alias("__line")
+    )
+    return (
+        lines.filter(F.length("__line") >= min_line_chars)
+        .select(F.sha2(F.col("__line"), 256).alias("line_hash"))
+        .distinct()
+    )
+
+
+def incremental_line_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_line_chars: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Line-dedup a batch against the line-hash store: every batch line
+    whose hash the store knows is dropped (ALL copies — it was already
+    kept once in an earlier batch), lines new in this batch keep their
+    first occurrence by ``(id, position)``, and documents are
+    reassembled in order. Sequencing batches through this equals one
+    global ``dedup.line_dedup(keep="first")`` over the concatenated
+    corpus with batch-then-id ordering — pinned by test.
+
+    Returns ``(cleaned, delta)``: cleaned has ``id_col, n_lines,
+    n_kept, text_out``; ``delta`` is the distinct ``line_hash`` set of
+    the newly-kept lines — append to the store before the next batch.
+
+    Plan shape: one window shuffle on the line hash (synthetic per-row
+    keys keep ineligible lines out of any shared partition), one
+    hash anti-join-style left join against the store's single column
+    (broadcast when small, SMJ beyond), one reassembly groupBy(id).
+    Only hashes and the batch's own lines move.
+    """
+    lines = batch.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(delim), -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    eligible = F.length("__line") >= min_line_chars
+    keyed = lines.withColumn(
+        "__key",
+        F.when(eligible, F.sha2(F.col("__line"), 256)).otherwise(
+            F.concat_ws(":", F.lit("u"), F.col(id_col), F.col("__pos"))
+        ),
+    ).withColumn("__elig", eligible)
+    w = Window.partitionBy("__key")
+    ranked = keyed.withColumn(
+        "__rn", F.row_number().over(w.orderBy(id_col, "__pos"))
+    )
+    marked = ranked.join(
+        store.withColumnRenamed("line_hash", "__known"),
+        ranked["__key"] == F.col("__known"),
+        "left",
+    )
+    keep = (~F.col("__elig")) | (
+        F.col("__known").isNull() & (F.col("__rn") == 1)
+    )
+    flagged = marked.withColumn("__keep", keep)
+    cleaned = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("__keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("__pos", "__line"))
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            delim,
+        ).alias("text_out"),
+    )
+    delta = (
+        flagged.filter(F.col("__elig") & F.col("__keep"))
+        .select(F.col("__key").alias("line_hash"))
+        .distinct()
+    )
+    return cleaned, delta

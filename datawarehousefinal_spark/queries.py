@@ -4507,6 +4507,77 @@ def temperature_rebalanced_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+@query(
+    "incremental_line_dedup_batch",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || chr(10) || '{_BOILER}'
+                  ELSE text END AS text,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS batch
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (SELECT doc_id, batch, string_split(text, chr(10)) AS arr FROM d),
+    l AS (
+      SELECT doc_id, batch, unnest(range(1, len(arr) + 1)) AS pos, arr
+      FROM s
+    ),
+    l2 AS (SELECT doc_id, batch, pos, arr[pos] AS line FROM l),
+    k AS (
+      SELECT doc_id, batch, pos, line,
+             row_number() OVER (
+               PARTITION BY CASE WHEN length(line) >= 1 THEN 'h' || line
+                            ELSE 'u:' || doc_id || ':' || pos END
+               ORDER BY batch, doc_id, pos
+             ) AS rn,
+             length(line) >= 1 AS elig
+      FROM l2
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_lines,
+           count(*) FILTER (WHERE NOT elig OR rn = 1)::BIGINT AS n_kept,
+           coalesce(
+             string_agg(line, chr(10) ORDER BY pos)
+               FILTER (WHERE NOT elig OR rn = 1),
+             '') AS text_out
+    FROM k WHERE batch = 1 GROUP BY doc_id
+    """,
+)
+def incremental_line_dedup_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental C4 line dedup: even-keyed documents are the already-
+    ingested corpus (line-hash store), odd-keyed documents the tonight
+    batch — every fifth document carries the planted footer, so the
+    batch drops every copy of a footer the store has seen and keeps the
+    first occurrence of lines new tonight. Sequenced batches equal one
+    global keep-first with batch-then-id ordering, which is exactly what
+    the oracle replays (row_number over batch, doc_id, pos restricted to
+    batch 1)."""
+    from datawarehousefinal_spark.operators.incremental import (
+        incremental_line_dedup,
+        line_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    old = planted.filter(F.col("doc_id") % 2 == 0)
+    batch = planted.filter(F.col("doc_id") % 2 != 0)
+    cleaned, _delta = incremental_line_dedup(
+        batch, line_store(old, "text"), "doc_id", "text"
+    )
+    return cleaned
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
@@ -4577,6 +4648,7 @@ _DRIVER_WINDOW = [
     "weighted_sample_docs",
     "centroid_cosine_matrix",
     "temperature_rebalanced_mix",
+    "incremental_line_dedup_batch",
     # quality / profile / stats (winsorize expr hardening)
     "table_profile",
     "value_histogram",
@@ -4584,7 +4656,6 @@ _DRIVER_WINDOW = [
     "quartile_binning",
     "outlier_report",
     # OLAP / SQL / streaming
-    "two_stage_distinct_count",
     "pivot_year_status",
     "incremental_cube_merge",
     "incremental_cube_moments",

@@ -227,3 +227,74 @@ def test_incremental_simhash_idempotent_and_not_quadratic(spark, sf_dir):
     )
     assert again.count() == 0
     assert delta2.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_line_dedup_equals_global_keep_first(spark):
+    from datawarehousefinal_spark.operators.dedup import line_dedup
+    from datawarehousefinal_spark.operators.incremental import (
+        incremental_line_dedup,
+        line_store,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha\nFOOTER\nbeta"), (2, "FOOTER\ngamma")], ["id", "text"]
+    )
+    b1 = spark.createDataFrame(
+        [(3, "delta\nFOOTER"), (4, "delta\nepsilon"), (5, "NEWLINE\nNEWLINE")],
+        ["id", "text"],
+    )
+    store = line_store(b0, "text")
+    cleaned, delta = incremental_line_dedup(b1, store, "id", "text")
+    got = {r["id"]: r["text_out"] for r in cleaned.collect()}
+    # global keep-first over b0 then b1 (ids ordered across batches)
+    glob = line_dedup(
+        b0.unionByName(b1), "id", "text", keep="first"
+    )
+    want = {r["id"]: r["text_out"] for r in glob.collect() if r["id"] >= 3}
+    assert got == want
+    # delta holds exactly the hashes of lines newly kept in b1
+    new_lines = {"delta", "NEWLINE", "epsilon"}
+    assert delta.count() == len(new_lines)
+
+
+def test_incremental_line_dedup_bootstrap_empty_store(spark):
+    from datawarehousefinal_spark.operators.dedup import line_dedup
+    from datawarehousefinal_spark.operators.incremental import (
+        incremental_line_dedup,
+        line_store,
+    )
+
+    b = spark.createDataFrame(
+        [(1, "x\ny"), (2, "y\nz")], ["id", "text"]
+    )
+    empty = line_store(b.limit(0), "text")
+    cleaned, delta = incremental_line_dedup(b, empty, "id", "text")
+    want = {
+        r["id"]: r["text_out"]
+        for r in line_dedup(b, "id", "text", keep="first").collect()
+    }
+    got = {r["id"]: r["text_out"] for r in cleaned.collect()}
+    assert got == want
+    assert delta.count() == 3  # x, y, z
+
+
+def test_incremental_line_dedup_store_append_chains(spark):
+    from datawarehousefinal_spark.operators.incremental import (
+        incremental_line_dedup,
+        line_store,
+    )
+
+    b0 = spark.createDataFrame([(1, "a\nb")], ["id", "text"])
+    b1 = spark.createDataFrame([(2, "b\nc")], ["id", "text"])
+    b2 = spark.createDataFrame([(3, "c\na\nd")], ["id", "text"])
+    store = line_store(b0, "text")
+    c1, d1 = incremental_line_dedup(b1, store, "id", "text")
+    store = store.unionByName(d1)
+    c2, d2 = incremental_line_dedup(b2, store, "id", "text")
+    assert c1.collect()[0]["text_out"] == "c"
+    assert c2.collect()[0]["text_out"] == "d"
