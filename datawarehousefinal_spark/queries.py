@@ -4578,6 +4578,56 @@ def incremental_line_dedup_batch_q(spark: SparkSession, sf_dir: str) -> DataFram
     return cleaned
 
 
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'
+                ELSE o_orderstatus END AS status,
+           count(*)::BIGINT AS n_orders,
+           sum(o_totalprice) AS total,
+           0::BIGINT AS n_clerk
+    FROM orders GROUP BY 1
+    """,
+)
+def schema_evolution_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: batch A lands without o_orderstatus,
+    batch B adds it; mergeSchema unions the footers (per-file cost, not
+    per-row) so A's rows read NULL status, and the `required` contract
+    compiles the never-landed o_clerk column into the plan as typed
+    NULLs. The aggregate proves missing-column semantics end-to-end;
+    the oracle emulates the evolution with a CASE over the source view
+    (the scratch files are this process's own)."""
+    import shutil
+
+    from datawarehousefinal_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = _scratch_path("schema_evo", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders.filter(F.col("o_orderkey") % 2 == 0).drop(
+        "o_orderstatus"
+    ).write.parquet(f"{base}/batch_a")
+    orders.filter(F.col("o_orderkey") % 2 != 0).write.parquet(
+        f"{base}/batch_b"
+    )
+    merged = read_parquet_evolving(
+        spark,
+        [f"{base}/batch_a", f"{base}/batch_b"],
+        required={"o_clerk": "string"},
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_totalprice").alias("total"),
+        F.count("o_clerk").cast("long").alias("n_clerk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
@@ -4649,6 +4699,7 @@ _DRIVER_WINDOW = [
     "centroid_cosine_matrix",
     "temperature_rebalanced_mix",
     "incremental_line_dedup_batch",
+    "schema_evolution_roundtrip",
     # quality / profile / stats (winsorize expr hardening)
     "table_profile",
     "value_histogram",
@@ -4656,7 +4707,6 @@ _DRIVER_WINDOW = [
     "quartile_binning",
     "outlier_report",
     # OLAP / SQL / streaming
-    "pivot_year_status",
     "incremental_cube_merge",
     "incremental_cube_moments",
     "segment_revenue_topk",

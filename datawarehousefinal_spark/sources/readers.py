@@ -226,6 +226,32 @@ def read_parquet_pruned(spark: SparkSession, path: str, columns: list[str]) -> D
     return spark.read.parquet(path).select(*columns)
 
 
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str | list[str],
+    required: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parquet scan across batches whose schemas EVOLVED — the lakehouse
+    reality: tonight's writer added a column yesterday's files lack.
+
+    ``mergeSchema=true`` unions the per-file footers into one schema
+    (files missing a column yield NULLs for it — footer-level metadata
+    only, no data rewrite, so the merge cost is per-FILE not per-row and
+    the scan itself stays a plain pruned columnar read). ``required``
+    maps column → Spark type DDL for columns that must exist even if NO
+    batch has them yet (added with NULL lit + cast), so downstream plans
+    compile against the target schema regardless of which batches have
+    landed.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *(path if isinstance(path, list) else [path])
+    )
+    for col, dtype in (required or {}).items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast(dtype))
+    return df
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -234,3 +234,20 @@ def test_orc_roundtrip_and_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters")[1][:80]
     assert pruned.count() == 200
+
+
+def test_read_parquet_evolving_merges_and_fills(spark, tmp_path):
+    from datawarehousefinal_spark.sources.readers import read_parquet_evolving
+
+    a = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+    b = spark.createDataFrame([(2, 20.0, "new")], ["k", "v", "tag"])
+    a.write.parquet(f"{tmp_path}/a")
+    b.write.parquet(f"{tmp_path}/b")
+    df = read_parquet_evolving(
+        spark, [f"{tmp_path}/a", f"{tmp_path}/b"],
+        required={"never_landed": "int"},
+    )
+    rows = {r["k"]: r for r in df.collect()}
+    assert rows[1]["tag"] is None and rows[2]["tag"] == "new"
+    assert all(r["never_landed"] is None for r in rows.values())
+    assert dict(df.dtypes)["never_landed"] == "int"
