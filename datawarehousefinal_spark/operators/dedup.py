@@ -1086,3 +1086,91 @@ def line_dedup(
             F.transform(kept_sorted, lambda s: s["__line"]), delim
         ).alias("text_out"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span report (exact-substring dedup basis, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def repeated_span_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-repeated token spans per document — the distributed
+    approximation of exact-substring dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022, public): their
+    suffix-array finds substrings repeated anywhere in the corpus; here
+    a ``w``-token shingle is *duplicated* when its corpus occurrence
+    count reaches ``min_count``, and runs of overlapping duplicated
+    shingles merge into maximal spans (every repeated substring of
+    length >= w is covered by such a span).
+
+    Three uniform shuffles: (1) shingle-hash counts (xxhash64 — a
+    boilerplate shingle is a hot KEY but its count is one row; the
+    join-back is AQE-splittable), (2) the join of shingle positions to
+    counts, (3) the per-document islands window + span groupBy.
+    Gaps-and-islands: a new span starts when the next duplicated start
+    position is more than ``w`` tokens past the previous one (covers
+    ``[pos, pos+w-1]`` stop overlapping). All codegen column
+    expressions; SQL-replayable (the oracle groups by the gram STRING —
+    identical equality semantics to the hash modulo 2^-64 collisions).
+
+    Output: ``id_col, span_id (int, 1-based per doc), start_tok,
+    end_tok (1-based token indices, inclusive), n_tokens, n_shingles
+    (long)`` — one row per maximal repeated span; documents with no
+    repeated shingle are absent.
+    """
+    # Local import: textstats imports from this module (char_shingles),
+    # so the top level would be a cycle — same pattern as ngram_coverage.
+    from datawarehousefinal_spark.operators.textstats import (
+        whitespace_tokens,
+    )
+
+    toks = whitespace_tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (w - 1), F.lit(1)))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i, F.lit(w)))).alias(
+                "gh"
+            ),
+        ),
+    )
+    shingled = (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(F.size(toks) >= 1)
+        .select(F.col(id_col), F.explode(pairs).alias("__s"))
+        .select(F.col(id_col), F.col("__s.pos").alias("__pos"), F.col("__s.gh").alias("__gh"))
+    )
+    counts = shingled.groupBy("__gh").agg(F.count(F.lit(1)).alias("__cnt"))
+    dup = (
+        shingled.join(counts, "__gh")
+        .filter(F.col("__cnt") >= min_count)
+        .select(id_col, "__pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("__pos")
+    lag = F.lag("__pos").over(wd)
+    brk = F.when(lag.isNull() | (F.col("__pos") - lag > w), 1).otherwise(0)
+    islands = dup.withColumn(
+        "__island",
+        F.sum(brk).over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("__pos").cast("long").alias("start_tok"),
+        (F.max("__pos") + (w - 1)).cast("long").alias("end_tok"),
+        (F.max("__pos") + w - F.min("__pos")).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+    ).select(
+        F.col(id_col),
+        F.col("__island").cast("int").alias("span_id"),
+        "start_tok",
+        "end_tok",
+        "n_tokens",
+        "n_shingles",
+    )

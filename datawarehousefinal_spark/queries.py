@@ -4628,6 +4628,66 @@ def schema_evolution_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repeated_span_report",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    i AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS pos
+      FROM d WHERE len(toks) >= 1
+    ),
+    g AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+      FROM i
+    ),
+    c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+    p AS (
+      SELECT doc_id, pos FROM g JOIN c USING (gram) WHERE cnt >= 2
+    ),
+    w1 AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM p
+    ),
+    w2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM w1
+    )
+    SELECT doc_id,
+           CAST(island AS INTEGER) AS span_id,
+           min(pos)::BIGINT AS start_tok,
+           (max(pos) + 7)::BIGINT AS end_tok,
+           (max(pos) + 8 - min(pos))::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_shingles
+    FROM w2 GROUP BY doc_id, island
+    """,
+)
+def repeated_span_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup basis (Lee et al. 2022 re-expressed for
+    Spark): maximal corpus-repeated 8-token spans per document via
+    shingle-hash counts + a gaps-and-islands window — the planted
+    near-dup pairs in the corpus surface as real shared spans, no
+    synthetic plant needed. Oracle groups by the gram STRING (identical
+    equality semantics to xxhash64 modulo 2^-64 collisions) and replays
+    the same island arithmetic."""
+    from datawarehousefinal_spark.operators.dedup import repeated_span_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_report(docs, "doc_id", "text", w=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------
@@ -4700,6 +4760,7 @@ _DRIVER_WINDOW = [
     "temperature_rebalanced_mix",
     "incremental_line_dedup_batch",
     "schema_evolution_roundtrip",
+    "repeated_span_report",
     # quality / profile / stats (winsorize expr hardening)
     "table_profile",
     "value_histogram",
@@ -4707,7 +4768,6 @@ _DRIVER_WINDOW = [
     "quartile_binning",
     "outlier_report",
     # OLAP / SQL / streaming
-    "incremental_cube_merge",
     "incremental_cube_moments",
     "segment_revenue_topk",
     "streaming_cube_counts",

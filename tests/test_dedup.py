@@ -337,3 +337,69 @@ def test_line_dedup_plan_has_no_python_udf(spark):
     df = spark.createDataFrame(_LINED, ["id", "text"])
     plan = line_dedup(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span report
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_span_merges_overlapping_shingles(spark):
+    from datawarehousefinal_spark.operators.dedup import repeated_span_report
+
+    shared = "one two three four five six"  # 6 tokens, shared verbatim
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail here for doc one"),
+            (2, f"prefix words then {shared} and more after"),
+        ],
+        ["id", "text"],
+    )
+    out = repeated_span_report(df, "id", "text", w=3)
+    rows = {r["id"]: r for r in out.collect()}
+    # doc 1: shingles at pos 1..4 are shared (the 6-token run) -> one span
+    assert rows[1]["span_id"] == 1
+    assert (rows[1]["start_tok"], rows[1]["end_tok"]) == (1, 6)
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_shingles"] == 4
+    # doc 2: the same run sits at pos 4..9
+    assert (rows[2]["start_tok"], rows[2]["end_tok"]) == (4, 9)
+
+
+def test_repeated_span_splits_distant_islands(spark):
+    from datawarehousefinal_spark.operators.dedup import repeated_span_report
+
+    a = "alpha beta gamma"
+    b = "delta epsilon zeta"
+    filler = " ".join(f"f{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{a} {filler} {b}"),
+            (2, f"{b} other words {a}"),
+        ],
+        ["id", "text"],
+    )
+    out = repeated_span_report(df, "id", "text", w=3)
+    spans = [r for r in out.collect() if r["id"] == 1]
+    assert len(spans) == 2, "far-apart repeats must be separate spans"
+    assert {(s["n_tokens"]) for s in spans} == {3}
+
+
+def test_repeated_span_same_doc_repetition_counts(spark):
+    from datawarehousefinal_spark.operators.dedup import repeated_span_report
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam unique1 unique2 unique3")], ["id", "text"]
+    )
+    out = repeated_span_report(df, "id", "text", w=2).collect()
+    # "spam spam" occurs 4 times within the doc -> duplicated
+    assert len(out) == 1 and out[0]["start_tok"] == 1
+
+
+def test_repeated_span_clean_corpus_empty(spark):
+    from datawarehousefinal_spark.operators.dedup import repeated_span_report
+
+    df = spark.createDataFrame(
+        [(1, "totally unique words here"), (2, "other distinct content now")],
+        ["id", "text"],
+    )
+    assert repeated_span_report(df, "id", "text", w=3).count() == 0
