@@ -125,3 +125,100 @@ def kll_quantiles(
         for q in quantiles
     ]
     return g.select(*group_cols, F.col("n_rows"), *cols)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (two-pass exact)
+# ---------------------------------------------------------------------------
+
+def misra_gries_summaries(
+    df: DataFrame, value_col: str, summary_size: int = 4096
+) -> DataFrame:
+    """Per-task Misra-Gries frequency summaries over ``value_col``.
+
+    One Arrow batch at a time: exact in-batch ``value_counts`` merged
+    into a running per-task summary; whenever the summary exceeds
+    ``summary_size`` entries, the (m+1)-th largest weight is subtracted
+    from every entry and non-positive entries drop — the classic MG
+    decrement, vectorized. Emits one ``(value, mg_weight)`` frame per
+    task.
+
+    Guarantees (Misra-Gries / mergeable-summaries, public results):
+    weights UNDERCOUNT, and for any value
+    ``true_count - total_n/(summary_size+1) <= mg_weight <= true_count``
+    — summing summaries across tasks preserves the bound because MG
+    summaries are mergeable. Memory is O(summary_size) per task
+    regardless of stream length or distinct cardinality; the long tail
+    of distinct values never reaches the shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    field = df.schema[value_col]
+    out_schema = StructType(
+        [
+            StructField(value_col, field.dataType, True),
+            StructField("mg_weight", LongType(), False),
+        ]
+    )
+    m = int(summary_size)
+
+    def gen(batches):
+        s = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf[value_col].dropna().value_counts()
+            s = s.add(vc, fill_value=0) if len(s) else vc.astype("int64")
+            if len(s) > m:
+                thr = s.nlargest(m + 1).iloc[-1]
+                s = s[s > thr] - thr
+        if len(s):
+            yield pd.DataFrame(
+                {value_col: s.index, "mg_weight": s.to_numpy("int64")}
+            )
+
+    return df.select(value_col).mapInPandas(gen, out_schema)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    summary_size: int = 4096,
+    slack: int = 4,
+) -> DataFrame:
+    """Exact top-``k`` heavy hitters without shuffling the long tail.
+
+    Pass 1 (candidates): per-task Misra-Gries summaries
+    (``misra_gries_summaries``) are sum-merged — only O(tasks x
+    summary_size) rows cross the wire — and the top ``k*slack`` values
+    by merged weight are collected (tiny by contract). Pass 2 (exact):
+    the input is re-scanned filtered to the candidate set (an `isin`
+    literal — pushes to the parquet scan) and counted exactly; output is
+    ordered (count desc, value) and limited to ``k``.
+
+    The result equals a full ``GROUP BY``-everything top-k whenever the
+    k-th item's true frequency exceeds ``n/(summary_size+1)`` (the MG
+    error bound) — size ``summary_size`` for the target scale
+    accordingly. A plain groupBy-count top-k shuffles every distinct
+    value; at 100 TB of tokens (billions of distincts) that shuffle IS
+    the job, while this shape moves a few thousand rows per task and
+    re-reads the (columnar, pruned) input once more. The caller may
+    ``persist`` ``df`` if it is expensive to recompute.
+    """
+    summaries = misra_gries_summaries(df, value_col, summary_size)
+    approx = summaries.groupBy(value_col).agg(
+        F.sum("mg_weight").alias("mg_weight")
+    )
+    cands = [
+        r[0]
+        for r in approx.orderBy(F.desc("mg_weight"), value_col)
+        .limit(int(k) * int(slack))
+        .collect()
+    ]
+    return (
+        df.filter(F.col(value_col).isin(cands))
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), value_col)
+        .limit(int(k))
+    )

@@ -4339,6 +4339,30 @@ def kll_quantile_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitters_terms",
+    oracle=f"""
+    SELECT term, count(*) AS cnt
+    FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+    GROUP BY 1 ORDER BY cnt DESC, term LIMIT 25
+    """,
+)
+def heavy_hitters_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass exact heavy hitters over corpus tokens
+    (sketches.heavy_hitters_exact): per-task Misra-Gries summaries find
+    candidates without shuffling the distinct-token long tail, then an
+    exact recount restricted to the broadcast candidate set produces
+    true counts. Hash-matches the full groupBy top-k whenever the k-th
+    frequency exceeds n/(summary_size+1) — the oracle IS that full
+    top-k, so the driver checks the exactness condition end-to-end."""
+    from datawarehousefinal_spark.operators.sketches import heavy_hitters_exact
+    from datawarehousefinal_spark.operators.textstats import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(whitespace_tokens("text")).alias("term"))
+    return heavy_hitters_exact(toks, "term", k=25, summary_size=4096)
+
+
+@query(
     "snapshot_diff_orders",
     oracle="""
     WITH old AS (

@@ -94,3 +94,86 @@ def test_kll_store_merge_stable_under_split(spark, sf_dir):
 
     for est in (whole["q_50"], other["q_50"]):
         assert abs(bisect.bisect_left(vals, est) / len(vals) - 0.5) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def _zipf_df(spark, n_values=200, n_rows=5000):
+    """Deterministic Zipf-ish stream: value i appears ~n_rows/(i+1) times,
+    shuffled by a hash so heavy values are spread across partitions."""
+    rows = []
+    i = 0
+    while len(rows) < n_rows and i < n_values:
+        rows.extend([f"v{i:03d}"] * max(n_rows // (2 * (i + 1)), 1))
+        i += 1
+    rows = rows[:n_rows]
+    df = spark.createDataFrame([(v,) for v in rows], "value string")
+    # deterministic scatter so each partition sees a mixed stream
+    return (
+        df.withColumn("h", F.xxhash64("value", F.monotonically_increasing_id()))
+        .repartition(8, "h")
+        .drop("h")
+    )
+
+
+def test_heavy_hitters_matches_exact_topk(spark):
+    from datawarehousefinal_spark.operators.sketches import heavy_hitters_exact
+
+    df = _zipf_df(spark)
+    got = heavy_hitters_exact(df, "value", k=10, summary_size=64).collect()
+    want = (
+        df.groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "value")
+        .limit(10)
+        .collect()
+    )
+    assert [(r["value"], r["cnt"]) for r in got] == [
+        (r["value"], r["cnt"]) for r in want
+    ]
+
+
+def test_mg_summary_bound_under_truncation(spark):
+    """Forced truncation (summary_size << distinct): merged MG weights
+    undercount, and by no more than n/(m+1) — the public MG bound."""
+    from datawarehousefinal_spark.operators.sketches import misra_gries_summaries
+
+    df = _zipf_df(spark, n_values=500, n_rows=4000).coalesce(2)
+    m = 32
+    merged = {
+        r["value"]: r["w"]
+        for r in misra_gries_summaries(df, "value", m)
+        .groupBy("value")
+        .agg(F.sum("mg_weight").alias("w"))
+        .collect()
+    }
+    true = {
+        r["value"]: r["cnt"]
+        for r in df.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(true.values())
+    assert merged, "summaries must be non-empty"
+    for v, w in merged.items():
+        assert w <= true[v], f"MG must undercount ({v})"
+    for v, c in true.items():
+        assert c - merged.get(v, 0) <= n / (m + 1) + 1e-9, f"bound violated ({v})"
+
+
+def test_mg_no_truncation_is_exact(spark):
+    from datawarehousefinal_spark.operators.sketches import misra_gries_summaries
+
+    df = _zipf_df(spark, n_values=30, n_rows=1000)
+    merged = {
+        r["value"]: r["w"]
+        for r in misra_gries_summaries(df, "value", 4096)
+        .groupBy("value")
+        .agg(F.sum("mg_weight").alias("w"))
+        .collect()
+    }
+    true = {
+        r["value"]: r["cnt"]
+        for r in df.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert merged == true
