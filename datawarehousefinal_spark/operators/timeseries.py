@@ -186,3 +186,54 @@ def gap_fill_interpolate(
         filled.alias(value_col),
         F.col(value_col).isNotNull().alias(filled_flag_col),
     )
+
+
+def ewma_daily(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    window_days: int = 30,
+) -> DataFrame:
+    """Per-group daily value totals with a truncated exponentially-
+    weighted moving average: weight ``(1-alpha)^age_days`` over the
+    trailing ``window_days`` calendar days, normalized by the weights
+    actually present (missing days contribute nothing, the standard
+    irregular-series EWMA).
+
+    Shape: aggregate first (|groups| x |days| rows, map-side combined),
+    then a banded self-join on (group, day-range) — equality on the
+    group key drives the join, the 30-day band is a residual predicate.
+    The truncation is what keeps this scale-safe AND numeric-safe: the
+    untruncated prefix trick needs ``(1-alpha)^(-day_index)`` which
+    overflows doubles within a year, while the band caps every exponent
+    at ``window_days``. The daily frame is small by construction
+    (calendar grain), so AQE broadcasts one side; at 10 years x 1M
+    groups it is still only ~3.6B short rows keyed by group — shuffled
+    once, never the raw events.
+
+    Output: ``group_col, day, v, ewma``.
+    """
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col), F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.sum(value_col).alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    j = a.join(
+        b,
+        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        & (F.col("b.day") <= F.col("a.day"))
+        & (F.col("b.day") >= F.date_sub(F.col("a.day"), window_days - 1)),
+    )
+    w = F.pow(F.lit(1.0 - alpha), F.datediff(F.col("a.day"), F.col("b.day")))
+    return (
+        j.groupBy(F.col(f"a.{group_col}").alias(group_col), F.col("a.day").alias("day"))
+        .agg(
+            F.max(
+                F.when(F.col("b.day") == F.col("a.day"), F.col("b.v"))
+            ).alias("v"),
+            (F.sum(w * F.col("b.v")) / F.sum(w)).alias("ewma"),
+        )
+    )

@@ -2801,6 +2801,35 @@ def rolling_daily_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ewma_daily_value",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.day,
+           max(CASE WHEN b.day = a.day THEN b.v END) AS v,
+           sum(b.v * pow(0.7, date_diff('day', b.day, a.day)))
+             / sum(pow(0.7, date_diff('day', b.day, a.day))) AS ewma
+    FROM daily a
+    JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.day <= a.day AND b.day >= a.day - 29
+    GROUP BY 1, 2
+    """,
+)
+def ewma_daily_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated 30-day EWMA (alpha=0.3) of the daily event value per
+    type (timeseries.ewma_daily) — aggregate-first banded self-join; the
+    band cap is both the scale guard and the double-overflow guard (see
+    operator docstring)."""
+    from datawarehousefinal_spark.operators.timeseries import ewma_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_daily(events, "event_type", "ts", "value", 0.3, 30)
+
+
+@query(
     "gap_fill_daily",
     oracle="""
     WITH daily AS (
@@ -4336,6 +4365,52 @@ def kll_quantile_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = kll_build_store(ev, "value", ["day"])
     return kll_quantiles(store, [0.5, 0.95, 0.99])
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+        SELECT id_a, id_b FROM ({_JACCARD_PAIRS_SQL}) jp
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    WHERE c.id IS NULL OR c.root = d.doc_id
+    """,
+)
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-keep near-dup removal — the curation artifact users
+    actually ship: MinHash-LSH pairs -> connected components -> keep the
+    min-id representative per cluster (plus every untouched doc). The
+    non-representative set is small relative to the corpus (it is the
+    removed fraction), so the final LEFT ANTI join broadcasts under AQE;
+    the corpus itself never shuffles in that step. Oracle replays the
+    closure as a recursive CTE over SQL-exact Jaccard pairs."""
+    from datawarehousefinal_spark.operators.dedup import minhash_near_dupes
+    from datawarehousefinal_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dupes(
+        docs, "doc_id", "text", 0.9, 16, 8, 2, _W, "xxhash64"
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
 
 
 @query(

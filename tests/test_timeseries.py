@@ -171,3 +171,42 @@ def test_correlation_matrix_rejects_single_column(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         correlation_matrix(df, ["x"])
+
+
+def test_ewma_daily_matches_reference_formula(spark):
+    from datawarehousefinal_spark.operators.timeseries import ewma_daily
+    from datetime import datetime
+
+    rows = [
+        ("g", datetime(2024, 1, 1, 5), 10.0),
+        ("g", datetime(2024, 1, 1, 9), 20.0),   # day1 total 30
+        ("g", datetime(2024, 1, 3, 1), 6.0),    # gap day: Jan 2 missing
+        ("g", datetime(2024, 1, 4, 1), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {
+        r["day"].isoformat(): (r["v"], r["ewma"])
+        for r in ewma_daily(df, "g", "ts", "value", alpha=0.5, window_days=30).collect()
+    }
+    # weights 0.5^age over PRESENT days only
+    assert out["2024-01-01"] == (30.0, 30.0)
+    # Jan 3: days present: Jan1 (age 2, w .25), Jan3 (age 0, w 1)
+    exp3 = (30 * 0.25 + 6 * 1.0) / 1.25
+    assert abs(out["2024-01-03"][1] - exp3) < 1e-9
+    # Jan 4: Jan1 w .125, Jan3 w .5, Jan4 w 1
+    exp4 = (30 * 0.125 + 6 * 0.5 + 8 * 1.0) / 1.625
+    assert abs(out["2024-01-04"][1] - exp4) < 1e-9
+
+
+def test_ewma_daily_truncates_outside_window(spark):
+    from datawarehousefinal_spark.operators.timeseries import ewma_daily
+    from datetime import datetime
+
+    rows = [
+        ("g", datetime(2024, 1, 1), 100.0),
+        ("g", datetime(2024, 3, 1), 4.0),  # 60 days later: outside 30d band
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {r["day"].isoformat(): r["ewma"] for r in
+           ewma_daily(df, "g", "ts", "value", 0.5, 30).collect()}
+    assert out["2024-03-01"] == 4.0
