@@ -633,3 +633,34 @@ def centroid_pairwise_cosine(centroids: DataFrame, label_col: str) -> DataFrame:
         a.join(b, F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", cos.cast("double").alias("cosine"))
     )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style greedy semantic dedup: drop any row that has a
+    SMALLER-id neighbor at cosine >= ``threshold``; keep the rest.
+
+    The rule is single-pass over the pair list (drop ``id_b`` of every
+    pair, since pairs are emitted with ``id_a < id_b``) — deterministic,
+    order-free, and embarrassingly parallel, unlike the survivor-aware
+    greedy which is inherently sequential. It can over-drop chains
+    (u~v, v~w drops both v and w) — the documented trade for a
+    shuffle-once plan; cluster-canonical keep lives in
+    ``dedup_survivors`` (connected components) when transitive keep-one
+    semantics are wanted.
+
+    ``pairs`` defaults to the exact quadratic ground truth (small
+    corpora / audits); at scale pass the LSH pair list
+    (:func:`hyperplane_lsh_near_dupes`) — the keep logic is identical:
+    an id-only DISTINCT (small: the dropped fraction) anti-joined
+    against the corpus, which itself never shuffles.
+    """
+    if pairs is None:
+        pairs = embedding_pairs_exact(corpus, id_col, vec_col, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(losers, id_col, "left_anti")

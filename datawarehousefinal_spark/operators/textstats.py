@@ -540,3 +540,46 @@ def dup_ngram_stats(
                 .alias(f"frac_{fam}_{n}gram_chars")
             )
     return out.select(F.col(id_col), chars, *fracs)
+
+
+def encoding_quality_report(
+    df: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """Per-source encoding-health report — the triage table a crawl
+    curation pass starts from: how many documents carry U+FFFD
+    replacement characters (lossy decode), how many show the classic
+    UTF-8-as-Latin-1 mojibake marker ("â€¦"-style sequences), and the
+    average control-character and printable-ASCII ratios.
+
+    Pure column expressions (regexp_replace/length), so it partial-
+    aggregates map-side and the scan reads only (source, text); nothing
+    here shuffles more than |sources| rows.
+    """
+    src, txt = F.col(source_col), F.col(text_col)
+    ln = F.length(txt)
+
+    def _removed(pattern: str) -> Column:
+        return ln - F.length(F.regexp_replace(txt, pattern, ""))
+
+    ctrl_ratio = F.when(ln > 0, _removed(_CTRL_RE) / ln).otherwise(F.lit(0.0))
+    ascii_ratio = F.when(
+        ln > 0, (ln - _removed(r"[^\x20-\x7E]")) / ln
+    ).otherwise(F.lit(0.0))
+    return (
+        df.groupBy(src.alias(source_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(txt.contains("�").cast("long"))
+            .cast("long")
+            .alias("n_replacement_docs"),
+            F.sum(txt.contains("â€").cast("long"))
+            .cast("long")
+            .alias("n_mojibake_docs"),
+            F.avg(ctrl_ratio).alias("avg_control_ratio"),
+            F.avg(ascii_ratio).alias("avg_ascii_ratio"),
+        )
+        .orderBy(source_col)
+    )
+
+
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"

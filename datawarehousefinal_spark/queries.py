@@ -2056,6 +2056,38 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pairs_exact(emb, "vec_id", "embedding", 0.45)
 
 
+@query(
+    "semantic_dedup_keep",
+    oracle="""
+    SELECT a.vec_id, a.label FROM embeddings a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings b
+        WHERE b.vec_id < a.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.45
+    )
+    """,
+)
+def semantic_dedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style greedy semantic dedup (similarity.
+    semantic_dedup_keep): drop any vector with a smaller-id neighbor at
+    cosine >= 0.45, keep the rest. Pairs here come from the exact
+    ground-truth path so the oracle can replay the rule (NOT EXISTS);
+    at scale the identical keep logic runs over the LSH pair list —
+    bench-excluded for the same reason embedding_near_dup_pairs is."""
+    from datawarehousefinal_spark.operators.similarity import (
+        semantic_dedup_keep,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep(emb, "vec_id", "embedding", 0.45).select(
+        "vec_id", "label"
+    )
+
+
+BENCH_EXCLUDE.add("semantic_dedup_keep")
+
+
 @query("embedding_lsh_near_dups")  # no SQL oracle: probabilistic recall
 def embedding_lsh_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup at scale: random-hyperplane LSH blocking
@@ -4365,6 +4397,38 @@ def kll_quantile_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = kll_build_store(ev, "value", ["day"])
     return kll_quantiles(store, [0.5, 0.95, 0.99])
+
+
+@query(
+    "encoding_quality_report",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN contains(text, '�') THEN 1 ELSE 0 END)::BIGINT
+             AS n_replacement_docs,
+           sum(CASE WHEN contains(text, 'â€') THEN 1 ELSE 0 END)::BIGINT
+             AS n_mojibake_docs,
+           avg(CASE WHEN length(text) > 0 THEN
+                 (length(text) - length(regexp_replace(text,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')))::DOUBLE
+                 / length(text) ELSE 0.0 END) AS avg_control_ratio,
+           avg(CASE WHEN length(text) > 0 THEN
+                 length(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))::DOUBLE
+                 / length(text) ELSE 0.0 END) AS avg_ascii_ratio
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def encoding_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-health triage (textstats.
+    encoding_quality_report): U+FFFD replacement-char docs, latin-1
+    mojibake marker docs, control-char and printable-ASCII ratios — all
+    regexp/length column expressions, map-side combined."""
+    from datawarehousefinal_spark.operators.textstats import (
+        encoding_quality_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encoding_quality_report(docs, "source", "text")
 
 
 @query(

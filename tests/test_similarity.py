@@ -298,3 +298,33 @@ def test_embedding_centroids_ignore_null_vectors(spark):
     )
     row = embedding_centroids(df, "vec", "label").collect()[0]
     assert row["centroid"] == [2.0, 2.0] and row["n_vectors"] == 1
+
+
+def test_semantic_dedup_keep_rule_and_injected_pairs(spark):
+    from datawarehousefinal_spark.operators.similarity import (
+        embedding_pairs_exact,
+        semantic_dedup_keep,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.01]),   # ~dup of 1 -> dropped (neighbor 1 < 2)
+        (3, [0.0, 1.0]),
+        (4, [0.01, 1.0]),   # ~dup of 3 -> dropped
+        (5, [0.7, 0.7]),    # ~45deg from both axes: below 0.99 to all
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_keep(df, "vec_id", "embedding", 0.999).collect()
+    )
+    assert kept == [1, 3, 5]
+    # scale path: identical keep logic over an injected pair list
+    pairs = embedding_pairs_exact(df, "vec_id", "embedding", 0.999)
+    kept2 = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_keep(
+            df, "vec_id", "embedding", 0.999, pairs=pairs
+        ).collect()
+    )
+    assert kept2 == kept

@@ -254,3 +254,28 @@ def test_dup_ngram_stats_empty_doc_zero_fracs(spark):
     assert rows[1]["frac_dup_2gram_chars"] == 0.0
     assert rows[2]["frac_top_2gram_chars"] == 0.0
     assert len(rows) == 2, "token-less documents must not vanish"
+
+
+def test_encoding_quality_report_flags_bad_docs(spark):
+    from datawarehousefinal_spark.operators.textstats import (
+        encoding_quality_report,
+    )
+
+    rows = [
+        ("a", "clean ascii text"),
+        ("a", "lossy � decode"),
+        ("a", "mojibake donâ€™t"),
+        ("b", "ctl\x01\x02chars!"),
+        ("b", ""),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in
+           encoding_quality_report(df, "source", "text").collect()}
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["n_replacement_docs"] == 1
+    assert out["a"]["n_mojibake_docs"] == 1
+    assert out["b"]["n_replacement_docs"] == 0
+    # "ctl\x01\x02chars!" = 11 chars, 2 control
+    assert abs(out["b"]["avg_control_ratio"] - (2 / 11) / 2) < 1e-9
+    assert abs(out["b"]["avg_ascii_ratio"] - (9 / 11 + 0.0) / 2) < 1e-9
+    assert out["a"]["avg_control_ratio"] == 0.0
