@@ -363,3 +363,76 @@ def temperature_rebalance(
         .filter(sample_hash(id_col, seed) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy per-group token-budget fill — "give me ~N tokens from every
+    source": rows are taken in deterministic ``sample_hash`` order until
+    the group's running token total reaches ``budget`` (a row is kept
+    while the total BEFORE it is still under budget, so every non-empty
+    group yields at least one row and overshoots by at most one
+    document).
+
+    The selection is a pure function of (ids, seed, token counts): stable
+    across runs, partitionings, and engines — which makes a token-budget
+    mix REPRODUCIBLE, the property training-data curation actually needs.
+    One window (cumulative sum) per group; the sort key is the hash, so
+    no skew beyond the group sizes themselves.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(sample_hash(id_col, seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") - F.col(token_col) < F.lit(int(budget)))
+        .drop("__cum")
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    train_frac: float = 0.8,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/eval split: every member of a near-duplicate
+    cluster lands on the SAME side, killing the classic eval-leakage bug
+    (a test doc whose near-copy sits in train). ``pairs`` is any
+    near-dup pair list (MinHash-LSH at scale); the split key is the
+    cluster representative (connected-component root, the doc itself if
+    untouched), hashed with the deterministic ``sample_hash`` so the
+    assignment is reproducible and engine-replayable.
+
+    Cost: the components iteration runs over the PAIR list only (the
+    removed fraction); the corpus itself sees one left join against the
+    small component map and a map-only hash filter.
+    """
+    from datawarehousefinal_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias(id_col), F.col("component").alias("__root")
+    )
+    threshold = int(train_frac * _HASH_SPACE)
+    root = F.coalesce(F.col("__root"), F.col(id_col))
+    return (
+        docs.join(comp, id_col, "left")
+        .withColumn(
+            split_col,
+            F.when(
+                sample_hash(root, seed) < F.lit(threshold), F.lit("train")
+            ).otherwise(F.lit("eval")),
+        )
+        .drop("__root")
+    )

@@ -4399,6 +4399,88 @@ def kll_quantile_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantiles(store, [0.5, 0.95, 0.99])
 
 
+_TOKEN_BUDGET = 1500
+_SPLIT_THRESHOLD = int(0.8 * (1 << 60))
+
+
+@query(
+    "token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS_SQL})::BIGINT AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))::BIGINT AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens FROM c
+    WHERE cum - n_tokens < {_TOKEN_BUDGET}
+    """,
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-source token-budget fill (curation.
+    token_budget_sample): hash-ordered greedy take until ~1500 tokens per
+    source. The md5 sample hash makes the exact surviving set
+    engine-independent, so the oracle replays it value-for-value."""
+    from datawarehousefinal_spark.operators.curation import token_budget_sample
+    from datawarehousefinal_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    return token_budget_sample(
+        docs, "doc_id", "source", "n_tokens", _TOKEN_BUDGET, seed=11
+    )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+        SELECT id_a, id_b FROM ({_JACCARD_PAIRS_SQL}) jp
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           CASE WHEN ('0x' || substr(md5(
+                  coalesce(c.root, d.doc_id)::VARCHAR || ':42'), 1, 15)
+                )::BIGINT < {_SPLIT_THRESHOLD}
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware 80/20 split (curation.leakage_safe_split): cluster
+    members share their component root's hash, so a near-copy can never
+    straddle train/eval. Oracle replays components (recursive CTE over
+    SQL-exact Jaccard pairs) + the md5 assignment."""
+    from datawarehousefinal_spark.operators.curation import leakage_safe_split
+    from datawarehousefinal_spark.operators.dedup import minhash_near_dupes
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dupes(
+        docs, "doc_id", "text", 0.9, 16, 8, 2, _W, "xxhash64"
+    ).select("id_a", "id_b")
+    out = leakage_safe_split(
+        docs.select("doc_id"), "doc_id", pairs, train_frac=0.8, seed=42
+    )
+    return out.select("doc_id", "split")
+
+
 @query(
     "encoding_quality_report",
     oracle=r"""

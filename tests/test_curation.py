@@ -263,3 +263,39 @@ def test_temperature_rebalance_tail_kept_whole_not_upsampled(spark):
     got = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got["tiny"] == 5, "tail source must keep every row, never duplicate"
     assert got["big"] < 1000
+
+
+def test_token_budget_sample_budget_and_determinism(spark):
+    from datawarehousefinal_spark.operators.curation import token_budget_sample
+
+    rows = [(i, "s" + str(i % 3), 100 + (i % 7) * 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_sample(df, "doc_id", "source", "n_tokens", 500, seed=5)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["n_tokens"])
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for toks in by_src.values():
+        assert sum(toks) - max(toks) < 500      # overshoot ≤ one doc
+        assert sum(toks) >= min(500, sum(toks))  # non-empty fill
+    # pure function of (ids, seed): identical on re-run
+    again = token_budget_sample(df, "doc_id", "source", "n_tokens", 500, seed=5)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in got
+    )
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from datawarehousefinal_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["split"] for r in
+           leakage_safe_split(docs, "doc_id", pairs).collect()}
+    assert len(out) == 20
+    assert out[1] == out[2] == out[3]
+    assert out[7] == out[8]
+    assert set(out.values()) <= {"train", "eval"}
