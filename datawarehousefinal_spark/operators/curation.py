@@ -436,3 +436,50 @@ def leakage_safe_split(
         )
         .drop("__root")
     )
+
+
+def length_band_rebalance(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    per_band_target: int,
+    seed: int = 42,
+    band_col: str = "band",
+) -> DataFrame:
+    """Length-stratified rebalancing: rows are banded by
+    ``floor(log2(value))`` (doc length, token count, ...) and each band
+    is ``sample_hash``-downsampled toward ``per_band_target`` EXPECTED
+    rows — so a skewed length distribution comes out flat across bands
+    instead of letting the dominant band drown the tails (short docs
+    swamping long-context training data is the canonical case). Bands
+    already at or under target pass through whole.
+
+    Banding by a derived categorical (not ntile) is the scale choice: a
+    global ntile needs a single-partition sort over the corpus, while
+    the log band is a map-only expression. Cost: one map-side-combined
+    band count, broadcast back as per-band thresholds; the corpus itself
+    is filtered map-only. Engine-replayable like every sample here.
+
+    Output: input columns plus ``band_col`` (int).
+    """
+    v = F.col(value_col).cast("double")
+    band = F.floor(F.log2(F.greatest(v, F.lit(1.0)))).cast("int")
+    banded = df.withColumn(band_col, band)
+    counts = banded.groupBy(band_col).agg(F.count(F.lit(1)).alias("__n"))
+    thr = counts.select(
+        band_col,
+        F.least(
+            F.lit(float(per_band_target)) / F.col("__n"), F.lit(1.0)
+        ).alias("__frac"),
+    )
+    return (
+        banded.join(F.broadcast(thr), band_col)
+        .filter(
+            # explicit floor: Spark's double->long cast truncates but
+            # DuckDB's rounds — floor on both sides keeps the threshold
+            # bit-identical for the oracle replay
+            sample_hash(id_col, seed)
+            < F.floor(F.col("__frac") * F.lit(float(_HASH_SPACE))).cast("long")
+        )
+        .drop("__frac")
+    )

@@ -113,3 +113,42 @@ def two_stage_distinct_count(
     return deduped.groupBy(*group_cols).agg(
         F.count(F.col(distinct_col)).alias("n_distinct")
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """The diagnostic you run BEFORE choosing a join strategy: per-key
+    frequency profile of a prospective join/shuffle key — the ``top_n``
+    heaviest keys with their counts, share of all rows, and the ratio of
+    each key to the mean key load (``skew_factor``; the max row's factor
+    is the headline number that says whether AQE skew splitting or
+    explicit salting is warranted).
+
+    One map-side-combined groupBy; the global (row, key) totals come
+    from a single-row aggregate over the per-key counts cross-joined
+    back — |keys| rows, never the input. TakeOrderedAndProject caps the
+    output at ``top_n``.
+
+    Output: ``key (string), cnt, share, skew_factor`` ordered by cnt
+    desc, key.
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__rows"), F.count(F.lit(1)).alias("__keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt") / F.col("__rows")).alias("share"),
+            (F.col("cnt") * F.col("__keys") / F.col("__rows")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(top_n)
+    )

@@ -237,3 +237,55 @@ def ewma_daily(
             (F.sum(w * F.col("b.v")) / F.sum(w)).alias("ewma"),
         )
     )
+
+
+def rolling_anomaly_report(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    threshold: float = 2.0,
+    baseline_days: int = 14,
+) -> DataFrame:
+    """Time-local anomaly detection on daily counts: flag days whose
+    count deviates more than ``threshold`` sample standard deviations
+    from the TRAILING ``baseline_days``-day baseline (current day
+    excluded, so a spike can't mask itself). The time-local complement
+    of the global-moments z-score report — a regime change early in the
+    series is invisible to global moments but flagged here.
+
+    Same scale shape as ``rolling_daily_stats``: aggregate to
+    |groups| x |days| first, one calendar RANGE window over that tiny
+    frame. Days with fewer than 3 baseline days or zero spread emit
+    nothing (no division by zero, no cold-start noise).
+
+    Output: ``group_col, day, n, baseline_avg, baseline_std, z``.
+    """
+    daily = df.groupBy(
+        F.col(group_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(epoch_day)
+        .rangeBetween(-baseline_days, -1)
+    )
+    stats = daily.select(
+        F.col(group_col),
+        F.col("day"),
+        F.col("n"),
+        F.avg("n").over(w).alias("baseline_avg"),
+        F.stddev_samp("n").over(w).alias("baseline_std"),
+        F.count("n").over(w).alias("__nb"),
+    )
+    z = (F.col("n") - F.col("baseline_avg")) / F.col("baseline_std")
+    return (
+        stats.filter(
+            (F.col("__nb") >= 3)
+            & (F.col("baseline_std") > 0)
+            & (F.abs(z) > threshold)
+        )
+        .select(
+            group_col, "day", "n", "baseline_avg", "baseline_std",
+            z.alias("z"),
+        )
+    )

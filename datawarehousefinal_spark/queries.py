@@ -4401,6 +4401,80 @@ def kll_quantile_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_BUDGET = 1500
 _SPLIT_THRESHOLD = int(0.8 * (1 << 60))
+_BAND_TARGET = 40
+
+
+@query(
+    "rolling_anomaly_report",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, day, n,
+             avg(n) OVER w AS baseline_avg,
+             stddev_samp(n) OVER w AS baseline_std,
+             count(n) OVER w AS nb
+      FROM daily
+      WINDOW w AS (
+        PARTITION BY event_type
+        ORDER BY (day - DATE '1970-01-01')
+        RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_type, day, n, baseline_avg, baseline_std,
+           (n - baseline_avg) / baseline_std AS z
+    FROM s
+    WHERE nb >= 3 AND baseline_std > 0
+      AND abs((n - baseline_avg) / baseline_std) > 2
+    """,
+)
+def rolling_anomaly_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline anomaly days per event_type (timeseries.
+    rolling_anomaly_report): |z| > 2 against the prior 14 days' own
+    mean/std, current day excluded. Aggregate-first; the window sees
+    |types| x |days| rows only."""
+    from datawarehousefinal_spark.operators.timeseries import (
+        rolling_anomaly_report,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_anomaly_report(
+        events, "event_type", "ts", threshold=2.0, baseline_days=14
+    )
+
+
+@query(
+    "length_band_rebalance",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CAST(floor(log2(greatest(n_chars::DOUBLE, 1.0))) AS INTEGER)
+               AS band
+      FROM documents
+    ),
+    c AS (SELECT band, count(*) AS n FROM b GROUP BY 1),
+    t AS (SELECT band, least({_BAND_TARGET}.0 / n, 1.0) AS frac FROM c)
+    SELECT b.band, b.doc_id, b.n_chars
+    FROM b JOIN t USING (band)
+    WHERE ('0x' || substr(md5(b.doc_id::VARCHAR || ':13'), 1, 15))::BIGINT
+          < CAST(floor(frac * {float(1 << 60)!r}) AS BIGINT)
+    """,
+)
+def length_band_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-stratified downsampling toward a flat per-band mix
+    (curation.length_band_rebalance): log2 char-length bands, md5-hash
+    sampling toward ~40 expected docs per band. Map-only over the
+    corpus; one band-count aggregate broadcast back as thresholds."""
+    from datawarehousefinal_spark.operators.curation import (
+        length_band_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return length_band_rebalance(
+        docs, "doc_id", "n_chars", _BAND_TARGET, seed=13
+    )
 
 
 @query(
@@ -4581,6 +4655,70 @@ def heavy_hitters_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(whitespace_tokens("text")).alias("term"))
     return heavy_hitters_exact(toks, "term", k=25, summary_size=4096)
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey::VARCHAR AS key, count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT sum(cnt) AS rows_, count(*) AS keys_ FROM c)
+    SELECT key, cnt, cnt / rows_ AS share,
+           cnt * keys_ / rows_ AS skew_factor
+    FROM c, t ORDER BY cnt DESC, key LIMIT 10
+    """,
+)
+def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (skew.key_skew_profile) on the lineitem
+    supplier key — the measurement that decides between plain shuffle,
+    AQE skew splitting, and explicit salting. One map-side-combined
+    groupBy + a broadcast single-row totals join."""
+    from datawarehousefinal_spark.operators.skew import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_suppkey", top_n=10)
+
+
+@query(
+    "heavy_hitters_incremental",
+    oracle="""
+    SELECT user_id, count(*) AS cnt
+    FROM events GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 15
+    """,
+)
+def heavy_hitters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters maintained INCREMENTALLY: per-batch Misra-Gries
+    summaries (month-halves here) merge by weight-sum — MG summaries are
+    mergeable, so the store never rescans history — and the final exact
+    recount runs once over the union. Hash-matches the full top-k
+    (oracle) whenever the merged-bound condition holds; the mergeable
+    bound is pinned in tests/test_sketches.py."""
+    from datawarehousefinal_spark.operators.sketches import (
+        misra_gries_summaries,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth(F.to_date("ts")).alias("__dom")
+    )
+    old = ev.filter(F.col("__dom") <= 15).select("user_id")
+    new = ev.filter(F.col("__dom") > 15).select("user_id")
+    store = misra_gries_summaries(old, "user_id", 4096).unionByName(
+        misra_gries_summaries(new, "user_id", 4096)
+    )
+    merged = store.groupBy("user_id").agg(F.sum("mg_weight").alias("w"))
+    cands = [
+        r[0]
+        for r in merged.orderBy(F.desc("w"), "user_id").limit(60).collect()
+    ]
+    return (
+        ev.filter(F.col("user_id").isin(cands))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(15)
+    )
 
 
 @query(

@@ -299,3 +299,21 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert out[1] == out[2] == out[3]
     assert out[7] == out[8]
     assert set(out.values()) <= {"train", "eval"}
+
+
+def test_length_band_rebalance_flattens_bands(spark):
+    from datawarehousefinal_spark.operators.curation import length_band_rebalance
+
+    # 800 short docs (band 3: 8-15 chars) vs 40 long (band 7: 128-255)
+    rows = [(i, 10) for i in range(800)] + [(1000 + i, 200) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = length_band_rebalance(df, "doc_id", "n_chars", 50, seed=3)
+    got = out.groupBy("band").count().collect()
+    by_band = {r["band"]: r["count"] for r in got}
+    assert by_band[7] == 40               # under target: passes whole
+    assert 20 <= by_band[3] <= 90         # ~50 expected of 800
+    # deterministic: re-run identical
+    again = length_band_rebalance(df, "doc_id", "n_chars", 50, seed=3)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )

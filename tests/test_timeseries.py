@@ -210,3 +210,26 @@ def test_ewma_daily_truncates_outside_window(spark):
     out = {r["day"].isoformat(): r["ewma"] for r in
            ewma_daily(df, "g", "ts", "value", 0.5, 30).collect()}
     assert out["2024-03-01"] == 4.0
+
+
+def test_rolling_anomaly_report_flags_spike_not_baseline(spark):
+    from datawarehousefinal_spark.operators.timeseries import (
+        rolling_anomaly_report,
+    )
+    from datetime import datetime
+
+    rows = []
+    # 20 quiet days: 10 events/day with mild alternation, then a 100-event spike
+    for d in range(1, 21):
+        for i in range(10 + (d % 2)):
+            rows.append(("g", datetime(2024, 1, d, i % 24)))
+    for i in range(100):
+        rows.append(("g", datetime(2024, 1, 21, i % 24)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = rolling_anomaly_report(df, "g", "ts", threshold=3.0, baseline_days=14)
+    got = out.collect()
+    days = {r["day"].isoformat() for r in got}
+    assert "2024-01-21" in days
+    assert all(d == "2024-01-21" for d in days), days
+    spike = [r for r in got if r["day"].isoformat() == "2024-01-21"][0]
+    assert spike["n"] == 100 and spike["z"] > 3
