@@ -5093,7 +5093,7 @@ def repeated_span_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     # sources & sinks — every sink path went hermetic this round (pid
     # scratch dirs); all revalidate, zorder re-greens after its r05 flake
-    "csv_typed_scan",
+    # (csv_typed_scan green r01-r05 and untouched — rotated out)
     "encoding_fallback_scan",
     "parquet_sink_roundtrip",
     "zorder_sink_roundtrip",
@@ -5104,36 +5104,41 @@ _DRIVER_WINDOW = [
     "cache_roundtrip",
     "feature_cache_roundtrip",
     # curation / sampling / packing (seeded_sample_100 newly oracled;
-    # sequence_pack_chunks boundary job reworked)
+    # sequence_pack_chunks boundary job reworked; rebalanced_mix /
+    # seeded_shuffle_rank / source_mix_report / pii_scrub /
+    # contamination_report green r01-r05 unchanged — rotated out for the
+    # new curation entries below)
     "seeded_sample_100",
-    "rebalanced_mix",
-    "seeded_shuffle_rank",
     "sequence_pack_chunks",
-    "source_mix_report",
-    "pii_scrub",
-    "contamination_report",
-    # similarity / ANN / multimodal (cosine_topk and
-    # embedding_near_dup_pairs green in r05, unchanged — rotated out for
-    # bm25_append_topk and image_meta_sniff)
+    "token_budget_sample",
+    "leakage_safe_split",
+    "length_band_rebalance",
+    # similarity / ANN / multimodal
     "image_meta_sniff",
     "ivf_append_assignments",
+    "semantic_dedup_keep",
     # dedup / graph (checksum + guard + auto-shape changes)
     "simhash_near_dupes",
     "near_dup_components",
     "near_dup_components_stars",
     "ngram_coverage_report",
-    # text (repetition_stats / doc_chunking green in r05, unchanged —
-    # rotated out for the two new streaming entries below)
+    "dedup_survivors",
+    # text / sketches
     "bm25_topk",
     "bm25_append_topk",
+    "heavy_hitters_terms",
+    "heavy_hitters_incremental",
+    "encoding_quality_report",
     # ML (new capability closures; linreg stays as the oracled M12 face)
     "linreg_trend_forecast",
     "embedding_tabular_classifier",
     "rbf_svc_approx",
-    # behavior / timeseries
-    "session_stats",
-    # new this session; event_funnel, json_props_rollup, cohort_retention
-    # (green r01-r05, unchanged) rotated out to make room
+    # behavior / timeseries (session_stats green r01-r05 unchanged —
+    # rotated out for the new window-family entries)
+    "ewma_daily_value",
+    "rolling_anomaly_report",
+    # earlier this round; event_funnel, json_props_rollup,
+    # cohort_retention (green r01-r05, unchanged) rotated out
     "line_dedup_boilerplate",
     "gopher_repetition_report",
     "bloom_prune_join_revenue",
@@ -5144,15 +5149,15 @@ _DRIVER_WINDOW = [
     "incremental_line_dedup_batch",
     "schema_evolution_roundtrip",
     "repeated_span_report",
-    # quality / profile / stats (winsorize expr hardening)
+    # quality / profile / stats (table_profile exact-distinct path
+    # rewritten this session; value_histogram / quartile_binning /
+    # outlier_report / segment_revenue_topk green r01-r05 unchanged —
+    # rotated out)
     "table_profile",
-    "value_histogram",
     "winsorized_stats",
-    "quartile_binning",
-    "outlier_report",
+    "key_skew_profile",
     # OLAP / SQL / streaming
     "incremental_cube_moments",
-    "segment_revenue_topk",
     "streaming_cube_counts",
     "streaming_stateful_totals",
     "streaming_dedup_daily_counts",
