@@ -257,3 +257,51 @@ def serve_moments(state: DataFrame) -> DataFrame:
         F.col("min_m").alias("min_medida"),
         F.col("max_m").alias("max_medida"),
     )
+
+
+def grouping_sets_measures(
+    spark,
+    df: DataFrame,
+    sets: list[list[str]],
+    count_col: str,
+    avg_col: str | None = None,
+    view_name: str = "__gs_input",
+) -> DataFrame:
+    """Arbitrary GROUPING SETS over ``df`` — the OLAP shape CUBE/ROLLUP
+    can't express (e.g. two overlapping drill paths plus a grand total
+    in ONE pass). The DataFrame API exposes only cube/rollup, so this
+    goes through ``spark.sql`` over a temp view — still one declarative
+    plan: Catalyst plans grouping sets as a single Expand + aggregate,
+    one scan regardless of how many sets are requested (versus one
+    groupBy + union per set, which re-reads the input |sets| times).
+
+    Every grouping column comes back with an ``g_<col>`` flag
+    (``grouping(col)`` — 1 when the row aggregates over that column),
+    the portable alternative to engine-specific ``grouping_id`` bit
+    orders. Column names are backtick-escaped; measures are
+    ``cantidad_movimientos``/``promedio_medida`` per the cube surface.
+    """
+    group_cols: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in group_cols:
+                group_cols.append(c)
+
+    def _q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    df.createOrReplaceTempView(view_name)
+    keys = ", ".join(_q(c) for c in group_cols)
+    flags = ", ".join(
+        f"CAST(grouping({_q(c)}) AS INT) AS {_q('g_' + c)}" for c in group_cols
+    )
+    measures = f"count({_q(count_col)}) AS cantidad_movimientos"
+    if avg_col is not None:
+        measures += f", avg({_q(avg_col)}) AS promedio_medida"
+    sets_sql = ", ".join(
+        "(" + ", ".join(_q(c) for c in s) + ")" for s in sets
+    )
+    return spark.sql(
+        f"SELECT {keys}, {flags}, {measures} FROM {_q(view_name)} "
+        f"GROUP BY GROUPING SETS ({sets_sql})"
+    )

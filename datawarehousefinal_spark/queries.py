@@ -4658,6 +4658,91 @@ def heavy_hitters_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_measures",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+           o_orderstatus,
+           o_orderpriority,
+           CAST(grouping(year(o_orderdate)) AS INT) AS g_anio,
+           CAST(grouping(o_orderstatus) AS INT) AS g_o_orderstatus,
+           CAST(grouping(o_orderpriority) AS INT) AS g_o_orderpriority,
+           count(o_custkey) AS cantidad_movimientos,
+           avg(o_totalprice) AS promedio_medida
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (year(o_orderdate), o_orderstatus),
+      (o_orderstatus, o_orderpriority),
+      ()
+    )
+    """,
+)
+def grouping_sets_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (olap.grouping_sets_measures): two
+    overlapping drill paths (year x status, status x priority) plus the
+    grand total in ONE Expand+aggregate pass — the OLAP shape
+    cube/rollup can't express. grouping() flags disambiguate aggregated
+    NULLs portably."""
+    from datawarehousefinal_spark.operators.olap import grouping_sets_measures
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("anio"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+        "o_totalprice",
+    )
+    return grouping_sets_measures(
+        spark,
+        orders,
+        [["anio", "o_orderstatus"], ["o_orderstatus", "o_orderpriority"], []],
+        "o_custkey",
+        "o_totalprice",
+    )
+
+
+@query(
+    "day_over_day_change",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           lag(n) OVER w AS prev_n,
+           (n - lag(n) OVER w)::BIGINT AS delta,
+           (n - lag(n) OVER w)::DOUBLE / lag(n) OVER w AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    QUALIFY lag(n) OVER w IS NOT NULL
+    """,
+)
+def day_over_day_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas per event_type: aggregate-first daily counts,
+    one lag window over the |types| x |days| frame; first day per type
+    (no prior observation) is excluded rather than emitting NULL
+    deltas."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            prev.alias("prev_n"),
+            (F.col("n") - prev).cast("long").alias("delta"),
+            ((F.col("n") - prev) / prev).alias("pct_change"),
+        )
+        .filter(F.col("prev_n").isNotNull())
+    )
+
+
+@query(
     "key_skew_profile",
     oracle="""
     WITH c AS (

@@ -236,3 +236,27 @@ def test_moment_state_merge_identities(spark):
     for g in ("a", "b"):
         assert abs(served[g]["varianza_medida"] - truth[g]["v"]) < 1e-6
         assert abs(served[g]["promedio_medida"] - truth[g]["a"]) < 1e-9
+
+
+def test_grouping_sets_single_expand_plan_and_sets(spark):
+    """grouping_sets_measures plans ONE Expand + aggregate (not a union
+    of groupBys) and emits exactly the requested sets."""
+    from datawarehousefinal_spark.operators.olap import grouping_sets_measures
+
+    df = spark.createDataFrame(
+        [("a", "x", "p1", 1, 10.0), ("b", "y", "p2", 2, 20.0)],
+        "k1 string, k2 string, k3 string, fk int, m double",
+    )
+    out = grouping_sets_measures(
+        spark, df, [["k1", "k2"], ["k2", "k3"], []], "fk", "m"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    rows = out.collect()
+    seen_sets = {
+        (r["g_k1"], r["g_k2"], r["g_k3"]) for r in rows
+    }
+    assert seen_sets == {(0, 0, 1), (1, 0, 0), (1, 1, 1)}
+    total = [r for r in rows if r["g_k1"] == 1 and r["g_k2"] == 1][0]
+    assert total["cantidad_movimientos"] == 2
+    assert abs(total["promedio_medida"] - 15.0) < 1e-9
