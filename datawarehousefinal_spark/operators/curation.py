@@ -483,3 +483,30 @@ def length_band_rebalance(
         )
         .drop("__frac")
     )
+
+
+def group_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-``n``-per-group deterministic sample: within each group the
+    ``n`` rows with the smallest md5 sample keys (ties break on id) —
+    balanced few-shot/eval selection that is a pure function of
+    (ids, seed), nested across n, and engine-replayable, none of which
+    a rand()-ordered row_number gives you.
+
+    One window per group ordered on the hash — the sort key is uniform,
+    so no skew beyond the group sizes; groups smaller than ``n`` pass
+    through whole (the SQL row_number semantics, no padding).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n))
+        .drop("__rn")
+    )

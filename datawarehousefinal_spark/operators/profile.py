@@ -399,3 +399,59 @@ def snapshot_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+def column_entropy_report(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Shannon entropy (log2, nulls excluded — DuckDB ``entropy()``
+    semantics) per column, with non-null and distinct counts — the
+    profiler statistic that separates "2 distinct values, 50/50" from
+    "2 distinct values, 99.9/0.1" (constant-ish columns and near-keys
+    both hide inside n_distinct alone).
+
+    Same melt shape as the exact-distinct profile: every cell becomes a
+    ``(col_idx, canonical_string)`` pair, one map-side-combined groupBy
+    counts value frequencies, and per column the entropy folds as
+    ``log2(n) - sum(c*log2(c))/n`` — no per-row probabilities
+    materialized, |distinct values| rows shuffled total.
+
+    Output: ``column, n_values, n_distinct, entropy`` ordered by column.
+    """
+    cols = sorted(columns or df.columns)
+
+    def _qcol(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__i"), _qcol(c).cast("string").alias("__v")
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    counts = (
+        df.select(F.explode(cells).alias("__s"))
+        .select("__s.__i", "__s.__v")
+        .where(F.col("__v").isNotNull())
+        .groupBy("__i", "__v")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    per_col = counts.groupBy("__i").agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("__c") * F.log2("__c")).alias("__clogc"),
+    )
+    name = F.element_at(
+        F.array(*[F.lit(c) for c in cols]), F.col("__i") + 1
+    )
+    return (
+        per_col.select(
+            name.alias("column"),
+            F.col("__n").cast("long").alias("n_values"),
+            "n_distinct",
+            (F.log2("__n") - F.col("__clogc") / F.col("__n")).alias("entropy"),
+        )
+        .orderBy("column")
+    )

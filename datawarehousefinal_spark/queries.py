@@ -4658,6 +4658,61 @@ def heavy_hitters_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "column_entropy_report",
+    oracle="""
+    SELECT 'o_custkey' AS "column", count(o_custkey)::BIGINT AS n_values,
+           count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+           entropy(o_custkey) AS entropy FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(o_orderpriority)::BIGINT,
+           count(DISTINCT o_orderpriority)::BIGINT,
+           entropy(o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus)::BIGINT,
+           count(DISTINCT o_orderstatus)::BIGINT,
+           entropy(o_orderstatus) FROM orders
+    """,
+)
+def column_entropy_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy + cardinalities (profile.
+    column_entropy_report) — near-constant columns and near-keys both
+    hide inside n_distinct alone. Melt + one map-side-combined frequency
+    groupBy; entropy folds as log2(n) - sum(c*log2 c)/n, matching
+    DuckDB's entropy() bit-for-bit under the 6-sig-digit gate."""
+    from datawarehousefinal_spark.operators.profile import (
+        column_entropy_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_entropy_report(
+        orders, ["o_custkey", "o_orderpriority", "o_orderstatus"]
+    )
+
+
+@query(
+    "group_sample_exact",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':21'), 1, 15)
+                        )::BIGINT, doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 5
+    """,
+)
+def group_sample_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-5-per-source deterministic sample (curation.
+    group_sample_exact): smallest md5 keys win within each group —
+    balanced selection, engine-replayed value-for-value."""
+    from datawarehousefinal_spark.operators.curation import group_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_sample_exact(docs, "doc_id", "source", 5, seed=21)
+
+
+@query(
     "grouping_sets_measures",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,

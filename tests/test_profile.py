@@ -84,3 +84,20 @@ def test_snapshot_diff_plan_single_join_no_bnlj(spark, sf_dir):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_entropy_report_known_values(spark):
+    from datawarehousefinal_spark.operators.profile import column_entropy_report
+    import math
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", None)],
+        "k string, v int",
+    )
+    out = {r["column"]: r for r in column_entropy_report(df, ["k", "v"]).collect()}
+    # k: p = [.5,.25,.25] over 4 non-null -> 1.5 bits
+    assert out["k"]["n_values"] == 4 and out["k"]["n_distinct"] == 3
+    assert abs(out["k"]["entropy"] - 1.5) < 1e-9
+    # v: 3 distinct uniform over 3 non-null -> log2(3)
+    assert out["v"]["n_values"] == 3 and out["v"]["n_distinct"] == 3
+    assert abs(out["v"]["entropy"] - math.log2(3)) < 1e-9
