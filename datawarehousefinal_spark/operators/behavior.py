@@ -38,10 +38,19 @@ def event_funnel(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    max_gap_hours: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel report: for each step prefix, how many users
     completed it IN ORDER (step i's event strictly after the user's
     first step-(i-1) event).
+
+    ``max_gap_hours`` adds the CONVERSION-WINDOW variant every product
+    analytics tool ships: step i must also land within that many hours
+    of the user's first step-(i-1) event. Semantics are the standard
+    greedy-from-first-occurrence scan (a user whose early signup missed
+    the window does not get credit for a later signup that would have
+    made it) — deterministic, one window pass, and exactly what the
+    SQL oracle replays.
 
     Output: ``step (int, 1-based), step_name, n_users`` — n_users is
     non-increasing by construction.
@@ -58,6 +67,12 @@ def event_funnel(
             cond = cond & F.col(prev_t).isNotNull() & (
                 F.col(ts_col) > F.col(prev_t)
             )
+            if max_gap_hours is not None:
+                cond = cond & (
+                    F.col(ts_col)
+                    <= F.col(prev_t)
+                    + F.expr(f"INTERVAL {int(max_gap_hours)} HOURS")
+                )
         t = f"__t{i}"
         cur = cur.withColumn(t, F.min(F.when(cond, F.col(ts_col))).over(w))
         prev_t = t

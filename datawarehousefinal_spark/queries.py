@@ -4658,6 +4658,59 @@ def heavy_hitters_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "windowed_funnel_report",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, ts, event_type,
+        min(CASE WHEN event_type = 'signup' THEN ts END)
+          OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'click'
+                           AND t0 IS NOT NULL AND ts > t0
+                           AND ts <= t0 + INTERVAL 6 HOUR THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM s0
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase'
+                           AND t1 IS NOT NULL AND ts > t1
+                           AND ts <= t1 + INTERVAL 6 HOUR THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    pu AS (
+      SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+      FROM s2 GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS step_name, count(t0)::BIGINT AS n_users FROM pu
+    UNION ALL
+    SELECT 2, 'click', count(t1)::BIGINT FROM pu
+    UNION ALL
+    SELECT 3, 'purchase', count(t2)::BIGINT FROM pu
+    """,
+)
+def windowed_funnel_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (behavior.event_funnel with
+    max_gap_hours=6): each step must land within 6 hours of the user's
+    first prior-step event — the time-bounded variant product analytics
+    actually reports. Same one-exchange window-scan plan as the
+    unbounded funnel."""
+    from datawarehousefinal_spark.operators.behavior import event_funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return event_funnel(
+        events,
+        "user_id",
+        "ts",
+        "event_type",
+        ["signup", "click", "purchase"],
+        max_gap_hours=6,
+    )
+
+
+@query(
     "column_entropy_report",
     oracle="""
     SELECT 'o_custkey' AS "column", count(o_custkey)::BIGINT AS n_values,

@@ -105,3 +105,33 @@ def test_event_funnel_quoted_step_names(spark):
         df, "user_id", "ts", "event_type", ["it's a start", 'then "end"']
     ).collect()}
     assert out == {"it's a start": 2, 'then "end"': 1}
+
+
+def test_event_funnel_conversion_window_semantics(spark):
+    from datawarehousefinal_spark.operators.behavior import event_funnel
+    from datetime import datetime
+
+    rows = [
+        # u1 converts within window: signup 00:00, click 01:00
+        (1, datetime(2024, 1, 1, 0), "signup"),
+        (1, datetime(2024, 1, 1, 1), "click"),
+        # u2 clicks 10h after signup: outside the 6h window
+        (2, datetime(2024, 1, 1, 0), "signup"),
+        (2, datetime(2024, 1, 1, 10), "click"),
+        # u3: greedy-from-first — the FIRST signup (00:00) misses the
+        # window; the later signup (09:00) would have qualified but the
+        # greedy scan anchors on the first occurrence
+        (3, datetime(2024, 1, 1, 0), "signup"),
+        (3, datetime(2024, 1, 1, 9), "signup"),
+        (3, datetime(2024, 1, 1, 10), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step_name"]: r["n_users"] for r in
+           event_funnel(df, "user_id", "ts", "event_type",
+                        ["signup", "click"], max_gap_hours=6).collect()}
+    assert out == {"signup": 3, "click": 1}
+    # unbounded: all three click-after-signup users count
+    out2 = {r["step_name"]: r["n_users"] for r in
+            event_funnel(df, "user_id", "ts", "event_type",
+                         ["signup", "click"]).collect()}
+    assert out2 == {"signup": 3, "click": 3}
