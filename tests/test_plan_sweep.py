@@ -26,6 +26,14 @@ BNLJ_ALLOWED = {
     "ivf_topk",
     "embedding_near_dup_pairs",
     "embedding_lsh_near_dups",
+    # semantic_dedup_keep's registered face runs over the exact
+    # ground-truth pair list (bench-excluded, same role as
+    # embedding_near_dup_pairs); the scale path takes LSH pairs and has
+    # no BNLJ — pinned in test_similarity.py's injected-pairs test.
+    "semantic_dedup_keep",
+    # key_skew_profile's single-row (rows, keys) totals cross join —
+    # the same bounded scalar-broadcast pattern as class_weights.
+    "key_skew_profile",
     # Scalar broadcasts: a SINGLE-ROW aggregate (total count, max
     # surrogate id, regression coefficients) cross-joined onto the frame —
     # BuildRight of one row, bounded by construction. Verified against the
