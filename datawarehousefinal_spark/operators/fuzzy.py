@@ -45,3 +45,63 @@ def fuzzy_closest(
         .drop("__rn", "__rid")
         .withColumnRenamed(right_col, "match")
     )
+
+
+def fuzzy_closest_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int,
+) -> DataFrame:
+    """Big×big scale path for :func:`fuzzy_closest`: identical output
+    contract (closest right value per left ROW, distance ≤
+    ``max_distance``, ties break on match ascending; left rows with no
+    candidate inside the bound are dropped) — but candidate generation is
+    a length-band EQUI-JOIN instead of a broadcast nested loop, so
+    NEITHER side needs to fit in memory.
+
+    The blocking key is lossless, not heuristic: Levenshtein distance ≥
+    |len(a) − len(b)|, so every admissible pair has length difference ≤
+    d. With band width w = d+1, ``floor(len/w)`` of two admissible
+    strings differs by at most 1 — exploding the RIGHT side into its
+    band and both neighbors (3 rows, a constant factor) and equi-joining
+    on the left band covers every admissible pair exactly once. The join
+    shuffles on the band id like any equi-join (AQE handles band skew);
+    per-pair work after the join is one ``levenshtein`` with Spark's
+    built-in early-exit bound.
+
+    Equivalence to the brute-force operator is pinned by a differential
+    test (tests/test_fuzz_differential.py).
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    w_band = max_distance + 1
+    lhs = left.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+        "__band", F.floor(F.length(left_col) / w_band)
+    )
+    r_vals = right.select(right_col).distinct()
+    rband = F.floor(F.length(right_col) / w_band)
+    rhs = r_vals.select(
+        right_col,
+        F.explode(F.array(rband - 1, rband, rband + 1)).alias("__band"),
+    )
+    scored = (
+        lhs.join(rhs, "__band")
+        # cheap length pre-filter before the (more expensive) edit distance
+        .filter(
+            F.abs(F.length(left_col) - F.length(right_col)) <= max_distance
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col(left_col), F.col(right_col), max_distance),
+        )
+        .filter(F.col("distance") >= 0)  # bounded levenshtein returns -1 past d
+    )
+    w = Window.partitionBy("__rid").orderBy("distance", right_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__rid", "__band")
+        .withColumnRenamed(right_col, "match")
+    )

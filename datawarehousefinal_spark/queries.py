@@ -742,6 +742,52 @@ def fuzzy_closest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_blocked_match",
+    oracle="""
+    WITH l AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 5 = 0
+    ),
+    r AS (
+      SELECT DISTINCT substr(c_name, 1, length(c_name) - 2) AS ref
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    s AS (
+      SELECT l.c_custkey, l.c_name, r.ref AS match,
+             CAST(levenshtein(l.c_name, r.ref) AS INTEGER) AS distance,
+             row_number() OVER (
+               PARTITION BY l.c_custkey
+               ORDER BY levenshtein(l.c_name, r.ref), r.ref) AS rn
+      FROM l, r
+      WHERE abs(length(l.c_name) - length(r.ref)) <= 2
+        AND levenshtein(l.c_name, r.ref) <= 2
+    )
+    SELECT c_custkey, c_name, match, distance FROM s WHERE rn = 1
+    """,
+)
+def fuzzy_blocked_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 at big×big scale (fuzzy.fuzzy_closest_blocked): the same
+    FuzzyMatch contract (etl_final.ktr:3608-3645) when the lookup list
+    is another fact-sized table — candidates come from a LOSSLESS
+    length-band equi-join (|Δlen| ≤ d bounds Levenshtein from below)
+    instead of a broadcast nested loop, then a bounded
+    ``levenshtein(_, _, d)`` scores only band-mates. Fixture: every 5th
+    customer name matched against a "dirty" lookup built by chopping 2
+    chars off every 13th name — recoverable at distance exactly 2.
+    Differential-equivalence to the brute force is pinned in
+    tests/test_operators.py."""
+    from datawarehousefinal_spark.operators.fuzzy import fuzzy_closest_blocked
+
+    customer = load_table(spark, sf_dir, "customer")
+    left = customer.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_name"
+    )
+    right = customer.filter(F.col("c_custkey") % 13 == 0).select(
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("ref")
+    )
+    return fuzzy_closest_blocked(left, right, "c_name", "ref", max_distance=2)
+
+
+@query(
     "hierarchy_rollup",
     oracle="""
     SELECT r.r_name AS provincia, n.n_name AS canton,
