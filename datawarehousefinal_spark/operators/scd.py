@@ -59,6 +59,44 @@ def scd2_from_history(
     )
 
 
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC changeset to a snapshot (the MERGE/upsert primitive —
+    the write side of the CDC pair whose read side is the snapshot-diff
+    operator).
+
+    ``changes`` carries ``op_col`` ∈ {'I','U','D'} plus the base's
+    columns; 'I' and 'U' both upsert (full-row image), 'D' deletes the
+    key. With ``seq_col`` set, only the LATEST change per key applies
+    (ties broken on op descending so 'U' beats 'I' at equal seq — pick
+    distinct seqs upstream if that matters). Output schema == base
+    schema.
+
+    Scale shape: one window over the changeset (small relative to the
+    snapshot by CDC's nature), one key anti-join against the base — AQE
+    broadcasts it when the changeset is small, shuffles both sides on
+    the key otherwise — and a union. The snapshot is never collected,
+    never windowed globally.
+    """
+    order = [F.col(seq_col).desc()] if seq_col else []
+    w = Window.partitionBy(*key_cols).orderBy(*order, F.col(op_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    survivors = base.join(
+        latest.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    return survivors.unionByName(upserts)
+
+
 def scd2_lookup(
     facts: DataFrame,
     scd2_dim: DataFrame,

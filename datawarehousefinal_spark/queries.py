@@ -5025,6 +5025,81 @@ def snapshot_diff_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, 'U' AS op, 1 AS seq,
+             'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', 2, NULL, NULL
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'I', 1, 'N', 1.0
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        FROM changes) t
+      WHERE rn = 1
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE/upsert (scd.apply_changes — the write side of the
+    snapshot_diff pair): a deterministic changeset updates every 7th
+    order (+10% price, status 'U'), deletes every 11th (seq 2, so the
+    delete wins over an update on keys divisible by 77), and inserts
+    re-keyed new rows for every 13th. The operator reduces the changeset
+    to latest-per-key with one window, anti-joins the snapshot on the
+    key, and unions the upserts — the full post-merge snapshot is
+    value-hashed against DuckDB's replay."""
+    from datawarehousefinal_spark.operators.scd import apply_changes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 11 == 0).select(
+                "o_orderkey",
+                F.lit("D").alias("op"),
+                F.lit(2).alias("seq"),
+                F.lit(None).cast("string").alias("o_orderstatus"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("I").alias("op"),
+                F.lit(1).alias("seq"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    return apply_changes(
+        orders, changes, ["o_orderkey"], op_col="op", seq_col="seq"
+    )
+
+
+@query(
     "weighted_sample_docs",
     oracle="""
     SELECT doc_id, n_chars FROM documents

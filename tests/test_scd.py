@@ -71,3 +71,42 @@ def test_point_in_time_lookup(spark, history):
         (3, _ts(1)): None,  # NULL attribute version
         (9, _ts(1)): None,  # unknown key
     }
+
+
+def test_apply_changes_upsert_delete_latest_wins(spark):
+    from datawarehousefinal_spark.operators.scd import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["k", "status", "price"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 1, "b2", 21.0),   # update
+            (3, "U", 1, "c2", 31.0),   # superseded by the later delete
+            (3, "D", 2, None, None),   # delete wins (higher seq)
+            (5, "I", 1, "e", 50.0),    # insert
+            (5, "U", 2, "e2", 51.0),   # later image of the same key
+        ],
+        ["k", "op", "seq", "status", "price"],
+    )
+    out = apply_changes(base, changes, ["k"], op_col="op", seq_col="seq")
+    rows = {r["k"]: (r["status"], r["price"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        4: ("d", 40.0),
+        5: ("e2", 51.0),
+    }
+    assert out.columns == base.columns
+
+
+def test_apply_changes_without_seq_is_single_image(spark):
+    from datawarehousefinal_spark.operators.scd import apply_changes
+
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame([(1, "D", None), (2, "I", "b")],
+                                    ["k", "op", "v"])
+    out = apply_changes(base, changes, ["k"], op_col="op")
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {2: "b"}
