@@ -289,3 +289,55 @@ def rolling_anomaly_report(
             z.alias("z"),
         )
     )
+
+
+def seasonal_dow_forecast(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    horizon_days: int = 14,
+) -> DataFrame:
+    """Seasonal-naive forecast of daily event counts: the prediction for
+    a future day is the group's historical mean for that ISO day-of-week
+    — the standard strong baseline for weekly-seasonal volume series
+    (and the seasonal complement of the linear trend forecaster, which
+    extrapolates level but is blind to weekday shape).
+
+    Means are over OBSERVED days only (a day with zero events for a
+    group is absent from history, not a zero sample); a (group, weekday)
+    never observed emits no forecast row — both choices replay exactly
+    in SQL. The horizon anchors at the GLOBAL max day so all groups
+    forecast the same calendar window.
+
+    Scale shape: raw events collapse to |groups| x |days| via one
+    map-side-combined aggregate, weekday means collapse that to
+    |groups| x 7, and the horizon frame (``horizon_days`` rows, built by
+    exploding a sequence against the 1-row global max — never a driver
+    round-trip) broadcast-joins in. Nothing after the first aggregate
+    touches event volume.
+
+    Output: ``group_cols..., day, isodow, predicted``.
+    """
+    daily = df.groupBy(
+        *group_cols, F.to_date(ts_col).alias("__day")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    isodow = (F.weekday("__day") + 1).cast("int")
+    means = daily.groupBy(*group_cols, isodow.alias("isodow")).agg(
+        F.avg("__n").alias("predicted")
+    )
+    future = (
+        daily.agg(F.max("__day").alias("__anchor"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(horizon_days)))
+            ).alias("__h"),
+            "__anchor",
+        )
+        .select(
+            F.date_add(F.col("__anchor"), F.col("__h")).alias("day")
+        )
+        .withColumn("isodow", (F.weekday("day") + 1).cast("int"))
+    )
+    return F.broadcast(future).join(means, "isodow").select(
+        *group_cols, "day", "isodow", "predicted"
+    )

@@ -4897,6 +4897,49 @@ def day_over_day_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "seasonal_dow_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT event_type, CAST(isodow(day) AS INTEGER) AS isodow,
+             avg(n) AS predicted
+      FROM daily GROUP BY 1, 2
+    ),
+    anchor AS (SELECT max(day) AS a FROM daily),
+    future AS (
+      SELECT CAST(unnest(generate_series(
+               a + INTERVAL 1 DAY, a + INTERVAL 14 DAY,
+               INTERVAL 1 DAY)) AS DATE) AS day
+      FROM anchor
+    )
+    SELECT m.event_type, f.day,
+           CAST(isodow(f.day) AS INTEGER) AS isodow, m.predicted
+    FROM future f
+    JOIN means m ON CAST(isodow(f.day) AS INTEGER) = m.isodow
+    """,
+)
+def seasonal_dow_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast (timeseries.seasonal_dow_forecast): 14
+    days of per-event-type predictions from historical ISO-weekday mean
+    daily counts — the weekly-shape complement of the M12 linear trend
+    forecaster (machineLearning.py:630-663 forecasts level; volume
+    series also need weekday seasonality). Observed-day means, global
+    anchor, horizon broadcast-joined; the engine replays the identical
+    frame."""
+    from datawarehousefinal_spark.operators.timeseries import (
+        seasonal_dow_forecast,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return seasonal_dow_forecast(
+        events, "ts", ["event_type"], horizon_days=14
+    )
+
+
+@query(
     "key_skew_profile",
     oracle="""
     WITH c AS (

@@ -233,3 +233,29 @@ def test_rolling_anomaly_report_flags_spike_not_baseline(spark):
     assert all(d == "2024-01-21" for d in days), days
     spike = [r for r in got if r["day"].isoformat() == "2024-01-21"][0]
     assert spike["n"] == 100 and spike["z"] > 3
+
+
+def test_seasonal_dow_forecast_values_and_horizon(spark):
+    import datetime as dt
+
+    from datawarehousefinal_spark.operators.timeseries import (
+        seasonal_dow_forecast,
+    )
+
+    # two Mondays with 2 and 4 events -> Monday mean 3; one Tuesday with 1
+    base = dt.datetime(2024, 1, 1, 12, 0)  # a Monday
+    rows = (
+        [("a", base)] * 2
+        + [("a", base + dt.timedelta(days=7))] * 4
+        + [("a", base + dt.timedelta(days=1))] * 1
+    )
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = seasonal_dow_forecast(df, "ts", ["event_type"], horizon_days=14)
+    got = {(r["day"], r["isodow"]): r["predicted"] for r in out.collect()}
+    # anchor = 2024-01-08; horizon = 01-09..01-22: two Mondays, two Tuesdays
+    assert got[(dt.date(2024, 1, 15), 1)] == 3.0
+    assert got[(dt.date(2024, 1, 22), 1)] == 3.0
+    assert got[(dt.date(2024, 1, 9), 2)] == 1.0
+    assert got[(dt.date(2024, 1, 16), 2)] == 1.0
+    # never-observed weekdays emit nothing
+    assert len(got) == 4
