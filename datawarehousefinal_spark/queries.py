@@ -3748,6 +3748,120 @@ def compaction_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join end-to-end (sources.bucketing): orders
+    and customer are written bucketed on the join key (8 buckets each,
+    pre-repartitioned so every bucket is one file and the bucket-sort
+    holds globally), and the fact-dim join + segment revenue rollup runs
+    with the JOIN ITSELF shuffle-free — the write paid the shuffle once,
+    every subsequent keyed join reads it back for free. That's the
+    100 TB contract; a runtime guard fails the query if the plan ever
+    re-shuffles the join inputs (≤1 Exchange total: the final segment
+    aggregation)."""
+    import os as _os
+
+    from datawarehousefinal_spark.plans import exchange_count
+    from datawarehousefinal_spark.sources.bucketing import (
+        read_table,
+        write_bucketed,
+    )
+
+    pid = _os.getpid()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(
+        orders.repartition(8, "o_custkey"),
+        f"b_orders_{pid}",
+        ["o_custkey"],
+        8,
+        sort_cols=["o_custkey"],
+        path=_scratch_path("bucket_orders", sf_dir),
+    )
+    write_bucketed(
+        customer.repartition(8, "c_custkey"),
+        f"b_customer_{pid}",
+        ["c_custkey"],
+        8,
+        sort_cols=["c_custkey"],
+        path=_scratch_path("bucket_customer", sf_dir),
+    )
+    bo = read_table(spark, f"b_orders_{pid}")
+    bc = read_table(spark, f"b_customer_{pid}")
+    joined = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("revenue"),
+    )
+    n_ex = exchange_count(joined)
+    if n_ex > 1:
+        raise RuntimeError(
+            f"bucketed join re-shuffled: {n_ex} Exchanges (expected <=1)"
+        )
+    return joined
+
+
+@query(
+    "partition_overwrite_roundtrip",
+    oracle="""
+    WITH final AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'click' THEN user_id + 1000000
+                  ELSE user_id END AS user_id
+      FROM events
+    )
+    SELECT event_type, count(*) AS n, sum(user_id) AS user_id_sum
+    FROM final GROUP BY 1
+    """,
+)
+def partition_overwrite_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite end-to-end (writers.
+    overwrite_partitions — the idempotent periodic-load contract behind
+    the reference's re-runnable yearly file loads, etl_final.ktr:555-589):
+    the events table lands partitioned by event_type, then ONE partition
+    ('click') is replayed with corrected rows (user_id + 1e6). The
+    read-back aggregate proves the replay REPLACED that partition
+    (append would double it; static overwrite would erase the others),
+    and a runtime guard requires the partition filter to prune at the
+    scan (PartitionFilters, not a post-scan filter)."""
+    from datawarehousefinal_spark.plans import physical_plan
+    from datawarehousefinal_spark.sources.writers import overwrite_partitions
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = _scratch_path("part_overwrite", sf_dir)
+    overwrite_partitions(events, path, ["event_type"])
+    replay = events.filter(F.col("event_type") == "click").select(
+        "event_id",
+        (F.col("user_id") + 1000000).alias("user_id"),
+        "event_type",
+    )
+    overwrite_partitions(replay, path, ["event_type"])
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("event_type") == "click")
+    plan = physical_plan(pruned)
+    seg = plan.split("PartitionFilters", 1)
+    if len(seg) < 2 or "event_type" not in seg[1][:120]:
+        raise RuntimeError("partition filter did not prune at the scan")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("user_id_sum"),
+    )
+
+
+@query(
     "streaming_session_counts",
     oracle="""
     WITH m AS (
