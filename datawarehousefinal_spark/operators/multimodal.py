@@ -525,3 +525,55 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
         F.col("meta.channels").alias("channels"),
     )
     return flat.mapInPandas(gen, FRAME_SCHEMA)
+
+
+FRAME_MEANS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+    ]
+)
+
+
+def frame_byte_means(frames: DataFrame) -> DataFrame:
+    """Per-frame mean byte value over the rows :func:`sample_frames`
+    emits — the minimal per-frame 'feature' that keeps the frame index
+    attached (``byte_stats`` drops it). Same mapInPandas shape: one
+    Arrow batch in, one out, no shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [
+                np.frombuffer(p, dtype=np.uint8)
+                if p is not None
+                else np.empty(0, dtype=np.uint8)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "frame_idx": pdf["frame_idx"].values,
+                    "mean_byte": [
+                        float(a.mean()) if a.size else None for a in arrs
+                    ],
+                }
+            )
+
+    return frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        gen, FRAME_MEANS_SCHEMA
+    )
+
+
+def synth_video_bytes(
+    media_id: int, n_frames: int, height: int, width: int, channels: int
+) -> bytes:
+    """Deterministic raw video: frame ``f`` is a constant-valued image of
+    byte ``(media_id + 7·f) % 256`` — every per-frame statistic is a
+    closed-form function of (media_id, f), which is what lets the video
+    path be value-hashed against a SQL oracle."""
+    frame_size = height * width * channels
+    return b"".join(
+        bytes([(media_id + 7 * f) % 256]) * frame_size
+        for f in range(n_frames)
+    )

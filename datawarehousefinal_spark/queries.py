@@ -4094,6 +4094,61 @@ def audio_meta_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_audio_meta(media)
 
 
+@query(
+    "video_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST((doc_id + 7 * f) % 256 AS DOUBLE) AS mean_byte
+    FROM documents, unnest(generate_series(0, doc_id % 3 + 3, 2)) AS t(f)
+    WHERE doc_id % 50 = 10
+    """,
+)
+def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end-to-end, hash-checked: deterministic raw videos
+    (multimodal.synth_video_bytes — 4..6 constant-byte frames per media,
+    byte = (id + 7·frame) % 256) flow through the REAL frame sampler
+    (multimodal.sample_frames, every 2nd frame, row-expanding
+    mapInPandas) and per-frame byte means (frame_byte_means) — the
+    closed-form plant lets DuckDB replay exactly which frames were kept
+    and each frame's statistic. Zero shuffle end to end."""
+    from datawarehousefinal_spark.operators.multimodal import (
+        frame_byte_means,
+        sample_frames,
+        synth_video_bytes,
+    )
+
+    H, W, C = 4, 5, 3
+    ids = [
+        r[0]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 50 == 10)
+        .collect()
+    ]
+    rows = [
+        (
+            i,
+            synth_video_bytes(i, i % 3 + 4, H, W, C),
+            {
+                "width": W,
+                "height": H,
+                "channels": C,
+                "n_frames": i % 3 + 4,
+                "sample_rate": None,
+            },
+        )
+        for i in ids
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<width:int,height:int,channels:int,"
+        "n_frames:int,sample_rate:int>",
+    )
+    return frame_byte_means(sample_frames(media, every_n=2))
+
+
 @query("ivf_append_assignments")  # no SQL oracle: KMeans quantizer centroids
 def ivf_append_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance made driver-visible: fit the IVF

@@ -295,3 +295,36 @@ def test_sniff_audio_meta_mapinpandas(spark):
            for r in sniff_audio_meta(df).collect()}
     assert got[0] == ("wav", 2, 44100, 16)
     assert got[1] == (None, None, None, None)
+
+
+def test_frame_byte_means_closed_form(spark):
+    from datawarehousefinal_spark.operators.multimodal import (
+        frame_byte_means,
+        sample_frames,
+        synth_video_bytes,
+    )
+
+    H, W, C = 2, 3, 1
+    rows = [
+        (
+            mid,
+            synth_video_bytes(mid, 5, H, W, C),
+            {"width": W, "height": H, "channels": C,
+             "n_frames": 5, "sample_rate": None},
+        )
+        for mid in (3, 260)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<width:int,height:int,channels:int,"
+        "n_frames:int,sample_rate:int>",
+    )
+    out = frame_byte_means(sample_frames(media, every_n=2)).collect()
+    got = {(r["media_id"], r["frame_idx"]): r["mean_byte"] for r in out}
+    expect = {
+        (mid, f): float((mid + 7 * f) % 256)
+        for mid in (3, 260)
+        for f in (0, 2, 4)
+    }
+    assert got == expect
