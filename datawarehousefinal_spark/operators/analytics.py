@@ -238,3 +238,51 @@ def winsorize(
         .withColumn(out_col or value_col, clamped)
         .drop("__qlo", "__qhi")
     )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit y ~ a·x + b, closed form —
+    ONE map-side-combined aggregate fits every group's model at once
+    (slope/intercept/r² from the classic sufficient statistics
+    n, Σx, Σy, Σxy, Σx², Σy²). This is how "a regression per key" scales:
+    a million groups cost exactly one shuffle of six numbers each, vs.
+    a million pyspark.ml fits costing a job each.
+
+    Degenerate groups (zero x-variance) emit NULL slope/intercept/r²
+    rather than ±inf; r² is NULL when y has zero variance (the fit is
+    exact but the ratio is 0/0). Callers should keep |x| small (e.g.
+    days since the series start, not epoch days) — the closed form
+    subtracts same-magnitude products, so huge x magnitudes lose
+    precision in ANY engine.
+
+    Output: ``group_cols..., n, slope, intercept, r2``.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sx2"),
+        F.sum(y * y).alias("__sy2"),
+    )
+    n = F.col("n").cast("double")
+    ssx = F.col("__sx2") - F.col("__sx") * F.col("__sx") / n
+    ssy = F.col("__sy2") - F.col("__sy") * F.col("__sy") / n
+    sxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    slope = F.when(ssx > 0, sxy / ssx)
+    intercept = F.when(ssx > 0, (F.col("__sy") - slope * F.col("__sx")) / n)
+    r2 = F.when((ssx > 0) & (ssy > 0), (sxy * sxy) / (ssx * ssy))
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

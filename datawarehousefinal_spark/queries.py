@@ -5066,6 +5066,50 @@ def day_over_day_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_trend_fits",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t0 AS (SELECT min(day) AS d0 FROM daily),
+    pts AS (
+      SELECT event_type,
+             CAST(day - d0 AS DOUBLE) AS x,
+             CAST(n AS DOUBLE) AS y
+      FROM daily, t0
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           regr_slope(y, x) AS slope,
+           regr_intercept(y, x) AS intercept,
+           regr_r2(y, x) AS r2
+    FROM pts GROUP BY 1
+    """,
+)
+def grouped_trend_fits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS in one aggregate (analytics.grouped_linreg): a
+    daily-volume trend line PER event type — the many-models-at-once
+    generalization of the M12 single regression
+    (machineLearning.py:630-663). x is days since the series start
+    (small magnitudes keep the closed form stable); the oracle fits the
+    SAME points through DuckDB's independent regr_slope/intercept/r2
+    implementation, cross-validating the formula itself."""
+    from datawarehousefinal_spark.operators.analytics import grouped_linreg
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d0 = daily.agg(F.min("day").alias("__d0"))
+    pts = daily.join(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff("day", "__d0").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    )
+    return grouped_linreg(pts, ["event_type"], "x", "y")
+
+
+@query(
     "seasonal_dow_forecast",
     oracle="""
     WITH daily AS (

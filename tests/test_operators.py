@@ -300,3 +300,24 @@ def test_grouping_sets_single_expand_plan_and_sets(spark):
     total = [r for r in rows if r["g_k1"] == 1 and r["g_k2"] == 1][0]
     assert total["cantidad_movimientos"] == 2
     assert abs(total["promedio_medida"] - 15.0) < 1e-9
+
+
+def test_grouped_linreg_exact_and_degenerate(spark):
+    from datawarehousefinal_spark.operators.analytics import grouped_linreg
+
+    rows = (
+        # group g: exact line y = 2x + 1
+        [("g", float(x), 2.0 * x + 1.0) for x in range(5)]
+        # group h: zero x-variance -> NULL fit
+        + [("h", 3.0, 1.0), ("h", 3.0, 9.0)]
+        # group k: constant y -> slope 0, r2 NULL (0/0)
+        + [("k", 0.0, 5.0), ("k", 1.0, 5.0), ("k", 2.0, 5.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in grouped_linreg(df, ["g"], "x", "y").collect()}
+    assert abs(out["g"]["slope"] - 2.0) < 1e-12
+    assert abs(out["g"]["intercept"] - 1.0) < 1e-12
+    assert abs(out["g"]["r2"] - 1.0) < 1e-12
+    assert out["h"]["slope"] is None and out["h"]["r2"] is None
+    assert abs(out["k"]["slope"]) < 1e-12
+    assert out["k"]["r2"] is None
