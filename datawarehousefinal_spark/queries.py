@@ -4393,6 +4393,72 @@ def streaming_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_late_data_drop",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM events),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS fecha, count(*)::BIGINT AS movement_count
+      FROM events GROUP BY 1
+    )
+    SELECT fecha, movement_count FROM daily, wm
+    WHERE CAST(fecha AS TIMESTAMP) + INTERVAL 1 DAY <= w
+    """,
+)
+def streaming_late_data_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics + checkpointed restart-resume,
+    hash-checked end to end. Run 1 streams the OLD half of the events
+    table into a parquet file sink (append mode, durable checkpoint);
+    run 2 RESUMES from that checkpoint with the recent half PLUS a
+    deliberate re-serve of the oldest 4 days — thousands of late rows
+    far below the persisted watermark. The final sink must equal the
+    CLEAN daily counts (late duplicates dropped, nothing double-counted,
+    already-emitted windows never re-emitted — the file sink's commit
+    log is exactly-once across restarts) for every FINALIZED window:
+    append mode emits a window once ``window.end <= watermark``
+    (pinned empirically; max ts is never exactly midnight, so the
+    boundary is unambiguous), leaving the last two open days unemitted
+    under the 1-day watermark delay."""
+    import datetime as _dt
+    import shutil
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_parquet,
+        windowed_event_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    mn, mx = events.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).first()
+    split = mn + (mx - mn) / 2
+    base = _scratch_path("stream_late", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+
+    old_half = events.filter(F.to_date("ts") <= F.lit(split))
+    late_and_recent = events.filter(F.to_date("ts") > F.lit(split)).unionByName(
+        events.filter(F.to_date("ts") <= F.lit(mn + _dt.timedelta(days=3)))
+    )
+
+    old_half.coalesce(1).write.mode("append").parquet(src)
+    counts1 = windowed_event_counts(
+        read_parquet_stream(spark, src, old_half.schema), "ts", "1 day", "1 day"
+    )
+    run_to_parquet(counts1, out, ck)
+
+    late_and_recent.coalesce(1).write.mode("append").parquet(src)
+    counts2 = windowed_event_counts(
+        read_parquet_stream(spark, src, old_half.schema), "ts", "1 day", "1 day"
+    )
+    run_to_parquet(counts2, out, ck)
+
+    return spark.read.parquet(out).select(
+        "fecha", F.col("movement_count").cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Line-level dedup (C4/CCNet boilerplate removal — beyond-reference P7)
 # ---------------------------------------------------------------------------

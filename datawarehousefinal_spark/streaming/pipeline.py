@@ -315,6 +315,31 @@ def run_to_memory(
     )
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    output_mode: str = "append",
+) -> None:
+    """Drive a streaming DataFrame over the currently-available data into
+    a parquet file sink with a durable checkpoint — the PRODUCTION sink
+    shape (memory sinks die with the query; a file sink + checkpoint
+    survives restarts with exactly-once output via the commit log).
+    Calling this again after more source files land RESUMES from the
+    checkpoint: the watermark carries over, already-emitted windows are
+    never re-emitted, and late rows below the persisted watermark are
+    dropped — which is what makes restart-resume testable."""
+    (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def foreach_batch_cube_merge(
     state_path: str,
     group_cols: list[str],
