@@ -286,3 +286,53 @@ def grouped_linreg(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramer's V effect size — the standard "are these two
+    dimensions related" screen a profiling pass runs before modeling
+    (NULL categories count as regular levels, matching crosstab
+    semantics).
+
+    Scale shape: ONE map-side-combined aggregate reduces the table to
+    |A|x|B| observed cells; marginals derive from that tiny frame and
+    broadcast back onto it; everything after the first shuffle is
+    arithmetic on cell counts. No pivot, no driver-side contingency
+    matrix.
+
+    Output (single row): ``chi2, dof, n, cramers_v``.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit(" null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit(" null"))
+    cells = df.groupBy(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).cast("double").alias("__o")
+    )
+    row_m = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_m = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__a").cast("double").alias("__ka"),
+        F.countDistinct("__b").cast("double").alias("__kb"),
+    )
+    joined = (
+        cells.join(F.broadcast(row_m), "__a")
+        .join(F.broadcast(col_m), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("__ra") * F.col("__cb") / F.col("__n")
+    chi2 = F.sum((F.col("__o") - e) * (F.col("__o") - e) / e)
+    return joined.agg(
+        chi2.alias("chi2"),
+        ((F.first("__ka") - 1) * (F.first("__kb") - 1))
+        .cast("int")
+        .alias("dof"),
+        F.first("__n").cast("long").alias("n"),
+        F.sqrt(
+            chi2
+            / (
+                F.first("__n")
+                * F.least(F.first("__ka") - 1, F.first("__kb") - 1)
+            )
+        ).alias("cramers_v"),
+    )

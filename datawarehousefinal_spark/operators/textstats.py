@@ -583,3 +583,62 @@ def encoding_quality_report(
 
 
 _CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic
+    "what is this document about" keyword extractor (tf·idf with
+    normalized tf = tf/doclen and idf = ln(N/df); terms present in every
+    document score exactly 0 and rank by term alphabetically).
+
+    Scale shape: tokens explode map-side into ONE (doc, term) aggregate;
+    doc lengths and document frequencies both derive from that
+    aggregated frame (nothing re-scans raw text); N is a broadcast
+    single row; the per-doc top-k runs as a WindowGroupLimit (partial
+    top-k before the shuffle). The (doc,term)→term join shuffles on the
+    term key like any vocabulary join — no vocabulary broadcast, no
+    driver collection.
+
+    Output: ``id_col, term, tfidf, rank`` (rank 1..k per doc, ties on
+    term ascending so results are deterministic and SQL-replayable).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    doc_term = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    doc_len = doc_term.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    dfreq = doc_term.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    n_docs = doc_len.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        doc_term.join(doc_len, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                (F.col("__tf") / F.col("__dl"))
+                * F.log(F.col("__n") / F.col("__df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

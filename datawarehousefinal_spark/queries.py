@@ -3630,6 +3630,48 @@ _BM25_ORACLE = """
     """
 
 
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY 1),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM dt GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+    s AS (
+      SELECT dt.doc_id, dt.term, (dt.tf / dl.dl) * ln(n.n / dfreq.df) AS tfidf
+      FROM dt JOIN dl USING (doc_id) JOIN dfreq USING (term), n
+    ),
+    r AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER)
+               AS rank
+      FROM s
+    )
+    SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (textstats.tfidf_top_terms): top-3
+    characteristic terms per document — the document-side companion of
+    the corpus-level top_terms report and the BM25 retrieval surface
+    (same alnum-run tokenization, proven drift-free by the shared
+    oracle expression). One (doc,term) aggregate feeds lengths, dfs,
+    and the WindowGroupLimit top-k."""
+    from datawarehousefinal_spark.operators.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
 @query("bm25_topk", oracle=_BM25_ORACLE)
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval over the documents corpus for the query
@@ -5129,6 +5171,49 @@ def day_over_day_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prev_n").isNotNull())
     )
+
+
+@query(
+    "chi2_independence_report",
+    oracle="""
+    WITH cells AS (
+      SELECT coalesce(o_orderstatus, ' null') AS a,
+             coalesce(o_orderpriority, ' null') AS b,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+    cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+    tot AS (
+      SELECT sum(o) AS n,
+             CAST(count(DISTINCT a) AS DOUBLE) AS ka,
+             CAST(count(DISTINCT b) AS DOUBLE) AS kb
+      FROM cells
+    )
+    SELECT sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n))
+             AS chi2,
+           CAST((any_value(ka) - 1) * (any_value(kb) - 1) AS INTEGER)
+             AS dof,
+           CAST(any_value(n) AS BIGINT) AS n,
+           sqrt(sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n))
+                / (any_value(n)
+                   * least(any_value(ka) - 1, any_value(kb) - 1)))
+             AS cramers_v
+    FROM cells JOIN rm USING (a) JOIN cm USING (b), tot
+    """,
+)
+def chi2_independence_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (analytics.chi2_independence):
+    order status vs priority — the dimensional-relatedness check a
+    profiling pass runs before cube design or feature selection. The
+    contingency reduction happens in one map-side-combined aggregate;
+    the oracle replays the identical cells/marginals/statistic."""
+    from datawarehousefinal_spark.operators.analytics import chi2_independence
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return chi2_independence(orders, "o_orderstatus", "o_orderpriority")
 
 
 @query(

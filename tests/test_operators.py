@@ -321,3 +321,31 @@ def test_grouped_linreg_exact_and_degenerate(spark):
     assert out["h"]["slope"] is None and out["h"]["r2"] is None
     assert abs(out["k"]["slope"]) < 1e-12
     assert out["k"]["r2"] is None
+
+
+def test_chi2_independence_known_value(spark):
+    from datawarehousefinal_spark.operators.analytics import chi2_independence
+
+    # classic 2x2: observed [[10, 20], [20, 10]] -> chi2 = 6.666...
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = chi2_independence(df, "a", "b").first()
+    assert abs(r["chi2"] - 20.0 / 3.0) < 1e-9
+    assert r["dof"] == 1
+    assert r["n"] == 60
+    assert abs(r["cramers_v"] - (20.0 / 3.0 / 60.0) ** 0.5) < 1e-9
+
+
+def test_chi2_independence_nulls_are_levels(spark):
+    from datawarehousefinal_spark.operators.analytics import chi2_independence
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", None), (None, "p"), (None, None)], ["a", "b"]
+    )
+    r = chi2_independence(df, "a", "b").first()
+    assert r["n"] == 4
+    assert r["dof"] == 1
+    assert abs(r["chi2"]) < 1e-9  # perfectly independent 2x2
