@@ -288,6 +288,45 @@ def grouped_linreg(
     )
 
 
+def quantile_rank_normalize(
+    df: DataFrame, value_col: str, out_col: str = "q"
+) -> DataFrame:
+    """Exact quantile (rank) normalization of a numeric column to [0, 1]
+    — the preprocessing transform that makes any distribution uniform
+    (sklearn's QuantileTransformer with averaged tie ranks: q =
+    (midrank − 1) / (n − 1); a constant column maps to 0.5; NULLs pass
+    through as NULL).
+
+    Scale shape — this is the part naive implementations get wrong: a
+    global ``percent_rank`` window is ONE task holding the whole table.
+    Here the table first collapses to its VALUE HISTOGRAM (one map-side
+    combined aggregate), the cumulative count over that histogram runs
+    through the distributed two-phase prefix sum (packing.
+    distributed_cumsum — partition-local windows + a broadcast offset
+    table, never a global single-partition sort), and the per-value
+    quantile joins back on the value key. Cost: two shuffles regardless
+    of row count, and the only ordered structure is the histogram.
+
+    Output: input columns + ``out_col``.
+    """
+    from datawarehousefinal_spark.operators.packing import distributed_cumsum
+
+    vals = df.filter(F.col(value_col).isNotNull())
+    hist = vals.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt")
+    )
+    cum = distributed_cumsum(hist, [value_col], "__cnt", "__cum")
+    n = vals.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    midrank = F.col("__cum") - (F.col("__cnt") - 1) / 2
+    qcol = F.when(
+        F.col("__n") > 1, (midrank - 1) / (F.col("__n") - 1)
+    ).otherwise(F.lit(0.5))
+    qmap = cum.crossJoin(F.broadcast(n)).select(
+        value_col, qcol.alias(out_col)
+    )
+    return df.join(qmap, [value_col], "left")
+
+
 def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Pearson chi-square test of independence between two categorical
     columns, plus Cramer's V effect size — the standard "are these two

@@ -5174,6 +5174,49 @@ def day_over_day_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantile_rank_normalize",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    ),
+    v AS (SELECT l_quantity FROM src WHERE l_quantity IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    hist AS (
+      SELECT l_quantity, CAST(count(*) AS DOUBLE) AS cnt FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT l_quantity, cnt, sum(cnt) OVER (ORDER BY l_quantity) AS cum
+      FROM hist
+    ),
+    qmap AS (
+      SELECT l_quantity,
+             CASE WHEN n > 1 THEN ((cum - (cnt - 1) / 2) - 1) / (n - 1)
+                  ELSE 0.5 END AS q
+      FROM cum, n
+    )
+    SELECT s.l_orderkey, s.l_linenumber, s.l_quantity, qmap.q
+    FROM src s LEFT JOIN qmap USING (l_quantity)
+    """,
+)
+def quantile_rank_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile normalization (analytics.quantile_rank_normalize)
+    of order-line quantities — heavy ties exercise the averaged
+    mid-rank; the cumulative count runs through the DISTRIBUTED prefix
+    sum over the value histogram (never a global single-partition
+    percent_rank), and the oracle replays histogram/cumsum/midrank
+    value-for-value."""
+    from datawarehousefinal_spark.operators.analytics import (
+        quantile_rank_normalize,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 7 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+    return quantile_rank_normalize(li, "l_quantity", out_col="q")
+
+
+@query(
     "chi2_independence_report",
     oracle="""
     WITH cells AS (

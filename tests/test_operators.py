@@ -349,3 +349,27 @@ def test_chi2_independence_nulls_are_levels(spark):
     assert r["n"] == 4
     assert r["dof"] == 1
     assert abs(r["chi2"]) < 1e-9  # perfectly independent 2x2
+
+
+def test_quantile_rank_normalize_ties_and_edges(spark):
+    from datawarehousefinal_spark.operators.analytics import (
+        quantile_rank_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0), (5, None)],
+        ["id", "v"],
+    )
+    out = {r["id"]: r["q"] for r in
+           quantile_rank_normalize(df, "v").collect()}
+    # n=4 non-null; ranks: 10->1, 20,20->midrank 2.5, 40->4; q=(r-1)/3
+    assert abs(out[1] - 0.0) < 1e-12
+    assert abs(out[2] - 0.5) < 1e-12
+    assert abs(out[3] - 0.5) < 1e-12
+    assert abs(out[4] - 1.0) < 1e-12
+    assert out[5] is None
+
+    const = spark.createDataFrame([(1, 7.0), (2, 7.0)], ["id", "v"])
+    cq = {r["id"]: r["q"] for r in
+          quantile_rank_normalize(const, "v").collect()}
+    assert cq == {1: 0.5, 2: 0.5}
