@@ -5855,77 +5855,73 @@ def repeated_span_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still while the driver snapshots it.
 
 _DRIVER_WINDOW = [
-    # sources & sinks — every sink path went hermetic this round (pid
-    # scratch dirs); all revalidate, zorder re-greens after its r05 flake
-    # (csv_typed_scan green r01-r05 and untouched — rotated out)
+    # sources & sinks & layout — zorder re-greens after its r05 flake;
+    # the two NEW layout roundtrips (bucketed co-located join, dynamic
+    # partition overwrite) get their first rows; the five sink
+    # roundtrips green r01-r05 and hermetic since early round 6 rotate
+    # out (parquet/csv/jsonl/jdbc/cache + structural feature_cache)
     "encoding_fallback_scan",
-    "parquet_sink_roundtrip",
     "zorder_sink_roundtrip",
-    "csv_sink_roundtrip",
-    "jsonl_sink_roundtrip",
     "orc_sink_roundtrip",
-    "jdbc_roundtrip",
-    "cache_roundtrip",
-    "feature_cache_roundtrip",
-    # curation / sampling / packing (seeded_sample_100 newly oracled;
-    # sequence_pack_chunks boundary job reworked; rebalanced_mix /
-    # seeded_shuffle_rank / source_mix_report / pii_scrub /
-    # contamination_report green r01-r05 unchanged — rotated out for the
-    # new curation entries below)
+    "bucketed_join_roundtrip",
+    "partition_overwrite_roundtrip",
+    "schema_evolution_roundtrip",
+    # curation / sampling / packing (sequence_pack_chunks green r05 and
+    # pytest+verify-covered after this round's rework — rotated out for
+    # first-row entries)
     "seeded_sample_100",
-    "sequence_pack_chunks",
     "token_budget_sample",
     "leakage_safe_split",
     "length_band_rebalance",
-    # similarity / ANN / multimodal
+    "quantile_rank_normalize",
+    "weighted_sample_docs",
+    "temperature_rebalanced_mix",
+    # similarity / ANN / multimodal (video path new this session)
     "image_meta_sniff",
+    "video_frame_sample",
     "ivf_append_assignments",
     "semantic_dedup_keep",
+    "centroid_cosine_matrix",
     # dedup / graph (checksum + guard + auto-shape changes)
     "simhash_near_dupes",
     "near_dup_components",
     "near_dup_components_stars",
     "ngram_coverage_report",
     "dedup_survivors",
+    "incremental_line_dedup_batch",
+    "line_dedup_boilerplate",
+    "gopher_repetition_report",
+    "repeated_span_report",
+    # joins (new big-x-big blocked fuzzy + CDC merge)
+    "fuzzy_blocked_match",
+    "cdc_apply_changes",
+    "bloom_prune_join_revenue",
+    "snapshot_diff_orders",
     # text / sketches
     "bm25_topk",
     "bm25_append_topk",
+    "tfidf_top_terms",
     "heavy_hitters_terms",
     "heavy_hitters_incremental",
     "encoding_quality_report",
-    # ML (new capability closures; linreg stays as the oracled M12 face)
-    "linreg_trend_forecast",
+    # ML / stats (linreg green r01-r05 rotated out; the new closed-form
+    # grouped fits + chi-square screen take its slot)
     "embedding_tabular_classifier",
     "rbf_svc_approx",
-    # behavior / timeseries (session_stats green r01-r05 unchanged —
-    # rotated out for the new window-family entries)
+    "grouped_trend_fits",
+    "chi2_independence_report",
+    # behavior / timeseries
     "ewma_daily_value",
     "rolling_anomaly_report",
-    # earlier this round; event_funnel, json_props_rollup,
-    # cohort_retention (green r01-r05, unchanged) rotated out
-    "line_dedup_boilerplate",
-    "gopher_repetition_report",
-    "bloom_prune_join_revenue",
-    "snapshot_diff_orders",
-    "weighted_sample_docs",
-    "centroid_cosine_matrix",
-    "temperature_rebalanced_mix",
-    "incremental_line_dedup_batch",
-    "schema_evolution_roundtrip",
-    "repeated_span_report",
-    # quality / profile / stats (table_profile exact-distinct path
-    # rewritten this session; value_histogram / quartile_binning /
-    # outlier_report / segment_revenue_topk green r01-r05 unchanged —
-    # rotated out)
-    "table_profile",
-    "winsorized_stats",
+    "seasonal_dow_forecast",
     "key_skew_profile",
-    # OLAP / SQL / streaming
+    # OLAP / streaming (streaming_cube_counts green r05 rotated out for
+    # the new late-data/restart entry)
     "incremental_cube_moments",
-    "streaming_cube_counts",
     "streaming_stateful_totals",
     "streaming_dedup_daily_counts",
     "streaming_windowed_counts",
+    "streaming_late_data_drop",
 ]
 
 
