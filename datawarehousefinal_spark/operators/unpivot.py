@@ -20,6 +20,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> DataFrame:
+    """General wide→long melt over a REAL (multi-row) table — the
+    measure-normalization step that turns k measure columns into
+    (measure, value) pairs so downstream operators handle "a measure"
+    generically (the long-format twin of the pivot report).
+
+    Delegates to Spark's native ``DataFrame.unpivot``: ONE Expand node
+    replicates each row k times map-side — no shuffle, no UDF, no
+    generated SQL text (column names pass as identifiers, so arbitrary
+    labels are safe). Value columns are cast to double up front: unpivot
+    requires one common value type, and doing the cast explicitly keeps
+    the output schema independent of the input's decimal/int mix.
+    """
+    casted = df.select(
+        *id_cols, *[F.col(c).cast("double").alias(c) for c in value_cols]
+    )
+    return casted.unpivot(
+        list(id_cols), list(value_cols), var_name, value_name
+    )
+
+
 def unpivot_single_row(
     wide: DataFrame,
     rows: Sequence[Sequence],

@@ -5174,6 +5174,39 @@ def day_over_day_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "melt_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS l_quantity,
+             CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+             CAST(l_discount AS DOUBLE) AS l_discount,
+             CAST(l_tax AS DOUBLE) AS l_tax
+      FROM lineitem WHERE l_orderkey % 31 = 0
+    )
+    UNPIVOT (value FOR measure IN
+             (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def melt_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General wide→long melt (unpivot.melt → Spark's native unpivot,
+    one map-side Expand): four lineitem measures normalize into
+    (measure, value) pairs, replayed by DuckDB's independent UNPIVOT —
+    two engines' unpivot semantics proven identical value-for-value."""
+    from datawarehousefinal_spark.operators.unpivot import melt
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 31 == 0
+    )
+    return melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+@query(
     "quantile_rank_normalize",
     oracle="""
     WITH src AS (

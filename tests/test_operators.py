@@ -373,3 +373,19 @@ def test_quantile_rank_normalize_ties_and_edges(spark):
     cq = {r["id"]: r["q"] for r in
           quantile_rank_normalize(const, "v").collect()}
     assert cq == {1: 0.5, 2: 0.5}
+
+
+def test_melt_shape_and_nulls(spark):
+    from datawarehousefinal_spark.operators.unpivot import melt
+
+    df = spark.createDataFrame(
+        [(1, 10.0, None), (2, 20.0, 5.0)], ["id", "a", "b"]
+    )
+    out = melt(df, ["id"], ["a", "b"]).collect()
+    got = sorted((r["id"], r["measure"], r["value"]) for r in out)
+    # Spark unpivot KEEPS null values (unlike DuckDB UNPIVOT's default
+    # null-exclusion — the oracled fixture has no NULL measures, so the
+    # two replays agree there; this pins the Spark-side contract)
+    assert got == [
+        (1, "a", 10.0), (1, "b", None), (2, "a", 20.0), (2, "b", 5.0)
+    ]
