@@ -5174,6 +5174,35 @@ def day_over_day_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shard_export_manifest",
+    oracle="""
+    SELECT CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':17'),
+                     1, 15)) AS BIGINT) % 8 AS INTEGER) AS shard,
+           count(*)::BIGINT AS n_rows,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM documents GROUP BY 1
+    """,
+)
+def shard_export_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training-data export end-to-end (writers.
+    write_hash_shards + shard_manifest): documents shard by the
+    md5-derived id hash into 8 ``shard=k`` directories, and the manifest
+    read back from the export must match DuckDB replaying the SAME hash
+    assignment — proving both the shard function (pure in (id, seed),
+    re-export-stable) and the partitioned roundtrip."""
+    from datawarehousefinal_spark.sources.writers import (
+        shard_manifest,
+        write_hash_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    path = _scratch_path("shard_export", sf_dir)
+    write_hash_shards(docs, path, "doc_id", 8, seed=17)
+    return shard_manifest(spark, path, "doc_id")
+
+
+@query(
     "melt_measures",
     oracle="""
     SELECT l_orderkey, l_linenumber, measure, value

@@ -187,3 +187,53 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_hash_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 17,
+    shard_col: str = "shard",
+) -> None:
+    """Training-data export: shard rows by a DETERMINISTIC id hash into
+    ``n_shards`` directory partitions (``shard=0..n-1``) — the serving
+    layout a trainer consumes shard-by-shard. The shard is a pure
+    function of (id, seed) (curation.sample_hash, md5-based), so
+    re-exports place every row in the same shard, incremental appends
+    can't split an id across shards, and the assignment is exactly
+    SQL-replayable — unlike ``repartition(n)``, whose hash is engine-
+    internal and whose task layout changes with parallelism.
+
+    One shuffle-free map to tag + one partitioned write; shard balance
+    is the hash's uniformity (n_rows/n_shards ± √ noise).
+    """
+    from datawarehousefinal_spark.operators.curation import sample_hash
+
+    tagged = df.withColumn(
+        shard_col,
+        (sample_hash(id_col, seed) % n_shards).cast("int"),
+    )
+    tagged.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+
+
+def shard_manifest(
+    spark, path: str, id_col: str, shard_col: str = "shard"
+) -> DataFrame:
+    """Read back a sharded export and produce its manifest: per-shard
+    row count and id range — the index a training job reads FIRST to
+    plan shard assignment (and the cheapest integrity check: counts and
+    ranges must match the source). One map-side-combined aggregate over
+    the partitioned scan."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
