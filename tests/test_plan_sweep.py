@@ -70,6 +70,17 @@ BNLJ_ALLOWED = {
     # ivf_index_append's num_partitions-row centroid-table cross join —
     # the same tiny-broadcast scoring pattern as ivf_topk.
     "ivf_append_assignments",
+    # tfidf's single-row corpus-size (N) cross join and
+    # quantile_rank_normalize's single-row total-count (n) cross join —
+    # the same bounded scalar-broadcast pattern as class_weights
+    # (BuildRight of one aggregate row).
+    "tfidf_top_terms",
+    "quantile_rank_normalize",
+    # chi2's single-row totals (n, ka, kb) cross join and
+    # grouped_trend_fits' single-row global-min-day (d0) broadcast join
+    # — the same bounded scalar-broadcast pattern.
+    "chi2_independence_report",
+    "grouped_trend_fits",
 }
 
 
