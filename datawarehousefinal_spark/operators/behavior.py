@@ -92,6 +92,95 @@ def event_funnel(
     )
 
 
+def funnel_step_timing(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Time-to-convert per funnel transition: among users who completed
+    step i, the count plus avg/median/max seconds from their first
+    step-(i-1) event to their first qualifying step-i event — the
+    "WHERE does the funnel stall" report that the count-only funnel
+    can't answer.
+
+    Same single-exchange shape as :func:`event_funnel` (k conditional
+    min windows over one user partition); gaps are integer epoch-second
+    differences so both engines agree exactly, and the median is the
+    exact interpolated percentile over the per-user gaps (|converters|
+    rows — tiny after the per-user collapse).
+
+    Output: ``step (2-based transition index), step_name, n_converted,
+    avg_gap_s, median_gap_s, max_gap_s``.
+    """
+    if len(steps) < 2:
+        raise ValueError("timing needs at least two steps")
+    w = Window.partitionBy(user_col)
+    cur = df.select(user_col, ts_col, type_col)
+    prev_t = None
+    t_cols = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == F.lit(s)
+        if prev_t is not None:
+            cond = cond & F.col(prev_t).isNotNull() & (
+                F.col(ts_col) > F.col(prev_t)
+            )
+        t = f"__t{i}"
+        cur = cur.withColumn(t, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_t = t
+        t_cols.append(t)
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(t).alias(t) for t in t_cols]
+    )
+    # integer epoch-MICROsecond difference scaled to seconds: exact and
+    # engine-agreed (unix_micros ≙ DuckDB epoch_us — the module-wide
+    # convention; whole-second unix_timestamp would truncate fractional
+    # event times differently than epoch())
+    gaps = per_user.select(
+        *[
+            (
+                (
+                    F.unix_micros(F.col(t_cols[i]))
+                    - F.unix_micros(F.col(t_cols[i - 1]))
+                )
+                / F.lit(1000000.0)
+            ).alias(f"__g{i}")
+            for i in range(1, len(t_cols))
+        ]
+    )
+    stats = gaps.agg(
+        *[
+            agg
+            for i in range(1, len(t_cols))
+            for agg in (
+                F.count(F.col(f"__g{i}")).cast("long").alias(f"__n{i}"),
+                F.avg(f"__g{i}").alias(f"__avg{i}"),
+                F.expr(f"percentile(__g{i}, 0.5)").alias(f"__med{i}"),
+                F.max(f"__g{i}").alias(f"__max{i}"),
+            )
+        ]
+    )
+    from datawarehousefinal_spark.operators.unpivot import unpivot_single_row
+
+    return unpivot_single_row(
+        stats,
+        [
+            (
+                i + 1,
+                steps[i],
+                F.col(f"__n{i}"),
+                F.col(f"__avg{i}"),
+                F.col(f"__med{i}"),
+                F.col(f"__max{i}"),
+            )
+            for i in range(1, len(steps))
+        ],
+        ["step", "step_name", "n_converted", "avg_gap_s",
+         "median_gap_s", "max_gap_s"],
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str,
@@ -122,4 +211,55 @@ def cohort_retention(
             (F.col("__p") - F.col("__c")).alias("offset"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def top_event_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    depth: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Journey analysis: the ``k`` most common opening event paths — each
+    user's FIRST ``depth`` events (by time, deterministically
+    tie-broken) concatenated into a path string, counted across users.
+    The "how do sessions start" report product analytics asks right
+    after the funnel.
+
+    Scale shape: one ``partitionBy(user)`` window ranks events (the
+    row_number cut keeps ``depth`` rows per user BEFORE anything else
+    happens — WindowGroupLimit prunes map-side), one groupBy(user)
+    assembles the path from ≤``depth`` rows via an ordered in-group
+    sort (``array_sort`` of (rank, type) structs — no relying on
+    collect_list order, which Spark does not guarantee), and the path
+    count is a tiny aggregate. Users with fewer than ``depth`` events
+    contribute their shorter path.
+
+    Output: ``path, n_users`` — top ``k`` by (n_users desc, path).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    ranked = (
+        df.select(user_col, type_col, ts_col, tiebreak_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= depth)
+    )
+    paths = ranked.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__rn", F.col(type_col).alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(k)
     )

@@ -642,3 +642,43 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document sentence segmentation statistics — the
+    sentence-shape quality signal (a wall of unpunctuated text and a
+    burst of one-word "sentences" are both extraction-failure smells
+    that char/token counts miss).
+
+    Segmentation rule, chosen for exact cross-engine replay: split on
+    ``[.!?]+`` runs, trim, drop empties — no abbreviation model (this is
+    a corpus-quality feature, not NLP; the same rule runs in the SQL
+    oracle). All higher-order-function column expressions: zero
+    shuffles, zero Python.
+
+    Output: ``id_col, n_sentences, avg_sentence_chars,
+    max_sentence_chars`` (empty/punctuation-only text → 0 sentences,
+    NULL stats).
+    """
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    lens = F.transform(sents, lambda s: F.length(s))
+    n = F.size(sents)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_sentences"),
+        F.when(
+            n > 0,
+            F.aggregate(
+                lens, F.lit(0).cast("long"), lambda a, x: a + x
+            ).cast("double")
+            / n,
+        ).alias("avg_sentence_chars"),
+        F.when(n > 0, F.array_max(lens).cast("long")).alias(
+            "max_sentence_chars"
+        ),
+    )

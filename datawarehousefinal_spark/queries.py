@@ -2463,6 +2463,60 @@ def jsonl_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, path, docs.schema)
 
 
+@query(
+    "json_repair_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n,
+           sum(o_totalprice) AS total,
+           count(*) FILTER (WHERE o_orderkey % 7 = 0)::BIGINT AS n_repaired
+    FROM orders GROUP BY 1
+    """,
+)
+def json_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSONL repair end-to-end (readers.read_jsonl_with_repair
+    + repair_json_rows — the JSONL face of the reference's rowFixer,
+    Datos/preprocessing.py:152-187): orders serialize to JSON lines with
+    every 7th line corrupted by a log-shipper prefix; the PERMISSIVE
+    scan splits them off, the repair pass strips the prefix and
+    re-parses, and the union must reproduce the FULL table (per-status
+    counts/sums plus the per-status repaired-row count — proving
+    corrupt routing AND lossless recovery). A runtime guard fails the
+    query if no line actually took the repair path."""
+    from datawarehousefinal_spark.sources.readers import (
+        read_jsonl_with_repair,
+        repair_json_rows,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    line = F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+    corrupted = orders.select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.concat(F.lit("shipper> "), line)
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    path = _scratch_path("json_repair", sf_dir)
+    corrupted.coalesce(4).write.mode("overwrite").text(path)
+
+    schema = orders.schema
+    good, bad = read_jsonl_with_repair(spark, path, schema)
+    if bad.limit(1).count() == 0:
+        raise RuntimeError("repair path never exercised: no corrupt lines")
+    repaired = repair_json_rows(bad, schema).withColumn(
+        "__repaired", F.lit(1)
+    )
+    full = good.withColumn("__repaired", F.lit(0)).unionByName(repaired)
+    return full.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_totalprice").alias("total"),
+        F.sum("__repaired").cast("long").alias("n_repaired"),
+    )
+
+
 _PACK_BUDGET = 2048
 
 
@@ -3317,6 +3371,95 @@ def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_step_timing",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, ts, event_type,
+        min(CASE WHEN event_type = 'signup' THEN ts END)
+          OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'click'
+                           AND t0 IS NOT NULL AND ts > t0 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM s0
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase'
+                           AND t1 IS NOT NULL AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    pu AS (
+      SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+      FROM s2 GROUP BY 1
+    ),
+    g AS (
+      SELECT (epoch_us(t1) - epoch_us(t0)) / 1000000.0 AS g1,
+             (epoch_us(t2) - epoch_us(t1)) / 1000000.0 AS g2
+      FROM pu
+    )
+    SELECT 2 AS step, 'click' AS step_name,
+           count(g1)::BIGINT AS n_converted,
+           avg(g1) AS avg_gap_s,
+           quantile_cont(g1, 0.5) AS median_gap_s,
+           max(g1) AS max_gap_s
+    FROM g
+    UNION ALL
+    SELECT 3, 'purchase', count(g2)::BIGINT, avg(g2),
+           quantile_cont(g2, 0.5), max(g2)
+    FROM g
+    """,
+)
+def funnel_step_timing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stall diagnosis (behavior.funnel_step_timing): per
+    transition of signup → click → purchase, converter count and
+    avg/exact-median/max seconds between the user's first qualifying
+    events — same one-exchange conditional-min-window shape as the
+    funnel, gaps in epoch-microseconds so both engines agree exactly."""
+    from datawarehousefinal_spark.operators.behavior import funnel_step_timing
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_step_timing(
+        events, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
+@query(
+    "top_event_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, count(*)::BIGINT AS n_users
+    FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10
+    """,
+)
+def top_event_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening-journey mining (behavior.top_event_paths): each user's
+    first 3 events (time-ordered, event_id tie-broken) become a path
+    string; the 10 most common openings rank deterministically. The
+    row_number cut prunes to ≤3 rows per user BEFORE path assembly
+    (WindowGroupLimit map-side), and the in-group order comes from an
+    array_sort of (rank, type) structs — never from collect_list
+    ordering, which Spark does not guarantee."""
+    from datawarehousefinal_spark.operators.behavior import top_event_paths
+
+    events = load_table(spark, sf_dir, "events")
+    return top_event_paths(
+        events, "user_id", "event_type", "ts", "event_id", depth=3, k=10
+    )
+
+
+@query(
     "cohort_retention",
     oracle="""
     WITH active AS (
@@ -3628,6 +3771,42 @@ _BM25_ORACLE = """
     SELECT doc_id, score FROM scored WHERE score > 0
     ORDER BY score DESC, doc_id LIMIT 10
     """
+
+
+@query(
+    "sentence_stats",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split_regex(text, '[.!?]+'),
+                              x -> trim(x)),
+               x -> x <> '') AS sents
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           len(sents)::BIGINT AS n_sentences,
+           CASE WHEN len(sents) > 0 THEN
+             CAST(list_sum(list_transform(sents, x -> length(x)))
+                  AS DOUBLE) / len(sents)
+           END AS avg_sentence_chars,
+           CASE WHEN len(sents) > 0 THEN
+             CAST(list_max(list_transform(sents, x -> length(x))) AS BIGINT)
+           END AS max_sentence_chars
+    FROM s
+    """,
+)
+def sentence_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-shape quality signals (textstats.sentence_stats):
+    per-document sentence count and length stats under the
+    exactly-replayable ``[.!?]+`` segmentation — pure HOF column
+    expressions, value-hashed against DuckDB's list_* replay."""
+    from datawarehousefinal_spark.operators.textstats import sentence_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return sentence_stats(docs, "doc_id", "text")
 
 
 @query(

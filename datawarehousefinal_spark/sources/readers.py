@@ -212,6 +212,52 @@ def read_jsonl(
     return spark.read.schema(schema).json(path)
 
 
+def read_jsonl_with_repair(
+    spark: SparkSession, path: str | list[str], schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """The JSONL twin of :func:`read_csv_with_repair` (S3's rowFixer
+    contract for the other line-delimited format): PERMISSIVE scan with
+    a corrupt-record column; returns ``(good_rows, corrupt_raw_lines)``
+    so callers can re-parse the corrupt lines under a repair rule
+    (:func:`repair_json_rows`) and union back — instead of FAILFAST
+    killing a 100 TB job for one bad line or DROPMALFORMED silently
+    losing rows."""
+    schema_with_corrupt = StructType(
+        list(schema.fields) + [StructField(_CORRUPT_COL, StringType(), True)]
+    )
+    df = (
+        spark.read.schema(schema_with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+        .json(path)
+    )
+    # same caching requirement as the CSV variant: Spark disallows
+    # filtering on the corrupt column of an uncached permissive scan
+    df = df.cache()
+    good = df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
+    bad = df.filter(F.col(_CORRUPT_COL).isNotNull()).select(
+        F.col(_CORRUPT_COL).alias("raw_line")
+    )
+    return good, bad
+
+
+def repair_json_rows(
+    bad: DataFrame, schema: StructType, strip_prefix: str = r"^[^{]*"
+) -> DataFrame:
+    """Re-parse corrupt raw JSON lines after a repair rewrite (phase 2 of
+    the rowFixer contract). The default rule strips any leading
+    non-``{`` garbage — the log-shipper-prefix corruption class; pass a
+    different regex for other dialects. Lines that STILL fail to parse
+    come back as all-NULL rows (count them against a threshold rather
+    than silently dropping)."""
+    fixed = bad.select(
+        F.regexp_replace(F.col("raw_line"), strip_prefix, "").alias("__line")
+    )
+    return fixed.select(
+        F.from_json(F.col("__line"), schema).alias("r")
+    ).select("r.*")
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S5: parquet scan (Catalyst prunes columns/filters pushed down)."""
     return spark.read.parquet(path)

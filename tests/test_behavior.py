@@ -135,3 +135,26 @@ def test_event_funnel_conversion_window_semantics(spark):
             event_funnel(df, "user_id", "ts", "event_type",
                          ["signup", "click"]).collect()}
     assert out2 == {"signup": 3, "click": 3}
+
+
+def test_top_event_paths_order_and_ties(spark):
+    import datetime as dt
+
+    from datawarehousefinal_spark.operators.behavior import top_event_paths
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: a>b>c (plus a 4th event that must be ignored)
+        (1, "a", t(1), 10), (1, "b", t(2), 11), (1, "c", t(3), 12),
+        (1, "d", t(4), 13),
+        # user 2: same opening a>b>c
+        (2, "a", t(1), 20), (2, "b", t(2), 21), (2, "c", t(3), 22),
+        # user 3: tie on ts at minute 1 -> event_id breaks it: b then a
+        (3, "b", t(1), 30), (3, "a", t(1), 31), (3, "c", t(2), 32),
+        # user 4: short history -> 2-step path
+        (4, "a", t(1), 40), (4, "b", t(2), 41),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    out = top_event_paths(df, "user_id", "event_type", "ts", "event_id").collect()
+    got = [(r["path"], r["n_users"]) for r in out]
+    assert got == [("a>b>c", 2), ("a>b", 1), ("b>a>c", 1)]

@@ -251,3 +251,35 @@ def test_read_parquet_evolving_merges_and_fills(spark, tmp_path):
     assert rows[1]["tag"] is None and rows[2]["tag"] == "new"
     assert all(r["never_landed"] is None for r in rows.values())
     assert dict(df.dtypes)["never_landed"] == "int"
+
+
+def test_read_jsonl_with_repair_and_reparse(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from datawarehousefinal_spark.sources.readers import (
+        read_jsonl_with_repair,
+        repair_json_rows,
+    )
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    lines = [
+        '{"k": 1, "v": "a"}',
+        'shipper> {"k": 2, "v": "b"}',   # repairable prefix garbage
+        '{"k": 3, "v": "c"}',
+        'totally broken',                 # unrepairable
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    good, bad = read_jsonl_with_repair(spark, str(p), schema)
+    assert {r["k"] for r in good.collect()} == {1, 3}
+    assert bad.count() == 2
+    rep = repair_json_rows(bad, schema).collect()
+    by_k = {r["k"]: r["v"] for r in rep}
+    assert by_k.get(2) == "b"
+    # the unrepairable line parses to an all-NULL row, never disappears
+    assert None in by_k

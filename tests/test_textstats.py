@@ -279,3 +279,24 @@ def test_encoding_quality_report_flags_bad_docs(spark):
     assert abs(out["b"]["avg_control_ratio"] - (2 / 11) / 2) < 1e-9
     assert abs(out["b"]["avg_ascii_ratio"] - (9 / 11 + 0.0) / 2) < 1e-9
     assert out["a"]["avg_control_ratio"] == 0.0
+
+
+def test_sentence_stats_segmentation_and_edges(spark):
+    from datawarehousefinal_spark.operators.textstats import sentence_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three!  Four?"),
+            (2, "no terminator at all"),
+            (3, "..."),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in sentence_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_sentences"] == 3
+    assert out[1]["max_sentence_chars"] == 7  # "One two"
+    assert abs(out[1]["avg_sentence_chars"] - (7 + 5 + 4) / 3) < 1e-12
+    assert out[2]["n_sentences"] == 1
+    assert out[3]["n_sentences"] == 0 and out[3]["avg_sentence_chars"] is None
+    assert out[4]["n_sentences"] == 0
