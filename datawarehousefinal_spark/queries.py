@@ -6107,6 +6107,8 @@ _DRIVER_WINDOW = [
     "bucketed_join_roundtrip",
     "partition_overwrite_roundtrip",
     "schema_evolution_roundtrip",
+    "json_repair_roundtrip",
+    "shard_export_manifest",
     # curation / sampling / packing (sequence_pack_chunks green r05 and
     # pytest+verify-covered after this round's rework — rotated out for
     # first-row entries)
@@ -6123,9 +6125,9 @@ _DRIVER_WINDOW = [
     "ivf_append_assignments",
     "semantic_dedup_keep",
     "centroid_cosine_matrix",
-    # dedup / graph (checksum + guard + auto-shape changes)
-    "simhash_near_dupes",
-    "near_dup_components",
+    # dedup / graph (stars variant covers the hardened checksum path;
+    # simhash rows-only r02 + near_dup_components green r04 rotate out
+    # for the newest repair/export entries)
     "near_dup_components_stars",
     "ngram_coverage_report",
     "dedup_survivors",
