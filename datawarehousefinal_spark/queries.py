@@ -5545,6 +5545,38 @@ def grouped_trend_fits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "daily_value_percentiles",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(value)::BIGINT AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def daily_value_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily P50/P95/P99 of the event value — the canonical
+    observability rollup (latency/size percentile bands per day). EXACT
+    interpolated percentiles via Spark's ``percentile`` aggregate,
+    engine-identical to DuckDB's quantile_cont; one map-side-combined
+    group per day (the per-day sort inside the aggregate is bounded by
+    the busiest single day, the same bound every percentile system
+    accepts — switch to approx_percentile for sketch-mergeable
+    accuracy/cost at extreme per-day volumes)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("value").cast("long").alias("n"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@query(
     "seasonal_dow_forecast",
     oracle="""
     WITH daily AS (

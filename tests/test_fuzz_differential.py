@@ -215,3 +215,31 @@ def test_gap_fill_agrees_with_python_reference(spark):
         gv, gflag = got[key]
         assert gflag == flag, key
         assert abs(gv - v) < 1e-9, (key, gv, v)
+
+
+def test_sentence_split_agrees_with_duckdb_on_hostile_strings(spark):
+    """The sentence_stats segmentation rule ([.!?]+ split, trim, drop
+    empties) must agree between engines on adversarial punctuation —
+    same drift-gate as the tokenizer above."""
+    import pandas as pd
+
+    from datawarehousefinal_spark.operators.textstats import sentence_stats
+
+    extra = [
+        "One. Two! Three?", "...", "!!!", "a.b.c", " . ! ? ",
+        "ends mid", "¿esp? sí!", "x" * 50 + ".", ". leading", "a?!b",
+    ]
+    strings = _gen_strings(120) + extra
+    pdf = pd.DataFrame({"i": range(len(strings)), "s": strings})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: (r["n_sentences"], r["avg_sentence_chars"], r["max_sentence_chars"])
+        for r in sentence_stats(df, "i", "s").collect()
+    }
+    expr = (
+        "len(list_filter(list_transform(string_split_regex(s, '[.!?]+'),"
+        " x -> trim(x)), x -> x <> ''))::BIGINT"
+    )
+    want_n = dict(_duck(pdf, expr))
+    for i in got:
+        assert got[i][0] == want_n[i], (i, strings[i], got[i], want_n[i])
