@@ -305,3 +305,46 @@ def grouping_sets_measures(
         f"SELECT {keys}, {flags}, {measures} FROM {_q(view_name)} "
         f"GROUP BY GROUPING SETS ({sets_sql})"
     )
+
+
+def route_to_aggregate(
+    preaggs: dict[str, tuple[DataFrame, list[str]]],
+    dims: list[str],
+) -> tuple[str, DataFrame]:
+    """Mondrian's aggregate-table navigator, re-expressed over mergeable
+    measure states: given pre-aggregated states at several
+    granularities, answer a measure request at ``dims`` from the
+    COARSEST state that still covers it — never the fact table.
+    Correct because count/sum states are associative: re-aggregating a
+    finer state to a coarser dim set yields exactly the fact-level
+    answer (the property ``incremental_cube_merge`` pins).
+
+    ``preaggs`` maps name → (measure state, its dim columns). Among
+    covering candidates the one with the FEWEST dims wins (granularity
+    is the size proxy — a deterministic plan-time choice, no counting
+    jobs; ties break on name). Raises if nothing covers the request —
+    the caller falls back to the fact scan explicitly, so an
+    accidentally-unserveable dashboard query can't silently become a
+    100 TB scan.
+
+    Returns ``(chosen_name, served frame)`` with the
+    :func:`serve_measures` contract.
+    """
+    want = set(dims)
+    covering = [
+        (len(cols), name)
+        for name, (_df, cols) in preaggs.items()
+        if want <= set(cols)
+    ]
+    if not covering:
+        raise ValueError(
+            f"no pre-aggregate covers dims {sorted(want)}; "
+            f"available: { {n: c for n, (_d, c) in preaggs.items()} }"
+        )
+    _, chosen = min(covering)
+    state, _cols = preaggs[chosen]
+    rolled = state.groupBy(*dims).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_m").alias("sum_m"),
+    )
+    return chosen, serve_measures(rolled)

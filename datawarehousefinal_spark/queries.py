@@ -5545,6 +5545,56 @@ def grouped_trend_fits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "aggregate_routing",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+           count(o_totalprice)::BIGINT AS cantidad_movimientos,
+           avg(o_totalprice) AS promedio_edades
+    FROM orders GROUP BY 1
+    """,
+)
+def aggregate_routing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-table navigation (olap.route_to_aggregate — the
+    Mondrian AggName/AggPattern mechanism, Schema_Trabajo_Final.xml's
+    serving layer, done with mergeable states): two pre-aggregate
+    states exist — (anio, status, priority) fine and (anio, status)
+    coarse — and a year-level measure request must route to the COARSE
+    one (runtime-guarded) and still serve the exact fact-level
+    count/avg, because measure states re-aggregate associatively. The
+    oracle computes the same answer straight from the fact table —
+    proving the navigator never changes answers, only cost."""
+    from datawarehousefinal_spark.operators.olap import (
+        measure_state,
+        route_to_aggregate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("anio"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    preaggs = {
+        "agg_fine": (
+            measure_state(
+                orders,
+                ["anio", "o_orderstatus", "o_orderpriority"],
+                "o_totalprice",
+            ),
+            ["anio", "o_orderstatus", "o_orderpriority"],
+        ),
+        "agg_coarse": (
+            measure_state(orders, ["anio", "o_orderstatus"], "o_totalprice"),
+            ["anio", "o_orderstatus"],
+        ),
+    }
+    chosen, served = route_to_aggregate(preaggs, ["anio"])
+    if chosen != "agg_coarse":
+        raise RuntimeError(f"navigator picked {chosen}, expected agg_coarse")
+    return served
+
+
+@query(
     "daily_value_percentiles",
     oracle="""
     SELECT CAST(ts AS DATE) AS day,

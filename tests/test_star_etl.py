@@ -180,3 +180,37 @@ def test_cleaning_normalized_tip_movi_domain(star):
         for r in star["cleaned"].select("tip_movi").distinct().collect()
     }
     assert vals == {"entrada", "salida", None}
+
+
+def test_route_to_aggregate_picks_coarsest_and_errors_on_miss(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.olap import (
+        measure_state,
+        route_to_aggregate,
+    )
+
+    fact = spark.createDataFrame(
+        [("2020", "a", 1.0), ("2020", "b", 3.0), ("2021", "a", 5.0)],
+        ["y", "s", "m"],
+    )
+    pre = {
+        "fine": (measure_state(fact, ["y", "s"], "m"), ["y", "s"]),
+        "coarse": (measure_state(fact, ["y"], "m"), ["y"]),
+    }
+    name, served = route_to_aggregate(pre, ["y"])
+    assert name == "coarse"
+    got = {r["y"]: (r["cantidad_movimientos"], r["promedio_edades"])
+           for r in served.collect()}
+    assert got == {"2020": (2, 2.0), "2021": (1, 5.0)}
+
+    # a finer-only catalog still serves correctly (re-aggregation)
+    name2, served2 = route_to_aggregate({"fine": pre["fine"]}, ["y"])
+    assert name2 == "fine"
+    got2 = {r["y"]: (r["cantidad_movimientos"], r["promedio_edades"])
+            for r in served2.collect()}
+    assert got2 == got
+
+    with pytest.raises(ValueError, match="no pre-aggregate covers"):
+        route_to_aggregate(pre, ["s", "zzz"])
