@@ -105,3 +105,48 @@ def fuzzy_closest_blocked(
         .drop("__rn", "__rid", "__band")
         .withColumnRenamed(right_col, "match")
     )
+
+
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int,
+) -> DataFrame:
+    """ALL pairs within ``max_distance`` edits — the edge generator for
+    entity resolution (pairs → connected components → canonical id).
+    Same lossless length-band blocking as :func:`fuzzy_closest_blocked`,
+    self-join flavor: one side keeps its band, the other explodes into
+    the 3 adjacent bands, so every admissible pair meets on exactly one
+    band key (bands are distinct, so no pair duplicates); ``id_a <
+    id_b`` fixes orientation. Neither side broadcasts by construction.
+
+    Output: ``id_a, id_b, distance`` (one row per unordered pair).
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    w_band = max_distance + 1
+    base = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("__na"),
+        F.floor(F.length(name_col) / w_band).alias("__band"),
+    )
+    rband = F.floor(F.length(name_col) / w_band)
+    other = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("__nb"),
+        F.explode(F.array(rband - 1, rband, rband + 1)).alias("__band"),
+    )
+    return (
+        base.join(other, "__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("__na") - F.length("__nb")) <= max_distance
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("__na"), F.col("__nb"), max_distance),
+        )
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", "distance")
+    )

@@ -788,6 +788,70 @@ def fuzzy_blocked_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "entity_resolution_clusters",
+    oracle="""
+    WITH RECURSIVE ent AS (
+      SELECT c_custkey AS id, md5(c_custkey::VARCHAR) AS name
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000,
+             substr(md5(c_custkey::VARCHAR), 1, 31)
+      FROM customer WHERE c_custkey % 30 = 0
+    ),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ent a JOIN ent b
+        ON a.id < b.id
+       AND abs(length(a.name) - length(b.name)) <= 1
+       AND levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL
+      SELECT id_b, id_a FROM p
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+    SELECT root AS canonical_id, count(*)::BIGINT AS n_members
+    FROM comp GROUP BY 1
+    """,
+)
+def entity_resolution_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the composition the fuzzy stack
+    exists for: banded all-pairs edit-distance edges
+    (fuzzy.fuzzy_pairs_blocked, lossless length-band self-join) feed
+    connected components, and each cluster reports its canonical
+    (min) id + size. Fixture: md5-derived entity names with planted
+    one-char-truncated twins (md5 keeps unrelated names far apart, so
+    the linkage is exactly the planted twin set — but the oracle
+    recomputes pairs + recursive closure from scratch either way)."""
+    from datawarehousefinal_spark.operators.fuzzy import fuzzy_pairs_blocked
+    from datawarehousefinal_spark.operators.graph import connected_components
+
+    customer = load_table(spark, sf_dir, "customer")
+    base = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.md5(F.col("c_custkey").cast("string")).alias("name"),
+    )
+    twins = customer.filter(F.col("c_custkey") % 30 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("id"),
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string")), 1, 31
+        ).alias("name"),
+    )
+    ents = base.unionByName(twins)
+    pairs = fuzzy_pairs_blocked(ents, "id", "name", max_distance=1)
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+@query(
     "hierarchy_rollup",
     oracle="""
     SELECT r.r_name AS provincia, n.n_name AS canton,

@@ -389,3 +389,33 @@ def test_melt_shape_and_nulls(spark):
     assert got == [
         (1, "a", 10.0), (1, "b", None), (2, "a", 20.0), (2, "b", 5.0)
     ]
+
+
+def test_fuzzy_pairs_blocked_complete_and_unique(spark):
+    from datawarehousefinal_spark.operators.fuzzy import fuzzy_pairs_blocked
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "ab"), (4, "zzzzz"), (5, "abc")],
+        ["id", "name"],
+    )
+    out = fuzzy_pairs_blocked(df, "id", "name", 1).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in out}
+    # brute force ground truth at d=1
+    import itertools
+    rows = [(1, "abc"), (2, "abd"), (3, "ab"), (4, "zzzzz"), (5, "abc")]
+    def lev(a, b):
+        import numpy as np
+        m = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+        m[:, 0] = range(len(a) + 1); m[0, :] = range(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i, j] = min(m[i-1, j] + 1, m[i, j-1] + 1,
+                              m[i-1, j-1] + (a[i-1] != b[j-1]))
+        return int(m[len(a), len(b)])
+    want = {
+        (ia, ib): lev(na, nb)
+        for (ia, na), (ib, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) <= 1
+    }
+    assert pairs == want
+    assert len(out) == len(pairs)  # no duplicate pair rows
