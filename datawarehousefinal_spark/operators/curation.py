@@ -510,3 +510,36 @@ def group_sample_exact(
         .filter(F.col("__rn") <= int(n))
         .drop("__rn")
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT-fraction stratified sample: every stratum keeps exactly
+    ``ceil(fraction · |stratum|)`` rows (the smallest md5 sample keys,
+    id tie-break) — the deterministic upgrade of ``sampleBy``, whose
+    per-stratum counts are binomial noise. A pure function of
+    (ids, seed): re-runs, repartitioning, and engines all agree, and
+    the kept set is NESTED across fractions (the 10% sample is a subset
+    of the 20% at the same seed).
+
+    One window per stratum on the uniform hash key plus a same-window
+    count — a single shuffle; skew is bounded by the largest stratum,
+    same as any per-group operator.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(id_col, seed), F.col(id_col)
+    )
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__cnt") * F.lit(fraction)))
+        .drop("__rn", "__cnt")
+    )

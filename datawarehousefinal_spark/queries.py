@@ -5446,6 +5446,36 @@ def shard_export_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample_exact",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':13'),
+                                        1, 15))::BIGINT, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents) t
+    WHERE rn <= ceil(cnt * 0.2)
+    """,
+)
+def stratified_sample_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fraction stratified sample (curation.
+    stratified_sample_exact): every language keeps exactly
+    ceil(20% · stratum) docs by smallest md5 key — the deterministic,
+    SQL-replayable upgrade of C2's binomial ``sampleBy``
+    (machineLearning.py:366 train_test_split stratify). The md5 ORDER
+    is what the oracle replays, so the selection is value-identical
+    across engines."""
+    from datawarehousefinal_spark.operators.curation import (
+        stratified_sample_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample_exact(docs, "doc_id", "lang", 0.2, seed=13)
+
+
+@query(
     "melt_measures",
     oracle="""
     SELECT l_orderkey, l_linenumber, measure, value

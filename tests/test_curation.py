@@ -317,3 +317,29 @@ def test_length_band_rebalance_flattens_bands(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == sorted(
         r["doc_id"] for r in out.collect()
     )
+
+
+def test_stratified_sample_exact_counts_and_nesting(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.curation import (
+        stratified_sample_exact,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    s20 = stratified_sample_exact(df, "id", "g", 0.2, seed=5)
+    per = {r["g"]: r["count"] for r in s20.groupBy("g").count().collect()}
+    import math
+    # strata sizes: g=0 -> 334, g=1/2 -> 333
+    assert per == {
+        "0": math.ceil(334 * 0.2),
+        "1": math.ceil(333 * 0.2),
+        "2": math.ceil(333 * 0.2),
+    }
+    # nesting: 10% sample is a subset of the 20% at the same seed
+    s10 = {r["id"] for r in
+           stratified_sample_exact(df, "id", "g", 0.1, seed=5).collect()}
+    s20_ids = {r["id"] for r in s20.collect()}
+    assert s10 <= s20_ids
