@@ -161,3 +161,63 @@ def test_sequence_pack_distributed_cumsum_plan(spark, sf_dir):
     assert "windowspecdefinition(__pid" in plan, plan[:2000]
     assert_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_fuzzy_blocked_windowgrouplimit_and_pruned(spark, sf_dir):
+    """The blocked fuzzy match must pre-reduce the per-row top-1
+    map-side (WindowGroupLimit before the exchange) and read only the
+    two customer columns it uses."""
+    df = _q(spark, sf_dir, "fuzzy_blocked_match")
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert_no_cartesian(df)
+    assert_no_python_udf(df)
+    for schema in scan_read_schemas(df):
+        assert "c_address" not in schema and "c_comment" not in schema
+
+
+def test_tfidf_top_terms_windowgrouplimit(spark, sf_dir):
+    df = _q(spark, sf_dir, "tfidf_top_terms")
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert_partial_aggregation(df)
+    assert_no_python_udf(df)
+
+
+def test_cdc_apply_changes_partial_window_reduce(spark, sf_dir):
+    """The changeset's latest-per-key must reduce map-side before its
+    shuffle, and the snapshot side must not carry unused columns."""
+    df = _q(spark, sf_dir, "cdc_apply_changes")
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert_no_cartesian(df)
+
+
+def test_top_event_paths_rank_cut_before_assembly(spark, sf_dir):
+    df = _q(spark, sf_dir, "top_event_paths")
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert_no_python_udf(df)
+
+
+def test_seasonal_forecast_broadcasts_horizon(spark, sf_dir):
+    df = _q(spark, sf_dir, "seasonal_dow_forecast")
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert_no_python_udf(df)
+
+
+def test_quantile_rank_normalize_no_global_window_over_rows(spark, sf_dir):
+    """The only Window nodes may run over the VALUE HISTOGRAM (bucketed
+    by the distributed cumsum's range ids) or the tiny offsets frame —
+    never partition the raw row stream into one task. Guard: every
+    Window node must sit above an Aggregate (the histogram), which a
+    naive global percent_rank over rows would not."""
+    from datawarehousefinal_spark.plans import count_node
+
+    df = _q(spark, sf_dir, "quantile_rank_normalize")
+    plan = physical_plan(df)
+    assert "percent_rank" not in plan
+    # histogram aggregate exists and feeds the windows
+    assert count_node(df, "HashAggregate") >= 2
+    assert_no_python_udf(df)
