@@ -234,3 +234,48 @@ def resolve_duplicates(
             component_col, F.coalesce(component_col, F.col(id_col))
         )
     return out
+
+
+def incremental_components(
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Incremental component maintenance: fold a batch of NEW edges into
+    an existing ``(id, component)`` assignment without re-reading the
+    historical edge set — the store-update step of a production near-dup
+    registry (the graph twin of the BM25/minhash append operators).
+
+    Key fact: an assignment is itself a spanning star — the edge set
+    ``{(id, component)}`` has exactly the same components as the
+    original graph. So merging = components of (assignment stars ∪ new
+    pairs), a frame of |nodes| + |batch| edges, NOT |history| edges:
+    the full pair history is never stored or re-scanned, and
+    ``merge(assign(E₁), E₂) ≡ assign(E₁ ∪ E₂)`` exactly (pinned by the
+    append-equals-rebuild test and the oracle's full-history closure).
+
+    Output: the same ``(id, component)`` contract, min-id labels.
+    """
+    star_edges = assignments.select(
+        F.col("id").alias(id_a), F.col("component").alias(id_b)
+    ).filter(F.col(id_a) != F.col(id_b))
+    merged = star_edges.unionByName(
+        new_pairs.select(
+            F.col(id_a).cast(star_edges.schema[id_a].dataType),
+            F.col(id_b).cast(star_edges.schema[id_b].dataType),
+        )
+    )
+    comp = connected_components(merged, id_a, id_b)
+    # components() omits edgeless nodes — previously-assigned singleton
+    # representatives and isolated batch nodes must survive the merge as
+    # their own components, or the store would forget them
+    universe = (
+        assignments.select("id")
+        .unionByName(new_pairs.select(F.col(id_a).alias("id")))
+        .unionByName(new_pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    return universe.join(comp, "id", "left").withColumn(
+        "component", F.coalesce("component", F.col("id"))
+    )

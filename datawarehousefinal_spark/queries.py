@@ -788,6 +788,58 @@ def fuzzy_blocked_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_components_merge",
+    oracle="""
+    WITH RECURSIVE e1 AS (
+      SELECT c_custkey AS a, c_custkey + 3 AS b
+      FROM customer WHERE c_custkey % 9 = 0
+    ),
+    e2 AS (
+      SELECT c_custkey AS a, c_custkey + 6 AS b
+      FROM customer WHERE c_custkey % 18 = 0
+    ),
+    p AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+    edges AS (
+      SELECT a AS src, b AS dst FROM p
+      UNION ALL
+      SELECT b, a FROM p
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """,
+)
+def incremental_components_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup registry maintenance (graph.
+    incremental_components): historical edges collapse to their
+    spanning-star ASSIGNMENT (|nodes| rows — the history is never
+    re-read), a new edge batch folds in, and the merged labels must
+    equal the from-scratch closure over the FULL edge history — which
+    is exactly what the oracle's recursive CTE computes. Append ≡
+    rebuild, the same mergeability contract as the BM25/minhash append
+    operators."""
+    from datawarehousefinal_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    e1 = cust.filter(F.col("c_custkey") % 9 == 0).select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + 3).alias("id_b"),
+    )
+    e2 = cust.filter(F.col("c_custkey") % 18 == 0).select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + 6).alias("id_b"),
+    )
+    assignments = connected_components(e1)
+    return incremental_components(assignments, e2)
+
+
+@query(
     "entity_resolution_clusters",
     oracle="""
     WITH RECURSIVE ent AS (

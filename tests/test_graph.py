@@ -98,3 +98,40 @@ def test_stars_converges_on_high_diameter_chain(spark):
     out = connected_components_stars(chain).collect()
     assert len(out) == 301
     assert {r["component"] for r in out} == {0}
+
+
+def test_incremental_components_append_equals_rebuild(spark):
+    from datawarehousefinal_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    e2 = spark.createDataFrame(
+        [(2, 3), (20, 21)], ["id_a", "id_b"]  # bridges {1,2}-{3,4}; new cluster
+    )
+    assign1 = connected_components(e1)
+    merged = incremental_components(assign1, e2)
+    rebuilt = connected_components(e1.unionByName(e2))
+    m = {r["id"]: r["component"] for r in merged.collect()}
+    rb = {r["id"]: r["component"] for r in rebuilt.collect()}
+    assert m == rb
+    assert m[4] == 1  # the bridge united the two old clusters
+
+
+def test_incremental_components_keeps_singleton_representatives(spark):
+    from datawarehousefinal_spark.operators.graph import (
+        incremental_components,
+    )
+
+    # a store containing a singleton (id 7 is its own component) must
+    # survive a merge that doesn't touch it
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7)], ["id", "component"]
+    )
+    batch = spark.createDataFrame([(2, 3)], ["id_a", "id_b"])
+    out = {r["id"]: r["component"]
+           for r in incremental_components(assign, batch).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7}
