@@ -4199,6 +4199,65 @@ def partition_overwrite_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN 'engagement' ELSE 'other' END AS category
+      FROM events
+    )
+    SELECT e.event_type, count(*)::BIGINT AS n, sum(e.value) AS total_value
+    FROM events e JOIN dim d USING (event_type)
+    WHERE d.category = 'engagement'
+    GROUP BY 1
+    """,
+)
+def dynamic_partition_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end — Catalyst's star-schema
+    scan eliminator: the fact lands partitioned by event_type, the dim
+    (with its category attribute MATERIALIZED to parquet, so the filter
+    is not constant-foldable) is filtered at runtime, and the fact scan
+    must carry a ``dynamicpruningexpression`` partition filter — the
+    dim's surviving keys prune fact partitions DURING execution, which
+    at 100 TB is the difference between scanning 2 of 500 date/type
+    partitions and scanning all of them. Runtime guard fails the query
+    if the dynamic filter is missing from the scan."""
+    from datawarehousefinal_spark.plans import physical_plan
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    base = _scratch_path("dpp", sf_dir)
+    fact_path, dim_path = f"{base}/fact", f"{base}/dim"
+    events.write.mode("overwrite").partitionBy("event_type").parquet(
+        fact_path
+    )
+    events.select("event_type").distinct().withColumn(
+        "category",
+        F.when(
+            F.col("event_type").isin("click", "view"), "engagement"
+        ).otherwise("other"),
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(
+        F.col("category") == "engagement"
+    )
+    joined = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("total_value"),
+    )
+    plan = physical_plan(joined)
+    if "dynamicpruning" not in plan.lower():
+        raise RuntimeError(
+            "fact scan is not dynamically pruned (no dynamicpruning "
+            "expression in the plan)"
+        )
+    return joined
+
+
+@query(
     "streaming_session_counts",
     oracle="""
     WITH m AS (
