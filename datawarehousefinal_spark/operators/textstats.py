@@ -644,6 +644,83 @@ def tfidf_top_terms(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 50,
+    min_pair_docs: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top term-pair collocations by pointwise mutual information over
+    DOCUMENT co-occurrence — "which terms travel together" (topic
+    drift / boilerplate / template detection at corpus level).
+    PMI = ln(df_ab · N / (df_a · df_b)) over document frequencies.
+
+    Scale shape — the part that keeps this from being vocabulary²: the
+    candidate vocabulary is cut to the top ``vocab_size`` terms FIRST
+    (deterministic df-desc/term tie-break, broadcast as a semi-join
+    filter), so the per-document self-join is bounded by
+    ``vocab_size``² per doc worst-case and the incidence frame carries
+    ≤ ``vocab_size`` rows per doc. One doc-keyed shuffle for the pair
+    join; everything after runs on |vocab|² aggregated rows at most.
+    ``min_pair_docs`` keeps PMI's rare-pair divergence out.
+
+    Output: ``term_a, term_b, n_docs, pmi`` — top ``k`` by (pmi desc,
+    term_a, term_b).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    incidence = toks.distinct()
+    dfreq = incidence.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    vocab = dfreq.orderBy(F.desc("__df"), "term").limit(vocab_size)
+    n_docs = df.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    inc_v = incidence.join(F.broadcast(vocab), "term")
+    a = inc_v.select(
+        F.col(id_col),
+        F.col("term").alias("term_a"),
+        F.col("__df").alias("__dfa"),
+    )
+    b = inc_v.select(
+        F.col(id_col),
+        F.col("term").alias("term_b"),
+        F.col("__df").alias("__dfb"),
+    )
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.first("__dfa").alias("__dfa"),
+            F.first("__dfb").alias("__dfb"),
+        )
+        .filter(F.col("n_docs") >= min_pair_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_docs",
+            F.log(
+                F.col("n_docs") * F.col("__n")
+                / (F.col("__dfa") * F.col("__dfb"))
+            ).alias("pmi"),
+        )
+    )
+    return pairs.orderBy(F.desc("pmi"), "term_a", "term_b").limit(k)
+
+
 def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document sentence segmentation statistics — the
     sentence-shape quality signal (a wall of unpunctuated text and a

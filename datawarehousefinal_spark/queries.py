@@ -3890,6 +3890,53 @@ _BM25_ORACLE = """
 
 
 @query(
+    "pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    inc AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df
+      FROM inc GROUP BY 1
+    ),
+    vocab AS (SELECT * FROM dfreq ORDER BY df DESC, term LIMIT 50),
+    n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents
+    ),
+    iv AS (SELECT inc.doc_id, inc.term, vocab.df
+           FROM inc JOIN vocab USING (term)),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             count(*)::BIGINT AS n_docs,
+             any_value(a.df) AS dfa, any_value(b.df) AS dfb
+      FROM iv a JOIN iv b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, n_docs,
+           ln(n_docs * n.n / (dfa * dfb)) AS pmi
+    FROM pairs, n
+    WHERE n_docs >= 5
+    ORDER BY pmi DESC, term_a, term_b LIMIT 20
+    """,
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations (textstats.pmi_collocations): top-20 term
+    pairs by document-cooccurrence PMI over the 50 highest-df terms —
+    the vocabulary cut happens BEFORE the per-document pair join, so
+    nothing quadratic in the vocabulary ever materializes. Same
+    proven tokenization as BM25/TF-IDF; the oracle replays the
+    incidence/vocab/pair/PMI pipeline value-for-value."""
+    from datawarehousefinal_spark.operators.textstats import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_collocations(docs, "doc_id", "text")
+
+
+@query(
     "sentence_stats",
     oracle="""
     WITH s AS (
