@@ -5710,6 +5710,50 @@ def quantile_rank_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benford_digit_report",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice))))
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / total AS observed_p,
+           log10(1.0 + 1.0 / digit) AS expected_p
+    FROM c, t
+    """,
+)
+def benford_digit_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile of order totals —
+    the classic synthetic-data / fraud / unit-mixing screen a profiling
+    pass runs over monetary measures: observed digit shares against the
+    log10(1 + 1/d) law. One map-side-combined aggregate over a pure
+    column expression; the single-row total broadcasts back."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("__total")).alias("observed_p"),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")).alias(
+            "expected_p"
+        ),
+    )
+
+
+@query(
     "chi2_independence_report",
     oracle="""
     WITH cells AS (
