@@ -222,3 +222,91 @@ def heavy_hitters_exact(
         .orderBy(F.desc("cnt"), value_col)
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — mergeable AND SQL-replayable
+# ---------------------------------------------------------------------------
+
+
+def kmv_build_store(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group KMV distinct sketch: the ``k`` smallest md5-derived
+    hash values of the distinct ``value_col`` set (Bar-Yossef et al.'s
+    k-minimum-values estimator). The HLL store's replayable sibling:
+    same mergeable-store role, slightly worse accuracy per byte — but
+    the hash is the engine-portable md5 construction
+    (curation.sample_hash), so a SQL oracle can reproduce the sketch
+    AND the estimate bit-for-bit, which no engine-internal HLL allows.
+
+    Output: ``*group_cols, kmv (array<long>, ascending), n_seen
+    (long — distinct values if < k, else k)``.
+    """
+    from datawarehousefinal_spark.operators.curation import sample_hash
+
+    from pyspark.sql import Window
+
+    hashes = (
+        df.select(*group_cols, sample_hash(value_col, seed).alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= int(k)
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+
+
+def kmv_merge(store: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge KMV sketches down to a coarser grouping: union the hash
+    sets, keep the ``k`` smallest again. ``merge(kmv(A), kmv(B)) ≡
+    kmv(A ∪ B)`` exactly (the k smallest of a union are among the k
+    smallest of each side), so rollups over any dimension subset come
+    from the store alone. The per-output-group window here runs over
+    SKETCH rows (≤ |input groups|·k per output group — a global rollup
+    of a year of daily sketches is 365·k rows in one task), never over
+    the data the sketches summarize."""
+    from pyspark.sql import Window
+
+    exploded = store.select(
+        *group_cols, F.explode("kmv").alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= int(k)
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+
+
+_KMV_HASH_SPACE = float(1 << 60)  # sample_hash's range
+
+
+def kmv_estimate(store: DataFrame, k: int = 64) -> DataFrame:
+    """Serve distinct-count estimates from a KMV store: EXACT when the
+    group held fewer than ``k`` distinct values (the sketch then IS the
+    value set), else the classic (k-1)/U(k) estimator with U(k) = the
+    k-th smallest normalized hash. Deterministic for fixed inputs — the
+    SQL oracle replays estimates exactly — with the published
+    ~1/sqrt(k-2) relative error in the estimated regime.
+
+    Output: the group columns + ``n_seen`` + ``distinct_est (double)``.
+    """
+    kth = F.element_at("kmv", -1).cast("double") / F.lit(_KMV_HASH_SPACE)
+    group_cols = [c for c in store.columns if c not in ("kmv", "n_seen")]
+    est = F.when(
+        F.col("n_seen") < int(k), F.col("n_seen").cast("double")
+    ).otherwise((F.lit(float(k)) - 1.0) / kth)
+    return store.select(
+        *group_cols, "n_seen", est.alias("distinct_est")
+    )

@@ -5077,6 +5077,69 @@ def bloom_prune_join_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kmv_distinct_store",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(concat('0x', substr(md5(user_id::VARCHAR || ':42'),
+                  1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    rk AS (
+      SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT day, count(*)::BIGINT AS n_seen, max(h) AS kth
+      FROM rk WHERE rn <= 64 GROUP BY 1
+    ),
+    hm AS (SELECT DISTINCT h FROM h),
+    rkm AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hm),
+    skm AS (
+      SELECT count(*)::BIGINT AS n_seen, max(h) AS kth
+      FROM rkm WHERE rn <= 64
+    )
+    SELECT day, n_seen,
+           CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+                ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+           END AS distinct_est
+    FROM sk
+    UNION ALL
+    SELECT 'ALL', n_seen,
+           CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+                ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+           END
+    FROM skm
+    """,
+)
+def kmv_distinct_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch store, ORACLE-EXACT — the HLL store's
+    replayable sibling (sketches.kmv_build_store/kmv_merge/
+    kmv_estimate): per-day k=64 sketches of distinct users served as
+    daily estimates, PLUS the all-period row obtained by MERGING the
+    daily sketches — which the oracle computes directly from the full
+    union, so the hash-match proves merge ≡ rebuild, the mergeable-
+    sketch property itself, inside the driver's correctness gate (the
+    DataSketches HLL twin can only get a rows-only check)."""
+    from datawarehousefinal_spark.operators.sketches import (
+        kmv_build_store,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "user_id"
+    )
+    store = kmv_build_store(ev, ["day"], "user_id", k=64)
+    daily = kmv_estimate(store, k=64)
+    merged = kmv_merge(
+        store.withColumn("day", F.lit("ALL")), ["day"], k=64
+    )
+    return daily.unionByName(kmv_estimate(merged, k=64))
+
+
 @query("hll_sketch_store_daily")
 def hll_sketch_store_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-user store maintained incrementally: build

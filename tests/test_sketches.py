@@ -177,3 +177,37 @@ def test_mg_no_truncation_is_exact(spark):
         for r in df.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert merged == true
+
+
+def test_kmv_merge_equals_rebuild_and_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.sketches import (
+        kmv_build_store,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 1700).alias("v"),  # 1700 distinct values overall
+    )
+    store = kmv_build_store(df, ["g"], "v", k=64)
+    merged = kmv_merge(store.withColumn("g", F.lit("ALL")), ["g"], k=64)
+    direct = kmv_build_store(
+        df.withColumn("g", F.lit("ALL")), ["g"], "v", k=64
+    )
+    m = merged.collect()[0]
+    d = direct.collect()[0]
+    assert m["kmv"] == d["kmv"] and m["n_seen"] == d["n_seen"]
+
+    est = kmv_estimate(direct, k=64).collect()[0]["distinct_est"]
+    assert abs(est - 1700) / 1700 < 0.35  # ~1/sqrt(62) ≈ 13% rse; 0.35 safe
+
+    # exact regime: fewer than k distinct -> exact count served
+    small = kmv_build_store(
+        spark.range(0, 40).select(F.lit("s").alias("g"), F.col("id").alias("v")),
+        ["g"], "v", k=64,
+    )
+    s = kmv_estimate(small, k=64).collect()[0]
+    assert s["n_seen"] == 40 and s["distinct_est"] == 40.0
