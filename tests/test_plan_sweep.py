@@ -81,6 +81,11 @@ BNLJ_ALLOWED = {
     # — the same bounded scalar-broadcast pattern.
     "chi2_independence_report",
     "grouped_trend_fits",
+    # pmi's single-row corpus-size (N) cross join and benford's
+    # single-row digit-total cross join — the same bounded
+    # scalar-broadcast pattern.
+    "pmi_collocations",
+    "benford_digit_report",
 }
 
 
