@@ -455,3 +455,48 @@ def column_entropy_report(
         )
         .orderBy("column")
     )
+
+
+def embedding_profile(
+    df: DataFrame, vec_col: str, expected_dim: int
+) -> DataFrame:
+    """Embedding-column health report — the pre-flight check before any
+    ANN/dedup/training consumer touches a vector column: NULL vectors,
+    wrong dimensionality, non-finite elements, and the L2-norm
+    distribution (a norm collapsed to ~0 or exploded by orders of
+    magnitude is the classic embedding-pipeline failure).
+
+    Pure higher-order-function column expressions into ONE map-side-
+    combined aggregate — the vectors never shuffle, nothing leaves the
+    JVM. Norm stats are over the healthy vectors only (right dim, all
+    finite, non-null).
+
+    Output (single row): ``n_vectors, n_null, n_wrong_dim,
+    n_nonfinite, avg_norm, min_norm, max_norm``.
+    """
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    wrong_dim = ~is_null & (F.size(v) != int(expected_dim))
+    nonfinite = (
+        ~is_null
+        & ~wrong_dim
+        & F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    )
+    healthy = ~is_null & ~wrong_dim & ~nonfinite
+    norm = F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    hnorm = F.when(healthy, norm)
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(is_null.cast("long")).alias("n_null"),
+        F.sum(wrong_dim.cast("long")).alias("n_wrong_dim"),
+        F.sum(nonfinite.cast("long")).alias("n_nonfinite"),
+        F.avg(hnorm).alias("avg_norm"),
+        F.min(hnorm).alias("min_norm"),
+        F.max(hnorm).alias("max_norm"),
+    )

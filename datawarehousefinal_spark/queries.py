@@ -5773,6 +5773,49 @@ def quantile_rank_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quality_report",
+    oracle="""
+    WITH h AS (
+      SELECT embedding IS NULL AS is_null,
+             embedding IS NOT NULL AND len(embedding) <> 64 AS wrong_dim,
+             embedding IS NOT NULL AND len(embedding) = 64
+               AND len(list_filter(embedding,
+                     x -> isnan(x) OR abs(x) = 'inf'::FLOAT)) > 0
+               AS nonfinite,
+             sqrt(list_aggregate(
+               list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')) AS norm
+      FROM embeddings
+    )
+    SELECT count(*)::BIGINT AS n_vectors,
+           sum(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END)::BIGINT
+             AS n_wrong_dim,
+           sum(CASE WHEN nonfinite THEN 1 ELSE 0 END)::BIGINT
+             AS n_nonfinite,
+           avg(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                    THEN norm END) AS avg_norm,
+           min(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                    THEN norm END) AS min_norm,
+           max(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                    THEN norm END) AS max_norm
+    FROM h
+    """,
+)
+def embedding_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column pre-flight health (profile.embedding_profile):
+    NULL / wrong-dim / non-finite vector counts and the L2-norm
+    distribution of the healthy rest — one HOF aggregate, vectors never
+    shuffle. The oracle replays the per-element arithmetic with the
+    same double casts."""
+    from datawarehousefinal_spark.operators.profile import embedding_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_profile(emb, "embedding", 64)
+
+
+@query(
     "benford_digit_report",
     oracle="""
     WITH d AS (

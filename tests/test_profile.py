@@ -101,3 +101,24 @@ def test_column_entropy_report_known_values(spark):
     # v: 3 distinct uniform over 3 non-null -> log2(3)
     assert out["v"]["n_values"] == 3 and out["v"]["n_distinct"] == 3
     assert abs(out["v"]["entropy"] - math.log2(3)) < 1e-9
+
+
+def test_embedding_profile_flags_and_norms(spark):
+    from datawarehousefinal_spark.operators.profile import embedding_profile
+
+    rows = [
+        (1, [3.0, 4.0]),            # norm 5
+        (2, [0.0, 0.0]),            # norm 0
+        (3, None),                  # null
+        (4, [1.0]),                 # wrong dim
+        (5, [float("nan"), 1.0]),   # non-finite
+        (6, [float("inf"), 1.0]),   # non-finite
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    r = embedding_profile(df, "embedding", 2).first()
+    assert r["n_vectors"] == 6
+    assert r["n_null"] == 1
+    assert r["n_wrong_dim"] == 1
+    assert r["n_nonfinite"] == 2
+    assert abs(r["avg_norm"] - 2.5) < 1e-9
+    assert r["min_norm"] == 0.0 and abs(r["max_norm"] - 5.0) < 1e-9
