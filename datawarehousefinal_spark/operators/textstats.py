@@ -744,7 +744,9 @@ def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda s: s != "",
     )
     lens = F.transform(sents, lambda s: F.length(s))
-    n = F.size(sents)
+    # size(NULL array) is -1, not NULL — guard so NULL text reports
+    # NULL stats instead of a phantom -1 sentence count
+    n = F.when(F.col(text_col).isNotNull(), F.size(sents))
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_sentences"),

@@ -211,3 +211,19 @@ def test_kmv_merge_equals_rebuild_and_accuracy(spark):
     )
     s = kmv_estimate(small, k=64).collect()[0]
     assert s["n_seen"] == 40 and s["distinct_est"] == 40.0
+
+
+def test_kmv_ignores_null_values(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.sketches import (
+        kmv_build_store,
+        kmv_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2), ("g", None)],
+        "g string, v int",
+    )
+    r = kmv_estimate(kmv_build_store(df, ["g"], "v", k=8), k=8).collect()[0]
+    assert r["n_seen"] == 2 and r["distinct_est"] == 2.0

@@ -300,3 +300,12 @@ def test_sentence_stats_segmentation_and_edges(spark):
     assert out[2]["n_sentences"] == 1
     assert out[3]["n_sentences"] == 0 and out[3]["avg_sentence_chars"] is None
     assert out[4]["n_sentences"] == 0
+
+
+def test_sentence_stats_null_text_is_null_not_negative(spark):
+    from datawarehousefinal_spark.operators.textstats import sentence_stats
+
+    df = spark.createDataFrame([(1, None), (2, "Hi.")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in sentence_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_sentences"] is None
+    assert out[2]["n_sentences"] == 1
