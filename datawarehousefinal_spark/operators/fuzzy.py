@@ -122,9 +122,71 @@ def fuzzy_pairs_blocked(
     id_b`` fixes orientation. Neither side broadcasts by construction.
 
     Output: ``id_a, id_b, distance`` (one row per unordered pair).
+
+    Blocking strategy by distance bound: for ``max_distance == 1`` the
+    block key is the LOSSLESS pigeonhole pair of half-strings — one
+    edit cannot change both the (floor-half) prefix and the
+    (ceil-half, end-aligned) suffix, and emitting the two admissible
+    half lengths per string covers the ±1 length shift — so a corpus of
+    NEAR-UNIFORM length (where a pure length band degenerates into one
+    giant block and the join goes quadratic-within-block) still blocks
+    on actual content. For larger bounds the length band is the block
+    key; both paths verify with the bounded ``levenshtein`` and are
+    differential-tested against brute force.
     """
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
+    if max_distance == 1:
+        name = F.col(name_col)
+        L = F.length(name)
+
+        def half_keys():
+            h1 = F.floor((L - 1) / 2).cast("int")
+            h2 = F.floor(L / 2).cast("int")
+            s1 = F.ceil((L - 1) / 2).cast("int")
+            s2 = F.ceil(L / 2).cast("int")
+            return F.array_distinct(
+                F.array(
+                    F.concat(F.lit("p:"), name.substr(F.lit(1), h1)),
+                    F.concat(F.lit("p:"), name.substr(F.lit(1), h2)),
+                    F.concat(
+                        F.lit("s:"), name.substr(L - s1 + 1, s1)
+                    ),
+                    F.concat(
+                        F.lit("s:"), name.substr(L - s2 + 1, s2)
+                    ),
+                )
+            )
+
+        keyed = df.select(
+            F.col(id_col).alias("__id"),
+            name.alias("__n"),
+            F.explode(half_keys()).alias("__k"),
+        )
+        a = keyed.select(
+            F.col("__id").alias("id_a"),
+            F.col("__n").alias("__na"),
+            "__k",
+        )
+        b = keyed.select(
+            F.col("__id").alias("id_b"),
+            F.col("__n").alias("__nb"),
+            "__k",
+        )
+        cand = (
+            a.join(b, "__k")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__na", "__nb")
+            .distinct()  # a pair can meet on both half keys
+        )
+        return (
+            cand.filter(F.abs(F.length("__na") - F.length("__nb")) <= 1)
+            .withColumn(
+                "distance", F.levenshtein(F.col("__na"), F.col("__nb"), 1)
+            )
+            .filter(F.col("distance") >= 0)
+            .select("id_a", "id_b", "distance")
+        )
     w_band = max_distance + 1
     base = df.select(
         F.col(id_col).alias("id_a"),

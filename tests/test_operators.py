@@ -419,3 +419,45 @@ def test_fuzzy_pairs_blocked_complete_and_unique(spark):
     }
     assert pairs == want
     assert len(out) == len(pairs)  # no duplicate pair rows
+
+
+def test_fuzzy_pairs_blocked_pigeonhole_differential(spark):
+    """The d=1 pigeonhole half-string path must find EXACTLY the brute
+    force pair set on adversarial inputs: uniform lengths (where the
+    band path degenerates), mixed lengths, empties, and one-char
+    strings."""
+    import itertools
+    import random
+
+    from datawarehousefinal_spark.operators.fuzzy import fuzzy_pairs_blocked
+
+    rng = random.Random(99)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.choice([0, 1, 2, 7, 8])))
+        for _ in range(80)
+    ]
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, ["id", "name"])
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return 99
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (ia, ib): lev(na, nb)
+        for (ia, na), (ib, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) <= 1
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_pairs_blocked(df, "id", "name", 1).collect()
+    }
+    assert got == want
