@@ -47,6 +47,33 @@ def fuzzy_closest(
     )
 
 
+def _half_keys(name_col: str):
+    """The distance-1 pigeonhole block keys of a string: its floor-half
+    prefix and ceil-half END-aligned suffix, each emitted at both
+    admissible half lengths (own length L and partner length L−1) so
+    pairs whose lengths differ by one still meet on a shared key. One
+    edit — substitution, insertion, or deletion — can invalidate at most
+    one of the two halves, so every pair within distance 1 shares at
+    least one emitted key: the blocking is LOSSLESS. Kind tags ('p:'/
+    's:') keep prefix keys from colliding with suffix keys; NULL names
+    produce NULL keys, which equality joins drop (matching the
+    brute-force operators' NULL semantics)."""
+    name = F.col(name_col)
+    L = F.length(name)
+    h1 = F.floor((L - 1) / 2).cast("int")
+    h2 = F.floor(L / 2).cast("int")
+    s1 = F.ceil((L - 1) / 2).cast("int")
+    s2 = F.ceil(L / 2).cast("int")
+    return F.array_distinct(
+        F.array(
+            F.concat(F.lit("p:"), name.substr(F.lit(1), h1)),
+            F.concat(F.lit("p:"), name.substr(F.lit(1), h2)),
+            F.concat(F.lit("s:"), name.substr(L - s1 + 1, s1)),
+            F.concat(F.lit("s:"), name.substr(L - s2 + 1, s2)),
+        )
+    )
+
+
 def fuzzy_closest_blocked(
     left: DataFrame,
     right: DataFrame,
@@ -72,10 +99,44 @@ def fuzzy_closest_blocked(
     built-in early-exit bound.
 
     Equivalence to the brute-force operator is pinned by a differential
-    test (tests/test_fuzz_differential.py).
+    test (tests/test_fuzz_differential.py). At ``max_distance == 1`` the
+    block key is the lossless pigeonhole half-string pair (see
+    :func:`fuzzy_pairs_blocked`) instead of the length band, which keeps
+    blocking content-based on near-uniform-length columns.
     """
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
+    if max_distance == 1:
+        lhs = left.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).withColumn("__k", F.explode(_half_keys(left_col)))
+        rhs = (
+            right.select(right_col)
+            .distinct()
+            .select(right_col, F.explode(_half_keys(right_col)).alias("__k"))
+        )
+        cand = (
+            lhs.join(rhs, "__k")
+            .drop("__k")
+            .distinct()  # a pair can meet on both half keys
+        )
+        scored = (
+            cand.filter(
+                F.abs(F.length(left_col) - F.length(right_col)) <= 1
+            )
+            .withColumn(
+                "distance",
+                F.levenshtein(F.col(left_col), F.col(right_col), 1),
+            )
+            .filter(F.col("distance") >= 0)
+        )
+        w = Window.partitionBy("__rid").orderBy("distance", right_col)
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__rid")
+            .withColumnRenamed(right_col, "match")
+        )
     w_band = max_distance + 1
     lhs = left.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
         "__band", F.floor(F.length(left_col) / w_band)
@@ -137,31 +198,10 @@ def fuzzy_pairs_blocked(
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
     if max_distance == 1:
-        name = F.col(name_col)
-        L = F.length(name)
-
-        def half_keys():
-            h1 = F.floor((L - 1) / 2).cast("int")
-            h2 = F.floor(L / 2).cast("int")
-            s1 = F.ceil((L - 1) / 2).cast("int")
-            s2 = F.ceil(L / 2).cast("int")
-            return F.array_distinct(
-                F.array(
-                    F.concat(F.lit("p:"), name.substr(F.lit(1), h1)),
-                    F.concat(F.lit("p:"), name.substr(F.lit(1), h2)),
-                    F.concat(
-                        F.lit("s:"), name.substr(L - s1 + 1, s1)
-                    ),
-                    F.concat(
-                        F.lit("s:"), name.substr(L - s2 + 1, s2)
-                    ),
-                )
-            )
-
         keyed = df.select(
             F.col(id_col).alias("__id"),
-            name.alias("__n"),
-            F.explode(half_keys()).alias("__k"),
+            F.col(name_col).alias("__n"),
+            F.explode(_half_keys(name_col)).alias("__k"),
         )
         a = keyed.select(
             F.col("__id").alias("id_a"),
