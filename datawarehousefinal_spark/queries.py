@@ -6275,6 +6275,105 @@ def cdc_apply_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cdc_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, 'U' AS op, 1 AS seq,
+             'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', 2, NULL, NULL
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'I', 1, 'N', 1.0
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        FROM changes) t
+      WHERE rn = 1
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE end-to-end (streaming.foreach_batch_cdc_apply →
+    scd.apply_changes): the orders snapshot bootstraps to parquet, the
+    SAME changeset as ``cdc_apply_changes`` arrives as two change FILES
+    (updates+deletes, then inserts — disjoint key sets, so any
+    micro-batching yields the same state) consumed one file per
+    micro-batch through a foreachBatch upsert sink with an atomic
+    staging-rename snapshot swap. The post-stream snapshot must
+    hash-match the batch operator's oracle exactly — streaming and
+    batch MERGE provably share one semantics."""
+    import shutil
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        foreach_batch_cdc_apply,
+        read_parquet_stream,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = _scratch_path("stream_cdc", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    snap, changes_dir, ck = f"{base}/snap", f"{base}/changes", f"{base}/ck"
+    orders.write.parquet(snap)
+
+    batch_a = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 11 == 0).select(
+                "o_orderkey",
+                F.lit("D").alias("op"),
+                F.lit(2).alias("seq"),
+                F.lit(None).cast("string").alias("o_orderstatus"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            )
+        )
+    )
+    batch_b = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    batch_a.coalesce(1).write.mode("append").parquet(changes_dir)
+    batch_b.coalesce(1).write.mode("append").parquet(changes_dir)
+
+    stream = read_parquet_stream(
+        spark, changes_dir, batch_a.schema, max_files_per_trigger=1
+    )
+    (
+        stream.writeStream.foreachBatch(
+            foreach_batch_cdc_apply(
+                snap, ["o_orderkey"], op_col="op", seq_col="seq"
+            )
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(snap)
+
+
+@query(
     "weighted_sample_docs",
     oracle="""
     SELECT doc_id, n_chars FROM documents

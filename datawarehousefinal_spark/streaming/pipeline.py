@@ -227,6 +227,46 @@ def foreach_batch_dim_merge(
     return _merge
 
 
+def foreach_batch_cdc_apply(
+    snapshot_path: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming MERGE: a ``foreachBatch`` sink that applies each
+    micro-batch of CDC changes (I/U/D rows) to the parquet snapshot at
+    ``snapshot_path`` via the batch :func:`operators.scd.apply_changes`
+    — so streaming and batch upserts share ONE merge semantics and
+    can't drift. Each batch rewrites the snapshot to a staging directory
+    and atomically renames it over the old one (plain parquet has no
+    transactional MERGE; a table format would replace the rename —
+    noted, not hidden). The snapshot must exist before the stream
+    starts (bootstrap it with the initial load)."""
+    import os
+    import shutil
+
+    from datawarehousefinal_spark.operators.scd import apply_changes
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        snapshot = spark.read.parquet(snapshot_path)
+        merged = apply_changes(
+            snapshot,
+            batch,
+            key_cols,
+            op_col=op_col,
+            seq_col=seq_col,
+        )
+        staging = f"{snapshot_path}.__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{snapshot_path}.__old_{batch_id}"
+        os.rename(snapshot_path, old)
+        os.rename(staging, snapshot_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return _apply
+
+
 def foreach_batch_incremental_dedup(
     store_path: str,
     survivors_path: str,
