@@ -97,6 +97,79 @@ def apply_changes(
     return survivors.unionByName(upserts)
 
 
+def extract_changes(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the CDC changeset that turns snapshot ``old`` into ``new``
+    — the read side of the pair whose write side is
+    :func:`apply_changes`: ``apply_changes(old, extract_changes(old,
+    new)) ≡ new`` exactly (pinned by test and by the oracled round-trip
+    query). 'I' rows are keys only in ``new``, 'D' rows keys only in
+    ``old``, 'U' rows keys present in both whose non-key columns differ
+    null-safely; unchanged rows emit nothing, so the changeset is
+    minimal.
+
+    One co-partitioned full-outer join on the key — the same single
+    shuffle as the snapshot-diff summary, but emitting the full-row
+    images a downstream MERGE needs. Both snapshots must share the
+    ``old`` schema; 'D' rows carry NULL attributes (only the key
+    matters to a delete).
+    """
+    attr_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in old.columns]
+    )
+    cond = [
+        o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"]) for k in key_cols
+    ]
+    joined = o.join(n, cond, "full_outer")
+    in_old = reduce(
+        or_, [o[f"__o_{k}"].isNotNull() for k in key_cols]
+    )
+    in_new = reduce(
+        or_, [n[f"__n_{k}"].isNotNull() for k in key_cols]
+    )
+    changed = (
+        reduce(
+            or_,
+            [
+                ~o[f"__o_{c}"].eqNullSafe(n[f"__n_{c}"])
+                for c in attr_cols
+            ],
+        )
+        if attr_cols
+        else F.lit(False)
+    )
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            F.col(op_col),
+            *[
+                F.coalesce(n[f"__n_{k}"], o[f"__o_{k}"]).alias(k)
+                for k in key_cols
+            ],
+            *[
+                F.when(
+                    F.col(op_col) != "D", n[f"__n_{c}"]
+                ).alias(c)
+                for c in attr_cols
+            ],
+        )
+    )
+
+
 def scd2_lookup(
     facts: DataFrame,
     scd2_dim: DataFrame,

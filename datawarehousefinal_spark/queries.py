@@ -6200,6 +6200,60 @@ def snapshot_diff_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_extract_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+)
+def cdc_extract_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round trip, hash-proven: the changeset EXTRACTED from
+    (tonight, last-night) snapshots (scd.extract_changes — minimal
+    I/U/D rows off one full-outer key join) APPLIED back to last night's
+    snapshot must reproduce tonight's EXACTLY — the oracle is simply
+    tonight's snapshot replayed in SQL, so the hash match pins
+    ``apply ∘ extract = identity``, the contract that makes the two
+    operators a usable CDC pair. Same deterministic evolution as
+    snapshot_diff_orders (prices bumped on 7s, 13s removed, 17s
+    re-keyed in)."""
+    from datawarehousefinal_spark.operators.scd import (
+        apply_changes,
+        extract_changes,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    changes = extract_changes(orders, new, ["o_orderkey"])
+    return apply_changes(orders, changes, ["o_orderkey"])
+
+
+@query(
     "cdc_apply_changes",
     oracle="""
     WITH changes AS (

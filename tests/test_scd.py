@@ -110,3 +110,30 @@ def test_apply_changes_without_seq_is_single_image(spark):
     out = apply_changes(base, changes, ["k"], op_col="op")
     rows = {r["k"]: r["v"] for r in out.collect()}
     assert rows == {2: "b"}
+
+
+def test_extract_changes_minimal_and_roundtrip(spark):
+    from datawarehousefinal_spark.operators.scd import (
+        apply_changes,
+        extract_changes,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        ["k", "s", "m"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged -> no change row
+         (2, "b2", 20.0),       # update
+         (3, "c", None),        # unchanged incl. NULL attr (null-safe)
+         (5, "e", 50.0)],       # insert; key 4 deleted
+        ["k", "s", "m"],
+    )
+    ch = extract_changes(old, new, ["k"])
+    ops = {r["k"]: r["op"] for r in ch.collect()}
+    assert ops == {2: "U", 4: "D", 5: "I"}  # minimal: 1 and 3 absent
+
+    applied = apply_changes(old, ch, ["k"])
+    got = sorted((r["k"], r["s"], r["m"]) for r in applied.collect())
+    want = sorted((r["k"], r["s"], r["m"]) for r in new.collect())
+    assert got == want
