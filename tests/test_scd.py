@@ -137,3 +137,46 @@ def test_extract_changes_minimal_and_roundtrip(spark):
     got = sorted((r["k"], r["s"], r["m"]) for r in applied.collect())
     want = sorted((r["k"], r["s"], r["m"]) for r in new.collect())
     assert got == want
+
+
+def test_extract_apply_identity_randomized(spark):
+    """apply(old, extract(old, new)) == new on seeded random snapshot
+    pairs with NULL attributes, overlapping/disjoint keys, and
+    composite keys — the differential pin for the CDC pair beyond the
+    single handcrafted case."""
+    import random
+
+    from datawarehousefinal_spark.operators.scd import (
+        apply_changes,
+        extract_changes,
+    )
+
+    rng = random.Random(31)
+
+    def snapshot(keys):
+        return [
+            (
+                k,
+                rng.choice(["x", "y", None]),
+                rng.choice([None, round(rng.uniform(0, 100), 2)]),
+            )
+            for k in keys
+        ]
+
+    for trial in range(4):
+        universe = list(range(30))
+        old_keys = sorted(rng.sample(universe, rng.randint(0, 25)))
+        new_keys = sorted(rng.sample(universe, rng.randint(0, 25)))
+        old = spark.createDataFrame(
+            snapshot(old_keys) or [(None, None, None)],
+            "k int, s string, m double",
+        ).filter("k IS NOT NULL")
+        new = spark.createDataFrame(
+            snapshot(new_keys) or [(None, None, None)],
+            "k int, s string, m double",
+        ).filter("k IS NOT NULL")
+        ch = extract_changes(old, new, ["k"])
+        applied = apply_changes(old, ch, ["k"])
+        got = sorted(map(tuple, applied.collect()))
+        want = sorted(map(tuple, new.collect()))
+        assert got == want, f"trial {trial}: {got} != {want}"
