@@ -327,6 +327,43 @@ def quantile_rank_normalize(
     return df.join(qmap, [value_col], "left")
 
 
+def grouped_quantile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "q",
+) -> DataFrame:
+    """Per-group exact quantile normalization — the segment-aware
+    variant of :func:`quantile_rank_normalize` (normalize a feature
+    WITHIN its cohort so segments with different scales become
+    comparable). Same averaged-tie contract: q = (midrank − 1)/(n − 1)
+    within the group, 0.5 for single-value groups, NULL passthrough.
+
+    Scale shape: the per-group value HISTOGRAM (one map-side-combined
+    aggregate) is windowed per group — many groups parallelize
+    naturally, and the window input is |group's distinct values|, not
+    its rows — then joins back on (group, value). The global variant's
+    distributed prefix sum is unnecessary here: the group key IS the
+    partitioning.
+    """
+    vals = df.filter(F.col(value_col).isNotNull())
+    hist = vals.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    cum = hist.withColumn(
+        "__cum", F.sum("__cnt").over(w)
+    ).withColumn(
+        "__n", F.sum("__cnt").over(Window.partitionBy(*group_cols))
+    )
+    midrank = F.col("__cum") - (F.col("__cnt") - 1) / 2
+    qcol = F.when(
+        F.col("__n") > 1, (midrank - 1) / (F.col("__n") - 1)
+    ).otherwise(F.lit(0.5))
+    qmap = cum.select(*group_cols, value_col, qcol.alias(out_col))
+    return df.join(qmap, [*group_cols, value_col], "left")
+
+
 def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Pearson chi-square test of independence between two categorical
     columns, plus Cramer's V effect size — the standard "are these two

@@ -5697,6 +5697,56 @@ def stratified_sample_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_quantile_normalize",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+      FROM lineitem WHERE l_orderkey % 11 = 0
+    ),
+    hist AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM src WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, l_extendedprice, cnt,
+             sum(cnt) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS c,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM hist
+    ),
+    qmap AS (
+      SELECT l_returnflag, l_extendedprice,
+             CASE WHEN n > 1 THEN ((c - (cnt - 1) / 2) - 1) / (n - 1)
+                  ELSE 0.5 END AS q
+      FROM cum
+    )
+    SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag,
+           s.l_extendedprice, qmap.q
+    FROM src s LEFT JOIN qmap USING (l_returnflag, l_extendedprice)
+    """,
+)
+def grouped_quantile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-aware quantile normalization (analytics.
+    grouped_quantile_normalize): line prices normalized WITHIN their
+    return-flag cohort — per-group value histogram windows (input =
+    distinct values per group, never raw rows) joined back on
+    (group, value); the oracle replays histogram/cumsum/midrank per
+    group."""
+    from datawarehousefinal_spark.operators.analytics import (
+        grouped_quantile_normalize,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 11 == 0
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    return grouped_quantile_normalize(
+        li, ["l_returnflag"], "l_extendedprice"
+    )
+
+
+@query(
     "melt_measures",
     oracle="""
     SELECT l_orderkey, l_linenumber, measure, value

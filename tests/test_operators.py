@@ -461,3 +461,25 @@ def test_fuzzy_pairs_blocked_pigeonhole_differential(spark):
         for r in fuzzy_pairs_blocked(df, "id", "name", 1).collect()
     }
     assert got == want
+
+
+def test_grouped_quantile_normalize_per_group(spark):
+    from datawarehousefinal_spark.operators.analytics import (
+        grouped_quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0),
+         ("b", 100.0), ("b", 200.0),
+         ("c", 7.0),            # single-value group -> 0.5
+         ("a", None)],
+        ["g", "v"],
+    )
+    out = grouped_quantile_normalize(df, ["g"], "v")
+    got = {(r["g"], r["v"]): r["q"] for r in out.collect()}
+    assert got[("a", 10.0)] == 0.0
+    assert got[("a", 20.0)] == 0.5
+    assert got[("a", 30.0)] == 1.0
+    assert got[("b", 100.0)] == 0.0 and got[("b", 200.0)] == 1.0
+    assert got[("c", 7.0)] == 0.5
+    assert got[("a", None)] is None
