@@ -512,6 +512,33 @@ def group_sample_exact(
     )
 
 
+def entity_sample(
+    df: DataFrame,
+    entity_col: str,
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """ENTITY-COMPLETE sampling: keep every row of a deterministic
+    ``fraction`` of entities (users/sessions/documents) — the sampling
+    contract behavioral analysis actually needs (row-level sampling
+    shreds sessions and funnels: a user with half their events missing
+    looks like a bouncer). The entity keeps or drops ATOMICALLY based
+    on its id hash, so the sample is a pure function of (entity, seed):
+    stable across re-runs and engines, nested across fractions, and
+    JOIN-CONSISTENT — two tables sampled with the same entity column,
+    fraction, and seed keep the SAME entities, so downstream joins
+    still line up.
+
+    Map-only (one hash filter pushed at the scan) — no shuffle, no
+    distinct, no entity list materialized anywhere. Mechanically this
+    IS :func:`deterministic_sample` pointed at a non-unique key — the
+    atomic-per-entity semantics fall out of the hash being a function
+    of the entity id alone; this alias exists so callers state the
+    contract they rely on.
+    """
+    return deterministic_sample(df, entity_col, fraction, seed)
+
+
 def stratified_sample_exact(
     df: DataFrame,
     id_col: str,

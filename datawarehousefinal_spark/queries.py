@@ -5666,6 +5666,34 @@ def shard_export_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(spark, path, "doc_id")
 
 
+_ENTITY_THRESH = int(0.3 * (1 << 60))  # same arithmetic as sample_hash
+
+
+@query(
+    "entity_sample_events",
+    oracle=f"""
+    SELECT user_id, count(*)::BIGINT AS n_events
+    FROM events
+    WHERE CAST(concat('0x', substr(md5(user_id::VARCHAR || ':42'),
+               1, 15)) AS BIGINT) < {_ENTITY_THRESH}
+    GROUP BY 1
+    """,
+)
+def entity_sample_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-complete sampling (curation.entity_sample): ~30% of USERS
+    keep ALL their events (row sampling shreds sessions; the hash
+    decides per entity, map-only, join-consistent across tables at the
+    same seed) — the per-user event counts of the kept set replay
+    exactly, and every kept user's count equals their full-table count
+    by construction."""
+    from datawarehousefinal_spark.operators.curation import entity_sample
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    return entity_sample(events, "user_id", 0.3, seed=42).groupBy(
+        "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
 @query(
     "stratified_sample_exact",
     oracle="""
