@@ -5894,6 +5894,47 @@ def embedding_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "imputation_value_report",
+    oracle="""
+    SELECT 'value' AS column_name,
+           count(*)::BIGINT AS n_total,
+           count(*) FILTER (WHERE value IS NULL)::BIGINT AS n_nulls,
+           avg(value) AS mean_value,
+           quantile_cont(value, 0.5) AS median_value
+    FROM events
+    UNION ALL
+    SELECT 'o_totalprice', count(*)::BIGINT,
+           count(*) FILTER (WHERE o_totalprice IS NULL)::BIGINT,
+           avg(o_totalprice), quantile_cont(o_totalprice, 0.5)
+    FROM orders
+    """,
+)
+def imputation_value_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The imputation VALUES report — the oracle-checkable face of M1
+    (machineLearning.py's SimpleImputer preprocessing): per numeric
+    column, null counts plus the mean and exact median an imputer would
+    fill with. One aggregate per table (exact interpolated percentile,
+    engine-identical to quantile_cont); the ML pipeline's imputer stage
+    consumes these same statistics, so the fill values themselves are
+    now hash-verified, not just structurally exercised."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def report(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+            F.avg(col).alias("mean_value"),
+            F.expr(f"percentile({col}, 0.5)").alias("median_value"),
+        )
+
+    return report(events, "value").unionByName(
+        report(orders, "o_totalprice")
+    )
+
+
+@query(
     "benford_digit_report",
     oracle="""
     WITH d AS (
