@@ -99,7 +99,7 @@ def fuzzy_closest_blocked(
     built-in early-exit bound.
 
     Equivalence to the brute-force operator is pinned by a differential
-    test (tests/test_fuzz_differential.py). At ``max_distance == 1`` the
+    test (tests/test_operators.py). At ``max_distance == 1`` the
     block key is the lossless pigeonhole half-string pair (see
     :func:`fuzzy_pairs_blocked`) instead of the length band, which keeps
     blocking content-based on near-uniform-length columns.
