@@ -46,3 +46,59 @@ def future_dates(spark, last_date_df, days: int = 365):
             )
         ).alias("fecha")
     )
+
+
+def build_date_dimension(spark, start: str, end: str):
+    """The reference's dim_fecha as a GENERATED calendar dimension
+    (etl_final.ktr:2747-2805 builds it lazily from arriving facts; a
+    warehouse normally pre-generates the calendar so every date joins,
+    observed or not): one row per day in [start, end], with the
+    drill-path attributes the Fecha hierarchy uses (anio > mes > dia,
+    Schema_Trabajo_Final.xml:69-72) plus the standard calendar flags.
+    ``nombre_mes`` comes from the SAME Spanish month constants as the
+    F7 parser (functions.cleaning.SPANISH_MONTHS), so the dimension and
+    the month-name parser can never drift.
+
+    Pure sequence+explode on a literal range — distributed, no driver
+    loop, ~36.5k rows per century (a broadcast-sized dim at any scale).
+
+    Output: ``fecha, anio, mes, dia, trimestre, isodow, is_weekend,
+    nombre_mes, fecha_completa`` (the reference's non-padded string).
+    """
+    from datawarehousefinal_spark.functions.cleaning import SPANISH_MONTHS
+
+    month_expr = None
+    for name, num in SPANISH_MONTHS.items():
+        cond = F.col("mes") == num
+        month_expr = (
+            F.when(cond, name)
+            if month_expr is None
+            else month_expr.when(cond, name)
+        )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("fecha")
+    )
+    return (
+        days.select(
+            "fecha",
+            F.year("fecha").cast("int").alias("anio"),
+            F.month("fecha").cast("int").alias("mes"),
+            F.dayofmonth("fecha").cast("int").alias("dia"),
+            F.quarter("fecha").cast("int").alias("trimestre"),
+            (F.weekday("fecha") + 1).cast("int").alias("isodow"),
+        )
+        .withColumn("is_weekend", F.col("isodow") >= 6)
+        .withColumn("nombre_mes", month_expr)
+        .withColumn(
+            "fecha_completa",
+            concat_date_nonpadded(
+                F.col("anio"), F.col("mes"), F.col("dia")
+            ),
+        )
+    )

@@ -6148,6 +6148,43 @@ def daily_value_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "date_dimension_build",
+    oracle="""
+    SELECT CAST(d AS DATE) AS fecha,
+           CAST(year(d) AS INTEGER) AS anio,
+           CAST(month(d) AS INTEGER) AS mes,
+           CAST(day(d) AS INTEGER) AS dia,
+           CAST(quarter(d) AS INTEGER) AS trimestre,
+           CAST(isodow(d) AS INTEGER) AS isodow,
+           isodow(d) >= 6 AS is_weekend,
+           CASE month(d)
+             WHEN 1 THEN 'enero' WHEN 2 THEN 'febrero' WHEN 3 THEN 'marzo'
+             WHEN 4 THEN 'abril' WHEN 5 THEN 'mayo' WHEN 6 THEN 'junio'
+             WHEN 7 THEN 'julio' WHEN 8 THEN 'agosto'
+             WHEN 9 THEN 'septiembre' WHEN 10 THEN 'octubre'
+             WHEN 11 THEN 'noviembre' WHEN 12 THEN 'diciembre'
+           END AS nombre_mes,
+           year(d) || '/' || month(d) || '/' || day(d) AS fecha_completa
+    FROM (SELECT unnest(generate_series(DATE '2023-11-15',
+                 DATE '2024-03-15', INTERVAL 1 DAY)) AS d)
+    """,
+)
+def date_dimension_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (dates.build_date_dimension — the
+    pre-generated dim_fecha the reference builds lazily from facts,
+    etl_final.ktr:2747-2805): every day over a leap-year boundary
+    window with the Fecha drill attributes, ISO weekday, weekend flag,
+    the F7-shared Spanish month names, and the reference's non-padded
+    fecha_completa string — all replayed by the engine, leap day
+    included."""
+    from datawarehousefinal_spark.functions.dates import (
+        build_date_dimension,
+    )
+
+    return build_date_dimension(spark, "2023-11-15", "2024-03-15")
+
+
+@query(
     "seasonal_dow_forecast",
     oracle="""
     WITH daily AS (
