@@ -198,7 +198,10 @@ MOMENT_COLS = ("n", "sum_m", "sum_sq", "min_m", "max_m")
 
 
 def moment_state(
-    fact: DataFrame, group_cols: list[str], measure_col: str
+    fact: DataFrame,
+    group_cols: list[str],
+    measure_col: str,
+    frac_digits: int = 2,
 ) -> DataFrame:
     """:func:`measure_state` generalized to the full second-moment
     decomposition: per group ``(n, Σx, Σx², min, max)`` — every one of
@@ -209,13 +212,24 @@ def moment_state(
     argument: any algebraic aggregate with a bounded summary travels as
     state; holistic ones (exact median) need a sketch instead.
 
-    Output: ``*group_cols, n (long), sum_m, sum_sq, min_m, max_m``.
+    Σx and Σx² accumulate in DECIMAL (``decimal(18, frac_digits)`` per
+    value, so Σx² carries ``2*frac_digits`` fractional digits): for
+    measures with at most ``frac_digits`` decimals (money), the sums are
+    EXACT and therefore merge-order-invariant — double accumulation
+    reassociates under partial-agg merge, and ``Σx²/n − mean²``'s
+    cancellation amplifies those last-ulp flips into visible variance
+    jitter across runs. min/max stay on the raw double (order-invariant
+    by definition).
+
+    Output: ``*group_cols, n (long), sum_m (dec), sum_sq (dec),
+    min_m, max_m (double)``.
     """
     m = F.col(measure_col).cast("double")
+    p = F.col(measure_col).cast(f"decimal(18,{frac_digits})")
     return fact.groupBy(*group_cols).agg(
         F.count(m).cast("long").alias("n"),
-        F.sum(m).alias("sum_m"),
-        F.sum(m * m).alias("sum_sq"),
+        F.sum(p).alias("sum_m"),
+        F.sum(p * p).alias("sum_sq"),
         F.min(m).alias("min_m"),
         F.max(m).alias("max_m"),
     )
@@ -224,8 +238,9 @@ def moment_state(
 def merge_moment_state(state: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge two moment states (same schema): component sums + min/max
     folds per group. ``merge(state(A), state(B)) ≡ state(A ∪ B)``
-    exactly for n/sums/min/max (floating addition reassociates within
-    the usual ulp tolerance the oracle gate already rounds away)."""
+    EXACTLY — n/min/max trivially, Σx/Σx² because they travel as
+    decimal (see :func:`moment_state`), so the identity holds
+    bit-for-bit, not just to ulp tolerance."""
     group_cols = [c for c in state.columns if c not in MOMENT_COLS]
     return (
         state.unionByName(delta)
@@ -243,11 +258,14 @@ def merge_moment_state(state: DataFrame, delta: DataFrame) -> DataFrame:
 def serve_moments(state: DataFrame) -> DataFrame:
     """Render a moment state into serving measures: count, avg,
     population variance (``Σx²/n − (Σx/n)²``, clamped at 0 against
-    float cancellation), min, max."""
+    float cancellation), min, max. The decimal sums cast to double
+    FIRST, then one IEEE divide/multiply/subtract — the same fixed
+    arithmetic an oracle replays, so served values are deterministic."""
     group_cols = [c for c in state.columns if c not in MOMENT_COLS]
-    mean = F.col("sum_m") / F.col("n")
+    mean = F.col("sum_m").cast("double") / F.col("n")
     var = F.greatest(
-        F.col("sum_sq") / F.col("n") - mean * mean, F.lit(0.0)
+        F.col("sum_sq").cast("double") / F.col("n") - mean * mean,
+        F.lit(0.0),
     )
     return state.select(
         *group_cols,

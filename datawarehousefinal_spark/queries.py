@@ -50,40 +50,51 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-_SCRATCH_REGISTERED: set[str] = set()
-
-
 def _scratch_path(name: str, sf_dir: str, suffix: str = "") -> str:
-    """Per-process scratch location for sink-roundtrip queries.
+    """Per-CALL scratch location for sink-roundtrip queries.
 
-    Fixed shared /tmp paths let concurrent runs on the same sf (driver
-    correctness vs a local bench/verify) interleave an overwrite with a
-    read-back — the `zorder_sink_roundtrip` flake in CORRECTNESS_r05. The
-    pid suffix makes each process hermetic (the pattern jdbc_roundtrip
-    already used for Derby). Cleanup happens at process exit — the
-    returned DataFrame is lazy, so the files must survive until the
-    driver collects it — which also keeps /tmp from accumulating
-    per-run garbage.
+    History of the flake class this kills: fixed shared /tmp paths let
+    concurrent runs interleave an overwrite with a read-back
+    (CORRECTNESS_r05); a pid suffix (r06) was still racy — one process
+    running the same query twice (driver hash pass after a bench pass)
+    re-points the SAME path, and a lazy read-back from the first call
+    then reads the second call's bytes; pid recycling against a crashed
+    run's leftovers has the same effect. ``tempfile.mkdtemp`` is unique
+    per CALL by construction, so no later invocation can ever touch an
+    earlier invocation's files. Pair with :func:`_eager` on the
+    returned aggregate so the result stops depending on /tmp at all.
+    Cleanup at process exit (the driver may collect the lazy parts of a
+    result after the query function returns).
     """
     import atexit
     import os
     import shutil
-
-    def _cleanup(p: str) -> None:
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
-        elif os.path.exists(p):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+    import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"/tmp/dwf_{name}_{tag}_{os.getpid()}{suffix}"
-    if path not in _SCRATCH_REGISTERED:
-        _SCRATCH_REGISTERED.add(path)
-        atexit.register(_cleanup, path)
-    return path
+    base = tempfile.mkdtemp(prefix=f"dwf_{name}_{tag}_")
+    atexit.register(shutil.rmtree, base, True)
+    return f"{base}/data{suffix}"
+
+
+def _money_sum(col: str):
+    """Order-invariant sum of a 2-decimal money column: accumulate in
+    decimal(18,2) (exact — the inputs carry ≤2 decimals), serve as
+    double. Double accumulation reassociates under partial-agg merge
+    and AQE re-partitioning, flipping last ulps run-to-run — exactly
+    the hash-boundary jitter behind the r05/r06 sink-roundtrip flakes.
+    Oracles replay ``CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+def _eager(df: DataFrame) -> DataFrame:
+    """Materialize a (small) result eagerly so it no longer references
+    its scratch input files. Every sink-roundtrip returns a tiny
+    aggregate; ``localCheckpoint(eager=True)`` computes it NOW and pins
+    the rows in block storage, so whatever the driver does between
+    actions (re-collection, a second hash pass, concurrent window
+    execution) can never re-read — or race on — the /tmp scratch."""
+    return df.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1627,7 +1638,7 @@ def csv_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     good, bad = read_csv_with_repair(spark, path, schema)
     repaired = repair_rows(bad, schema, sep=";")
-    return good.unionByName(repaired)
+    return _eager(good.unionByName(repaired))
 
 
 @query(
@@ -1827,7 +1838,7 @@ def csv_typed_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_name", StringType()),
         ]
     )
-    return read_csv_typed(spark, path, schema, sep=";")
+    return _eager(read_csv_typed(spark, path, schema, sep=";"))
 
 
 @query(
@@ -1883,7 +1894,7 @@ def encoding_fallback_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, _chosen = read_csv_encoding_fallback(
         spark, os.path.join(base, "*.csv"), schema, sep=";"
     )
-    return df
+    return _eager(df)
 
 
 @query(
@@ -1892,7 +1903,7 @@ def encoding_fallback_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
            o_orderstatus,
            count(*) AS n,
-           sum(o_totalprice) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -1912,21 +1923,21 @@ def parquet_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("anio"), F.col("o_orderstatus")
         )
         .agg(
-            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+            F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total")
         )
     )
     path = _scratch_path("pq_sink", sf_dir)
     write_parquet(agg, path, partition_by=["anio"])
     out = spark.read.parquet(path)
-    return out.select(
+    return _eager(out.select(
         F.col("anio").cast("int"), "o_orderstatus", "n", "total"
-    )
+    ))
 
 
 @query(
     "zorder_sink_roundtrip",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -1948,9 +1959,9 @@ def zorder_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_path("zorder", sf_dir)
     zorder_write(orders, path, ["o_custkey", "o_totalprice"], num_files=16)
     back = spark.read.parquet(path)
-    return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
-    )
+    return _eager(back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total")
+    ))
 
 
 @query(
@@ -1986,7 +1997,7 @@ def csv_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n", LongType()),
         ]
     )
-    return read_csv_typed(spark, path, schema)
+    return _eager(read_csv_typed(spark, path, schema))
 
 
 @query(
@@ -2026,15 +2037,17 @@ def jdbc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "createTableColumnTypes": "o_orderstatus VARCHAR(4)",
     }
     write_jdbc(agg, url, "status_counts", mode="overwrite", properties=props)
-    return read_jdbc(
-        spark,
-        url,
-        "status_counts",
-        properties={"driver": props["driver"]},
-        partition_column="n",
-        num_partitions=4,
-        lower_bound=0,
-        upper_bound=1_000_000,
+    return _eager(
+        read_jdbc(
+            spark,
+            url,
+            "status_counts",
+            properties={"driver": props["driver"]},
+            partition_column="n",
+            num_partitions=4,
+            lower_bound=0,
+            upper_bound=1_000_000,
+        )
     )
 
 
@@ -2054,12 +2067,12 @@ def cache_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     key = os.path.basename(sf_dir.rstrip("/"))
-    return load_or_build_dataset(
+    return _eager(load_or_build_dataset(
         spark,
         _scratch_path("cache", sf_dir),
         f"status_counts_{key}",
         lambda: orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")),
-    )
+    ))
 
 
 @query(
@@ -2576,7 +2589,7 @@ def jsonl_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _scratch_path("jsonl_sink", sf_dir)
     write_jsonl(docs, path)
-    return read_jsonl(spark, path, docs.schema)
+    return _eager(read_jsonl(spark, path, docs.schema))
 
 
 @query(
@@ -2584,7 +2597,7 @@ def jsonl_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*)::BIGINT AS n,
-           sum(o_totalprice) AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
            count(*) FILTER (WHERE o_orderkey % 7 = 0)::BIGINT AS n_repaired
     FROM orders GROUP BY 1
     """,
@@ -2597,8 +2610,10 @@ def json_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan splits them off, the repair pass strips the prefix and
     re-parses, and the union must reproduce the FULL table (per-status
     counts/sums plus the per-status repaired-row count — proving
-    corrupt routing AND lossless recovery). A runtime guard fails the
-    query if no line actually took the repair path."""
+    corrupt routing AND lossless recovery). The repair path is
+    exercised by construction (every 7th key) and verified by the
+    oracle's n_repaired column — no extra guard job on the hot path
+    (tests/test_loaders.py pins the nonzero repaired count)."""
     from datawarehousefinal_spark.sources.readers import (
         read_jsonl_with_repair,
         repair_json_rows,
@@ -2620,17 +2635,15 @@ def json_repair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = orders.schema
     good, bad = read_jsonl_with_repair(spark, path, schema)
-    if bad.limit(1).count() == 0:
-        raise RuntimeError("repair path never exercised: no corrupt lines")
     repaired = repair_json_rows(bad, schema).withColumn(
         "__repaired", F.lit(1)
     )
     full = good.withColumn("__repaired", F.lit(0)).unionByName(repaired)
-    return full.groupBy("o_orderstatus").agg(
+    return _eager(full.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("o_totalprice").alias("total"),
+        _money_sum("o_totalprice").alias("total"),
         F.sum("__repaired").cast("long").alias("n_repaired"),
-    )
+    ))
 
 
 _PACK_BUDGET = 2048
@@ -2898,9 +2911,9 @@ def feature_cache_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_path("feature_cache", sf_dir)
     write_feature_cache(feats, path)
     back = read_feature_cache(spark, path)
-    return back.select(
+    return _eager(back.select(
         F.size(vector_to_array("features")).alias("feature_dim")
-    ).groupBy("feature_dim").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    ).groupBy("feature_dim").agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
 
 
 @query("rf_confusion_matrix")  # no SQL oracle: iterative ensemble training
@@ -3810,20 +3823,33 @@ def streaming_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    return serve_measures(read_cube_state(spark, state))
+    return _eager(serve_measures(read_cube_state(spark, state)))
 
 
 @query(
     "incremental_cube_moments",
     oracle="""
-    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
-           o_orderstatus,
-           count(o_totalprice)::BIGINT AS cantidad_movimientos,
-           avg(o_totalprice) AS promedio_medida,
-           var_pop(o_totalprice) AS varianza_medida,
-           min(o_totalprice) AS min_medida,
-           max(o_totalprice) AS max_medida
-    FROM orders GROUP BY 1, 2
+    WITH s AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+             o_orderstatus,
+             count(o_totalprice)::BIGINT AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_m,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS sum_sq,
+             min(o_totalprice) AS min_medida,
+             max(o_totalprice) AS max_medida
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT anio, o_orderstatus,
+           n AS cantidad_movimientos,
+           CAST(sum_m AS DOUBLE) / n AS promedio_medida,
+           greatest(
+             CAST(sum_sq AS DOUBLE) / n
+               - (CAST(sum_m AS DOUBLE) / n) * (CAST(sum_m AS DOUBLE) / n),
+             0.0
+           ) AS varianza_medida,
+           min_medida, max_medida
+    FROM s
     """,
 )
 def incremental_cube_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4098,7 +4124,7 @@ def image_meta_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "compaction_roundtrip",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -4124,17 +4150,17 @@ def compaction_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = len(_glob.glob(f"{out}/part-*.parquet"))
     if n_files > 4:
         raise RuntimeError(f"compaction left {n_files} files, expected <= 4")
-    return (
+    return _eager((
         spark.read.parquet(out)
         .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
-    )
+        .agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
+    ))
 
 
 @query(
     "bucketed_join_roundtrip",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
+    SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1
     """,
@@ -4186,14 +4212,14 @@ def bucketed_join_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment"
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_totalprice").alias("revenue"),
+        _money_sum("o_totalprice").alias("revenue"),
     )
     n_ex = exchange_count(joined)
     if n_ex > 1:
         raise RuntimeError(
             f"bucketed join re-shuffled: {n_ex} Exchanges (expected <=1)"
         )
-    return joined
+    return _eager(joined)
 
 
 @query(
@@ -4239,10 +4265,10 @@ def partition_overwrite_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFra
     seg = plan.split("PartitionFilters", 1)
     if len(seg) < 2 or "event_type" not in seg[1][:120]:
         raise RuntimeError("partition filter did not prune at the scan")
-    return back.groupBy("event_type").agg(
+    return _eager(back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("user_id_sum"),
-    )
+    ))
 
 
 @query(
@@ -4301,7 +4327,7 @@ def dynamic_partition_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fact scan is not dynamically pruned (no dynamicpruning "
             "expression in the plan)"
         )
-    return joined
+    return _eager(joined)
 
 
 @query(
@@ -4355,9 +4381,9 @@ def streaming_session_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "dwf_stream_session_counts"
     spark.catalog.dropTempView(table)
     run_to_memory(sessions, table, "complete")
-    return spark.table(table).select(
+    return _eager(spark.table(table).select(
         "user_id", "session_start", F.col("n_events").cast("long")
-    )
+    ))
 
 
 @query(
@@ -4412,11 +4438,11 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "dwf_stream_interval_join"
     spark.catalog.dropTempView(table)
     run_to_memory(joined, table, "append")
-    return spark.table(table).select(
+    return _eager(spark.table(table).select(
         F.col("event_id").alias("view_id"),
         F.col("event_id_r").alias("purchase_id"),
         "user_id",
-    )
+    ))
 
 
 @query(
@@ -4676,7 +4702,7 @@ def ngram_coverage_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
            o_orderstatus,
            count(*) AS n,
-           sum(o_totalprice) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -4694,12 +4720,12 @@ def orc_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.year("o_orderdate").alias("anio"), F.col("o_orderstatus"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
     )
     path = _scratch_path("orc_sink", sf_dir)
     write_orc(agg, path, partition_by=["anio"])
     out = read_orc(spark, path)
-    return out.select(F.col("anio").cast("int"), "o_orderstatus", "n", "total")
+    return _eager(out.select(F.col("anio").cast("int"), "o_orderstatus", "n", "total"))
 
 
 @query(
@@ -4744,11 +4770,11 @@ def streaming_stateful_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory(stateful_running_totals(stream, "event_type", "value"), table)
     log = spark.table(table)
     w = Window.partitionBy("key").orderBy(F.desc("n"))
-    return (
+    return _eager((
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("key", "n", "total")
-    )
+    ))
 
 
 @query(
@@ -4790,11 +4816,11 @@ def streaming_dedup_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFram
     table = "dwf_stream_dedup_counts"
     spark.catalog.dropTempView(table)
     run_to_memory(deduped, table, "append")
-    return (
+    return _eager((
         spark.table(table)
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    ))
 
 
 @query(
@@ -4831,9 +4857,9 @@ def streaming_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "dwf_stream_window_counts"
     spark.catalog.dropTempView(table)
     run_to_memory(counts, table, "complete")
-    return spark.table(table).select(
+    return _eager(spark.table(table).select(
         "fecha", F.col("movement_count").cast("long")
-    )
+    ))
 
 
 @query(
@@ -4897,9 +4923,9 @@ def streaming_late_data_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_parquet(counts2, out, ck)
 
-    return spark.read.parquet(out).select(
+    return _eager(spark.read.parquet(out).select(
         "fecha", F.col("movement_count").cast("long")
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -5663,7 +5689,7 @@ def shard_export_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     path = _scratch_path("shard_export", sf_dir)
     write_hash_shards(docs, path, "doc_id", 8, seed=17)
-    return shard_manifest(spark, path, "doc_id")
+    return _eager(shard_manifest(spark, path, "doc_id"))
 
 
 _ENTITY_THRESH = int(0.3 * (1 << 60))  # same arithmetic as sample_hash
@@ -6580,7 +6606,7 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(snap)
+    return _eager(spark.read.parquet(snap))
 
 
 @query(
@@ -6765,7 +6791,7 @@ def incremental_line_dedup_batch_q(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'
                 ELSE o_orderstatus END AS status,
            count(*)::BIGINT AS n_orders,
-           sum(o_totalprice) AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
            0::BIGINT AS n_clerk
     FROM orders GROUP BY 1
     """,
@@ -6800,13 +6826,13 @@ def schema_evolution_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [f"{base}/batch_a", f"{base}/batch_b"],
         required={"o_clerk": "string"},
     )
-    return merged.groupBy(
+    return _eager(merged.groupBy(
         F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias("status")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("o_totalprice").alias("total"),
+        _money_sum("o_totalprice").alias("total"),
         F.count("o_clerk").cast("long").alias("n_clerk"),
-    )
+    ))
 
 
 @query(

@@ -283,3 +283,15 @@ def test_read_jsonl_with_repair_and_reparse(spark, tmp_path):
     assert by_k.get(2) == "b"
     # the unrepairable line parses to an all-NULL row, never disappears
     assert None in by_k
+
+
+def test_json_repair_roundtrip_exercises_repair_path(spark, sf_dir):
+    """The registered query must actually route rows through the repair
+    pass (the in-query guard job was removed from the hot path — this
+    pins the contract instead)."""
+    from datawarehousefinal_spark import queries as Q
+    from pyspark.sql import functions as F
+
+    out = Q.QUERIES["json_repair_roundtrip"](spark, sf_dir)
+    total_repaired = out.agg(F.sum("n_repaired")).collect()[0][0]
+    assert total_repaired and total_repaired > 0
