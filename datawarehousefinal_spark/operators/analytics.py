@@ -377,6 +377,14 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     arithmetic on cell counts. No pivot, no driver-side contingency
     matrix.
 
+    The statistic uses the algebraically exact identity
+    ``chi2 = n * (Σ_observed O²/(ra·cb) − 1)``: summing (O−E)²/E only
+    over OBSERVED cells understates chi2 whenever any (a,b) combination
+    is absent (each structural zero contributes E to the true Pearson
+    sum), while the identity needs only observed cells — the zero
+    cells' contribution is folded into the −1 term. Pinned against a
+    structural-zero table in tests/test_operators.py.
+
     Output (single row): ``chi2, dof, n, cramers_v``.
     """
     a = F.coalesce(F.col(col_a).cast("string"), F.lit(" null"))
@@ -396,8 +404,12 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .join(F.broadcast(col_m), "__b")
         .crossJoin(F.broadcast(tot))
     )
-    e = F.col("__ra") * F.col("__cb") / F.col("__n")
-    chi2 = F.sum((F.col("__o") - e) * (F.col("__o") - e) / e)
+    chi2 = F.first("__n") * (
+        F.sum(
+            F.col("__o") * F.col("__o") / (F.col("__ra") * F.col("__cb"))
+        )
+        - F.lit(1.0)
+    )
     return joined.agg(
         chi2.alias("chi2"),
         ((F.first("__ka") - 1) * (F.first("__kb") - 1))

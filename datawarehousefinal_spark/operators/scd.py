@@ -72,10 +72,14 @@ def apply_changes(
 
     ``changes`` carries ``op_col`` ∈ {'I','U','D'} plus the base's
     columns; 'I' and 'U' both upsert (full-row image), 'D' deletes the
-    key. With ``seq_col`` set, only the LATEST change per key applies
-    (ties broken on op descending so 'U' beats 'I' at equal seq — pick
-    distinct seqs upstream if that matters). Output schema == base
-    schema.
+    key. With ``seq_col`` set, only the LATEST change per key applies.
+    Equal-seq ties break on op-name DESCENDING — 'U' > 'I' > 'D' — so
+    an update beats an insert, and a DELETE LOSES every equal-seq tie
+    (a same-seq delete+update resolves to the update). That is a
+    documented arbitrary total order, not a semantic claim: a CDC feed
+    should never emit duplicate ``(key, seq)`` pairs; if yours can,
+    de-duplicate or re-sequence upstream rather than relying on this
+    collation. Output schema == base schema.
 
     Scale shape: one window over the changeset (small relative to the
     snapshot by CDC's nature), one key anti-join against the base — AQE

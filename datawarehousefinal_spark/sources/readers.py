@@ -59,6 +59,14 @@ def read_csv_with_repair(
     read PERMISSIVE with a corrupt-record column; return
     ``(good_rows, corrupt_raw_lines)``. Callers can re-parse the corrupt
     lines with ``from_csv`` under a different dialect and union back.
+
+    Cache lifetime: the permissive scan must be cached (Spark disallows
+    filtering on the corrupt column of an uncached scan) and BOTH
+    returned frames read through it, so this function cannot unpersist
+    it. The caller owns it — both frames expose the shared scan as
+    ``.cached_scan``; call ``good.cached_scan.unpersist()`` once the
+    good/bad split is materialized, or a long-lived session strands the
+    cached blocks in the block manager.
     """
     schema_with_corrupt = StructType(
         list(schema.fields) + [StructField(_CORRUPT_COL, StringType(), True)]
@@ -78,6 +86,8 @@ def read_csv_with_repair(
     bad = df.filter(F.col(_CORRUPT_COL).isNotNull()).select(
         F.col(_CORRUPT_COL).alias("raw_line")
     )
+    good.cached_scan = df
+    bad.cached_scan = df
     return good, bad
 
 
@@ -221,7 +231,12 @@ def read_jsonl_with_repair(
     so callers can re-parse the corrupt lines under a repair rule
     (:func:`repair_json_rows`) and union back — instead of FAILFAST
     killing a 100 TB job for one bad line or DROPMALFORMED silently
-    losing rows."""
+    losing rows.
+
+    Cache lifetime: same contract as :func:`read_csv_with_repair` — the
+    caller owns the shared cached scan (exposed on both frames as
+    ``.cached_scan``); unpersist it once the split is materialized, or
+    repeated calls in a long-lived session strand cached blocks."""
     schema_with_corrupt = StructType(
         list(schema.fields) + [StructField(_CORRUPT_COL, StringType(), True)]
     )
@@ -238,6 +253,8 @@ def read_jsonl_with_repair(
     bad = df.filter(F.col(_CORRUPT_COL).isNotNull()).select(
         F.col(_CORRUPT_COL).alias("raw_line")
     )
+    good.cached_scan = df
+    bad.cached_scan = df
     return good, bad
 
 

@@ -237,11 +237,23 @@ def foreach_batch_cdc_apply(
     micro-batch of CDC changes (I/U/D rows) to the parquet snapshot at
     ``snapshot_path`` via the batch :func:`operators.scd.apply_changes`
     — so streaming and batch upserts share ONE merge semantics and
-    can't drift. Each batch rewrites the snapshot to a staging directory
-    and atomically renames it over the old one (plain parquet has no
-    transactional MERGE; a table format would replace the rename —
-    noted, not hidden). The snapshot must exist before the stream
-    starts (bootstrap it with the initial load)."""
+    can't drift. Each batch writes the merged snapshot to a NEW
+    versioned directory, then flips ``snapshot_path`` — a symlink —
+    onto it with one atomic ``os.rename`` of a fresh link: there is no
+    instant at which ``snapshot_path`` does not resolve to a complete
+    snapshot (the previous swap renamed the real dir away BEFORE the
+    new one landed, so a crash between the two renames left no snapshot
+    at all). The old version is pruned only after the flip. A real
+    directory found at ``snapshot_path`` (the bootstrap load) is
+    normalized into the versioned layout on the first batch.
+
+    LOCAL-FILESYSTEM ONLY: ``os.rename``/``os.symlink`` semantics don't
+    exist on object stores — on S3/HDFS/ABFS use a table format (Delta/
+    Iceberg MERGE) whose transaction log plays exactly this role. Plain
+    parquet has no transactional MERGE; the versioned-dir + atomic
+    pointer flip is the honest local equivalent. The snapshot must
+    exist before the stream starts (bootstrap it with the initial
+    load)."""
     import os
     import shutil
 
@@ -257,12 +269,23 @@ def foreach_batch_cdc_apply(
             op_col=op_col,
             seq_col=seq_col,
         )
-        staging = f"{snapshot_path}.__staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        old = f"{snapshot_path}.__old_{batch_id}"
-        os.rename(snapshot_path, old)
-        os.rename(staging, snapshot_path)
-        shutil.rmtree(old, ignore_errors=True)
+        version = f"{snapshot_path}.__v{batch_id}"
+        merged.write.mode("overwrite").parquet(version)
+        prev = None
+        if os.path.islink(snapshot_path):
+            prev = os.path.realpath(snapshot_path)
+        elif os.path.isdir(snapshot_path):
+            # bootstrap normalization: move the real dir into the
+            # versioned layout so the pointer can flip atomically
+            prev = f"{snapshot_path}.__v_bootstrap"
+            os.rename(snapshot_path, prev)
+        tmp_link = f"{snapshot_path}.__flip_{batch_id}"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(version, tmp_link)
+        os.rename(tmp_link, snapshot_path)  # atomic pointer flip
+        if prev and os.path.realpath(prev) != os.path.realpath(version):
+            shutil.rmtree(prev, ignore_errors=True)
 
     return _apply
 

@@ -351,6 +351,23 @@ def test_chi2_independence_nulls_are_levels(spark):
     assert abs(r["chi2"]) < 1e-9  # perfectly independent 2x2
 
 
+def test_chi2_independence_structural_zeros(spark):
+    """Contingency tables with ABSENT (a,b) combinations must still get
+    the full Pearson statistic. Observed [[5,0],[0,5]]: E = 2.5 in all
+    four cells, chi2 = 4 * (2.5)^2/2.5 = 10, V = sqrt(10/10) = 1 —
+    the (O−E)²/E-over-observed-cells form returns 5.0/0.707 instead
+    (each structural zero silently drops its E contribution)."""
+    from datawarehousefinal_spark.operators.analytics import chi2_independence
+
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = chi2_independence(df, "a", "b").first()
+    assert abs(r["chi2"] - 10.0) < 1e-9
+    assert r["dof"] == 1
+    assert r["n"] == 10
+    assert abs(r["cramers_v"] - 1.0) < 1e-9
+
+
 def test_quantile_rank_normalize_ties_and_edges(spark):
     from datawarehousefinal_spark.operators.analytics import (
         quantile_rank_normalize,
