@@ -983,6 +983,11 @@ _SHINGLES_SQL = (
     f"for i in generate_series(1, greatest(length(text) - {_W - 1}, 1))])"
 )
 
+# DuckDB token list mirroring textstats.whitespace_tokens.
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+)
+
 _JACCARD_PAIRS_SQL = f"""
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
@@ -1264,25 +1269,174 @@ def incremental_simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
-@query("corpus_curation_funnel")  # no SQL oracle: near-dup stage is LSH
+def _curation_funnel_oracle() -> str:
+    """DuckDB replay of the whole curation funnel: length rule, quality
+    rule (the language_quality twin formula), normalized exact dedup,
+    exact-Jaccard transitive near-dup resolution (recursive-CTE
+    components, min-id survivor) — per-stage counts."""
+    from datawarehousefinal_spark.operators.textstats import LANG_PROFILES
+
+    en = LANG_PROFILES["en"]
+    quality = f"""
+      0.4 * least(length(text) / 500.0, 1.0)
+      + 0.3 * least(len(list_intersect({_TOKS_SQL}, {en!r})) / 3.0, 1.0)
+      + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+               / length(text))
+    """
+    return f"""
+    WITH RECURSIVE inp AS (SELECT doc_id, text FROM documents),
+    len_ok AS (
+      SELECT * FROM inp WHERE length(text) BETWEEN 20 AND 1000000
+    ),
+    rules AS (SELECT doc_id, text FROM len_ok WHERE ({quality}) >= 0.1),
+    ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY {_norm_sql('text')} ORDER BY doc_id
+             ) AS rn
+      FROM rules
+    ),
+    ex AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM ex),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+      WHERE c / (x.n + y.n - c) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS root FROM reach GROUP BY 1),
+    near AS (
+      SELECT doc_id FROM ex
+      WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != root)
+    )
+    SELECT '00_input' AS stage, count(*)::BIGINT AS n_rows FROM inp
+    UNION ALL SELECT '01_length', count(*)::BIGINT FROM len_ok
+    UNION ALL SELECT '02_rules', count(*)::BIGINT FROM rules
+    UNION ALL SELECT '03_exact_dedup', count(*)::BIGINT FROM ex
+    UNION ALL SELECT '04_near_dedup', count(*)::BIGINT FROM near
+    """
+
+
+@query("corpus_curation_funnel", oracle=_curation_funnel_oracle())
 def corpus_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation composed from the engine's own
-    operators — length/quality/language rule filters, exact dedup,
-    MinHash-LSH near-dup dedup, seeded train/val hash split — returning
-    the per-stage funnel report (stage, n_rows), built as a lazy union of
-    aggregates (no driver-side counts). Rows-only driver check (the
-    near-dup stage is not SQL-expressible); stage semantics and split
-    determinism are asserted in tests/test_curation.py."""
+    operators — length/quality rule filters, exact dedup, MinHash
+    near-dup dedup resolved TRANSITIVELY (connected components over the
+    exact-Jaccard-verified pair graph, min-id survivor per cluster),
+    seeded train/val hash split — returning the per-stage funnel report
+    (stage, n_rows) as a lazy union of aggregates (no driver-side
+    counts). Hash-gated since round 7: every stage is deterministic and
+    SQL-replayable (the near-dup pair set equals the exact-Jaccard truth
+    — the `minhash_lsh_pairs` contract — and the closure replays as a
+    recursive CTE). The greedy signature-store variant stays covered by
+    `incremental_minhash_dedup` + tests/test_curation.py."""
     from datawarehousefinal_spark.operators.curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     _curated, report = curate_corpus(
-        docs, min_quality=0.1, shingle_width=_W
+        docs, min_quality=0.1, shingle_width=_W, near_dup_mode="transitive"
     )
     return report
 
 
-@query("training_pipeline_e2e")  # no SQL oracle: funnel's near-dup stage is LSH
+def _training_e2e_oracle() -> str:
+    """DuckDB replay of the WHOLE pipeline: md5 downsample → curation
+    funnel (length/quality rules, normalized exact dedup, exact-Jaccard
+    transitive near-dup closure) → md5 epoch order → 2048-token
+    sequential-fill chunks → per-chunk report."""
+    from datawarehousefinal_spark.operators.textstats import LANG_PROFILES
+
+    en = LANG_PROFILES["en"]
+    quality = f"""
+      0.4 * least(length(text) / 500.0, 1.0)
+      + 0.3 * least(len(list_intersect({_TOKS_SQL}, {en!r})) / 3.0, 1.0)
+      + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+               / length(text))
+    """
+    thresh = int(0.5 * (1 << 60))
+    return f"""
+    WITH RECURSIVE samp AS (
+      SELECT doc_id, text FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))::BIGINT
+            < {thresh}
+    ),
+    len_ok AS (
+      SELECT * FROM samp WHERE length(text) BETWEEN 20 AND 1000000
+    ),
+    rules AS (SELECT doc_id, text FROM len_ok WHERE ({quality}) >= 0.1),
+    ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY {_norm_sql('text')} ORDER BY doc_id
+             ) AS rn
+      FROM rules
+    ),
+    ex AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM ex),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+      WHERE c / (x.n + y.n - c) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS root FROM reach GROUP BY 1),
+    near AS (
+      SELECT doc_id, text FROM ex
+      WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != root)
+    ),
+    tok AS (
+      SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens,
+             md5(doc_id::VARCHAR || ':7') AS h
+      FROM near
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM tok
+    ),
+    ch AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS chunk_id
+      FROM c
+    )
+    SELECT chunk_id, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens
+    FROM ch GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("training_pipeline_e2e", oracle=_training_e2e_oracle())
 def training_pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE training-data pipeline as one composition of the
     engine's operators: deterministic-hash downsample → curation funnel
@@ -1290,8 +1444,11 @@ def training_pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     components) → seeded epoch shuffle order → 2048-token sequential-fill
     packing → per-chunk fill report (chunk_id, n_docs, total_tokens).
     Every stage is the registered operator a user would call standalone;
-    this entry proves they compose. Rows-only driver check (deterministic
-    end to end: md5 sampling, xxhash dedup, md5 shuffle order)."""
+    this entry proves they compose. Hash-gated since round 7: every
+    stage is a pure function of (ids, text, seeds) — md5 sampling,
+    normalized-hash dedup, exact-Jaccard closure, md5 shuffle order,
+    distributed prefix-sum packing — and the oracle replays the chain
+    end-to-end in one SQL statement."""
     from datawarehousefinal_spark.operators.curation import (
         curate_corpus,
         deterministic_sample,
@@ -1319,11 +1476,6 @@ def training_pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Text analysis (beyond-reference LLM-pipeline ops)
 # ---------------------------------------------------------------------------
-
-# DuckDB token list mirroring textstats.whitespace_tokens.
-_TOKS_SQL = (
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
-)
 
 
 def _lang_profiles_sql() -> tuple[str, str]:
@@ -3075,15 +3227,28 @@ def kmeans_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("feature_cache_roundtrip")  # no SQL oracle: ML VectorUDT storage
+@query(
+    "feature_cache_roundtrip",
+    oracle="""
+    SELECT (1 + count(DISTINCT event_type))::INT AS feature_dim,
+           count(*)::BIGINT AS n_rows
+    FROM events
+    """,
+)
 def feature_cache_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: the tensor-cache analog (deeplearning/etl_to_tensor.py:84-87)
     driven end-to-end: preprocess events through the M1-M5 pipeline,
     persist the assembled feature table as snappy parquet
     (ml/pipelines.write_feature_cache), reload it, and report
     (n_rows, feature_dim) — proving the ML Vector column round-trips
-    parquet estimator-ready without re-running the pipeline. Rows-only
-    driver check (single deterministic row)."""
+    parquet estimator-ready without re-running the pipeline. Hash-gated
+    since round 7: the report is fully determined by the M1-M5 shape
+    contract — feature_dim = 1 scaled numeric slot + one one-hot slot
+    per seen category (StringIndexer 'keep' bucket dropped by
+    OneHotEncoder dropLast) — which the oracle replays as
+    1 + count(DISTINCT event_type); n_rows must survive the cache
+    write/reload untouched. A dropped row, a dimension drift, or a
+    corrupt Vector read breaks the hash."""
     import os
 
     from pyspark.ml.functions import vector_to_array
@@ -3141,18 +3306,45 @@ def rf_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_matrix_df(pred)
 
 
-@query("stratified_split_train")  # no SQL oracle: seeded sampleBy randomness
+@query(
+    "stratified_split_train",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, event_type,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ('0x' || substr(md5(event_id::VARCHAR || ':42'),
+                                        1, 15))::BIGINT, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    )
+    SELECT event_type AS label,
+           count(CASE WHEN rn <= ceil(cnt * 0.8) THEN 1 END)::BIGINT
+             AS n_train,
+           count(CASE WHEN rn > ceil(cnt * 0.8) THEN 1 END)::BIGINT
+             AS n_test
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
 def stratified_split_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: seeded stratified 80/20 split over events by event_type
-    (machineLearning.py:407-431's train_test_split(stratify=y)), reported
-    as per-label (label, n_train, n_test) so the driver sees a compact
-    stable frame instead of 100K sampled rows. Rows-only driver check:
-    sampleBy is seed-deterministic; the per-class ratio tolerance is
-    asserted in tests/test_operators.py."""
-    from datawarehousefinal_spark.operators.analytics import stratified_split
+    """C2: stratified 80/20 split over events by event_type
+    (machineLearning.py:407-431's train_test_split(stratify=y)), served
+    with the DETERMINISTIC exact-fraction sampler (curation.
+    stratified_sample_exact — every class keeps exactly ceil(0.8·n)
+    rows by smallest md5 key) so the split is a pure function of
+    (event_id, seed) and the oracle replays it value-for-value
+    (hash-gated since round 7; the seeded ``sampleBy`` variant —
+    binomial per-class counts — stays covered by
+    tests/test_operators.py). Reported as per-label
+    (label, n_train, n_test): a compact stable frame instead of 100K
+    sampled rows."""
+    from datawarehousefinal_spark.operators.curation import (
+        stratified_sample_exact,
+    )
 
     events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    train, test = stratified_split(events, "event_type", 0.8, seed=42)
+    train = stratified_sample_exact(events, "event_id", "event_type", 0.8, seed=42)
+    test = events.join(train.select("event_id"), "event_id", "left_anti")
     tr = train.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_train"))
     te = test.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_test"))
     return (
