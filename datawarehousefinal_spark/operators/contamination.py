@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datawarehousefinal_spark.operators.dedup import _fan_out
 from datawarehousefinal_spark.operators.textstats import whitespace_tokens
 
 
@@ -90,7 +91,7 @@ def contamination_report(
     """
     marked = bench_gram_set.select("gram").withColumn("__hit", F.lit(1))
     grams = (
-        train.filter(F.col(text_col).isNotNull())
+        _fan_out(train.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col), F.explode(word_ngrams(text_col, n, hash_grams)).alias("gram")
         )

@@ -264,10 +264,27 @@ def jaccard_for_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate pairs.
 
-    Set sizes come from a tiny per-doc aggregate; intersections from an
-    explode-join restricted to the candidate pairs (broadcast when small).
+    The corpus is semi-join-pruned to the documents that actually appear
+    in a candidate pair BEFORE shingling — candidates are sparse by
+    construction (LSH/banding upstream), so the shingle explode touches
+    ~2·|pairs| documents instead of the whole corpus (round-7: this cut
+    the verified simhash face from 8.5 s to the candidate-sized cost at
+    sf0.1, and it is the 100 TB-correct shape — verification cost scales
+    with the candidate set, not the corpus). Set sizes come from a tiny
+    per-doc aggregate; intersections from an explode-join restricted to
+    the candidate pairs (AQE broadcasts the sparse sides).
     """
-    sh = _fan_out(df).select(
+    # The pair frame feeds the id-prune AND the intersection join; an
+    # eager checkpoint (pairs are sparse by contract — the whole point
+    # of candidate generation) stops the upstream banding pipeline from
+    # running twice.
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = _fan_out(df.join(ids, id_col, "semi")).select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
@@ -412,20 +429,23 @@ def simhash(
     the note on ``minhash_signatures`` about the deliberate NULL-handling
     change vs the old explode formulation).
 
-    ``kernel``: ``'hof'`` (and ``'auto'``) runs the packed vote sums as
-    JVM higher-order aggregates — MEASURED FASTER than the Arrow kernel
-    here (0.63 s vs 2.31 s on the sf0.1 documents table): packing 64 bit
-    sums into 22 longs keeps the interpreted-walker cost low while the
-    Arrow path pays 8 bytes/shingle serialization of the hash array.
-    ``'arrow'`` ships the xxhash64 ARRAY (same JVM hash expressions, so
-    fingerprints cannot drift) through one Arrow-batched numpy
-    ``unpackbits`` + ``add.reduceat`` vote count (see
-    :mod:`operators.kernels` — bit-identical, parity-tested); kept because
-    the trade flips for very long documents, where the per-shingle ship
-    cost amortizes against the 22-aggregate walk.
+    ``kernel``: ``'arrow'`` (and ``'auto'``) ships the xxhash64 ARRAY
+    (same JVM hash expressions, so fingerprints cannot drift) through
+    one Arrow-batched numpy ``unpackbits`` + ``add.reduceat`` vote count
+    (see :mod:`operators.kernels` — bit-identical, parity-tested).
+    Round-7 re-measurement on the sf0.1 documents table (warm, 32
+    cores): arrow 0.8 s vs hof 1.8 s at BOTH shingle widths 5 and 14 —
+    the per-shingle Arrow ship cost amortizes against the hof path's
+    22 interpreted aggregate walks per row, and the gap widens with
+    document length (an earlier round measured the reverse before the
+    kernel batched its id handling; the parity test keeps both paths
+    honest). ``'hof'`` stays JVM-only — zero Python in the plan — for
+    deployments that must not run Python workers.
     """
     if kernel not in ("auto", "hof", "arrow"):
         raise ValueError(f"kernel must be 'auto', 'hof' or 'arrow', got {kernel!r}")
+    if kernel == "auto":
+        kernel = "arrow"
     base = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col),
         F.transform(
@@ -976,7 +996,10 @@ def ngram_coverage(
 
     if via not in ("auto", "window", "join"):
         raise ValueError(f"via must be 'auto', 'window' or 'join', got {via!r}")
-    grams = df.select(
+    # _fan_out: the word-ngram expression is CPU-bound; a compact
+    # one-file corpus would otherwise tokenize on one core (measured
+    # 3.7 s -> sub-second at sf0.1 once spread over the cluster).
+    grams = _fan_out(df).select(
         F.col(id_col),
         F.explode(word_ngrams(text_col, n, hash_grams)).alias("gram"),
     )
@@ -1052,7 +1075,7 @@ def line_dedup(
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    lines = df.filter(F.col(text_col).isNotNull()).select(
+    lines = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), re.escape(delim), -1)).alias(
             "__pos", "__line"
@@ -1140,37 +1163,51 @@ def repeated_span_report(
             ),
         ),
     )
+    # _fan_out: the shingle expression (per-position slice + concat +
+    # xxhash) is CPU-bound — a compact one-file corpus would otherwise
+    # run it on one core (measured: the sf0.1 documents scan is a single
+    # partition).
     shingled = (
-        df.filter(F.col(text_col).isNotNull())
+        _fan_out(df.filter(F.col(text_col).isNotNull()))
         .filter(F.size(toks) >= 1)
         .select(F.col(id_col), F.explode(pairs).alias("__s"))
         .select(F.col(id_col), F.col("__s.pos").alias("__pos"), F.col("__s.gh").alias("__gh"))
+        # The shingle frame feeds the counts aggregate AND the join-back;
+        # the two consumers' exchanges differ (agg vs join side), so
+        # exchange reuse does NOT dedup the explode — unpersisted it
+        # computes twice (round-6 bench finding). Scoped persist, same
+        # pattern as _simhash_fp_pairs: released in finally after the
+        # (small, per-span) result is eagerly checkpointed.
+        .persist()
     )
-    counts = shingled.groupBy("__gh").agg(F.count(F.lit(1)).alias("__cnt"))
-    dup = (
-        shingled.join(counts, "__gh")
-        .filter(F.col("__cnt") >= min_count)
-        .select(id_col, "__pos")
-    )
-    wd = Window.partitionBy(id_col).orderBy("__pos")
-    lag = F.lag("__pos").over(wd)
-    brk = F.when(lag.isNull() | (F.col("__pos") - lag > w), 1).otherwise(0)
-    islands = dup.withColumn(
-        "__island",
-        F.sum(brk).over(
-            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return islands.groupBy(id_col, "__island").agg(
-        F.min("__pos").cast("long").alias("start_tok"),
-        (F.max("__pos") + (w - 1)).cast("long").alias("end_tok"),
-        (F.max("__pos") + w - F.min("__pos")).cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
-    ).select(
-        F.col(id_col),
-        F.col("__island").cast("int").alias("span_id"),
-        "start_tok",
-        "end_tok",
-        "n_tokens",
-        "n_shingles",
-    )
+    try:
+        counts = shingled.groupBy("__gh").agg(F.count(F.lit(1)).alias("__cnt"))
+        dup = (
+            shingled.join(counts, "__gh")
+            .filter(F.col("__cnt") >= min_count)
+            .select(id_col, "__pos")
+        )
+        wd = Window.partitionBy(id_col).orderBy("__pos")
+        lag = F.lag("__pos").over(wd)
+        brk = F.when(lag.isNull() | (F.col("__pos") - lag > w), 1).otherwise(0)
+        islands = dup.withColumn(
+            "__island",
+            F.sum(brk).over(
+                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return islands.groupBy(id_col, "__island").agg(
+            F.min("__pos").cast("long").alias("start_tok"),
+            (F.max("__pos") + (w - 1)).cast("long").alias("end_tok"),
+            (F.max("__pos") + w - F.min("__pos")).cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        ).select(
+            F.col(id_col),
+            F.col("__island").cast("int").alias("span_id"),
+            "start_tok",
+            "end_tok",
+            "n_tokens",
+            "n_shingles",
+        ).localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()

@@ -356,10 +356,16 @@ def incremental_simhash_dedup(
     b_distinct = bfp.select("simhash").distinct()
     # Resolve the key width ONCE, from the union both tiers will see —
     # the within-batch tier reuses it, so the whole pass runs exactly one
-    # sizing aggregate (and both sides provably key identically).
+    # sizing aggregate (and both sides provably key identically). The
+    # sizing HLL runs over the RAW fingerprint union — approx distinct
+    # is duplicate-insensitive, so pre-distinct-ing both sides only
+    # added two shuffle stages to the sizing job (round-6 bench: this
+    # query's cost is pure stage count at toy scale); map-side partial
+    # HLLs are all that moves, and the pass doubles as the cache
+    # populator for the persisted batch fingerprints.
     if combo_size is None:
-        sizing = b_distinct if store_empty else b_distinct.unionByName(
-            store_fp.select("simhash").distinct()
+        sizing = bfp.select("simhash") if store_empty else (
+            bfp.select("simhash").unionByName(store_fp.select("simhash"))
         )
         n = sizing.agg(F.approx_count_distinct("simhash").alias("n")).first()["n"]
         combo_size = _auto_combo_size(max(n, 1), max_hamming, max_bucket)

@@ -64,6 +64,7 @@ def cosine_topk(
     k: int = 5,
     exclude_self: bool = True,
     kernel: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector the ``k`` most similar
     corpus vectors.
@@ -83,9 +84,14 @@ def cosine_topk(
       only its LOCAL top-k per query, so the final window sees
       ~partitions × Q × k candidate rows instead of Q × N — at scale this
       removes the dominant shuffle entirely, on top of the kernel speedup.
-    - ``'auto'`` (default): ``'arrow'`` when the vector dimension (probed
-      from one query row — a trivially small job) is ≥
-      ``ARROW_KERNEL_MIN_DIM``, else ``'hof'``.
+    - ``'auto'`` (default): ``'arrow'`` when the vector dimension is ≥
+      ``ARROW_KERNEL_MIN_DIM``, else ``'hof'``. Pass ``dim`` when the
+      caller knows it (a fixed-dim embedding column) — then kernel
+      choice costs NO job. Without ``dim``, the queries are collected
+      once (small by contract) and handed to the arrow kernel, so the
+      choice still adds no job beyond the collect the arrow path needs
+      anyway (round-6 bench finding: the old one-row ``first()`` probe
+      added a job to every call).
 
     Both kernels compute in double and produce identical rankings (modulo
     last-ulp summation-order ties — far below the oracle's 6-significant-
@@ -96,14 +102,20 @@ def cosine_topk(
     """
     if kernel not in ("auto", "hof", "arrow"):
         raise ValueError(f"kernel must be 'auto', 'hof' or 'arrow', got {kernel!r}")
+    qrows = None
     if kernel == "auto":
-        probe = queries.select(F.size(vec_col).alias("d")).first()
-        dim = probe["d"] if probe else 0
+        if dim is None:
+            # One collect (queries are small by contract) decides the
+            # kernel AND feeds the arrow path — never a probe-only job.
+            qrows = queries.select(
+                F.col(id_col), as_double_array(vec_col).alias("__qv")
+            ).collect()
+            dim = len(qrows[0]["__qv"]) if qrows else 0
         kernel = "arrow" if dim >= ARROW_KERNEL_MIN_DIM else "hof"
 
     if kernel == "arrow":
         scored = _cosine_scores_arrow(
-            corpus, queries, id_col, vec_col, k, exclude_self
+            corpus, queries, id_col, vec_col, k, exclude_self, qrows=qrows
         )
     else:
         c = corpus.select(
@@ -136,18 +148,22 @@ def _cosine_scores_arrow(
     vec_col: str,
     k: int,
     exclude_self: bool,
+    qrows=None,
 ) -> DataFrame:
     """Arrow kernel for :func:`cosine_topk`: per-batch BLAS matmul +
     LOCAL top-k, returning the candidate frame (query_id, neighbor_id,
     cosine) for the global top-k window. Local top-k is sound because a
-    global top-k row is necessarily a top-k row of its own batch."""
+    global top-k row is necessarily a top-k row of its own batch.
+    ``qrows`` lets the caller pass already-collected query rows
+    (id, __qv) so kernel auto-selection and scoring share one collect."""
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    qrows = (
-        queries.select(F.col(id_col), as_double_array(vec_col).alias("__qv"))
-        .collect()
-    )
+    if qrows is None:
+        qrows = (
+            queries.select(F.col(id_col), as_double_array(vec_col).alias("__qv"))
+            .collect()
+        )
     id_type = corpus.schema[id_col].dataType
     out_schema = StructType(
         [

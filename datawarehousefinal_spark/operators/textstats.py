@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datawarehousefinal_spark.operators.dedup import char_shingles
+from datawarehousefinal_spark.operators.dedup import _fan_out, char_shingles
 
 # BPE-ish tokenization: alphabetic runs, single digits, and single
 # non-alnum marks — a deterministic stand-in for a subword tokenizer's
@@ -64,9 +64,10 @@ def avg_token_length(col: Column | str) -> Column:
 
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document statistics frame: chars, whitespace tokens, BPE-ish
-    tokens, sentences, average token length. One narrow projection — no
-    shuffle at all."""
-    return df.select(
+    tokens, sentences, average token length. One narrow projection
+    (plus the _fan_out pass-through repartition for compact one-file
+    corpora — the regex token counters are CPU-bound)."""
+    return _fan_out(df).select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars"),
         token_count(text_col).cast("long").alias("n_tokens"),
@@ -123,7 +124,7 @@ def top_terms(df: DataFrame, text_col: str, n: int = 20) -> DataFrame:
     → per-partition top-k via TakeOrderedAndProject (orderBy+limit never
     globally sorts). Output: term, n."""
     return (
-        df.select(F.explode(whitespace_tokens(text_col)).alias("term"))
+        _fan_out(df).select(F.explode(whitespace_tokens(text_col)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "term")
@@ -202,7 +203,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: ``id_col, n_tokens, n_distinct, distinct_ratio,
     top_token_frac``.
     """
-    exp = df.filter(F.col(text_col).isNotNull()).select(
+    exp = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("__tok")
     )
     counts = exp.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__n"))
@@ -288,7 +289,7 @@ def bm25_topk(
     Output: ``id_col, score (double)`` — top ``k`` by (score desc, id).
     """
     terms = [t.lower() for t in query_terms]
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.filter(
@@ -356,7 +357,7 @@ def bm25_build_index(
     * doclens — ``(id_col, dl)``: derived from postings by a second tiny
       aggregate over it (no second tokenize pass).
     """
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.filter(
@@ -507,7 +508,7 @@ def dup_ngram_stats(
     )
     out = base
     for n in ns:
-        grams = df.filter(F.col(text_col).isNotNull()).select(
+        grams = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
             F.col(id_col), F.explode(_word_ngrams_all(text_col, n)).alias("gram")
         )
         counts = grams.groupBy(id_col, "gram").agg(
@@ -607,7 +608,7 @@ def tfidf_top_terms(
     Output: ``id_col, term, tfidf, rank`` (rank 1..k per doc, ties on
     term ascending so results are deterministic and SQL-replayable).
     """
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.filter(
@@ -669,7 +670,7 @@ def pmi_collocations(
     Output: ``term_a, term_b, n_docs, pmi`` — top ``k`` by (pmi desc,
     term_a, term_b).
     """
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.filter(
@@ -747,7 +748,7 @@ def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # size(NULL array) is -1, not NULL — guard so NULL text reports
     # NULL stats instead of a phantom -1 sentence count
     n = F.when(F.col(text_col).isNotNull(), F.size(sents))
-    return df.select(
+    return _fan_out(df).select(
         F.col(id_col),
         n.cast("long").alias("n_sentences"),
         F.when(

@@ -1580,13 +1580,14 @@ def language_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score per document. The oracle replays the exact formula —
     the gate checks deterministic reproducibility, not label recovery
     (the fixture's lang column is synthetic provenance metadata)."""
+    from datawarehousefinal_spark.operators.dedup import _fan_out
     from datawarehousefinal_spark.operators.textstats import (
         language_id,
         quality_score,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return _fan_out(docs).select(
         "doc_id",
         language_id("text").alias("lang_pred"),
         quality_score("text").alias("quality"),
@@ -2331,13 +2332,14 @@ def media_byte_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 10 query vectors over the whole
-    embeddings table — the ANN ground-truth path. Dot products are
-    zip_with/aggregate higher-order functions (JVM codegen, double math)."""
+    embeddings table — the ANN ground-truth path. ``dim=64`` is the
+    embeddings-table contract (TESTDATA.md), so kernel auto-selection
+    costs no probe job (round-6 bench regression fix)."""
     from datawarehousefinal_spark.operators.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return cosine_topk(emb, queries, "vec_id", "embedding", k=5, dim=64)
 
 
 def _ivf_topk_oracle() -> str:
@@ -7420,75 +7422,70 @@ def repeated_span_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still while the driver snapshots it.
 
 _DRIVER_WINDOW = [
-    # sources & sinks & layout — zorder re-greens after its r05 flake;
-    # the two NEW layout roundtrips (bucketed co-located join, dynamic
-    # partition overwrite) get their first rows; the five sink
-    # roundtrips green r01-r05 and hermetic since early round 6 rotate
-    # out (parquet/csv/jsonl/jdbc/cache + structural feature_cache)
-    "encoding_fallback_scan",
+    # Round-7 rotation, two goals (VERDICT r6 Next #4 + #1):
+    # (a) the 32 registry entries NEVER sampled by any driver round
+    #     r1-r6 (all judge-verified green or newly oracled this round)
+    #     get their first driver CORRECTNESS row, completing 180/180
+    #     union coverage;
+    # (b) the 18 entries whose semantics or oracle CHANGED this round
+    #     (the five r6 hash-flake reds now hardened via mkdtemp scratch
+    #     + eager checkpoint + decimal sums; the money-sum sinks; the
+    #     exact-chi2 formula; every newly-oracled ANN/funnel/split
+    #     face) re-sample to prove the fix in driver evidence.
+    # Frozen for the round, as always.
+    #
+    # -- (b) re-proof of this round's changes ---------------------------
     "zorder_sink_roundtrip",
-    "orc_sink_roundtrip",
     "bucketed_join_roundtrip",
     "partition_overwrite_roundtrip",
-    "schema_evolution_roundtrip",
     "json_repair_roundtrip",
-    "shard_export_manifest",
-    # curation / sampling / packing (sequence_pack_chunks green r05 and
-    # pytest+verify-covered after this round's rework — rotated out for
-    # first-row entries)
-    "seeded_sample_100",
-    "token_budget_sample",
-    "leakage_safe_split",
-    "length_band_rebalance",
-    "quantile_rank_normalize",
-    "weighted_sample_docs",
-    "temperature_rebalanced_mix",
-    # similarity / ANN / multimodal (video path new this session)
-    "image_meta_sniff",
-    "video_frame_sample",
-    "ivf_append_assignments",
-    "semantic_dedup_keep",
-    "centroid_cosine_matrix",
-    # dedup / graph (stars variant covers the hardened checksum path;
-    # simhash rows-only r02 + near_dup_components green r04 rotate out
-    # for the newest repair/export entries)
-    "near_dup_components_stars",
-    "ngram_coverage_report",
-    "dedup_survivors",
-    "incremental_line_dedup_batch",
-    "line_dedup_boilerplate",
-    "gopher_repetition_report",
-    "repeated_span_report",
-    # joins (new big-x-big blocked fuzzy + CDC merge)
-    "fuzzy_blocked_match",
-    "cdc_apply_changes",
-    "bloom_prune_join_revenue",
-    "snapshot_diff_orders",
-    # text / sketches
-    "bm25_topk",
-    "bm25_append_topk",
-    "tfidf_top_terms",
-    "heavy_hitters_terms",
-    "heavy_hitters_incremental",
-    "encoding_quality_report",
-    # ML / stats (linreg green r01-r05 rotated out; the new closed-form
-    # grouped fits + chi-square screen take its slot)
-    "embedding_tabular_classifier",
-    "rbf_svc_approx",
-    "grouped_trend_fits",
-    "chi2_independence_report",
-    # behavior / timeseries
-    "ewma_daily_value",
-    "rolling_anomaly_report",
-    "seasonal_dow_forecast",
-    "key_skew_profile",
-    # OLAP / streaming (streaming_cube_counts green r05 rotated out for
-    # the new late-data/restart entry)
     "incremental_cube_moments",
-    "streaming_stateful_totals",
-    "streaming_dedup_daily_counts",
-    "streaming_windowed_counts",
-    "streaming_late_data_drop",
+    "parquet_sink_roundtrip",
+    "orc_sink_roundtrip",
+    "schema_evolution_roundtrip",
+    "chi2_independence_report",
+    "simhash_near_dupes",
+    "ivf_topk",
+    "pq_ann_topk",
+    "ivf_append_assignments",
+    "embedding_lsh_near_dups",
+    "corpus_curation_funnel",
+    "training_pipeline_e2e",
+    "stratified_split_train",
+    "feature_cache_roundtrip",
+    # -- (a) first-ever driver rows ------------------------------------
+    "aggregate_routing",
+    "audio_meta_sniff",
+    "benford_digit_report",
+    "cdc_extract_roundtrip",
+    "column_entropy_report",
+    "compaction_roundtrip",
+    "daily_value_percentiles",
+    "date_dimension_build",
+    "day_over_day_change",
+    "drift_report_orders",
+    "dynamic_partition_pruning",
+    "embedding_quality_report",
+    "entity_resolution_clusters",
+    "entity_sample_events",
+    "funnel_step_timing",
+    "group_sample_exact",
+    "grouped_quantile_normalize",
+    "grouping_sets_measures",
+    "hll_sketch_store_daily",
+    "imputation_value_report",
+    "incremental_components_merge",
+    "kll_quantile_store",
+    "kmv_distinct_store",
+    "melt_measures",
+    "pmi_collocations",
+    "sentence_stats",
+    "stratified_sample_exact",
+    "streaming_cdc_apply",
+    "streaming_interval_join",
+    "streaming_session_counts",
+    "top_event_paths",
+    "windowed_funnel_report",
 ]
 
 

@@ -45,14 +45,32 @@ def test_components_deterministic_under_partitioning(spark):
 
 
 def test_nonconvergence_raises_loudly(spark):
+    # small_graph_pairs=0 forces the DISTRIBUTED fixpoint (the driver
+    # union-find fast path has no iteration bound to trip)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=2)
+        connected_components(chain, max_iterations=2, small_graph_pairs=0)
     # and converges fine when allowed to run
-    comp = _comp(connected_components(chain, max_iterations=40))
+    comp = _comp(
+        connected_components(chain, max_iterations=40, small_graph_pairs=0)
+    )
     assert set(comp.values()) == {0}
+
+
+def test_driver_fast_path_matches_distributed(spark):
+    """The union-find fast path must be value-identical to the
+    distributed min-label fixpoint on the same graph."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = _comp(connected_components(pairs))
+    dist = _comp(connected_components(pairs, small_graph_pairs=0))
+    assert fast == dist
 
 
 def test_resolve_duplicates_keeps_one_per_cluster(spark):

@@ -53,16 +53,22 @@ def test_simhash_arrow_parity(spark, sf_dir):
     assert len(arrow) > 0
 
 
-def test_minhash_auto_kernel_is_arrow_and_simhash_auto_is_hof(spark, sf_dir):
+def test_auto_kernels_are_arrow(spark, sf_dir):
     """Defaults follow the measurements documented in the docstrings:
-    minhash auto → Arrow (3.7× at bench scale), simhash auto → packed-vote
-    HOF (the Arrow path loses to 8-bytes/shingle serialization)."""
+    BOTH minhash and simhash auto → Arrow (round-7 re-measurement:
+    arrow 0.8 s vs hof 1.8 s for simhash at sf0.1, both shingle
+    widths), and both are Arrow-batched MapInPandas, never
+    row-at-a-time Python."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mh = physical_plan(minhash_signature(docs, "doc_id", "text", 16, 5))
     assert "MapInPandas" in mh
     assert "BatchEvalPython" not in mh  # Arrow-batched, not row-at-a-time
     sh = physical_plan(simhash(docs, "doc_id", "text", 5))
-    assert "MapInPandas" not in sh  # stays whole-JVM
+    assert "MapInPandas" in sh
+    assert "BatchEvalPython" not in sh
+    # the JVM-only escape hatch stays available
+    sh_hof = physical_plan(simhash(docs, "doc_id", "text", 5, kernel="hof"))
+    assert "MapInPandas" not in sh_hof
 
 
 def test_simhash_dropped_ids_matches_pair_derivation(spark, sf_dir):

@@ -86,6 +86,11 @@ BNLJ_ALLOWED = {
     # scalar-broadcast pattern.
     "pmi_collocations",
     "benford_digit_report",
+    # hll store's 'ALL' rollup row: three SINGLE-ROW global aggregates
+    # (appended rollup, rebuilt rollup, exact distinct) joined on the
+    # literal day='ALL' key — Catalyst folds the literal equality away
+    # and plans a 1-row × 1-row BNLJ; bounded by construction.
+    "hll_sketch_store_daily",
 }
 
 
