@@ -575,3 +575,38 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= F.ceil(F.col("__cnt") * F.lit(fraction)))
         .drop("__rn", "__cnt")
     )
+
+
+def stratified_split_exact(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fraction: float,
+    seed: int = 42,
+    flag_col: str = "is_train",
+) -> DataFrame:
+    """EXACT-fraction stratified SPLIT: every row of ``df`` comes back
+    with a boolean ``flag_col`` — true for the ``ceil(fraction · n)``
+    rows per stratum that :func:`stratified_sample_exact` would keep,
+    false for the complement. Same kept set, same determinism/nesting
+    contract, but the complement is produced IN THE SAME window pass
+    instead of an anti-join back onto the input — a split should cost
+    one shuffle, not two; at corpus scale the anti-join re-shuffles the
+    whole table a second time for information the window rank already
+    computed.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(id_col, seed), F.col(id_col)
+    )
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            flag_col,
+            F.col("__rn") <= F.ceil(F.col("__cnt") * F.lit(fraction)),
+        )
+        .drop("__rn", "__cnt")
+    )

@@ -3339,22 +3339,21 @@ def stratified_split_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     binomial per-class counts — stays covered by
     tests/test_operators.py). Reported as per-label
     (label, n_train, n_test): a compact stable frame instead of 100K
-    sampled rows."""
+    sampled rows. Served by curation.stratified_split_exact — train
+    flag and complement come out of ONE window pass (the anti-join
+    formulation re-shuffled the whole table a second time for a bit
+    the window rank already knew)."""
     from datawarehousefinal_spark.operators.curation import (
-        stratified_sample_exact,
+        stratified_split_exact,
     )
 
     events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    train = stratified_sample_exact(events, "event_id", "event_type", 0.8, seed=42)
-    test = events.join(train.select("event_id"), "event_id", "left_anti")
-    tr = train.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_train"))
-    te = test.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_test"))
+    split = stratified_split_exact(events, "event_id", "event_type", 0.8, seed=42)
     return (
-        tr.join(te, "event_type", "full")
-        .select(
-            F.col("event_type").alias("label"),
-            F.coalesce("n_train", F.lit(0)).alias("n_train"),
-            F.coalesce("n_test", F.lit(0)).alias("n_test"),
+        split.groupBy(F.col("event_type").alias("label"))
+        .agg(
+            F.count(F.when(F.col("is_train"), 1)).alias("n_train"),
+            F.count(F.when(~F.col("is_train"), 1)).alias("n_test"),
         )
         .orderBy("label")
     )

@@ -343,3 +343,27 @@ def test_stratified_sample_exact_counts_and_nesting(spark):
            stratified_sample_exact(df, "id", "g", 0.1, seed=5).collect()}
     s20_ids = {r["id"] for r in s20.collect()}
     assert s10 <= s20_ids
+
+
+def test_stratified_split_exact_matches_sample_and_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.curation import (
+        stratified_sample_exact,
+        stratified_split_exact,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    split = stratified_split_exact(df, "id", "g", 0.2, seed=5)
+    # every input row comes back exactly once, flagged
+    assert split.count() == 1000
+    train_ids = {r["id"] for r in split.filter("is_train").collect()}
+    sample_ids = {r["id"] for r in
+                  stratified_sample_exact(df, "id", "g", 0.2, seed=5).collect()}
+    # the train side IS the exact-fraction sample's kept set
+    assert train_ids == sample_ids
+    # single window pass: no join anywhere in the plan
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
