@@ -610,3 +610,86 @@ def stratified_split_exact(
         )
         .drop("__rn", "__cnt")
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-n-gram bag is under the
+    TARGET domain's feature distribution than under the raw pool's —
+    ``log w(x) = Σ_f [ln p̂_target(f) − ln q̂_raw(f)]`` over the
+    document's word uni+bigram features hashed into ``n_buckets``
+    md5 buckets (add-one smoothing on both distributions).
+
+    The hashing is the scale lever: both distributions are EXACTLY
+    ``n_buckets`` rows no matter how big the corpora are, so they are
+    deliberately ``broadcast()`` — scoring 100 TB is one map-side join
+    pass, no shuffle of the raw corpus. The two stream totals ride in a
+    single-row aggregate cross-joined onto the scored stream (the
+    bounded scalar-broadcast pattern; attaching totals to the count
+    frames instead would silently turn them into 0 for buckets the
+    stream never hit). md5-derived buckets replay bit-for-bit in the
+    SQL oracle (same pattern as :func:`sample_hash`).
+
+    Output: ``id_col, n_feats, log_weight`` — one row per raw document
+    with at least one token; resample with
+    :func:`weighted_sample_exact` on ``exp(log_weight)`` or threshold
+    on ``log_weight`` directly.
+    """
+    from datawarehousefinal_spark.operators.textstats import (
+        whitespace_tokens,
+        word_bigrams,
+    )
+
+    def feats(df: DataFrame, with_id: bool) -> DataFrame:
+        grams = F.concat(
+            whitespace_tokens(text_col),
+            F.transform(
+                word_bigrams(text_col),
+                lambda bg: F.concat_ws(" ", bg["w1"], bg["w2"]),
+            ),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        exploded = _fan_out(df).select(
+            *cols, F.explode(grams).alias("__g")
+        )
+        return exploded.withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long")
+            % n_buckets,
+        ).drop("__g")
+
+    t_feats = feats(target, with_id=False)
+    r_feats = feats(raw, with_id=False)
+    p_t = t_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct_t"))
+    q_r = r_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct_r"))
+    totals = t_feats.agg(F.count(F.lit(1)).alias("tot_t")).crossJoin(
+        r_feats.agg(F.count(F.lit(1)).alias("tot_r"))
+    )
+    scored = (
+        feats(raw, with_id=True)
+        .join(F.broadcast(p_t), "bucket", "left")
+        .join(F.broadcast(q_r), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__lw",
+            F.log(
+                (F.coalesce("ct_t", F.lit(0)) + F.lit(1.0))
+                / (F.col("tot_t") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.coalesce("ct_r", F.lit(0)) + F.lit(1.0))
+                / (F.col("tot_r") + F.lit(float(n_buckets)))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("__lw").alias("log_weight"),
+    )

@@ -762,3 +762,107 @@ def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "max_sentence_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) ranks documents by the perplexity of a
+# KenLM n-gram model trained on a trusted corpus; low-perplexity text is
+# "clean". The Spark-first deterministic stand-in is an add-k-smoothed
+# bigram model over whitespace tokens: training is two groupBy counts,
+# scoring is a join — every step is a pure function of the text, so the
+# whole filter replays value-for-value in the SQL oracle (no KenLM
+# binary, no float model file). Beyond-reference operator (the reference
+# has no corpus-quality layer at all).
+
+
+def word_bigrams(col: Column | str) -> Column:
+    """Adjacent whitespace-token pairs as ``array<struct<w1,w2>>``.
+
+    ``slice``+``zip_with`` column expressions only — no explode-join,
+    no Python. Documents with fewer than two tokens yield an empty
+    array (they carry no bigram evidence).
+    """
+    toks = whitespace_tokens(col)
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def bigram_lm_fit(
+    train: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the add-k bigram model: returns lazy ``(bigrams, contexts,
+    vocab)`` frames — ``(w1, w2, n_bi)``, ``(w1, n_ctx)`` and the
+    single-row ``(vocab_size)`` (distinct tokens in the training
+    stream). Two map-side-combining aggregations over one tokenize
+    pass; nothing is collected, so the model scales with the corpus
+    vocabulary, not the corpus."""
+    pairs = _fan_out(train).select(
+        F.explode(word_bigrams(text_col)).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_bi")
+    )
+    contexts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    vocab = (
+        train.select(F.explode(whitespace_tokens(text_col)).alias("t"))
+        .agg(F.count_distinct("t").alias("vocab_size"))
+    )
+    return bigrams, contexts, vocab
+
+
+def bigram_lm_perplexity(
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = 1.0,
+) -> DataFrame:
+    """Score documents under the fitted bigram model:
+    ``P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V)`` — unseen bigrams and
+    unseen contexts degrade smoothly to the uniform floor instead of
+    zero probability.
+
+    Plan shape: explode score-side bigrams, LEFT-join the two count
+    frames on their token keys (AQE broadcasts them while the model is
+    small; at web-corpus vocabulary they degrade to shuffle hash joins
+    on the token key — never a driver collect), cross-join the one-row
+    vocab aggregate, then one per-document aggregate. Documents with
+    fewer than two tokens carry no bigram evidence and are not scored.
+
+    Output: ``id_col, n_bigrams, avg_nll, ppl`` with
+    ``ppl = exp(avg_nll)``.
+    """
+    bigrams, contexts, vocab = model
+    sb = _fan_out(df).select(
+        F.col(id_col), F.explode(word_bigrams(text_col)).alias("bg")
+    ).select(id_col, "bg.w1", "bg.w2")
+    scored = (
+        sb.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce("n_bi", F.lit(0)) + F.lit(k))
+                / (
+                    F.coalesce("n_ctx", F.lit(0))
+                    + F.lit(k) * F.col("vocab_size")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("__lp") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+        .withColumn("ppl", F.exp("avg_nll"))
+    )

@@ -367,3 +367,32 @@ def test_stratified_split_exact_matches_sample_and_partitions(spark):
     # single window pass: no join anywhere in the plan
     plan = split._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from datawarehousefinal_spark.operators.curation import dsir_importance
+
+    # target domain: cooking text; raw pool: cooking + legal text
+    cooking = [(i, "whisk the eggs and fold the flour") for i in range(10)]
+    legal = [(100 + i, "the party of the first part hereby agrees")
+             for i in range(10)]
+    raw = spark.createDataFrame(cooking + legal, "doc_id long, text string")
+    target = spark.createDataFrame(cooking[:5], "doc_id long, text string")
+    out = {r["doc_id"]: r["log_weight"]
+           for r in dsir_importance(raw, target, "doc_id", "text").collect()}
+    assert len(out) == 20
+    # every cooking doc outranks every legal doc
+    assert min(out[i] for i, _ in cooking) > max(out[i] for i, _ in legal)
+
+
+def test_dsir_importance_feature_counts(spark):
+    from datawarehousefinal_spark.operators.curation import dsir_importance
+
+    raw = spark.createDataFrame(
+        [(1, "a b c"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    target = raw.filter("doc_id = 1")
+    out = {r["doc_id"]: r["n_feats"]
+           for r in dsir_importance(raw, target, "doc_id", "text").collect()}
+    # 3 unigrams + 2 bigrams; 1 unigram; empty docs carry no features
+    assert out == {1: 5, 2: 1}

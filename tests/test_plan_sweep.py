@@ -76,6 +76,12 @@ BNLJ_ALLOWED = {
     # (BuildRight of one aggregate row).
     "tfidf_top_terms",
     "quantile_rank_normalize",
+    # bigram_lm_perplexity's single-row vocab-size (V) cross join and
+    # dsir_importance_weights' single-row stream-totals (tot_t, tot_r)
+    # cross join — the same bounded scalar-broadcast pattern
+    # (BuildRight of one aggregate row).
+    "bigram_lm_perplexity",
+    "dsir_importance_weights",
     # chi2's single-row totals (n, ka, kb) cross join and
     # grouped_trend_fits' single-row global-min-day (d0) broadcast join
     # — the same bounded scalar-broadcast pattern.

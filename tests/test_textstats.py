@@ -309,3 +309,51 @@ def test_sentence_stats_null_text_is_null_not_negative(spark):
     out = {r["doc_id"]: r for r in sentence_stats(df, "doc_id", "text").collect()}
     assert out[1]["n_sentences"] is None
     assert out[2]["n_sentences"] == 1
+
+
+def test_bigram_lm_separates_in_domain_from_junk(spark):
+    from datawarehousefinal_spark.operators.textstats import (
+        bigram_lm_fit,
+        bigram_lm_perplexity,
+    )
+
+    # train: repetitive in-domain patterns; score: one in-domain doc,
+    # one out-of-domain doc with entirely unseen vocabulary
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)]
+        + [(100 + i, "the dog sat on the rug") for i in range(20)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(1, "the cat sat on the rug"), (2, "zx qv wq pk jj jj")],
+        "doc_id long, text string",
+    )
+    model = bigram_lm_fit(train, "text")
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_perplexity(model, score, "doc_id", "text").collect()
+    }
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 5
+    assert out[1]["ppl"] < out[2]["ppl"]
+    # ppl is exp(avg_nll) by construction
+    import math
+    assert abs(out[1]["ppl"] - math.exp(out[1]["avg_nll"])) < 1e-9
+
+
+def test_bigram_lm_short_docs_unscored(spark):
+    from datawarehousefinal_spark.operators.textstats import (
+        bigram_lm_fit,
+        bigram_lm_perplexity,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "one"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    model = bigram_lm_fit(train, "text")
+    out = bigram_lm_perplexity(model, score, "doc_id", "text").collect()
+    # only the 2-token doc carries bigram evidence
+    assert {r["doc_id"] for r in out} == {1}
