@@ -665,31 +665,42 @@ def dsir_importance(
             % n_buckets,
         ).drop("__g")
 
+    # One explode pass over the raw corpus, collapsed IMMEDIATELY into the
+    # per-document bucket histogram — every downstream consumer (the raw
+    # distribution, its total, and the scoring aggregate) derives from this
+    # compact frame (≤ n_docs × n_buckets rows, in practice ~n_feats/doc),
+    # so the token stream is never shuffled and never scanned twice.
+    hist = (
+        feats(raw, with_id=True)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_db"))
+    )
+    q_r = hist.groupBy("bucket").agg(F.sum("n_db").alias("ct_r"))
     t_feats = feats(target, with_id=False)
-    r_feats = feats(raw, with_id=False)
     p_t = t_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct_t"))
-    q_r = r_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct_r"))
-    totals = t_feats.agg(F.count(F.lit(1)).alias("tot_t")).crossJoin(
-        r_feats.agg(F.count(F.lit(1)).alias("tot_r"))
+    totals = p_t.agg(F.sum("ct_t").alias("tot_t")).crossJoin(
+        q_r.agg(F.sum("ct_r").alias("tot_r"))
     )
     scored = (
-        feats(raw, with_id=True)
-        .join(F.broadcast(p_t), "bucket", "left")
+        hist.join(F.broadcast(p_t), "bucket", "left")
         .join(F.broadcast(q_r), "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "__lw",
-            F.log(
-                (F.coalesce("ct_t", F.lit(0)) + F.lit(1.0))
-                / (F.col("tot_t") + F.lit(float(n_buckets)))
-            )
-            - F.log(
-                (F.coalesce("ct_r", F.lit(0)) + F.lit(1.0))
-                / (F.col("tot_r") + F.lit(float(n_buckets)))
+            F.col("n_db").cast("double")
+            * (
+                F.log(
+                    (F.coalesce("ct_t", F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot_t") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.coalesce("ct_r", F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot_r") + F.lit(float(n_buckets)))
+                )
             ),
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("n_db").alias("n_feats"),
         F.sum("__lw").alias("log_weight"),
     )

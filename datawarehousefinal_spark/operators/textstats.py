@@ -809,7 +809,10 @@ def bigram_lm_fit(
     bigrams = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("n_bi")
     )
-    contexts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    # context totals roll up from the (already tiny) bigram count frame —
+    # c(w1) = Σ_w2 c(w1,w2) by definition, so the pair stream is never
+    # exploded or shuffled a second time.
+    contexts = bigrams.groupBy("w1").agg(F.sum("n_bi").alias("n_ctx"))
     vocab = (
         train.select(F.explode(whitespace_tokens(text_col)).alias("t"))
         .agg(F.count_distinct("t").alias("vocab_size"))
@@ -840,16 +843,27 @@ def bigram_lm_perplexity(
     ``ppl = exp(avg_nll)``.
     """
     bigrams, contexts, vocab = model
-    sb = _fan_out(df).select(
-        F.col(id_col), F.explode(word_bigrams(text_col)).alias("bg")
-    ).select(id_col, "bg.w1", "bg.w2")
+    # collapse the score-side pair stream into the per-document bigram
+    # histogram before joining: repeated bigrams (ubiquitous in natural
+    # text) hit the model once and contribute n·ln p — the join and the
+    # final aggregate see the compact histogram, not the raw stream.
+    sb = (
+        _fan_out(df)
+        .select(
+            F.col(id_col), F.explode(word_bigrams(text_col)).alias("bg")
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
     scored = (
         sb.join(bigrams, ["w1", "w2"], "left")
         .join(contexts, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "__lp",
-            F.log(
+            F.col("n_occ").cast("double")
+            * F.log(
                 (F.coalesce("n_bi", F.lit(0)) + F.lit(k))
                 / (
                     F.coalesce("n_ctx", F.lit(0))
@@ -861,8 +875,8 @@ def bigram_lm_perplexity(
     return (
         scored.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (-F.sum("__lp") / F.count(F.lit(1))).alias("avg_nll"),
+            F.sum("n_occ").alias("n_bigrams"),
+            (-F.sum("__lp") / F.sum("n_occ")).alias("avg_nll"),
         )
         .withColumn("ppl", F.exp("avg_nll"))
     )

@@ -7428,18 +7428,22 @@ def repeated_span_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
       FROM sct
     ),
+    sh AS (
+      SELECT doc_id, w1, w2, count(*)::BIGINT AS n_occ
+      FROM sb GROUP BY 1, 2, 3
+    ),
     lp AS (
-      SELECT sb.doc_id,
-             ln((coalesce(b.n_bi, 0) + 1.0)
-                / (coalesce(c.n_ctx, 0) + 1.0 * voc.v)) AS lp
-      FROM sb
-      LEFT JOIN big b ON sb.w1 = b.w1 AND sb.w2 = b.w2
-      LEFT JOIN ctx c ON sb.w1 = c.w1
+      SELECT sh.doc_id, sh.n_occ,
+             sh.n_occ * ln((coalesce(b.n_bi, 0) + 1.0)
+                           / (coalesce(c.n_ctx, 0) + 1.0 * voc.v)) AS lp
+      FROM sh
+      LEFT JOIN big b ON sh.w1 = b.w1 AND sh.w2 = b.w2
+      LEFT JOIN ctx c ON sh.w1 = c.w1
       CROSS JOIN voc
     )
-    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-           -sum(lp) / count(*) AS avg_nll,
-           exp(-sum(lp) / count(*)) AS ppl
+    SELECT doc_id, sum(n_occ)::BIGINT AS n_bigrams,
+           -sum(lp) / sum(n_occ) AS avg_nll,
+           exp(-sum(lp) / sum(n_occ)) AS ppl
     FROM lp GROUP BY 1
     """,
 )
@@ -7486,17 +7490,22 @@ def bigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id % 10 = 0 GROUP BY 1
     ),
     rc AS (SELECT bucket, count(*)::BIGINT AS ct_r FROM fb GROUP BY 1),
+    hb AS (
+      SELECT doc_id, bucket, count(*)::BIGINT AS n_db FROM fb GROUP BY 1, 2
+    ),
     j AS (
-      SELECT fb.doc_id,
-             ln((coalesce(t.ct_t, 0) + 1.0)
-                / ((SELECT sum(ct_t) FROM tc) + 4096.0))
-             - ln((coalesce(r.ct_r, 0) + 1.0)
-                  / ((SELECT sum(ct_r) FROM rc) + 4096.0)) AS lw
-      FROM fb
-      LEFT JOIN tc t ON fb.bucket = t.bucket
-      LEFT JOIN rc r ON fb.bucket = r.bucket
+      SELECT hb.doc_id, hb.n_db,
+             hb.n_db * (
+               ln((coalesce(t.ct_t, 0) + 1.0)
+                  / ((SELECT sum(ct_t) FROM tc) + 4096.0))
+               - ln((coalesce(r.ct_r, 0) + 1.0)
+                    / ((SELECT sum(ct_r) FROM rc) + 4096.0))
+             ) AS lw
+      FROM hb
+      LEFT JOIN tc t ON hb.bucket = t.bucket
+      LEFT JOIN rc r ON hb.bucket = r.bucket
     )
-    SELECT doc_id, count(*)::BIGINT AS n_feats, sum(lw) AS log_weight
+    SELECT doc_id, sum(n_db)::BIGINT AS n_feats, sum(lw) AS log_weight
     FROM j GROUP BY 1
     """,
 )
