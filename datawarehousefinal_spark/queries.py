@@ -7406,11 +7406,12 @@ def repeated_span_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "bigram_lm_perplexity",
-    oracle=f"""
-    WITH trt AS (
-      SELECT {_TOKS_SQL} AS l FROM documents WHERE doc_id % 2 = 0
+# Shared DuckDB replay of the add-one bigram LM (fit on even doc_ids,
+# per-doc scores for odd doc_ids) — reused by the raw-score query and the
+# CCNet-style bucket-mix report so the two oracles can never drift.
+_BIGRAM_LM_SCORES_CTES = f"""
+    trt AS (
+      SELECT {{toks}} AS l FROM documents WHERE doc_id % 2 = 0
     ),
     tb AS (
       SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
@@ -7422,7 +7423,7 @@ def repeated_span_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(DISTINCT t) AS v FROM (SELECT unnest(l) AS t FROM trt)
     ),
     sct AS (
-      SELECT doc_id, {_TOKS_SQL} AS l FROM documents WHERE doc_id % 2 = 1
+      SELECT doc_id, {{toks}} AS l FROM documents WHERE doc_id % 2 = 1
     ),
     sb AS (
       SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
@@ -7440,11 +7441,26 @@ def repeated_span_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN big b ON sh.w1 = b.w1 AND sh.w2 = b.w2
       LEFT JOIN ctx c ON sh.w1 = c.w1
       CROSS JOIN voc
+    ),
+    scores AS MATERIALIZED (
+      -- MATERIALIZED: consumers re-evaluating this CTE would re-run the
+      -- parallel double sums with a different merge order; the tercile
+      -- replay joins back on the computed ppl DOUBLE, so both consumers
+      -- must read the SAME bits (the Spark side persists for the same
+      -- reason).
+      SELECT doc_id, sum(n_occ)::BIGINT AS n_bigrams,
+             -sum(lp) / sum(n_occ) AS avg_nll,
+             exp(-sum(lp) / sum(n_occ)) AS ppl
+      FROM lp GROUP BY 1
     )
-    SELECT doc_id, sum(n_occ)::BIGINT AS n_bigrams,
-           -sum(lp) / sum(n_occ) AS avg_nll,
-           exp(-sum(lp) / sum(n_occ)) AS ppl
-    FROM lp GROUP BY 1
+""".format(toks=_TOKS_SQL)
+
+
+@query(
+    "bigram_lm_perplexity",
+    oracle=f"""
+    WITH {_BIGRAM_LM_SCORES_CTES}
+    SELECT doc_id, n_bigrams, avg_nll, ppl FROM scores
     """,
 )
 def bigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7525,6 +7541,79 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 0)
     return dsir_importance(docs, target, "doc_id", "text", n_buckets=4096)
+
+
+@query(
+    "ppl_bucket_mix",
+    oracle=f"""
+    WITH {_BIGRAM_LM_SCORES_CTES},
+    hist AS (SELECT ppl, count(*)::DOUBLE AS cnt FROM scores GROUP BY 1),
+    cum AS (
+      SELECT ppl, cnt, sum(cnt) OVER (ORDER BY ppl) AS cum FROM hist
+    ),
+    n AS (SELECT count(*)::DOUBLE AS n FROM scores),
+    qmap AS (
+      SELECT ppl,
+             CASE WHEN n.n > 1
+                  THEN ((cum - (cnt - 1) / 2) - 1) / (n.n - 1)
+                  ELSE 0.5 END AS q
+      FROM cum CROSS JOIN n
+    ),
+    b AS (
+      SELECT s.doc_id, s.n_bigrams, s.ppl,
+             CASE WHEN q.q < 1.0 / 3 THEN 'head'
+                  WHEN q.q < 2.0 / 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scores s JOIN qmap q ON s.ppl = q.ppl
+    )
+    SELECT bucket, count(*)::BIGINT AS n_docs,
+           sum(n_bigrams)::BIGINT AS n_bigrams_total,
+           min(ppl) AS min_ppl, max(ppl) AS max_ppl
+    FROM b GROUP BY 1
+    """,
+)
+def ppl_bucket_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    rank every scored document's LM perplexity into exact terciles and
+    report each bucket's size, token mass, and perplexity range — the
+    standard knob for trading data quantity against LM-judged quality
+    when composing a pretraining mix. The tercile assignment reuses
+    analytics.quantile_rank_normalize's scale shape (value histogram +
+    distributed two-phase prefix sum + join-back — never a global
+    single-partition rank window), so the split holds at corpus scale;
+    bucket stats are min/max/integer-sum only, all merge-order-exact.
+    Composition of bigram_lm_perplexity ∘ quantile_rank_normalize —
+    the oracle replays both stages from the shared LM CTEs."""
+    from datawarehousefinal_spark.operators.analytics import (
+        quantile_rank_normalize,
+    )
+    from datawarehousefinal_spark.operators.textstats import (
+        bigram_lm_fit,
+        bigram_lm_perplexity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = bigram_lm_fit(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    # persist: the rank normalization consumes `scores` twice (value
+    # histogram + join-back on the computed ppl DOUBLE); without a shared
+    # materialization each consumer would re-run the floating sums with a
+    # different partial-merge order and the equality join-back would
+    # silently drop ulp-shifted rows. One row per scored doc — bounded.
+    scores = bigram_lm_perplexity(
+        model, docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
+    ).persist()
+    qd = quantile_rank_normalize(scores, "ppl", "__q")
+    bucket = (
+        F.when(F.col("__q") < F.lit(1.0 / 3), "head")
+        .when(F.col("__q") < F.lit(2.0 / 3), "middle")
+        .otherwise("tail")
+    )
+    return qd.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("n_bigrams_total"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
+    )
 
 
 # ---------------------------------------------------------------------------

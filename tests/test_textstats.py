@@ -357,3 +357,17 @@ def test_bigram_lm_short_docs_unscored(spark):
     out = bigram_lm_perplexity(model, score, "doc_id", "text").collect()
     # only the 2-token doc carries bigram evidence
     assert {r["doc_id"] for r in out} == {1}
+
+
+def test_ppl_bucket_mix_covers_all_docs_in_even_terciles(spark):
+    from datawarehousefinal_spark import queries as Q
+
+    out = {r["bucket"]: r for r in
+           Q.QUERIES["ppl_bucket_mix"](spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    sizes = [out[b]["n_docs"] for b in ("head", "middle", "tail")]
+    total = sum(sizes)
+    # exact terciles: no bucket deviates by more than the tie slack
+    assert max(sizes) - min(sizes) <= max(2, total // 10)
+    # head is the low-perplexity (cleanest) end
+    assert out["head"]["max_ppl"] <= out["tail"]["min_ppl"] + 1e-9
