@@ -880,3 +880,154 @@ def bigram_lm_perplexity(
         )
         .withColumn("ppl", F.exp("avg_nll"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + subword segmentation (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+# The standard subword-vocabulary learner, re-expressed for Spark: the
+# corpus collapses ONCE to its word-frequency table (the classic BPE
+# formulation trains on types weighted by counts, not the token stream),
+# and every merge iteration runs over that vocabulary-sized frame — a
+# 100 TB corpus costs one corpus-wide count, then K iterations whose cost
+# scales with |vocab|, never with corpus size. Words are carried as
+# wrapped-symbol strings "\x1e<sym>\x1f..." so applying a merge is ONE
+# plain `replace` per iteration: the wrapper markers pin both symbols'
+# exact boundaries (no regex, no lookaround), and consecutive/overlapping
+# pair runs resolve left-to-right exactly like the reference algorithm.
+
+_BPE_O = "\x1e"  # symbol-open marker (ASCII record separator)
+_BPE_C = "\x1f"  # symbol-close marker (ASCII unit separator)
+
+
+def _bpe_tok(a: str) -> str:
+    return f"{_BPE_O}{a}{_BPE_C}"
+
+
+def bpe_encode(col: Column | str) -> Column:
+    """Wrapped-symbol encoding of a WORD: each character becomes
+    ``\\x1e c \\x1f``. Pure column expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.transform(
+            F.split(c, ""),
+            lambda ch: F.concat(F.lit(_BPE_O), ch, F.lit(_BPE_C)),
+        ),
+        "",
+    )
+
+
+def bpe_apply_merges(col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Fold an ordered merge list over a wrapped-symbol string — one
+    ``replace`` per merge, exactly the left-to-right all-occurrences
+    semantics of the reference algorithm (the wrapper markers make
+    ``\\x1e a \\x1f \\x1e b \\x1f`` match ONLY a full (a, b) symbol pair,
+    and each replacement re-emits wrapped ``ab`` so later merges
+    compose)."""
+    out = col
+    for a, b in merges:
+        out = F.replace(
+            out, F.lit(_bpe_tok(a) + _bpe_tok(b)), F.lit(_bpe_tok(a + b))
+        )
+    return out
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the
+    ordered merge list (the tokenizer model).
+
+    Scale shape: ONE corpus-wide tokenize + word-count aggregate, then
+    every iteration is a pair-explode + map-side-combined count over the
+    VOCABULARY frame followed by a single-row argmax collect (count
+    desc, pair ascending — fully deterministic) and one `replace` map.
+    The vocab frame is eagerly localCheckpoint-ed per iteration so
+    lineage stays flat across K rounds (same discipline as the
+    connected-components fixpoint). Stops early when the best pair's
+    frequency drops below ``min_freq``.
+    """
+    vocab = (
+        _fan_out(df)
+        .select(F.explode(whitespace_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(bpe_encode("w").alias("e"), "n")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        syms = F.filter(
+            F.transform(
+                F.split(F.col("e"), _BPE_C),
+                lambda x: F.substring(x, 2, 1_000_000_000),
+            ),
+            lambda x: x != "",
+        )
+        m = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(syms, 1, m),
+            F.slice(syms, 2, m),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        best = (
+            vocab.select(F.explode(pairs).alias("p"), "n")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .first()
+        )
+        if best is None or best["cnt"] < min_freq:
+            break
+        a, b = best["a"], best["b"]
+        merges.append((a, b))
+        nxt = vocab.select(
+            F.replace(
+                F.col("e"),
+                F.lit(_bpe_tok(a) + _bpe_tok(b)),
+                F.lit(_bpe_tok(a + b)),
+            ).alias("e"),
+            "n",
+        ).localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+def bpe_subword_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Segment every document with a FROZEN merge list and report
+    ``id_col, n_words, n_subwords, fertility`` (subwords per word — the
+    standard tokenizer-health metric; a rising fertility means the
+    vocabulary fits the corpus badly). Pure column expressions: encode
+    words, join with a space (a space can never occur inside a merge
+    pattern, so merges cannot leak across word boundaries), fold the
+    merge replaces, count open markers. Zero shuffles, zero Python —
+    and exactly replayable in SQL, so the serving face is hash-oracled
+    while training stays in pytest (the frozen_ann.py model-registry
+    split)."""
+    toks = whitespace_tokens(text_col)
+    enc = F.array_join(
+        F.transform(toks, lambda w: bpe_encode(w)), " "
+    )
+    seg = bpe_apply_merges(enc, merges)
+    n_words = F.size(toks).cast("long")
+    n_sub = (
+        F.length(seg) - F.length(F.replace(seg, F.lit(_BPE_O), F.lit("")))
+    ).cast("long")
+    return _fan_out(df).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sub.alias("n_subwords"),
+        F.when(n_words > 0, n_sub.cast("double") / n_words).alias(
+            "fertility"
+        ),
+    )

@@ -7616,6 +7616,110 @@ def ppl_bucket_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen BPE tokenizer model — the frozen_ann.py model-registry split:
+# TRAINING is the iterative `bpe_learn` loop (exercised end-to-end by
+# tests/test_textstats.py and the registered `bpe_merge_table` face);
+# SEGMENTATION with a committed merge list is pure string arithmetic, so
+# the serving report hash-verifies against a SQL oracle replaying the
+# identical replace chain. Provenance: bpe_learn(sf0.001 documents,
+# num_merges=16, min_freq=2) — regenerate with the snippet in this
+# file's git history; tests pin frozen == retrained.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"),
+]
+
+
+def _bpe_sql_str(s: str) -> str:
+    """chr()-concat SQL literal for a wrapped-symbol string (the \\x1e /
+    \\x1f markers can't ride in a plain quoted literal portably)."""
+    parts = []
+    for ch in s:
+        if ch == "\x1e":
+            parts.append("chr(30)")
+        elif ch == "\x1f":
+            parts.append("chr(31)")
+        else:
+            parts.append("'" + ch.replace("'", "''") + "'")
+    return " || ".join(parts)
+
+
+def _bpe_seg_sql(expr: str) -> str:
+    """Nested-replace SQL applying the frozen merge chain to ``expr``."""
+    from datawarehousefinal_spark.operators.textstats import _bpe_tok
+
+    out = expr
+    for a, b in _BPE_MERGES:
+        pat = _bpe_sql_str(_bpe_tok(a) + _bpe_tok(b))
+        rep = _bpe_sql_str(_bpe_tok(a + b))
+        out = f"replace({out}, {pat}, {rep})"
+    return out
+
+
+@query(
+    "bpe_subword_report",
+    oracle=f"""
+    WITH enc AS (
+      SELECT doc_id,
+             array_to_string(list_transform({_TOKS_SQL}, w ->
+               array_to_string([chr(30) || substr(w, i, 1) || chr(31)
+                                for i in generate_series(1, length(w))],
+                               '')), ' ') AS e,
+             len({_TOKS_SQL})::BIGINT AS n_words
+      FROM documents
+    ),
+    seg AS (SELECT doc_id, n_words, {_bpe_seg_sql('e')} AS s FROM enc)
+    SELECT doc_id, n_words,
+           (length(s) - length(replace(s, chr(30), '')))::BIGINT
+             AS n_subwords,
+           CASE WHEN n_words > 0
+                THEN (length(s) - length(replace(s, chr(30), '')))::DOUBLE
+                     / n_words
+           END AS fertility
+    FROM seg
+    """,
+)
+def bpe_subword_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword segmentation under the FROZEN BPE model (Sennrich et al.
+    2016): per-document word count, subword count, and fertility
+    (subwords/word — the tokenizer-health metric; rising fertility means
+    the vocabulary fits the corpus badly). Serving is a pure column
+    expression chain — wrapped-symbol encode, one `replace` per frozen
+    merge, marker count — zero shuffles, zero Python, and the oracle
+    replays the identical chain, so segmentation is hash-verified
+    end-to-end. Training stays iterative in `bpe_merge_table` + pytest
+    (the frozen_ann model-registry split)."""
+    from datawarehousefinal_spark.operators.textstats import (
+        bpe_subword_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_subword_stats(docs, "doc_id", "text", _BPE_MERGES)
+
+
+@query("bpe_merge_table")  # no SQL oracle: iterative argmax training loop
+def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING as a registered capability (the iterative
+    half of the frozen-model split, same family as kmeans/cv_grid):
+    learn 8 merges from the corpus and return them as
+    (rank, left, right). One corpus-wide word-count collapse, then K
+    vocabulary-sized pair-count iterations with a deterministic
+    single-row argmax each — the merge list is a pure function of the
+    corpus (count desc, pair ascending tie-break), pinned exactly by
+    tests/test_textstats.py on a fixture and by frozen == retrained on
+    sf0.001."""
+    from datawarehousefinal_spark.operators.textstats import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_learn(docs, "text", num_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------

@@ -371,3 +371,48 @@ def test_ppl_bucket_mix_covers_all_docs_in_even_terciles(spark):
     assert max(sizes) - min(sizes) <= max(2, total // 10)
     # head is the low-perplexity (cleanest) end
     assert out["head"]["max_ppl"] <= out["tail"]["min_ppl"] + 1e-9
+
+
+def test_bpe_learn_pins_fixture_merge_sequence(spark):
+    from datawarehousefinal_spark.operators.textstats import bpe_learn
+
+    # "ab" appears 5x as a word pair source: pairs (a,b) dominate; then
+    # after merging, (ab, c) dominates the remainder.
+    df = spark.createDataFrame(
+        [(1, "abc abc abc"), (2, "abc abc xy")], "id long, text string"
+    )
+    merges = bpe_learn(df, "text", num_merges=3)
+    # (a,b): 5, (b,c): 5 -> tie broken by pair ascending: (a,b) first;
+    # then (ab,c): 5 wins over (x,y): 1... which is below min_freq=2
+    assert merges == [("a", "b"), ("ab", "c")]
+
+
+def test_bpe_apply_consecutive_pairs_and_word_isolation(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.textstats import (
+        bpe_subword_stats,
+    )
+
+    df = spark.createDataFrame(
+        # "aaa" with merge (a,a): left-to-right -> [aa, a] (2 subwords);
+        # "a ab" must NOT merge across the word boundary with (a,a)
+        [(1, "aaa"), (2, "a a"), (3, "ab ba")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bpe_subword_stats(df, "doc_id", "text", [("a", "a")]).collect()}
+    assert out[1]["n_subwords"] == 2          # [aa, a]
+    assert out[2]["n_subwords"] == 2          # words stay isolated
+    assert out[3]["n_subwords"] == 4          # merge never fires
+    assert abs(out[1]["fertility"] - 2.0) < 1e-12
+
+
+def test_bpe_frozen_model_matches_retrained(spark, sf_dir):
+    from datawarehousefinal_spark.operators.textstats import bpe_learn
+    from datawarehousefinal_spark.queries import _BPE_MERGES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert bpe_learn(docs, "text", num_merges=16) == _BPE_MERGES
