@@ -7486,10 +7486,11 @@ def bigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dsir_importance_weights",
-    oracle=f"""
-    WITH docs_t AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
+# Shared DuckDB replay of the DSIR scorer (target = doc_id % 10 = 0,
+# 4096 md5 buckets) — reused by the raw-score query and the resampled-mix
+# report so the two oracles can never drift.
+_DSIR_SCORES_CTES = f"""
+    docs_t AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
     feats AS (
       SELECT doc_id, unnest(l) AS g FROM docs_t
       UNION ALL
@@ -7520,9 +7521,19 @@ def bigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hb
       LEFT JOIN tc t ON hb.bucket = t.bucket
       LEFT JOIN rc r ON hb.bucket = r.bucket
+    ),
+    dsir_scores AS (
+      SELECT doc_id, sum(n_db)::BIGINT AS n_feats, sum(lw) AS log_weight
+      FROM j GROUP BY 1
     )
-    SELECT doc_id, sum(n_db)::BIGINT AS n_feats, sum(lw) AS log_weight
-    FROM j GROUP BY 1
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_SCORES_CTES}
+    SELECT doc_id, n_feats, log_weight FROM dsir_scores
     """,
 )
 def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7541,6 +7552,90 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 0)
     return dsir_importance(docs, target, "doc_id", "text", n_buckets=4096)
+
+
+@query(
+    "dsir_resampled_mix",
+    oracle=f"""
+    WITH {_DSIR_SCORES_CTES},
+    samp AS (
+      SELECT doc_id FROM dsir_scores
+      ORDER BY ln((('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))
+                   ::BIGINT + 0.5) / 1152921504606846976.0)
+               / exp(log_weight) DESC, doc_id
+      LIMIT 200
+    ),
+    cm AS (
+      SELECT source, count(*)::BIGINT AS n_docs_corpus
+      FROM documents GROUP BY 1
+    ),
+    sm AS (
+      SELECT d.source, count(*)::BIGINT AS n
+      FROM documents d JOIN samp ON d.doc_id = samp.doc_id GROUP BY 1
+    )
+    SELECT cm.source, cm.n_docs_corpus,
+           coalesce(sm.n, 0)::BIGINT AS n_docs_sampled,
+           cm.n_docs_corpus::DOUBLE
+             / (SELECT sum(n_docs_corpus) FROM cm) AS share_corpus,
+           coalesce(sm.n, 0)::DOUBLE
+             / (SELECT count(*) FROM samp) AS share_sampled
+    FROM cm LEFT JOIN sm ON cm.source = sm.source
+    """,
+)
+def dsir_resampled_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR selection loop closed end-to-end (Xie et al. 2023
+    §2): hashed-n-gram importance scores → exact-n Efraimidis–Spirakis
+    weighted draw on exp(log_weight) (deterministic md5 randomness) →
+    per-source mixture report showing how importance resampling shifts
+    the corpus mix toward the target domain. Every stage is a pure
+    function of (ids, text, seed), so the oracle replays score, draw,
+    and mix verbatim. Scale shape: scoring is the broadcast map-side
+    pass, the draw is TakeOrderedAndProject (local top-n, no shuffle),
+    the mix is two source-cardinality aggregates — shares attach via a
+    window over the handful-of-sources frame."""
+    from pyspark.sql import Window
+
+    from datawarehousefinal_spark.operators.curation import (
+        dsir_importance,
+        weighted_sample_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    txt = docs.select("doc_id", "text")
+    scores = dsir_importance(
+        txt, txt.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", 4096
+    )
+    samp = weighted_sample_exact(
+        scores.withColumn("w", F.exp("log_weight")), "doc_id", "w", 200
+    ).select("doc_id")
+    corpus_mix = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_corpus")
+    )
+    samp_mix = (
+        docs.join(samp, "doc_id").groupBy("source").agg(
+            F.count(F.lit(1)).alias("__n_s")
+        )
+    )
+    w_all = Window.partitionBy()
+    return (
+        corpus_mix.join(samp_mix, "source", "left")
+        .withColumn("n_docs_sampled", F.coalesce("__n_s", F.lit(0)))
+        .select(
+            "source",
+            "n_docs_corpus",
+            "n_docs_sampled",
+            (
+                F.col("n_docs_corpus").cast("double")
+                / F.sum("n_docs_corpus").over(w_all)
+            ).alias("share_corpus"),
+            (
+                F.col("n_docs_sampled").cast("double")
+                / F.sum("n_docs_sampled").over(w_all)
+            ).alias("share_sampled"),
+        )
+    )
 
 
 @query(

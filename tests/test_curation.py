@@ -396,3 +396,17 @@ def test_dsir_importance_feature_counts(spark):
            for r in dsir_importance(raw, target, "doc_id", "text").collect()}
     # 3 unigrams + 2 bigrams; 1 unigram; empty docs carry no features
     assert out == {1: 5, 2: 1}
+
+
+def test_dsir_resampled_mix_conserves_draw(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark import queries as Q
+
+    out = Q.QUERIES["dsir_resampled_mix"](spark, "/root/testdata/sf0.001")
+    agg = out.agg(
+        F.sum("n_docs_sampled"), F.sum("share_corpus"), F.sum("share_sampled")
+    ).first()
+    # the fixture corpus exceeds the draw size: exactly n=200 sampled
+    assert agg[0] == 200
+    assert abs(agg[1] - 1.0) < 1e-9 and abs(agg[2] - 1.0) < 1e-9

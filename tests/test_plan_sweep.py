@@ -83,6 +83,7 @@ BNLJ_ALLOWED = {
     "bigram_lm_perplexity",
     "dsir_importance_weights",
     "ppl_bucket_mix",
+    "dsir_resampled_mix",
     # chi2's single-row totals (n, ka, kb) cross join and
     # grouped_trend_fits' single-row global-min-day (d0) broadcast join
     # — the same bounded scalar-broadcast pattern.
