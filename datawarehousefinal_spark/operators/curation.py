@@ -704,3 +704,101 @@ def dsir_importance(
         F.sum("n_db").alias("n_feats"),
         F.sum("__lw").alias("log_weight"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    epoch_cap: float = 2.0,
+) -> DataFrame:
+    """UniMax sampling allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spread a total example ``budget`` as UNIFORMLY as
+    possible across groups (languages / sources), capping every group at
+    ``epoch_cap`` passes over its own data — small groups stop at their
+    epoch cap, the remaining budget water-fills uniformly over the rest.
+    This is the principled alternative to temperature sampling
+    (:func:`temperature_rebalance`): no tuned exponent, and no group ever
+    repeats more than ``epoch_cap`` epochs.
+
+    Closed-form water-filling, no iteration: with per-group caps
+    ``cap_g = epoch_cap · n_g`` sorted ascending, the water level ``s``
+    solves ``Σ min(cap_g, s) = budget``; the total-at-level function is
+    piecewise linear in ``s``, so ``s`` falls out of one cumulative-sum
+    window over the (tiny, one row per group) count frame. The corpus
+    itself collapses to that count frame in a single partial-agg pass —
+    at 100 TB the water-filling runs on rows = number of languages.
+    The global window is over the group frame only (bounded by
+    contract), never the corpus.
+
+    Output, one row per group: ``group_col, n_docs (long), cap
+    (double), alloc (double), epochs (double = alloc / n_docs)``.
+    ``Σ alloc = min(budget, Σ cap)`` exactly (up to float division);
+    draw the per-group rows with :func:`group_sample_exact` on
+    ``floor(alloc)`` or weight repetition by ``epochs`` downstream.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if epoch_cap <= 0:
+        raise ValueError("epoch_cap must be positive")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    c = counts.withColumn(
+        "cap", F.col("n_docs").cast("double") * F.lit(float(epoch_cap))
+    )
+    # Tiny frame: one row per group. The unpartitioned windows below are
+    # deliberate (bounded by the group-count contract, like the fuzzy
+    # closest-match pair frame) — cumulative cap in (cap, group) order,
+    # plus frame-wide totals.
+    wo = Window.orderBy("cap", group_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    lv = (
+        c.withColumn("__rn", F.row_number().over(Window.orderBy("cap", group_col)))
+        .withColumn("__cumcap", F.sum("cap").over(wo))
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .withColumn("__totcap", F.sum("cap").over(wall))
+        # Total drawn if the water level sat exactly at THIS group's cap:
+        # groups up to here saturated, the rest each at cap_this.
+        .withColumn(
+            "__tot_at",
+            F.col("__cumcap") + F.col("cap") * (F.col("__n") - F.col("__rn")),
+        )
+        # Highest fully-saturated prefix: the last rank whose cap-level
+        # total still fits the budget.
+        .withColumn(
+            "__sat_rn",
+            F.max(
+                F.when(F.col("__tot_at") <= F.lit(float(budget)), F.col("__rn"))
+            ).over(wall),
+        )
+        .withColumn(
+            "__sat_cum",
+            F.max(
+                F.when(
+                    F.col("__tot_at") <= F.lit(float(budget)), F.col("__cumcap")
+                )
+            ).over(wall),
+        )
+        .withColumn(
+            "__level",
+            F.when(F.col("__totcap") <= F.lit(float(budget)), F.col("__totcap"))
+            .otherwise(
+                (F.lit(float(budget)) - F.coalesce("__sat_cum", F.lit(0.0)))
+                / (F.col("__n") - F.coalesce("__sat_rn", F.lit(0)))
+            ),
+        )
+    )
+    alloc = F.when(
+        F.col("__totcap") <= F.lit(float(budget)), F.col("cap")
+    ).otherwise(F.least(F.col("cap"), F.col("__level")))
+    return lv.select(
+        group_col,
+        "n_docs",
+        F.col("cap").cast("double"),
+        alloc.cast("double").alias("alloc"),
+        (alloc / F.col("n_docs")).cast("double").alias("epochs"),
+    )

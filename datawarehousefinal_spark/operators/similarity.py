@@ -680,3 +680,123 @@ def semantic_dedup_keep(
         pairs = embedding_pairs_exact(corpus, id_col, vec_col, threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(losers, id_col, "left_anti")
+
+
+def prototypicality_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    drop_frac: float = 0.25,
+) -> DataFrame:
+    """D4-style prototypicality pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"; Tirumala et al. 2023, "D4"): assign every
+    vector to its nearest cluster centroid, score it by cosine to that
+    centroid (its *prototypicality*), and DROP the ``drop_frac`` most
+    prototypical vectors of each cluster — the ones nearest the cluster
+    mean carry the least marginal information, so pruning them first
+    beats random pruning at equal budget. Keeps the rest.
+
+    ``centroids`` is a frozen quantizer artifact (``__centroid,
+    __cvec`` — same contract as :func:`ivf_topk`; see
+    operators/frozen_ann.py for the committed instance): training is
+    iterative and lives outside the serving path, so pruning itself is
+    pure deterministic arithmetic.
+
+    Plan shape: one broadcast argmin assignment pass
+    (:func:`ivf_index_append` — the corpus never shuffles for
+    assignment), then one shuffle on the cluster id for the per-cluster
+    rank window. Cluster sizes are ~n/k BY DESIGN (D4 practice grows k
+    with the corpus precisely so clusters stay executor-sized), so the
+    per-cluster sort is bounded; with a deliberately tiny k over a huge
+    corpus, swap the window for the grouped histogram-rank machinery
+    (analytics.grouped quantile normalization) — same keep rule.
+
+    Drop count per cluster is ``ceil(drop_frac * n_cluster)`` (ranked by
+    prototypicality DESC, id-tie-broken) — exact, partitioning-
+    independent. Output (kept rows only): ``id_col, cluster (int),
+    prototypicality (double)``.
+    """
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError("drop_frac must be in [0, 1)")
+    assigned = ivf_index_append(centroids, corpus, id_col, vec_col)
+    pro = assigned.join(F.broadcast(centroids), "__centroid").withColumn(
+        "prototypicality",
+        dot_product(F.col(vec_col), F.col("__cvec"))
+        / (F.col("__norm") * l2_norm(F.col("__cvec"))),
+    )
+    w = Window.partitionBy("__centroid").orderBy(
+        F.desc("prototypicality"), F.col(id_col)
+    )
+    wc = Window.partitionBy("__centroid")
+    return (
+        pro.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("__rn")
+            > F.ceil(F.col("__cnt") * F.lit(float(drop_frac)))
+        )
+        .select(
+            id_col,
+            F.col("__centroid").cast("int").alias("cluster"),
+            F.col("prototypicality").cast("double"),
+        )
+    )
+
+
+def knn_label_propagation(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semi-supervised auto-labeling: each unlabeled vector takes the
+    majority label among its ``k`` nearest labeled neighbors by exact
+    cosine — the label-propagation step every weak-supervision pipeline
+    runs to extend a small seed set of human labels over a large corpus.
+
+    Vote ties break toward the SMALLER label value — integer-only
+    tie-break, so the result is partitioning- and float-order-
+    independent (the only float influence is the neighbor RANKING,
+    which is the same deterministic contract :func:`cosine_topk`
+    already proves against its oracle).
+
+    Plan shape: the labeled corpus is scanned once by the top-k kernel
+    (``unlabeled`` is the broadcast query side — bound it per batch;
+    at scale chunk the unlabeled stream, or serve candidates from the
+    IVF index via :func:`ivf_topk` and apply the same vote). The
+    neighbor list (|unlabeled| × k rows) broadcasts back onto
+    ``labeled`` for the label join — the big side never shuffles.
+
+    ``labeled`` and ``unlabeled`` must carry disjoint ``id_col`` values
+    (self-matches are not excluded across frames).
+
+    Output: ``id_col, <label_col> (neighbor-majority label), votes
+    (long)`` — one row per unlabeled vector.
+    """
+    nbrs = cosine_topk(
+        labeled, unlabeled, id_col, vec_col, k=k, exclude_self=False, dim=dim
+    )
+    votes = (
+        labeled.select(
+            F.col(id_col).alias("neighbor_id"), F.col(label_col)
+        )
+        .join(F.broadcast(nbrs), "neighbor_id")
+        .groupBy("query_id", label_col)
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.col(label_col)
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col(label_col),
+            F.col("votes").cast("long"),
+        )
+    )

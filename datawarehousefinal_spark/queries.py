@@ -7815,6 +7815,161 @@ def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _proto_prune_oracle() -> str:
+    from datawarehousefinal_spark.operators.frozen_ann import IVF_CENTROIDS_16
+
+    return f"""
+    WITH c AS (SELECT * FROM {_centroid_values_sql(IVF_CENTROIDS_16)}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cid, cvec FROM (
+        SELECT vec_id, v, cid, cvec,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY list_inner_product(cvec, cvec)
+                            - 2 * list_inner_product(v, cvec), cid
+               ) AS rn
+        FROM v, c) WHERE rn = 1
+    ),
+    pro AS (
+      SELECT vec_id, cid,
+             list_inner_product(v, cvec)
+               / (sqrt(list_inner_product(v, v))
+                  * sqrt(list_inner_product(cvec, cvec))) AS prototypicality
+      FROM assign
+    ),
+    rk AS (
+      SELECT vec_id, cid, prototypicality,
+             row_number() OVER (
+               PARTITION BY cid ORDER BY prototypicality DESC, vec_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY cid) AS cnt
+      FROM pro
+    )
+    SELECT vec_id, cid::INTEGER AS cluster, prototypicality
+    FROM rk WHERE rn > ceil(cnt * 0.25)
+    """
+
+
+@query("prototypicality_prune_keep", oracle=_proto_prune_oracle())
+def prototypicality_prune_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style prototypicality pruning (Sorscher et al. 2022; Tirumala
+    et al. 2023) over the frozen coarse quantizer: assign every embedding
+    to its nearest frozen centroid (operators/frozen_ann.IVF_CENTROIDS_16
+    — training stays in tests, serving is pure arithmetic), rank each
+    cluster by cosine-to-centroid, DROP the most-prototypical 25% per
+    cluster, keep the rest. The oracle replays assignment (argmin-L2,
+    cid tie-break), the cosine, the (proto DESC, id) rank, and the
+    ceil-based drop count over the identical centroid literals."""
+    from datawarehousefinal_spark.operators.frozen_ann import IVF_CENTROIDS_16
+    from datawarehousefinal_spark.operators.similarity import (
+        prototypicality_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _frozen_centroids_df(spark, IVF_CENTROIDS_16)
+    return prototypicality_prune(emb, centroids, "vec_id", "embedding", 0.25)
+
+
+@query(
+    "knn_label_propagation",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 20 = 0),
+         c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id % 20 <> 0),
+    nbrs AS (
+      SELECT query_id, neighbor_id, label FROM (
+        SELECT q.query_id, c.neighbor_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                          c.neighbor_id
+               ) AS rn
+        FROM q CROSS JOIN c) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, label, count(*)::BIGINT AS votes
+      FROM nbrs GROUP BY query_id, label
+    )
+    SELECT query_id AS vec_id, label, votes FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, label
+      ) AS rn FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised auto-labeling: every 20th vector plays the
+    unlabeled batch; each takes the majority label of its 5 nearest
+    labeled neighbors by exact cosine (votes DESC, smaller label on
+    ties — integer-only tie-break, so the hash is float-order-immune;
+    the float influence is the neighbor RANKING, the same contract
+    cosine_topk already proves). dim=64 is the embeddings contract
+    (TESTDATA.md), so kernel choice costs no probe job."""
+    from datawarehousefinal_spark.operators.similarity import (
+        knn_label_propagation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") % 20 == 0).drop("label")
+    labeled = emb.filter(F.col("vec_id") % 20 != 0)
+    return knn_label_propagation(
+        labeled, unlabeled, "vec_id", "embedding", "label", k=5, dim=64
+    )
+
+
+@query(
+    "unimax_lang_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+    ),
+    c AS (SELECT lang, n_docs, n_docs * 1.5 AS cap FROM counts),
+    lv AS (
+      SELECT lang, n_docs, cap,
+             row_number() OVER (ORDER BY cap, lang) AS rn,
+             sum(cap) OVER (ORDER BY cap, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcap,
+             count(*) OVER () AS n,
+             sum(cap) OVER () AS totcap
+      FROM c
+    ),
+    lv2 AS (SELECT *, cumcap + cap * (n - rn) AS tot_at FROM lv),
+    lv3 AS (
+      SELECT *,
+             max(CASE WHEN tot_at <= 520.0 THEN rn END) OVER () AS sat_rn,
+             max(CASE WHEN tot_at <= 520.0 THEN cumcap END) OVER () AS sat_cum
+      FROM lv2
+    ),
+    alloc AS (
+      SELECT lang, n_docs, cap,
+             CASE WHEN totcap <= 520.0 THEN cap
+                  ELSE least(cap, (520.0 - coalesce(sat_cum, 0.0))
+                                    / (n - coalesce(sat_rn, 0))) END AS a
+      FROM lv3
+    )
+    SELECT lang, n_docs, CAST(cap AS DOUBLE) AS cap,
+           CAST(a AS DOUBLE) AS alloc,
+           CAST(a / n_docs AS DOUBLE) AS epochs
+    FROM alloc
+    """,
+)
+def unimax_lang_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023): spread a
+    520-example budget as uniformly as possible over the language groups,
+    capping every language at 1.5 epochs of its own data — closed-form
+    water-filling computed entirely with window functions over the
+    one-row-per-language count frame (the corpus collapses to that frame
+    in one partial-agg pass; no iteration, no collect). The oracle
+    replays the identical cumulative-cap windows and level algebra."""
+    from datawarehousefinal_spark.operators.curation import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_allocation(docs, "lang", budget=520, epoch_cap=1.5)
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------

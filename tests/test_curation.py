@@ -410,3 +410,53 @@ def test_dsir_resampled_mix_conserves_draw(spark):
     # the fixture corpus exceeds the draw size: exactly n=200 sampled
     assert agg[0] == 200
     assert abs(agg[1] - 1.0) < 1e-9 and abs(agg[2] - 1.0) < 1e-9
+
+
+def test_unimax_allocation_waterfill(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.curation import unimax_allocation
+
+    # caps at epoch_cap=1.0: a=10, b=20, c=100; budget 60 ->
+    # a,b saturate, c gets the 30 left (hand-solved water level).
+    rows = (
+        [("a", i) for i in range(10)]
+        + [("b", i) for i in range(20)]
+        + [("c", i) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = {
+        r["g"]: r
+        for r in unimax_allocation(df, "g", budget=60, epoch_cap=1.0).collect()
+    }
+    assert out["a"]["alloc"] == 10.0 and out["a"]["epochs"] == 1.0
+    assert out["b"]["alloc"] == 20.0
+    assert out["c"]["alloc"] == 30.0 and abs(out["c"]["epochs"] - 0.3) < 1e-12
+
+    # budget below every cap -> pure uniform split, nobody saturated
+    out2 = unimax_allocation(df, "g", budget=24, epoch_cap=1.0)
+    assert {r["alloc"] for r in out2.collect()} == {8.0}
+
+    # budget above the total cap -> everyone saturates at cap
+    out3 = unimax_allocation(df, "g", budget=10_000, epoch_cap=2.0)
+    got = {r["g"]: r["alloc"] for r in out3.collect()}
+    assert got == {"a": 20.0, "b": 40.0, "c": 200.0}
+    # sum(alloc) == min(budget, sum(cap)) on the waterfilled case
+    tot = (
+        unimax_allocation(df, "g", budget=60, epoch_cap=1.0)
+        .agg(F.sum("alloc"))
+        .first()[0]
+    )
+    assert abs(tot - 60.0) < 1e-9
+
+
+def test_unimax_allocation_validates(spark):
+    import pytest
+
+    from datawarehousefinal_spark.operators.curation import unimax_allocation
+
+    df = spark.createDataFrame([("a", 1)], ["g", "x"])
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "g", budget=0)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "g", budget=5, epoch_cap=0.0)

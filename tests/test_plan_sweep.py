@@ -68,8 +68,10 @@ BNLJ_ALLOWED = {
     # reference side).
     "centroid_cosine_matrix",
     # ivf_index_append's num_partitions-row centroid-table cross join —
-    # the same tiny-broadcast scoring pattern as ivf_topk.
+    # the same tiny-broadcast scoring pattern as ivf_topk
+    # (prototypicality_prune assigns through the same helper).
     "ivf_append_assignments",
+    "prototypicality_prune_keep",
     # tfidf's single-row corpus-size (N) cross join and
     # quantile_rank_normalize's single-row total-count (n) cross join —
     # the same bounded scalar-broadcast pattern as class_weights

@@ -328,3 +328,71 @@ def test_semantic_dedup_keep_rule_and_injected_pairs(spark):
         ).collect()
     )
     assert kept2 == kept
+
+
+def test_prototypicality_prune_drops_most_prototypical(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.similarity import (
+        prototypicality_prune,
+    )
+
+    # One cluster at +x, one at +y; within each, vectors at increasing
+    # angles off the centroid. The ones CLOSEST to the centroid drop.
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.98, 0.2]), (2, [0.9, 0.44]), (3, [0.7, 0.71]),
+        (10, [0.0, 1.0]), (11, [0.2, 0.98]), (12, [0.44, 0.9]),
+    ]
+    corpus = spark.createDataFrame(vecs, ["vid", "vec"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["__centroid", "__cvec"]
+    )
+    out = prototypicality_prune(corpus, cents, "vid", "vec", drop_frac=0.25)
+    rows = {r["vid"]: r for r in out.collect()}
+    # cluster 0 has 4 members -> ceil(1.0)=1 dropped: vid 0 (cos=1) goes
+    # cluster 1 has 3 members -> ceil(0.75)=1 dropped: vid 10 goes
+    assert set(rows) == {1, 2, 3, 11, 12}
+    assert rows[1]["cluster"] == 0 and rows[11]["cluster"] == 1
+    # prototypicality ordering survives in the output
+    assert rows[1]["prototypicality"] > rows[2]["prototypicality"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        prototypicality_prune(corpus, cents, "vid", "vec", drop_frac=1.0)
+
+
+def test_knn_label_propagation_majority_and_ties(spark):
+    from datawarehousefinal_spark.operators.similarity import (
+        knn_label_propagation,
+    )
+
+    # Labeled: two tight groups on the x and y axes; unlabeled points
+    # sit near each group -> take that group's label.
+    labeled = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7), (2, [0.99, 0.1], 7), (3, [0.98, 0.15], 7),
+            (4, [0.0, 1.0], 3), (5, [0.1, 0.99], 3),
+        ],
+        ["vid", "vec", "lab"],
+    )
+    unlabeled = spark.createDataFrame(
+        [(100, [0.97, 0.05]), (101, [0.05, 0.97])], ["vid", "vec"]
+    )
+    out = {
+        r["vid"]: (r["lab"], r["votes"])
+        for r in knn_label_propagation(
+            labeled, unlabeled, "vid", "vec", "lab", k=3
+        ).collect()
+    }
+    assert out[100] == (7, 3)  # all three x-axis neighbors
+    assert out[101][0] == 3 and out[101][1] == 2  # 2 of top-3 are y-axis
+
+    # 2-vs-2 vote tie at k=4 -> smaller label wins deterministically
+    out_tie = {
+        r["vid"]: r["lab"]
+        for r in knn_label_propagation(
+            labeled, unlabeled, "vid", "vec", "lab", k=4
+        ).collect()
+    }
+    assert out_tie[101] == 3  # 2 votes label 3, 2 votes label 7 -> 3
