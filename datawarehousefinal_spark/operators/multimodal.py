@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -576,4 +576,85 @@ def synth_video_bytes(
     return b"".join(
         bytes([(media_id + 7 * f) % 256]) * frame_size
         for f in range(n_frames)
+    )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, buckets: int = 64) -> DataFrame:
+    """Perceptual average-hash (aHash) over raw payload bytes — the
+    classic near-duplicate image fingerprint: mean-pool the pixel
+    stream into ``buckets`` cells, set bit b when cell b's mean exceeds
+    the global mean. Identical hashes = perceptually-identical media
+    (brightness-pattern equality), robust to payload-preserving
+    re-containering; Hamming-near hashes = near-dups (band the hash
+    like simhash for that).
+
+    The bit decision uses EXACT integer cross-multiplication —
+    ``cell_sum · n_bytes > total_sum · cell_count`` — never a float
+    mean, so the fingerprint is bit-for-bit reproducible on any engine
+    (float means differ in last ulps between numpy's pairwise and SQL's
+    sequential summation; a boundary cell would flip). Magnitudes are
+    bounded by 255 · n² < 2⁶³ for any payload under ~190 GB. Cells with
+    no pixels (payload shorter than the grid) read as 0-bits on both
+    sides — hashes stay length-``buckets`` and comparable.
+
+    Map-only Arrow batches (the mapInPandas contract of byte_stats);
+    zero shuffle. The hash is emitted as a ``buckets``-char '0'/'1'
+    string: engine-portable, directly groupable, and band-sliceable.
+    NULL/empty payloads → NULL hash (report, don't throw).
+
+    Output: ``media_id, ahash (string), n_bytes (long)``.
+    """
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, sizes = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                if p is None or len(p) == 0:
+                    hashes.append(None)
+                    sizes.append(0)
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                sizes.append(n)
+                cell = np.arange(n, dtype=np.int64) * buckets // n
+                sums = np.zeros(buckets, dtype=np.int64)
+                np.add.at(sums, cell, arr)
+                counts = np.bincount(cell, minlength=buckets).astype(np.int64)
+                total = int(arr.sum())
+                bits = sums * n > total * counts
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": hashes, "n_bytes": sizes}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, AHASH_SCHEMA)
+
+
+def perceptual_dup_groups(hashed: DataFrame) -> DataFrame:
+    """Group media by identical perceptual hash: every row gains its
+    group's size and canonical (min) media id — the survivor-pick
+    contract of exact_dedup applied to the aHash key. One shuffle on
+    the hash; groups are bounded by true perceptual-dup multiplicity.
+
+    Output: ``media_id, ahash, n_bytes, group_size (long),
+    canonical_id (long), is_dup (boolean)``.
+    """
+    w = Window.partitionBy("ahash")
+    return (
+        hashed.filter(F.col("ahash").isNotNull())
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("canonical_id", F.min("media_id").over(w).cast("long"))
+        .withColumn("is_dup", F.col("media_id") != F.col("canonical_id"))
     )

@@ -8015,6 +8015,65 @@ def sessionize_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, "user_id", "ts", "event_id", gap_minutes=360)
 
 
+@query(
+    "image_ahash_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text))::BIGINT AS n
+      FROM documents
+    ),
+    px AS (SELECT media_id, n, text, unnest(range(n)) AS i FROM d),
+    pv AS (
+      SELECT media_id, n, (i * 64) // n AS cell,
+             ascii(substr(text, (i + 1)::INTEGER, 1))::BIGINT AS v
+      FROM px
+    ),
+    cs AS (
+      SELECT media_id, cell, sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+      FROM pv GROUP BY media_id, cell
+    ),
+    tot AS (
+      SELECT media_id, any_value(n) AS n, sum(v)::BIGINT AS tot
+      FROM pv GROUP BY media_id
+    ),
+    grid AS (SELECT media_id, n, tot, unnest(range(64)) AS cell FROM tot),
+    bits AS (
+      SELECT g.media_id, g.cell,
+             CASE WHEN coalesce(cs.s, 0) * g.n > g.tot * coalesce(cs.c, 0)
+                  THEN '1' ELSE '0' END AS bit
+      FROM grid g
+      LEFT JOIN cs ON cs.media_id = g.media_id AND cs.cell = g.cell
+    ),
+    hashes AS (
+      SELECT media_id, string_agg(bit, '' ORDER BY cell) AS ahash
+      FROM bits GROUP BY media_id
+    )
+    SELECT h.media_id, h.ahash, d.n AS n_bytes,
+           count(*) OVER (PARTITION BY h.ahash)::BIGINT AS group_size,
+           min(h.media_id) OVER (PARTITION BY h.ahash)::BIGINT AS canonical_id,
+           h.media_id <> min(h.media_id) OVER (PARTITION BY h.ahash) AS is_dup
+    FROM hashes h JOIN d ON d.media_id = h.media_id
+    """,
+)
+def image_ahash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the deterministic media fixture:
+    Arrow-batched aHash fingerprints (mean-pool grid, EXACT integer
+    cross-multiplied bit decisions — no float means, so DuckDB replays
+    every bit), then identical-hash dup groups with min-id canonical
+    pick. The mapInPandas kernel itself is hash-gated: the oracle
+    recomputes the fingerprints from the payload bytes via ascii()
+    arithmetic (ASCII fixture, same contract as media_byte_stats)."""
+    from datawarehousefinal_spark.operators.multimodal import (
+        image_ahash,
+        media_from_documents,
+        perceptual_dup_groups,
+    )
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return perceptual_dup_groups(image_ahash(media))
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------

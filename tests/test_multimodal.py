@@ -328,3 +328,55 @@ def test_frame_byte_means_closed_form(spark):
         for f in (0, 2, 4)
     }
     assert got == expect
+
+
+def test_image_ahash_known_bits_and_edge_cells(spark):
+    import pytest
+
+    from datawarehousefinal_spark.operators.multimodal import image_ahash
+
+    rows = [
+        # 8 bytes into an 8-cell grid: one byte per cell; mean of
+        # [0,0,0,0,255,255,255,255] = 127.5 -> bits 00001111
+        (1, bytearray([0, 0, 0, 0, 255, 255, 255, 255])),
+        # constant payload: no cell exceeds the mean -> all zero
+        (2, bytearray([7] * 8)),
+        # shorter than the grid: cells 4..7 empty -> 0-bits; bytes
+        # [0,0,255,255] land in cells 0,2,4,6 (i*8//4)
+        (3, bytearray([0, 0, 255, 255])),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in image_ahash(df, buckets=8).collect()}
+    assert out[1]["ahash"] == "00001111"
+    assert out[2]["ahash"] == "00000000"
+    # bytes at cells 0,2,4,6 = [0,0,255,255]; mean 127.5 -> cells 4 and 6
+    assert out[3]["ahash"] == "00001010"
+    assert out[4]["ahash"] is None and out[4]["n_bytes"] == 0
+    assert out[1]["n_bytes"] == 8
+
+    with pytest.raises(ValueError):
+        image_ahash(df, buckets=0)
+
+
+def test_perceptual_dup_groups_canonical_pick(spark):
+    from datawarehousefinal_spark.operators.multimodal import (
+        image_ahash,
+        perceptual_dup_groups,
+    )
+
+    same = bytearray([0, 0, 0, 0, 255, 255, 255, 255])
+    df = spark.createDataFrame(
+        [(10, same), (11, bytearray(same)), (12, bytearray([7] * 8)), (13, None)],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in perceptual_dup_groups(image_ahash(df, buckets=8)).collect()
+    }
+    # NULL hash rows are excluded from grouping
+    assert set(out) == {10, 11, 12}
+    assert out[10]["group_size"] == 2 and out[11]["group_size"] == 2
+    assert out[10]["canonical_id"] == 10 and not out[10]["is_dup"]
+    assert out[11]["is_dup"]
+    assert out[12]["group_size"] == 1 and not out[12]["is_dup"]
