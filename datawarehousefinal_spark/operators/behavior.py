@@ -263,67 +263,3 @@ def top_event_paths(
         .orderBy(F.desc("n_users"), "path")
         .limit(k)
     )
-
-
-def sessionize(
-    df: DataFrame,
-    user_col: str,
-    ts_col: str,
-    tiebreak_col: str,
-    gap_minutes: int = 30,
-) -> DataFrame:
-    """Gap-based batch sessionization — the batch twin of the streaming
-    session windows (streaming/pipeline.py session counts): a new
-    session starts at a user's first event and at every event whose gap
-    from the previous one exceeds ``gap_minutes``. The session id is the
-    running count of session starts within the user — stable,
-    contiguous, and independent of absolute timestamps.
-
-    One exchange on the user id carries BOTH window passes (the lag and
-    the running sum order by the same ``(ts, tiebreak)`` key), then the
-    per-session rollup groups by (user, session) — partial-agg
-    map-side-combined, and every output is an integer count or a
-    min/max timestamp, so the result is merge-order-exact.
-
-    Per-user event counts bound the window partitions (the classic
-    sessionization contract); gaps compare integer epoch MICROSECONDS
-    (``unix_micros`` / ``epoch_us``) so external engines replay every
-    boundary decision bit-for-bit — second-truncating the timestamps
-    first would flip events sitting within a second of the gap edge.
-
-    Output: ``user_col, session_id (long, 1-based per user), n_events
-    (long), session_start, session_end (timestamps), duration_s
-    (long, floor of the session span in seconds)``.
-    """
-    if gap_minutes <= 0:
-        raise ValueError("gap_minutes must be positive")
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    gap_us = int(gap_minutes) * 60 * 1_000_000
-    us = F.unix_micros(F.col(ts_col))
-    ev = (
-        df.select(user_col, ts_col, tiebreak_col)
-        .withColumn("__us", us)
-        .withColumn("__prev", F.lag("__us").over(w))
-        .withColumn(
-            "__new",
-            F.when(
-                F.col("__prev").isNull()
-                | (F.col("__us") - F.col("__prev") > F.lit(gap_us)),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "session_id",
-            F.sum("__new")
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("long"),
-        )
-    )
-    return ev.groupBy(user_col, "session_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.min(ts_col).alias("session_start"),
-        F.max(ts_col).alias("session_end"),
-        F.floor((F.max("__us") - F.min("__us")) / F.lit(1_000_000))
-        .cast("long")
-        .alias("duration_s"),
-    )

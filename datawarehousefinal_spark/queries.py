@@ -7971,51 +7971,6 @@ def unimax_lang_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sessionize_events",
-    oracle="""
-    WITH ev AS (
-      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-             ) AS prev_us
-      FROM events
-    ),
-    marked AS (
-      SELECT *, CASE WHEN prev_us IS NULL
-                       OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS new_s
-      FROM ev
-    ),
-    sess AS (
-      SELECT user_id, ts, us,
-             sum(new_s) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             )::BIGINT AS session_id
-      FROM marked
-    )
-    SELECT user_id, session_id,
-           count(*)::BIGINT AS n_events,
-           min(ts) AS session_start,
-           max(ts) AS session_end,
-           floor((max(us) - min(us)) / 1000000)::BIGINT AS duration_s
-    FROM sess GROUP BY user_id, session_id
-    """,
-)
-def sessionize_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based batch sessionization of the event stream (6-hour
-    inactivity gap — the median inter-event gap on the fixture is ~7 h,
-    so sessions genuinely split): lag + running-sum windows over ONE
-    user-id exchange, per-session rollup of integer counts and min/max
-    timestamps (merge-order-exact). Gap boundaries compare integer
-    epoch-microseconds on both engines — see operators/behavior.py
-    sessionize."""
-    from datawarehousefinal_spark.operators.behavior import sessionize
-
-    events = load_table(spark, sf_dir, "events")
-    return sessionize(events, "user_id", "ts", "event_id", gap_minutes=360)
-
-
-@query(
     "image_ahash_dedup",
     oracle="""
     WITH d AS (

@@ -159,40 +159,3 @@ def test_top_event_paths_order_and_ties(spark):
     got = [(r["path"], r["n_users"]) for r in out]
     assert got == [("a>b>c", 2), ("a>b", 1), ("b>a>c", 1)]
 
-
-def test_sessionize_gap_boundaries(spark):
-    import datetime as dt
-
-    import pytest
-
-    from datawarehousefinal_spark.operators.behavior import sessionize
-
-    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
-
-    def ts(minutes, micros=0):
-        return t0 + dt.timedelta(minutes=minutes, microseconds=micros)
-
-    rows = [
-        # user 1: events at 0m, 10m, 50m (gap 40m > 30m -> new session),
-        # then 80m (gap 30m exactly -> SAME session: boundary is >, not >=)
-        (1, ts(0), 1), (1, ts(10), 2), (1, ts(50), 3), (1, ts(80), 4),
-        # one microsecond past the gap -> splits
-        (1, ts(110, 1), 5),
-        # user 2: single event
-        (2, ts(0), 6),
-    ]
-    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
-    out = {
-        (r["user_id"], r["session_id"]): r
-        for r in sessionize(df, "user_id", "ts", "event_id", 30).collect()
-    }
-    assert set(out) == {(1, 1), (1, 2), (1, 3), (2, 1)}
-    assert out[(1, 1)]["n_events"] == 2
-    assert out[(1, 2)]["n_events"] == 2  # 50m + 80m (exact-gap stays)
-    assert out[(1, 3)]["n_events"] == 1
-    assert out[(1, 1)]["duration_s"] == 600
-    assert out[(1, 2)]["duration_s"] == 1800
-    assert out[(2, 1)]["duration_s"] == 0
-
-    with pytest.raises(ValueError):
-        sessionize(df, "user_id", "ts", "event_id", 0)

@@ -43,7 +43,8 @@ SWEEP = [
     "unimax_lang_mix",
     # integer-vote contract (new r7): invariant BY DESIGN — pin it
     "knn_label_propagation",
-    "sessionize_events",
+    # lag + running-sum session windows over float-free micro gaps
+    "session_stats",
 ]
 
 _CONFS = [
