@@ -263,3 +263,74 @@ def top_event_paths(
         .orderBy(F.desc("n_users"), "path")
         .limit(k)
     )
+
+
+def conversion_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+) -> DataFrame:
+    """First/last-touch conversion attribution — for every conversion
+    event, which touch opened the path and which one closed it: the
+    FIRST and LAST touch event since the user's previous conversion
+    (or stream start). The third staple clickstream analysis next to
+    the ordered funnel and cohort retention.
+
+    Shape: one exchange on the user id. The conversion epoch (count of
+    PRIOR conversions) is a running sum over the user window; the
+    first/last-touch carries are ignore-null ``first``/``last`` frames
+    over (user, epoch) — a refinement of the user hash partitioning,
+    so Catalyst satisfies the second window's distribution without a
+    new shuffle (one extra in-partition sort at most). Events that are
+    neither touch nor conversion (e.g. errors) ride along untouched.
+
+    Output, one row per conversion event: ``user_col, conversion_id,
+    conversion_ts, first_touch_type, first_touch_ts, last_touch_type,
+    last_touch_ts, n_touches (long)`` — NULL touches / 0 when the
+    conversion had no preceding touch in its epoch.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    is_conv = (F.col(type_col) == conversion_type).cast("int")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    touch_t = F.when(
+        F.col(type_col).isin(*touch_types), F.col(type_col)
+    )
+    touch_ts = F.when(
+        F.col(type_col).isin(*touch_types), F.col(ts_col)
+    )
+    ev = df.select(
+        user_col, ts_col, type_col, tiebreak_col
+    ).withColumn(
+        "__epoch", F.coalesce(F.sum(is_conv).over(prior), F.lit(0))
+    )
+    w2 = Window.partitionBy(user_col, "__epoch").orderBy(
+        ts_col, tiebreak_col
+    )
+    upto = w2.rowsBetween(Window.unboundedPreceding, 0)
+    before = w2.rowsBetween(Window.unboundedPreceding, -1)
+    # One select so Catalyst collapses the five carries into two Window
+    # nodes (one per frame) instead of a withColumn chain of five.
+    attributed = ev.select(
+        "*",
+        F.first(touch_t, ignorenulls=True).over(upto).alias("first_touch_type"),
+        F.first(touch_ts, ignorenulls=True).over(upto).alias("first_touch_ts"),
+        F.last(touch_t, ignorenulls=True).over(before).alias("last_touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(before).alias("last_touch_ts"),
+        F.coalesce(
+            F.sum(touch_t.isNotNull().cast("long")).over(before), F.lit(0)
+        ).cast("long").alias("n_touches"),
+    )
+    return attributed.filter(F.col(type_col) == conversion_type).select(
+        user_col,
+        F.col(tiebreak_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        "first_touch_type",
+        "first_touch_ts",
+        "last_touch_type",
+        "last_touch_ts",
+        "n_touches",
+    )

@@ -8029,6 +8029,61 @@ def image_ahash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_dup_groups(image_ahash(media))
 
 
+@query(
+    "conversion_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_type, event_id,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS epoch,
+             CASE WHEN event_type IN ('view', 'click', 'signup')
+                  THEN event_type END AS touch_t,
+             CASE WHEN event_type IN ('view', 'click', 'signup')
+                  THEN ts END AS touch_ts
+      FROM events
+    ),
+    att AS (
+      SELECT *,
+             first_value(touch_t IGNORE NULLS) OVER w_upto AS first_touch_type,
+             first_value(touch_ts IGNORE NULLS) OVER w_upto AS first_touch_ts,
+             last_value(touch_t IGNORE NULLS) OVER w_before AS last_touch_type,
+             last_value(touch_ts IGNORE NULLS) OVER w_before AS last_touch_ts,
+             coalesce(sum(CASE WHEN touch_t IS NOT NULL THEN 1 ELSE 0 END)
+               OVER w_before, 0)::BIGINT AS n_touches
+      FROM ev
+      WINDOW
+        w_upto AS (PARTITION BY user_id, epoch ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_before AS (PARTITION BY user_id, epoch ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS conversion_id, ts AS conversion_ts,
+           first_touch_type, first_touch_ts, last_touch_type,
+           last_touch_ts, n_touches
+    FROM att WHERE event_type = 'purchase'
+    """,
+)
+def conversion_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution over the event stream: for every
+    purchase, the first and last view/click/signup touch since the
+    user's previous purchase. One user-id exchange carries the epoch
+    running-sum AND the (user, epoch) carry windows (the refinement
+    satisfies the distribution without a second shuffle); the oracle
+    replays the identical epoch arithmetic and ignore-null carries."""
+    from datawarehousefinal_spark.operators.behavior import (
+        conversion_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return conversion_attribution(
+        events, "user_id", "ts", "event_type", "event_id",
+        conversion_type="purchase",
+        touch_types=("view", "click", "signup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------

@@ -159,3 +159,46 @@ def test_top_event_paths_order_and_ties(spark):
     got = [(r["path"], r["n_users"]) for r in out]
     assert got == [("a>b>c", 2), ("a>b", 1), ("b>a>c", 1)]
 
+
+
+def test_conversion_attribution_epochs_and_carries(spark):
+    import datetime as dt
+
+    from datawarehousefinal_spark.operators.behavior import (
+        conversion_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: view, click, PURCHASE, error, view, PURCHASE, PURCHASE
+        (1, ts(0), "view", 1),
+        (1, ts(1), "click", 2),
+        (1, ts(2), "purchase", 3),
+        (1, ts(3), "error", 4),     # not a touch: ignored
+        (1, ts(4), "view", 5),
+        (1, ts(5), "purchase", 6),
+        (1, ts(6), "purchase", 7),  # back-to-back: no touches in epoch
+        # user 2: purchase with no history at all
+        (2, ts(0), "purchase", 8),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = {
+        r["conversion_id"]: r
+        for r in conversion_attribution(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert set(out) == {3, 6, 7, 8}
+    a = out[3]
+    assert a["first_touch_type"] == "view" and a["last_touch_type"] == "click"
+    assert a["n_touches"] == 2
+    b = out[6]  # second epoch: only the view at t+4 (error doesn't count)
+    assert b["first_touch_type"] == "view" and b["last_touch_type"] == "view"
+    assert b["first_touch_ts"] == ts(4) and b["n_touches"] == 1
+    c = out[7]  # immediate repeat purchase: empty epoch
+    assert c["first_touch_type"] is None and c["n_touches"] == 0
+    assert out[8]["first_touch_type"] is None and out[8]["n_touches"] == 0
