@@ -341,3 +341,76 @@ def seasonal_dow_forecast(
     return F.broadcast(future).join(means, "isodow").select(
         *group_cols, "day", "isodow", "predicted"
     )
+
+
+def cusum_change_point(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """CUSUM mean-shift localization on daily counts (Page 1954): for
+    each group, the day where the cumulative sum of deviations from the
+    group mean peaks in magnitude — the classic single-change-point
+    estimate. The structural complement of the time-local z-score
+    report (:func:`rolling_anomaly_report` flags WHICH days are odd;
+    this says WHERE the regime changed).
+
+    Scale shape: the corpus collapses to |groups| × |days| daily counts
+    first; everything after runs on that tiny frame (one ordered window
+    for the CUSUM walk, one rank, one count-split aggregate). The CUSUM
+    statistic is ``S_d = cum_n(d) − rank(d) · mean`` with ``cum_n`` an
+    exact integer running sum and ``mean = total/days`` one fixed
+    double — no reassociating float accumulation anywhere, so the walk
+    replays identically in external engines and under repartitioning.
+
+    Output, one row per group: ``group_col, change_day (last day of
+    the 'before' regime), cusum_peak (double, signed S at the peak),
+    n_days (long), mean_before, mean_after (double)`` — groups with
+    fewer than 2 days emit nothing (no regime to split).
+    """
+    daily = df.groupBy(
+        F.col(group_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wo = Window.partitionBy(group_col).orderBy("day")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(group_col)
+    walk = (
+        daily.withColumn("__rk", F.row_number().over(wo))
+        .withColumn("__cum", F.sum("n").over(run))
+        .withColumn("__tot", F.sum("n").over(wall))
+        .withColumn("__days", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "__s",
+            F.col("__cum").cast("double")
+            - F.col("__rk") * (F.col("__tot").cast("double") / F.col("__days")),
+        )
+    )
+    # Peak |S| with (|S| desc, day asc) tie-break; the peak day closes
+    # the 'before' regime. Exclude the last day: S there is ~0 by
+    # construction and a "change after everything" is no change.
+    peak = (
+        walk.filter(F.col("__rk") < F.col("__days"))
+        .withColumn(
+            "__pk",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(
+                    F.abs(F.col("__s")).desc(), F.col("day")
+                )
+            ),
+        )
+        .filter(F.col("__pk") == 1)
+        .select(
+            F.col(group_col),
+            F.col("day").alias("change_day"),
+            F.col("__s").alias("cusum_peak"),
+            F.col("__days").cast("long").alias("n_days"),
+            (F.col("__cum").cast("double") / F.col("__rk")).alias(
+                "mean_before"
+            ),
+            (
+                (F.col("__tot") - F.col("__cum")).cast("double")
+                / (F.col("__days") - F.col("__rk"))
+            ).alias("mean_after"),
+        )
+    )
+    return peak

@@ -8084,6 +8084,53 @@ def conversion_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cusum_change_point",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY event_type, ts::DATE
+    ),
+    walk AS (
+      SELECT event_type, day, n,
+             row_number() OVER w AS rk,
+             sum(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS days
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    s AS (
+      SELECT *, CAST(cum AS DOUBLE)
+                  - rk * (CAST(tot AS DOUBLE) / days) AS sstat
+      FROM walk WHERE rk < days
+    ),
+    pk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY abs(sstat) DESC, day
+      ) AS pkr FROM s
+    )
+    SELECT event_type, day AS change_day, sstat AS cusum_peak,
+           days::BIGINT AS n_days,
+           CAST(cum AS DOUBLE) / rk AS mean_before,
+           CAST(tot - cum AS DOUBLE) / (days - rk) AS mean_after
+    FROM pk WHERE pkr = 1
+    """,
+)
+def cusum_change_point_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift localization per event type: the day where the
+    cumulative deviation from the series mean peaks. The walk uses an
+    exact integer running sum minus rank × one fixed double mean — no
+    reassociating float accumulation — so the oracle (and any
+    repartitioning) replays the peak choice exactly."""
+    from datawarehousefinal_spark.operators.timeseries import (
+        cusum_change_point,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return cusum_change_point(events, "event_type", "ts")
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------

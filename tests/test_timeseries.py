@@ -259,3 +259,31 @@ def test_seasonal_dow_forecast_values_and_horizon(spark):
     assert got[(dt.date(2024, 1, 16), 2)] == 1.0
     # never-observed weekdays emit nothing
     assert len(got) == 4
+
+
+def test_cusum_change_point_localizes_shift(spark):
+    import datetime as dt
+
+    from datawarehousefinal_spark.operators.timeseries import (
+        cusum_change_point,
+    )
+
+    # group 'a': 5 days at 2/day then 5 days at 10/day -> change after
+    # day 5. Build raw events (n per day) the operator aggregates.
+    d0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    for day in range(10):
+        n = 2 if day < 5 else 10
+        for i in range(n):
+            rows.append(("a", d0 + dt.timedelta(days=day, minutes=i)))
+    # group 'b': single day -> no split possible, emits nothing
+    rows.append(("b", d0))
+    df = spark.createDataFrame(rows, ["g", "ts"])
+    out = {r["g"]: r for r in cusum_change_point(df, "g", "ts").collect()}
+    assert set(out) == {"a"}
+    a = out["a"]
+    assert a["change_day"] == dt.date(2024, 3, 5)
+    assert a["n_days"] == 10
+    assert a["mean_before"] == 2.0 and a["mean_after"] == 10.0
+    # S at the peak: 10 - 5*6 = -20 (below-mean regime first)
+    assert a["cusum_peak"] == -20.0
