@@ -8131,6 +8131,52 @@ def cusum_change_point_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_change_point(events, "event_type", "ts")
 
 
+@query(
+    "streaming_dim_enrich",
+    oracle="""
+    SELECT CAST(e.ts AS DATE) AS fecha, c.c_mktsegment,
+           count(*)::BIGINT AS n_events
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY CAST(e.ts AS DATE), c.c_mktsegment
+    """,
+)
+def streaming_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment made driver-visible AND oracled: the
+    event stream micro-batches broadcast-join the STATIC customer
+    dimension (stateless join side — re-planned per batch, nothing in
+    the state store), then watermark-bounded daily counts per market
+    segment. Complete mode after availableNow drains must hash-match
+    the batch join+aggregate exactly."""
+    import shutil
+
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    base = _scratch_path("stream_enrich", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    events.repartition(3).write.parquet(src)
+    stream = read_parquet_stream(
+        spark, src, events.schema, max_files_per_trigger=1
+    )
+    counts = stream_static_enrich(
+        stream, customer, "user_id", "c_mktsegment", "ts", "1 day", "1 day"
+    )
+    table = "dwf_stream_dim_enrich"
+    spark.catalog.dropTempView(table)
+    run_to_memory(counts, table, "complete")
+    return _eager(spark.table(table))
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------

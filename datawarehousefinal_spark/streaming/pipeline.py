@@ -172,6 +172,42 @@ def stream_stream_interval_join(
     return l.join(r, cond, "inner").drop(f"{on}_r")
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-static enrichment — the staple "join the click stream to
+    the customer dimension" shape: each micro-batch inner-joins the
+    STATIC dimension (broadcast hint — Structured Streaming re-plans
+    the static side per batch, no join state is kept for it, unlike the
+    stream-stream interval join), then a watermarked tumbling-window
+    count per dimension attribute.
+
+    State is bounded by |windows in flight| × |attribute values| — the
+    dimension's size never enters the state store. At 100 TB the static
+    side stays a broadcast as long as it fits the threshold; a huge dim
+    flips to a shuffled join per micro-batch, still stateless.
+
+    Output: ``fecha (window start date), <attr_col>, n_events (long)``.
+    """
+    enriched = stream.join(
+        F.broadcast(dim.select(key_col, attr_col)), key_col
+    )
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("__w"), F.col(attr_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.to_date("__w.start").alias("fecha"), attr_col, "n_events"
+        )
+    )
+
+
 def foreach_batch_dim_merge(
     dim_path: str,
     natural_keys: list[str],

@@ -385,3 +385,37 @@ def test_session_window_counts_gap_edge(spark, tmp_path):
         (10, t0 + dt.timedelta(minutes=120), 1),
         (11, t0, 1),
     ]
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.sources.testdata import load_table
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select("event_id", "ts", "user_id")
+    customer = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = str(tmp_path / "src")
+    events.repartition(2).write.parquet(src)
+    stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
+    out = stream_static_enrich(stream, customer, "user_id", "c_mktsegment")
+    run_to_memory(out, "t_enrich_test", "complete")
+    got = {
+        (r["fecha"], r["c_mktsegment"]): r["n_events"]
+        for r in spark.table("t_enrich_test").collect()
+    }
+    want = {
+        (r["fecha"], r["c_mktsegment"]): r["n"]
+        for r in events.join(customer, "user_id")
+        .groupBy(F.to_date("ts").alias("fecha"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
