@@ -8177,6 +8177,72 @@ def streaming_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager(spark.table(table))
 
 
+def _ann_recall_oracle() -> str:
+    """Composes the two existing replayable paths: exact brute-force
+    top-5 as ground truth, frozen-quantizer IVF top-5 as the candidate,
+    recall@5 per query. CTE bodies may carry their own WITH in DuckDB,
+    so the IVF oracle nests verbatim — one source of truth per path."""
+    return f"""
+    WITH approx AS ({_ivf_topk_oracle()}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                   c.vec_id
+               ) AS rn
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           count(a.neighbor_id)::BIGINT AS n_hit,
+           count(a.neighbor_id) / 5.0 AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("ann_recall_report", oracle=_ann_recall_oracle())
+def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the frozen-quantizer IVF path
+    against the exact brute-force ground truth, per query — the
+    measurement every production ANN deployment runs before trusting an
+    index (and after every quantizer refresh). Both paths are the
+    registered deterministic serving faces (`ivf_topk`,
+    `cosine_topk`), so the recall numbers are exact fractions the
+    oracle replays bit-for-bit."""
+    from datawarehousefinal_spark.operators.frozen_ann import IVF_CENTROIDS_16
+    from datawarehousefinal_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_append,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    centroids = _frozen_centroids_df(spark, IVF_CENTROIDS_16)
+    assigned = ivf_index_append(centroids, emb, "vec_id", "embedding")
+    approx = ivf_topk(
+        assigned, centroids, queries_df, "vec_id", "embedding", k=5, nprobe=4
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5, dim=64)
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hit"),
+            (
+                F.sum(F.coalesce("__hit", F.lit(0))) / F.lit(5.0)
+            ).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------

@@ -72,6 +72,7 @@ BNLJ_ALLOWED = {
     # (prototypicality_prune assigns through the same helper).
     "ivf_append_assignments",
     "prototypicality_prune_keep",
+    "ann_recall_report",
     # tfidf's single-row corpus-size (N) cross join and
     # quantile_rank_normalize's single-row total-count (n) cross join —
     # the same bounded scalar-broadcast pattern as class_weights
