@@ -424,3 +424,52 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+def collapse_rare_categories(
+    df: DataFrame,
+    col: str,
+    min_count: int | None = None,
+    min_frac: float | None = None,
+    other_label: str = "__OTHER__",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Tail-category collapse — the vocabulary-truncation / OOV-bucket
+    op every feature pipeline and tokenizer build runs: values of
+    ``col`` seen fewer than ``min_count`` times (or less than
+    ``min_frac`` of all rows) map to ``other_label``; the rest pass
+    through. Bounds downstream cardinality (one-hot widths, vocab
+    tables, per-category aggregates) without dropping rows. NULL
+    categories land in the OOV bucket too (a NULL never matches the
+    keep-list join) — the unknown-safe default.
+
+    Exactly one of ``min_count`` / ``min_frac``. The per-value count
+    frame is |distinct values| rows — it broadcasts back onto the
+    corpus, which never shuffles (the same bounded-count contract as
+    value_counts); the ``min_frac`` total rides as a window over that
+    small frame, never a second corpus pass.
+    """
+    if (min_count is None) == (min_frac is None):
+        raise ValueError("pass exactly one of min_count / min_frac")
+    out_col = out_col or col
+    counts = df.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    if min_frac is not None:
+        tot = Window.partitionBy()
+        counts = counts.withColumn(
+            "__keep", F.col("__c") >= F.sum("__c").over(tot) * F.lit(min_frac)
+        )
+    else:
+        counts = counts.withColumn("__keep", F.col("__c") >= F.lit(min_count))
+    keep = counts.filter("__keep").select("__v")
+    return (
+        df.join(F.broadcast(keep), df[col] == keep["__v"], "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__v").isNotNull(), F.col(col)).otherwise(
+                F.lit(other_label)
+            ),
+        )
+        .drop("__v")
+    )

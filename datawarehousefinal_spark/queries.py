@@ -8243,6 +8243,38 @@ def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_truncate_counts",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS c FROM t GROUP BY token)
+    SELECT CASE WHEN c >= 920 THEN token ELSE '__OTHER__' END AS token,
+           sum(c)::BIGINT AS n
+    FROM c GROUP BY CASE WHEN c >= 920 THEN token ELSE '__OTHER__' END
+    """,
+)
+def vocab_truncate_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary truncation with an OOV bucket: tokens seen < 920 times
+    collapse to __OTHER__ (analytics.collapse_rare_categories — the
+    bounded-cardinality contract every tokenizer build and one-hot
+    pipeline needs), then the surviving vocabulary's counts. The count
+    frame broadcasts back; the token stream shuffles once for each
+    count. Integer/string outputs — hash-exact by construction."""
+    from datawarehousefinal_spark.operators.analytics import (
+        collapse_rare_categories,
+    )
+    from datawarehousefinal_spark.operators.textstats import (
+        whitespace_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(whitespace_tokens("text")).alias("token"))
+    collapsed = collapse_rare_categories(toks, "token", min_count=920)
+    return collapsed.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------

@@ -500,3 +500,34 @@ def test_grouped_quantile_normalize_per_group(spark):
     assert got[("b", 100.0)] == 0.0 and got[("b", 200.0)] == 1.0
     assert got[("c", 7.0)] == 0.5
     assert got[("a", None)] is None
+
+
+def test_collapse_rare_categories_count_and_frac(spark):
+    import pytest
+
+    from datawarehousefinal_spark.operators.analytics import (
+        collapse_rare_categories,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)],
+        ["v"],
+    )
+    out = collapse_rare_categories(df, "v", min_count=3).groupBy("v").count()
+    got = {r["v"]: r["count"] for r in out.collect()}
+    # c (1 < 3) and the NULL row both land in the OOV bucket
+    assert got == {"a": 5, "b": 3, "__OTHER__": 2}
+
+    # min_frac: 30% of 10 rows = 3 -> same split; custom label + out_col
+    out2 = collapse_rare_categories(
+        df, "v", min_frac=0.3, other_label="rare", out_col="v2"
+    )
+    got2 = {r["v2"] for r in out2.collect()}
+    assert got2 == {"a", "b", "rare"}
+    # original column preserved when out_col differs
+    assert "v" in out2.columns
+
+    with pytest.raises(ValueError):
+        collapse_rare_categories(df, "v")
+    with pytest.raises(ValueError):
+        collapse_rare_categories(df, "v", min_count=2, min_frac=0.1)
