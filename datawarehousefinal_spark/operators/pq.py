@@ -409,3 +409,78 @@ def ivf_pq_topk(
         cell_col="__centroid", probes=probes,
     ).select("query_id", "neighbor_id")
     return _exact_rerank(shortlist, assigned, queries, id_col, vec_col, k)
+
+
+def pq_recon_error(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Quantization-quality gate: per-vector squared reconstruction
+    error of a FROZEN PQ codebook — Σ over subspaces of the distance to
+    the nearest code. The number every PQ deployment watches: recon
+    error creeping up means the corpus has drifted off the codebook's
+    training distribution and recall is about to follow (re-train and
+    re-encode when it does). Companion to the recall gate
+    (`ann_recall_report`), which measures the symptom; this measures
+    the cause.
+
+    Pure deterministic serving arithmetic (the frozen-artifact split):
+    subspace slices explode JVM-side, the 2048-row codebook frame
+    broadcasts, per-(vector, subspace) argmin via one window, one
+    aggregate back to the vector. Squared distances accumulate as
+    ``Σ(a−c)²`` in a left fold — the same element order an external
+    engine's sequential list_sum replays (the expanded
+    ``v·v − 2v·c + c·c`` form cancels catastrophically near
+    zero-distance codes, exactly where a drift gate must be precise).
+
+    Output: ``id_col, sq_err (double, Σ of subspace minima),
+    max_sub_err (double, worst single subspace)``.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cvec])
+            for s, book in enumerate(codebooks)
+            for c, cvec in enumerate(book)
+        ],
+        ["__s", "__code", "__cvec"],
+    )
+    v = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    subs = v.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("__s"),
+                        F.slice("__v", s * dsub + 1, dsub).alias("__sub"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(id_col, F.col("__e.__s").alias("__s"), F.col("__e.__sub").alias("__sub"))
+    scored = subs.join(F.broadcast(cb), "__s").withColumn(
+        "__d2",
+        F.aggregate(
+            F.zip_with(
+                F.col("__sub"), F.col("__cvec"), lambda a, c: (a - c) * (a - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy(id_col, "__s").orderBy("__d2", "__code")
+    mins = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__s", "__d2")
+    )
+    return mins.groupBy(id_col).agg(
+        F.sum("__d2").alias("sq_err"),
+        F.max("__d2").alias("max_sub_err"),
+    )

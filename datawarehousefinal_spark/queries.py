@@ -8275,6 +8275,55 @@ def vocab_truncate_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_recon_oracle() -> str:
+    from datawarehousefinal_spark.operators.frozen_ann import PQ_CODEBOOKS
+
+    rows = ", ".join(
+        f"({s}, {c}, [{', '.join(repr(v) for v in cvec)}]::DOUBLE[])"
+        for s, book in enumerate(PQ_CODEBOOKS)
+        for c, cvec in enumerate(book)
+    )
+    return f"""
+    WITH cb AS (SELECT * FROM (VALUES {rows}) AS t(s, code, cvec)),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sub
+      FROM v, (SELECT unnest(range(8)) AS s)
+    ),
+    scored AS (
+      SELECT vec_id, subs.s, code,
+             list_sum(list_transform(range(8),
+               i -> (sub[i + 1] - cvec[i + 1])
+                      * (sub[i + 1] - cvec[i + 1]))) AS d2
+      FROM subs JOIN cb ON cb.s = subs.s
+    ),
+    mins AS (
+      SELECT vec_id, s, d2 FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, code
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, sum(d2) AS sq_err, max(d2) AS max_sub_err
+    FROM mins GROUP BY vec_id
+    """
+
+
+@query("pq_recon_error_report", oracle=_pq_recon_oracle())
+def pq_recon_error_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ drift gate: per-vector squared reconstruction error of the
+    frozen codebooks (operators/frozen_ann.PQ_CODEBOOKS) — recon error
+    creeping up means the corpus drifted off the codebook's training
+    distribution; recall follows. Deterministic serving arithmetic: the
+    oracle replays the identical subspace slices, left-fold Σ(a−c)²
+    distances, (d2, code) argmin, and per-vector rollup."""
+    from datawarehousefinal_spark.operators.frozen_ann import PQ_CODEBOOKS
+    from datawarehousefinal_spark.operators.pq import pq_recon_error
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_recon_error(emb, "vec_id", "embedding", PQ_CODEBOOKS)
+
+
 # ---------------------------------------------------------------------------
 # Driver sampling window
 # ---------------------------------------------------------------------------

@@ -170,3 +170,23 @@ def test_pq_encode_extra_cols_passthrough(spark, emb, books):
     rows = enc.limit(10).collect()
     assert all(r["__centroid"] is not None for r in rows)
     assert all(len(r["codes"]) == 8 for r in rows)
+
+
+def test_pq_recon_error_exact_fixture(spark):
+    from datawarehousefinal_spark.operators.pq import pq_recon_error
+
+    # Two 4-dim vectors, m=2 subspaces of 2 dims, 2 codes per book.
+    books = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[2.0, 2.0], [0.0, 0.0]],
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 2.0, 2.0]),  # exact codebook hit -> 0 error
+            (2, [1.0, 0.0, 0.0, 1.0]),  # s0: min(1, 1)=1; s1: min(9, 1)=1
+        ],
+        ["vid", "vec"],
+    )
+    out = {r["vid"]: r for r in pq_recon_error(df, "vid", "vec", books).collect()}
+    assert out[1]["sq_err"] == 0.0 and out[1]["max_sub_err"] == 0.0
+    assert out[2]["sq_err"] == 2.0 and out[2]["max_sub_err"] == 1.0
