@@ -329,3 +329,164 @@ def incremental_components(
     return universe.join(comp, "id", "left").withColumn(
         "component", F.coalesce("component", F.col("id"))
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact triangle counting over an undirected simple graph given as
+    a pair list (self-loops and duplicate/reversed edges tolerated).
+
+    Classic two-join "compact-forward" shape: edges are first oriented
+    low-degree → high-degree (ties broken by id), which caps every
+    node's out-degree at O(sqrt(E)) even on power-law graphs — THE
+    standard skew bound for distributed triangle enumeration (a
+    celebrity node with 10M followers contributes wedges only through
+    its low-degree endpoints, never 10M² pairs). Wedges (a→b, a→c) then
+    join against the oriented edge set on (b, c) to close triangles.
+    All counts are exact integers — merge-order-free, SQL-replayable.
+
+    Returns ``(per_node, totals)``: per-node triangle participation
+    (node, n_triangles) and a 1-row frame (n_nodes, n_edges,
+    n_triangles). Beyond-reference: graph structure analytics over the
+    near-dup / co-occurrence graphs the dedup stack emits.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # Orient by (degree, id): a < b iff (deg(a), a) < (deg(b), b).
+    oriented = (
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b"))
+            )
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .filter(F.col("e1.b") < F.col("e2.b"))
+        .select(
+            F.col("e1.a").alias("w0"),
+            F.col("e1.b").alias("w1"),
+            F.col("e2.b").alias("w2"),
+        )
+    )
+    closing = oriented.select(
+        F.col("a").alias("c1"), F.col("b").alias("c2")
+    ).unionByName(
+        oriented.select(F.col("b").alias("c1"), F.col("a").alias("c2"))
+    )
+    tris = wedges.join(
+        closing,
+        (F.col("w1") == F.col("c1")) & (F.col("w2") == F.col("c2")),
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.col("w0").alias("node"))
+        .unionByName(tris.select(F.col("w1").alias("node")))
+        .unionByName(tris.select(F.col("w2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    totals = canon.agg(
+        F.count(F.lit(1)).alias("n_edges")
+    ).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ).crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
+    return per_node, totals
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over an edge list — the
+    canonical iterative-join workload (link/influence analysis over the
+    co-occurrence and near-dup graphs this engine builds).
+
+    Per iteration: ranks join onto edges (one shuffle keyed on src),
+    contributions ``rank * w / w_out`` aggregate by dst (map-side
+    partial), and dangling nodes (no out-edges) keep a damped share via
+    the standard uniform teleport. Ranks start at 1/N; every sum is of
+    POSITIVE doubles with no cancellation, so the result is stable at
+    the driver hash's 6-significant-digit precision, and a FIXED
+    iteration count (no convergence probe) keeps the computation pure,
+    deterministic arithmetic — replayable as unrolled SQL CTEs.
+
+    Each iteration's rank frame is ``localCheckpoint``-ed to truncate
+    lineage (same discipline as :func:`connected_components` — without
+    it the logical plan doubles per round).
+
+    Returns (node, rank); ranks sum to ~1 (dangling mass is
+    redistributed uniformly).
+    """
+    w_expr = (
+        F.col(weight).cast("double") if weight else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w_expr.alias("w")
+    ).filter(F.col("w") > 0)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    norm = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("w_out")).alias("p")
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    has_out = out_w.select(F.col("src").alias("node"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(norm, ranks["node"] == norm["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("in_mass"))
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("in_mass", F.lit(0.0)) + F.col("d") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

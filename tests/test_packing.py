@@ -64,13 +64,19 @@ def test_budgeted_chunks_strands_no_cache(spark):
     range-bucket ids are literal-frozen (pure row functions), so no
     materialization needs persisting — two back-to-back packing calls
     leave the persistent-RDD registry exactly as they found it."""
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # Compare ID SETS, not sizes: in a full-suite run the async
+    # ContextCleaner may unpersist an earlier test's leftover blocks at
+    # any moment, so size equality is racy — what this test owns is
+    # "packing adds nothing", i.e. no NEW ids may remain afterwards.
+    jsc = spark.sparkContext._jsc
+    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
     rows = [(i, (i * 37) % 211 + 1) for i in range(3000)]
     df = spark.createDataFrame(rows, ["id", "toks"])
     for _ in range(2):
         budgeted_chunks(df, "id", "toks", 1000).count()
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before, f"stranded cached RDDs: {before} -> {after}"
+    after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    stranded = after - before
+    assert not stranded, f"stranded cached RDDs: {stranded}"
 
 
 def test_greedy_pack_strict_budget_and_determinism(spark):

@@ -102,6 +102,10 @@ BNLJ_ALLOWED = {
     # literal day='ALL' key — Catalyst folds the literal equality away
     # and plans a 1-row × 1-row BNLJ; bounded by construction.
     "hll_sketch_store_daily",
+    # triangle_count's totals frame: THREE single-row global aggregates
+    # (edge count, node count, triangle count) crossJoined into the
+    # 1-row report — bounded scalar-broadcast by construction.
+    "supplier_triangle_count",
 }
 
 
