@@ -8344,27 +8344,35 @@ def pq_recon_error_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still while the driver snapshots it.
 
 _DRIVER_WINDOW = [
-    # Round-7 rotation, two goals (VERDICT r6 Next #4 + #1):
-    # (a) the 32 registry entries NEVER sampled by any driver round
-    #     r1-r6 (all judge-verified green or newly oracled this round)
-    #     get their first driver CORRECTNESS row, completing 180/180
-    #     union coverage;
-    # (b) the 18 entries whose semantics or oracle CHANGED this round
-    #     (the five r6 hash-flake reds now hardened via mkdtemp scratch
-    #     + eager checkpoint + decimal sums; the money-sum sinks; the
-    #     exact-chi2 formula; every newly-oracled ANN/funnel/split
-    #     face) re-sample to prove the fix in driver evidence.
-    # Frozen for the round, as always.
+    # Round-8 rotation. No CORRECTNESS_r07 was recorded, so the round-7
+    # window (flake-fix re-proofs + first-ever rows) is still unsampled;
+    # this rotation keeps its high-priority core and adds the eight new
+    # round-8 faces so this round's deliverables get driver evidence.
+    # Displaced to make room (all with existing green evidence):
+    # parquet_sink/orc_sink/schema_evolution roundtrips (driver-green in
+    # r1-r6; the r7 scratch hardening they shared is re-proven by the
+    # five flake entries below, which exercise the same mkdtemp+eager
+    # code path) and five judge-verified report queries
+    # (benford/column_entropy/daily_value_percentiles/day_over_day/
+    # melt_measures) that wait one more round. Frozen for the round.
     #
-    # -- (b) re-proof of this round's changes ---------------------------
+    # -- round-8 new faces ---------------------------------------------
+    "pricing_summary_report",
+    "regional_supplier_volume",
+    "basket_lift_pairs",
+    "rfm_segment_counts",
+    "decile_lift_table",
+    "supplier_triangle_count",
+    "nation_trade_pagerank",
+    "curriculum_schedule",
+    # -- r7 flake-fix re-proof (mkdtemp scratch + eager checkpoint +
+    #    decimal-exact sums; the five r6 hash-flake reds) ---------------
     "zorder_sink_roundtrip",
     "bucketed_join_roundtrip",
     "partition_overwrite_roundtrip",
     "json_repair_roundtrip",
     "incremental_cube_moments",
-    "parquet_sink_roundtrip",
-    "orc_sink_roundtrip",
-    "schema_evolution_roundtrip",
+    # -- r7 semantic/oracle changes needing first driver proof ---------
     "chi2_independence_report",
     "simhash_near_dupes",
     "ivf_topk",
@@ -8375,16 +8383,12 @@ _DRIVER_WINDOW = [
     "training_pipeline_e2e",
     "stratified_split_train",
     "feature_cache_roundtrip",
-    # -- (a) first-ever driver rows ------------------------------------
+    # -- first-ever driver rows (carried from the r7 rotation) ---------
     "aggregate_routing",
     "audio_meta_sniff",
-    "benford_digit_report",
     "cdc_extract_roundtrip",
-    "column_entropy_report",
     "compaction_roundtrip",
-    "daily_value_percentiles",
     "date_dimension_build",
-    "day_over_day_change",
     "drift_report_orders",
     "dynamic_partition_pruning",
     "embedding_quality_report",
@@ -8399,7 +8403,6 @@ _DRIVER_WINDOW = [
     "incremental_components_merge",
     "kll_quantile_store",
     "kmv_distinct_store",
-    "melt_measures",
     "pmi_collocations",
     "sentence_stats",
     "stratified_sample_exact",
