@@ -115,6 +115,7 @@ def deterministic_ntile(
     order_cols: list[str],
     n_buckets: int,
     out_col: str,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Assign each row to one of ``n_buckets`` equal-frequency buckets
     (1-based) by its exact rank in the total order ``order_cols`` —
@@ -141,7 +142,9 @@ def deterministic_ntile(
         "__one",
         "__rank",
     )
-    n = ranked.count()
+    # Callers bucketing the SAME frame on several metrics pass n_rows
+    # once instead of paying one count() action per metric.
+    n = n_rows if n_rows is not None else df.count()
     # Integer DIV, not floor(double /): exact for any rank/bucket count.
     bucket = F.expr(
         f"CAST(1 + ((`__rank` - 1) * {n_buckets}) DIV {n} AS INT)"
@@ -168,21 +171,31 @@ def rfm_scores(
     Output: customer, recency_date, frequency, monetary, r_score,
     f_score, m_score.
     """
-    per_cust = orders.groupBy(F.col(customer_col).alias("customer")).agg(
-        F.max(F.to_date(date_col)).alias("recency_date"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col(amount_col).cast("decimal(18,2)"))
-        .cast("double")
-        .alias("monetary"),
+    # Checkpoint the per-customer aggregate: three metric bucketings
+    # each walk the lineage several times (range-boundary sample +
+    # window + join-back), and without materialization the orders scan
+    # and groupBy re-execute ~9x. One row per customer — distributed,
+    # bounded by the dimension size, not the fact table.
+    per_cust = (
+        orders.groupBy(F.col(customer_col).alias("customer"))
+        .agg(
+            F.max(F.to_date(date_col)).alias("recency_date"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col(amount_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = per_cust.count()
+    scored = deterministic_ntile(
+        per_cust, ["recency_date", "customer"], n_buckets, "r_score", n_rows=n
     )
     scored = deterministic_ntile(
-        per_cust, ["recency_date", "customer"], n_buckets, "r_score"
+        scored, ["frequency", "customer"], n_buckets, "f_score", n_rows=n
     )
     scored = deterministic_ntile(
-        scored, ["frequency", "customer"], n_buckets, "f_score"
-    )
-    scored = deterministic_ntile(
-        scored, ["monetary", "customer"], n_buckets, "m_score"
+        scored, ["monetary", "customer"], n_buckets, "m_score", n_rows=n
     )
     return scored
 
