@@ -473,3 +473,65 @@ def collapse_rare_categories(
         )
         .drop("__v")
     )
+
+
+def cumulative_new_users(
+    events: DataFrame, user_col: str, ts_col: str, out_day: str = "day"
+) -> DataFrame:
+    """Daily new-user counts and the running total of distinct users
+    ever seen — the growth curve every activity dashboard opens with.
+
+    Exact running distinct-count without any distinct-over-window state:
+    each user collapses to their FIRST active day (one user-keyed
+    aggregate), the per-day arrivals aggregate from that, and the
+    cumulative sum runs through the distributed two-phase prefix sum
+    (packing.distributed_cumsum — no global single-partition window).
+    All counts exact integers.
+
+    Output: day, n_new_users, cum_users.
+    """
+    from datawarehousefinal_spark.operators.packing import distributed_cumsum
+
+    first = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias(out_day)
+    )
+    daily = first.groupBy(out_day).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    return distributed_cumsum(
+        daily, [out_day], "n_new_users", "cum_users"
+    ).select(
+        out_day, "n_new_users", F.col("cum_users").cast("long").alias("cum_users")
+    )
+
+
+def new_vs_returning_daily(
+    events: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Per-day split of the active-user base into first-time and
+    returning users — the companion view to :func:`cumulative_new_users`.
+
+    Shape: distinct (user, day) activity joins the per-user first-day
+    frame on the user key (both sides shuffle on user_id once; the
+    first-day side is |users|, not |events|), then a day-keyed count
+    aggregate. No windows at all.
+
+    Output: day, n_new_users, n_returning_users.
+    """
+    e = events.select(
+        F.col(user_col).alias("__u"), F.to_date(ts_col).alias("day")
+    )
+    first = e.groupBy("__u").agg(F.min("day").alias("__fd"))
+    active = e.distinct()
+    return (
+        active.join(first, "__u")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("__fd")).cast("bigint")).alias(
+                "n_new_users"
+            ),
+            F.sum((F.col("day") > F.col("__fd")).cast("bigint")).alias(
+                "n_returning_users"
+            ),
+        )
+    )

@@ -565,3 +565,124 @@ def curriculum_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score").alias("max_score"),
         (F.sum("score") / F.count(F.lit(1))).alias("mean_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity analytics: user growth and new-vs-returning split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cumulative_active_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+    ),
+    n AS (SELECT day, count(*)::BIGINT AS n_new_users FROM f GROUP BY 1)
+    SELECT day, n_new_users,
+           sum(n_new_users) OVER (ORDER BY day)::BIGINT AS cum_users
+    FROM n
+    """,
+)
+def cumulative_active_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: daily first-time users and the exact running
+    count of distinct users ever active. The running distinct is NOT a
+    distinct-over-window (unbounded state): users collapse to their
+    first day, and the cumsum runs through the distributed prefix sum
+    (operators/analytics.py:cumulative_new_users) — two shuffles total,
+    no global sort. The oracle's window replay agrees because arrivals
+    are exact integers."""
+    from datawarehousefinal_spark.operators.analytics import (
+        cumulative_new_users,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return cumulative_new_users(events, "user_id", "ts")
+
+
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    f AS (SELECT user_id, min(day) AS fd FROM e GROUP BY 1)
+    SELECT e.day,
+           sum(CASE WHEN e.day = f.fd THEN 1 ELSE 0 END)::BIGINT
+             AS n_new_users,
+           sum(CASE WHEN e.day > f.fd THEN 1 ELSE 0 END)::BIGINT
+             AS n_returning_users
+    FROM e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1
+    """,
+)
+def new_vs_returning_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day active-user split into first-time vs returning — one
+    user-keyed join of the distinct activity frame against the per-user
+    first-day frame, then a day-keyed aggregate
+    (operators/analytics.py:new_vs_returning_daily). Exact integer
+    counts only."""
+    from datawarehousefinal_spark.operators.analytics import (
+        new_vs_returning_daily,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return new_vs_returning_daily(events, "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Streaming: sliding (hopping) windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day FROM events),
+    w AS (
+      SELECT day AS w_start FROM d
+      UNION ALL
+      SELECT day - 1 FROM d
+    )
+    SELECT w_start, w_start + 2 AS w_end, count(*)::BIGINT AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows made driver-visible AND oracled: the
+    events table re-served as a 3-batch parquet stream through a 2-day
+    window hopping by 1 day (streaming/pipeline.sliding_window_counts)
+    — every event lands in exactly two windows. Complete mode emits
+    final counts after availableNow drains; the oracle replays the
+    overlap by fanning each event's day into its two window starts.
+    Watermark far beyond the fixture span so no genuine row drops; at
+    production scale the horizon bounds state to window/slide rows per
+    key."""
+    import shutil
+
+    from datawarehousefinal_spark.queries import _eager, _scratch_path
+    from datawarehousefinal_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_to_memory,
+        sliding_window_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    base = _scratch_path("stream_sliding", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    events.repartition(3).write.parquet(src)
+    stream = read_parquet_stream(
+        spark, src, events.schema, max_files_per_trigger=1
+    )
+    counts = sliding_window_counts(
+        stream, "ts", "2 days", "1 day", watermark="36500 days"
+    )
+    table = "dwf_stream_sliding_counts"
+    spark.catalog.dropTempView(table)
+    run_to_memory(counts, table, "complete")
+    return _eager(
+        spark.table(table).select(
+            "w_start", "w_end", F.col("n_events").cast("long")
+        )
+    )

@@ -485,3 +485,31 @@ def read_cube_state(spark: SparkSession, state_path: str) -> DataFrame:
         F.sum("n").cast("long").alias("n"),
         F.sum("sum_m").alias("sum_m"),
     )
+
+
+def sliding_window_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows — the overlapping variant of
+    :func:`windowed_event_counts`: each event lands in window/slide
+    concurrent windows (here 2), the rolling-trend view a monitoring
+    dashboard reads. Same watermark-bounded state contract as the
+    tumbling aggregation; state per key is window/slide rows instead of
+    one, still bounded by the horizon.
+
+    Output: ``w_start``, ``w_end`` (dates), ``n_events``.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("__w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.to_date("__w.start").alias("w_start"),
+            F.to_date("__w.end").alias("w_end"),
+            "n_events",
+        )
+    )
