@@ -351,6 +351,9 @@ def triangle_count(
     n_triangles). Beyond-reference: graph structure analytics over the
     near-dup / co-occurrence graphs the dedup stack emits.
     """
+    # Materialize the two hot frames: canon feeds degree/orientation/
+    # totals, and oriented feeds BOTH wedge sides plus the closing set —
+    # without checkpoints the canonicalization re-executes per consumer.
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -358,6 +361,7 @@ def triangle_count(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         canon.select(F.col("u").alias("node"))
@@ -383,6 +387,7 @@ def triangle_count(
             .alias("e")
         )
         .select("e.a", "e.b")
+        .localCheckpoint(eager=True)
     )
     wedges = (
         oriented.alias("e1")
@@ -450,9 +455,17 @@ def pagerank(
     w_expr = (
         F.col(weight).cast("double") if weight else F.lit(1.0)
     )
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), w_expr.alias("w")
-    ).filter(F.col("w") > 0)
+    # Materialize the edge list ONCE: nodes and the normalized
+    # transition frame both derive from it, and without this the
+    # (potentially expensive) upstream edge-building plan executes
+    # per derived checkpoint.
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w_expr.alias("w")
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

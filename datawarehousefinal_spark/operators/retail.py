@@ -46,6 +46,16 @@ def basket_pairs(
     Output: one row per (basket, item_a, item_b).
     """
     items = baskets.select(basket_col, item_col).distinct()
+    return _pairs_from_items(items, basket_col, item_col, max_basket)
+
+
+def _pairs_from_items(
+    items: DataFrame, basket_col: str, item_col: str, max_basket: int
+) -> DataFrame:
+    """Pair enumeration over an already-distinct (basket, item) frame —
+    split out so :func:`basket_lift` can materialize that frame once and
+    feed every consumer (basket count, item counts, pairs) without
+    re-running the upstream join per consumer."""
     sizes = items.groupBy(basket_col).agg(F.count(F.lit(1)).alias("__bsz"))
     ok = items.join(
         sizes.filter(F.col("__bsz") <= max_basket).select(basket_col),
@@ -74,13 +84,20 @@ def basket_lift(
 
     Output: item_a, item_b, n_ab, n_a, n_b, lift, confidence_ab.
     """
-    items = baskets.select(basket_col, item_col).distinct()
+    # Materialize the distinct (basket, item) frame ONCE: three
+    # consumers (basket count, item counts, pair self-join) would
+    # otherwise each re-run the upstream source join.
+    items = (
+        baskets.select(basket_col, item_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_baskets = items.select(basket_col).distinct().count()
     item_counts = items.groupBy(item_col).agg(
         F.count(F.lit(1)).alias("__n_item")
     )
     pair_counts = (
-        basket_pairs(baskets, basket_col, item_col, max_basket=max_basket)
+        _pairs_from_items(items, basket_col, item_col, max_basket)
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_support)
