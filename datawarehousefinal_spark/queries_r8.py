@@ -686,3 +686,203 @@ def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_start", "w_end", F.col("n_events").cast("long")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline curation: DoReMi-lite reweighting, dup-cluster histogram,
+# leave-one-out source influence, hard-negative mining
+# ---------------------------------------------------------------------------
+
+_ALPHA_SQL = (
+    "(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE"
+    " / length(text))"
+)
+
+
+@query(
+    "domain_reweight_mix",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, 1 - {_ALPHA_SQL} AS loss
+      FROM documents WHERE length(text) > 0
+    ),
+    per AS (
+      SELECT source AS domain, count(*)::BIGINT AS n_docs, sum(loss) AS s
+      FROM d GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_docs)::BIGINT AS n, min(s / n_docs) AS ml FROM per
+    ),
+    w AS (
+      SELECT domain, n_docs,
+             n_docs / n AS share,
+             s / n_docs AS mean_loss,
+             (n_docs / n) * exp(CAST(1.0 AS DOUBLE) * (s / n_docs - ml))
+               AS raw
+      FROM per, tot
+    ),
+    z AS (SELECT sum(raw) AS z FROM w)
+    SELECT domain, n_docs, share, mean_loss, raw / z AS new_weight
+    FROM w, z
+    """,
+)
+def domain_reweight_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient reweighting step over the
+    per-source corpus mix: sources whose mean loss proxy (here
+    1 − alphabetic ratio) exceeds the best source's get upweighted
+    relative to their share, producing the next epoch's sampling
+    weights (operators/curation.py:domain_reweight). Reduces to one
+    domain-keyed aggregate plus |domains|-row arithmetic — no per-row
+    exp, no second pass."""
+    from datawarehousefinal_spark.operators.curation import domain_reweight
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z ]", "")).cast(
+        "double"
+    ) / F.length("text")
+    scored = docs.select("source", (F.lit(1) - alpha).alias("loss"))
+    return domain_reweight(scored, "source", "loss", eta=1.0)
+
+
+@query(
+    "loo_source_influence",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, {_ALPHA_SQL} AS score
+      FROM documents WHERE length(text) > 0
+    ),
+    per AS (
+      SELECT source AS "group", count(*)::BIGINT AS n_docs, sum(score) AS s
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_docs)::BIGINT AS n, sum(s) AS ts FROM per)
+    SELECT "group", n_docs,
+           s / n_docs AS group_mean,
+           ts / n - (ts - s) / (n - n_docs) AS influence
+    FROM per, tot
+    """,
+)
+def loo_source_influence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-group-out data attribution: how much each source's
+    removal would move the corpus-level mean quality score — computed
+    algebraically from per-source (count, sum) aggregates, so the N−1
+    "retrain" costs nothing (operators/curation.py:loo_group_influence).
+    The screening pass that decides which source to drop or downweight
+    before any expensive mix experiment."""
+    from datawarehousefinal_spark.operators.curation import (
+        loo_group_influence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z ]", "")).cast(
+        "double"
+    ) / F.length("text")
+    scored = docs.select("source", alpha.alias("score"))
+    return loo_group_influence(scored, "source", "score")
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle=None,  # set below: needs _norm_sql from the host module
+)
+def dup_cluster_size_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup diagnostic a
+    corpus report leads with: after normalizing text (the F1–F4
+    composite), how many clusters exist at each multiplicity and how
+    many documents they hold. Two map-side-combined aggregates
+    (normalized-key count, then size histogram); the normalized key is
+    hashed before the first shuffle so wide text never shuffles."""
+    from datawarehousefinal_spark.functions import textnorm
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(
+        F.sha2(textnorm.normalize_text(F.col("text")), 256).alias("__k")
+    ).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    )
+
+
+def _dup_hist_oracle() -> str:
+    from datawarehousefinal_spark.queries import _norm_sql
+
+    return f"""
+    WITH c AS (
+      SELECT {_norm_sql("text")} AS k, count(*)::BIGINT AS cluster_size
+      FROM documents GROUP BY 1
+    )
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           (count(*) * cluster_size)::BIGINT AS n_docs
+    FROM c GROUP BY 1
+    """
+
+
+from datawarehousefinal_spark.queries import ORACLES as _OR  # noqa: E402
+
+_OR["dup_cluster_size_histogram"] = _dup_hist_oracle()
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlab,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label AS clab,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, qlab, neighbor_id, clab,
+             list_cosine_similarity(qv, cv) AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id
+             ) AS rn
+      FROM q CROSS JOIN c
+      WHERE neighbor_id != query_id
+    ),
+    shortlist AS (SELECT * FROM scored WHERE rn <= 50)
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS rn2
+      FROM shortlist WHERE clab != qlab
+    ) WHERE rn2 <= 3
+    """,
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query
+    embedding, the 3 nearest neighbors with a DIFFERENT label, drawn
+    from a top-50 cosine shortlist — the retrieve-then-filter contract
+    production miners use (the shortlist is exactly what an ANN index
+    serves; the label filter and re-rank run on the tiny candidate
+    frame). The shortlist comes from the Arrow-BLAS exact top-k kernel
+    (corpus scanned once, per-batch local top-k, no Q×N shuffle); label
+    joins touch only ~Q×50 rows."""
+    from datawarehousefinal_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cand = cosine_topk(emb, queries, "vec_id", "embedding", k=50, dim=64)
+    # Labels for the QUERY side come from the queries frame (bounded by
+    # contract); the corpus-label lookup joins with the Q×50 candidate
+    # frame broadcast, so the corpus never shuffles here either.
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__qlab")
+    )
+    clab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__clab")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    shortlist = cand.join(F.broadcast(qlab), "query_id")
+    return (
+        clab.join(F.broadcast(shortlist), "neighbor_id")
+        .filter(F.col("__clab") != F.col("__qlab"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -106,6 +106,12 @@ BNLJ_ALLOWED = {
     # (edge count, node count, triangle count) crossJoined into the
     # 1-row report — bounded scalar-broadcast by construction.
     "supplier_triangle_count",
+    # domain_reweight / loo_group_influence: single-row totals frames
+    # (corpus count + min-loss / grand sums, then the normalizer Z)
+    # crossJoined onto the |domains|-row aggregate — bounded
+    # scalar-broadcast by construction.
+    "domain_reweight_mix",
+    "loo_source_influence",
 }
 
 

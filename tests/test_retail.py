@@ -136,3 +136,39 @@ def test_pagerank_matches_reference_math(spark):
     for i in range(1, 5):
         assert out[i] == pytest.approx(ranks[i], rel=1e-12), i
     assert sum(out.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_domain_reweight_upweights_lossy_domain(spark):
+    import math
+
+    from datawarehousefinal_spark.operators.curation import domain_reweight
+
+    rows = [("a", 0.1)] * 6 + [("b", 0.5)] * 2 + [("c", 0.3)] * 2
+    df = spark.createDataFrame(rows, ["dom", "loss"])
+    out = {r["domain"]: r for r in domain_reweight(df, "dom", "loss").collect()}
+    assert out["a"]["share"] == pytest.approx(0.6)
+    assert out["a"]["mean_loss"] == pytest.approx(0.1)
+    # replay: raw_i = share_i * exp(mean_i - min_mean); w = raw / Z
+    raws = {d: out[d]["share"] * math.exp(out[d]["mean_loss"] - 0.1)
+            for d in out}
+    z = sum(raws.values())
+    for d in out:
+        assert out[d]["new_weight"] == pytest.approx(raws[d] / z, rel=1e-12)
+    # the lossy domain gains weight relative to its share
+    assert out["b"]["new_weight"] > out["b"]["share"]
+    assert out["a"]["new_weight"] < out["a"]["share"]
+    assert sum(r["new_weight"] for r in out.values()) == pytest.approx(1.0)
+
+
+def test_loo_group_influence_exact(spark):
+    from datawarehousefinal_spark.operators.curation import (
+        loo_group_influence,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, ["g", "s"])
+    out = {r["group"]: r for r in loo_group_influence(df, "g", "s").collect()}
+    # global mean 14/3; without a -> 10; without b -> 2
+    assert out["a"]["influence"] == pytest.approx(14 / 3 - 10)
+    assert out["b"]["influence"] == pytest.approx(14 / 3 - 2)
+    assert out["b"]["group_mean"] == pytest.approx(10.0)
