@@ -1031,3 +1031,166 @@ def bpe_subword_stats(
             "fertility"
         ),
     )
+
+
+def vocab_drift(
+    df: DataFrame,
+    split_col: str,
+    text_col: str,
+    top_n: int = 50,
+    top_shift: int = 15,
+) -> DataFrame:
+    """Vocabulary drift between two corpus slices — the "did the
+    distribution move" screen run between crawl snapshots or mix
+    versions: per-term probability under each slice, the probability
+    delta, and the term's Jensen-Shannon divergence contribution, for
+    the ``top_shift`` largest movers among the ``top_n``
+    most-frequent terms.
+
+    ``split_col`` must be a 0/1 integer column. One token explode feeds
+    one (term)-keyed aggregate with conditional counts — no second scan,
+    no join between the slices. Probabilities are single divisions of
+    exact counts; the JS contribution 0.5·(p·lg(p/m) + q·lg(q/m)) is
+    deterministic log arithmetic (≤1 ulp cross-engine, well inside the
+    hash rounding). Terms absent from one slice contribute their full
+    half-divergence (0·lg0 := 0).
+
+    Output: term, n_a, n_b, p_a, p_b, delta, js_contrib — ordered by
+    |delta| desc, term.
+    """
+    toks = df.select(
+        F.col(split_col).alias("__half"),
+        F.explode(whitespace_tokens(text_col)).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum((F.col("__half") == 0).cast("bigint")).alias("n_a"),
+        F.sum((F.col("__half") == 1).cast("bigint")).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    top = (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.desc(F.col("n_a") + F.col("n_b")), "term")
+        .limit(top_n)
+    )
+    p_a = F.col("n_a") / F.col("__ta")
+    p_b = F.col("n_b") / F.col("__tb")
+    m = (p_a + p_b) / 2
+    js_term = (
+        F.when(F.col("n_a") > 0, p_a * F.log2(p_a / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("n_b") > 0, p_b * F.log2(p_b / m)).otherwise(
+            F.lit(0.0)
+        )
+    ) / 2
+    return (
+        top.select(
+            "term",
+            "n_a",
+            "n_b",
+            p_a.alias("p_a"),
+            p_b.alias("p_b"),
+            (p_a - p_b).alias("delta"),
+            js_term.alias("js_contrib"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "term")
+        .limit(top_shift)
+    )
+
+
+def ngram_diversity(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Lexical diversity per group: unigram and bigram type counts,
+    token counts, and type-token ratios — the cheap proxy for "is this
+    source templated/repetitive" that mix reports lead with (a
+    boilerplate-heavy source shows a collapsing bigram TTR long before
+    eyeballing finds it).
+
+    One token explode; bigrams form per-document via array zip (no
+    cross-document bigrams — document boundaries are real). Exact
+    distinct counts keyed on (group, gram): two shuffles, both
+    map-side combinable.
+
+    Output: group, n_tokens, n_types, ttr, n_bigrams,
+    n_bigram_types, bigram_ttr.
+    """
+    toks = whitespace_tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    uni = df.select(
+        F.col(group_col).alias("group"), F.explode(toks).alias("g")
+    )
+    bi = df.select(
+        F.col(group_col).alias("group"), F.explode(bigrams).alias("g")
+    )
+    u = uni.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("g").alias("n_types"),
+    )
+    b = bi.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("n_bigram_types"),
+    )
+    return u.join(b, "group", "left").select(
+        "group",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types") / F.col("n_tokens")).alias("ttr"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_bigram_types", F.lit(0)).alias("n_bigram_types"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.col("n_bigram_types") / F.col("n_bigrams"),
+        ).alias("bigram_ttr"),
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 100) -> DataFrame:
+    """Zipf's-law fit over the term frequency distribution: OLS of
+    ln(count) on ln(rank) for the ``top_n`` most frequent terms — a
+    natural corpus shows slope ≈ −1; synthetic/templated text deviates
+    hard, making this a one-row corpus-health signal.
+
+    Ranks are exact (count desc, term tie-break, computed on the
+    ``top_n``-row collected-free frame via a window over ≤ top_n rows —
+    contract-small); the OLS closed form runs on centered sums whose
+    ~10× cancellation amplifies the ≤1-ulp cross-engine log differences
+    to ~1e-13 relative — far inside the hash rounding.
+
+    Output (1 row): n_terms, slope, intercept, r2.
+    """
+    counts = (
+        df.select(F.explode(whitespace_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("n"), "term")
+    xy = counts.withColumn("__rank", F.row_number().over(w)).select(
+        F.log(F.col("__rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    k = F.col("k")
+    ssx = F.col("sxx") - F.col("sx") * F.col("sx") / k
+    ssy = F.col("syy") - F.col("sy") * F.col("sy") / k
+    spxy = F.col("sxy") - F.col("sx") * F.col("sy") / k
+    slope = spxy / ssx
+    return agg.select(
+        k.cast("bigint").alias("n_terms"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / k).alias("intercept"),
+        (spxy * spxy / (ssx * ssy)).alias("r2"),
+    )

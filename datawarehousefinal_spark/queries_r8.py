@@ -886,3 +886,137 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 3)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: vocabulary drift, lexical diversity, Zipf fit
+# ---------------------------------------------------------------------------
+
+_TOKS_R8 = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+)
+
+
+@query(
+    "vocab_drift_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id % 2 AS half, unnest({_TOKS_R8}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT term,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+      FROM t GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb
+            FROM counts),
+    top AS (
+      SELECT * FROM counts, tot
+      ORDER BY (n_a + n_b) DESC, term LIMIT 50
+    )
+    SELECT term, n_a, n_b,
+           n_a / ta AS p_a, n_b / tb AS p_b,
+           n_a / ta - n_b / tb AS delta,
+           (CASE WHEN n_a > 0 THEN (n_a / ta)
+                   * log2((n_a / ta) / ((n_a / ta + n_b / tb) / 2))
+                 ELSE 0.0 END
+            + CASE WHEN n_b > 0 THEN (n_b / tb)
+                   * log2((n_b / tb) / ((n_a / ta + n_b / tb) / 2))
+                 ELSE 0.0 END) / 2 AS js_contrib
+    FROM top
+    ORDER BY abs(n_a / ta - n_b / tb) DESC, term
+    LIMIT 15
+    """,
+)
+def vocab_drift_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus slices (here the doc_id
+    parity split standing in for consecutive crawl snapshots): per-term
+    probability deltas and Jensen-Shannon contributions for the 15
+    largest movers among the top-50 terms
+    (operators/textstats.py:vocab_drift). One token explode, one
+    term-keyed conditional aggregate — the slices never join."""
+    from datawarehousefinal_spark.operators.textstats import vocab_drift
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).cast("int").alias("half"), "text"
+    )
+    return vocab_drift(docs, "half", "text", top_n=50, top_shift=15)
+
+
+@query(
+    "ngram_diversity_report",
+    oracle=f"""
+    WITH t AS (SELECT source, {_TOKS_R8} AS toks FROM documents),
+    uni AS (SELECT source, unnest(toks) AS g FROM t),
+    bi AS (
+      SELECT source, toks[i] || ' ' || toks[i+1] AS g
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+    ),
+    u AS (
+      SELECT source AS "group", count(*)::BIGINT AS n_tokens,
+             count(DISTINCT g)::BIGINT AS n_types
+      FROM uni GROUP BY 1
+    ),
+    b AS (
+      SELECT source AS "group", count(*)::BIGINT AS n_bigrams,
+             count(DISTINCT g)::BIGINT AS n_bigram_types
+      FROM bi GROUP BY 1
+    )
+    SELECT u."group", n_tokens, n_types,
+           n_types / n_tokens AS ttr,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_bigram_types, 0) AS n_bigram_types,
+           CASE WHEN coalesce(n_bigrams, 0) > 0
+                THEN n_bigram_types / n_bigrams END AS bigram_ttr
+    FROM u LEFT JOIN b ON u."group" = b."group"
+    """,
+)
+def ngram_diversity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: unigram/bigram type-token ratios —
+    the templated-source detector (boilerplate collapses bigram TTR
+    first). Bigrams form per-document (boundaries respected); exact
+    distinct counts, two map-side-combinable shuffles
+    (operators/textstats.py:ngram_diversity)."""
+    from datawarehousefinal_spark.operators.textstats import ngram_diversity
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return ngram_diversity(docs, "source", "text")
+
+
+@query(
+    "zipf_fit_report",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_TOKS_R8}) AS term FROM documents),
+    counts AS (SELECT term, count(*)::BIGINT AS n FROM t GROUP BY 1
+               ORDER BY n DESC, term LIMIT 100),
+    xy AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE))
+               AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+      FROM counts
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy
+    )
+    SELECT CAST(k AS BIGINT) AS n_terms,
+           (sxy - sx * sy / k) / (sxx - sx * sx / k) AS slope,
+           (sy - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx) / k
+             AS intercept,
+           (sxy - sx * sy / k) * (sxy - sx * sy / k)
+             / ((sxx - sx * sx / k) * (syy - sy * sy / k)) AS r2
+    FROM agg
+    """,
+)
+def zipf_fit_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 term frequencies: OLS of
+    ln(count) on ln(rank) — slope ≈ −1 for natural text, a one-row
+    corpus-health anchor (operators/textstats.py:zipf_fit). The only
+    window runs over the 100-row top-terms frame (contract-small)."""
+    from datawarehousefinal_spark.operators.textstats import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return zipf_fit(docs, "text", top_n=100)

@@ -112,6 +112,9 @@ BNLJ_ALLOWED = {
     # scalar-broadcast by construction.
     "domain_reweight_mix",
     "loo_source_influence",
+    # vocab_drift: the single-row (total_a, total_b) token-count frame
+    # crossJoined onto the term counts — bounded scalar-broadcast.
+    "vocab_drift_report",
 }
 
 
