@@ -1211,3 +1211,110 @@ def repeated_span_report(
         ).localCheckpoint(eager=True)
     finally:
         shingled.unpersist()
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    shingle_width: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via prefix filtering — the AllPairs /
+    SSJoin family (Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06):
+    same results as :func:`ngram_jaccard_pairs`, sub-quadratic plan.
+
+    Why it is lossless: order every document's shingles by a GLOBAL
+    canonical order (document frequency asc, shingle — rarest first) and
+    keep each document's first ``|s| − ceil(t·|s|) + 1`` shingles as its
+    prefix. For any pair with Jaccard ≥ t, the intersection has
+    ≥ t·max(|A|,|B|) shingles; if the rarest common shingle x were
+    outside A's prefix, the whole intersection would fit in A's last
+    ``ceil(t·|A|) − 1`` positions — too small. So x lies in BOTH
+    prefixes, and the prefix-prefix self-join finds every qualifying
+    pair; exact verification then keeps only true ones. No recall loss,
+    unlike MinHash banding.
+
+    Scale shape: candidate volume is quadratic only in PREFIX posting
+    lists, and prefixes hold each document's RAREST shingles — on a
+    near-dup corpus those posting lists are the duplicate clusters
+    themselves, not the corpus. Verification joins candidates back to
+    the full shingle frame keyed on (id, shingle): |candidates| × set
+    size rows, all equi-joins. The per-doc ranking window partitions on
+    the document id (input = one document's shingles).
+
+    Output: id_a, id_b, jaccard — identical contract to the brute-force
+    twin, so the same SQL oracle checks both.
+    """
+    sh = (
+        _fan_out(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(char_shingles(text_col, shingle_width)).alias("__sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    w_rank = Window.partitionBy("__id").orderBy("__df", "__sh")
+    w_size = Window.partitionBy("__id")
+    prefix = (
+        sh.join(freq, "__sh")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_size))
+        .filter(
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        # df = 1 prefix shingles can never pair (singleton posting
+        # list) — drop them BEFORE the self-join; on a mostly-unique
+        # shingle universe this removes the bulk of the join input.
+        .filter(F.col("__df") >= 2)
+        .select("__id", "__sh")
+    )
+    cand = (
+        prefix.select(F.col("__id").alias("id_a"), "__sh")
+        .join(prefix.select(F.col("__id").alias("id_b"), "__sh"), "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Verification touches only CANDIDATE documents: broadcast their id
+    # set and semi-filter the shingle frame map-side, so the two exact-
+    # intersection joins shuffle |candidate docs| × set size rows, never
+    # the whole corpus.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .unionByName(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "__id", "left_semi")
+    sizes = sh_cand.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        cand.join(
+            sh_cand.select(F.col("__id").alias("id_a"), "__sh"), "id_a"
+        )
+        .join(
+            sh_cand.select(
+                F.col("__id").alias("__idb"), F.col("__sh").alias("__shb")
+            ),
+            (F.col("id_b") == F.col("__idb"))
+            & (F.col("__sh") == F.col("__shb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

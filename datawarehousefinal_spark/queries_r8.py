@@ -1020,3 +1020,38 @@ def zipf_fit_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return zipf_fit(docs, "text", top_n=100)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (AllPairs/SSJoin)
+# ---------------------------------------------------------------------------
+
+
+@query("prefix_filter_jaccard_pairs", oracle=None)  # oracle bound below
+def prefix_filter_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5-gram Jaccard near-dup pairs (threshold 0.9) through the
+    prefix-filtered AllPairs join (operators/dedup.py:
+    prefix_filter_jaccard_pairs) — the lossless scale path between the
+    brute-force checker (`ngram_jaccard_pairs`, bench-excluded) and the
+    approximate MinHash banding (`minhash_lsh_pairs`): candidates come
+    only from shared RAREST-shingle prefixes, then exact verification.
+    Same output contract and the same brute-force SQL oracle as the
+    checker — equality is the losslessness proof, run by the driver."""
+    from datawarehousefinal_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from datawarehousefinal_spark.queries import _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.9, shingle_width=_W
+    )
+
+
+def _bind_prefix_filter_oracle() -> None:
+    from datawarehousefinal_spark.queries import _JACCARD_PAIRS_SQL
+
+    _OR["prefix_filter_jaccard_pairs"] = _JACCARD_PAIRS_SQL
+
+
+_bind_prefix_filter_oracle()

@@ -403,3 +403,39 @@ def test_repeated_span_clean_corpus_empty(spark):
         ["id", "text"],
     )
     assert repeated_span_report(df, "id", "text", w=3).count() == 0
+
+
+def test_prefix_filter_matches_brute_force(spark):
+    """AllPairs prefix filtering is lossless: identical pair set and
+    jaccard values to the brute-force path on a planted near-dup mix."""
+    from datawarehousefinal_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = [
+        (i, f"the quick brown fox jumps over the lazy dog number {i} "
+            f"with some extra unique filler text {i * 7919}")
+        for i in range(30)
+    ]
+    # near-dup copies of docs 0-4 (small suffix change)
+    dups = [
+        (100 + i, base[i][1] + " tail") for i in range(5)
+    ]
+    df = spark.createDataFrame(base + dups, ["doc_id", "text"])
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, shingle_width=5
+        ).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, shingle_width=5
+        ).collect()
+    }
+    assert set(fast) == set(brute)
+    assert len(fast) >= 5  # the planted dups must be found
+    for k in brute:
+        assert fast[k] == brute[k], k
