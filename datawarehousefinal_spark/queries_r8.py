@@ -1055,3 +1055,134 @@ def _bind_prefix_filter_oracle() -> None:
 
 
 _bind_prefix_filter_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Concentration & rolling-activity analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_revenue_report",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS customer,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT customer, revenue,
+             row_number() OVER (ORDER BY revenue DESC, customer) AS rn,
+             count(*) OVER () AS n
+      FROM per
+    ),
+    b AS (
+      SELECT (1 + ((rn - 1) * 10) // n)::INT AS decile, revenue FROM r
+    ),
+    per_d AS (
+      SELECT decile, count(*)::BIGINT AS n_customers,
+             CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+               AS decile_revenue
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+                   AS tot FROM per)
+    SELECT decile, n_customers, decile_revenue,
+           decile_revenue / tot AS revenue_share,
+           CAST(sum(CAST(decile_revenue AS DECIMAL(18,2)))
+                  OVER (ORDER BY decile) AS DOUBLE) / tot AS cum_share
+    FROM per_d, t
+    """,
+)
+def pareto_revenue_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the Pareto/ABC report): customers bucketed
+    into deciles by DESCENDING revenue, each decile's exact decimal
+    revenue, share of total, and cumulative share — "do the top 10% of
+    customers carry 40% of revenue". Decile assignment reuses the
+    distributed-rank ntile; the final cumulative window runs over the
+    10-row decile frame (contract-small). Every sum re-accumulates in
+    decimal so no double addition reaches the hash."""
+    from datawarehousefinal_spark.operators.retail import deterministic_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("customer")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    binned = deterministic_ntile(
+        per.select((-F.col("revenue")).alias("__neg"), "customer", "revenue"),
+        ["__neg", "customer"],
+        10,
+        "decile",
+    )
+    per_d = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("decile_revenue"),
+    )
+    tot = per_d.agg(
+        F.sum(F.col("decile_revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("__tot")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_d.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__cum",
+            F.sum(F.col("decile_revenue").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_revenue",
+            (F.col("decile_revenue") / F.col("__tot")).alias("revenue_share"),
+            (F.col("__cum") / F.col("__tot")).alias("cum_share"),
+        )
+    )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+    fan AS (
+      SELECT user_id, day + i::INT AS w_day
+      FROM act, unnest(range(0, 7)) AS u(i)
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS w_day FROM events)
+    SELECT f.w_day AS day, count(DISTINCT f.user_id)::BIGINT AS active_7d
+    FROM fan f JOIN days d ON f.w_day = d.w_day
+    GROUP BY 1
+    """,
+)
+def rolling_7d_active_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users — THE product-health metric — as an
+    exact distinct count per day, WITHOUT a distinct-over-range window
+    (unbounded state, single-partition): each distinct (user, day)
+    activity fans out to the 7 window-end days it supports (bounded 7×
+    row growth, a pure map), then one day-keyed distinct count.
+    Restricted to days that actually occur in the data so both engines
+    agree on the reporting domain."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    act = events.distinct()
+    fan = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("w_day"),
+    )
+    days = events.select(F.col("day").alias("w_day")).distinct()
+    return (
+        fan.join(days, "w_day")
+        .groupBy(F.col("w_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )

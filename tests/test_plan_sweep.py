@@ -115,6 +115,9 @@ BNLJ_ALLOWED = {
     # vocab_drift: the single-row (total_a, total_b) token-count frame
     # crossJoined onto the term counts — bounded scalar-broadcast.
     "vocab_drift_report",
+    # pareto: the single-row grand-total revenue frame crossJoined onto
+    # the 10-row decile frame — bounded scalar-broadcast.
+    "pareto_revenue_report",
 }
 
 
