@@ -535,3 +535,70 @@ def new_vs_returning_daily(
             ),
         )
     )
+
+
+def grouped_exact_median(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Exact lower median of an integer-valued column per group: the
+    smallest value whose cumulative count reaches half the group — a
+    deterministic, SQL-replayable contract (no interpolation, so no
+    float arithmetic at all for integer inputs).
+
+    Scale shape: the table collapses to its per-group VALUE HISTOGRAM
+    first (map-side combined), and the cumulative window runs over
+    distinct values within each group — |distinct values|, not rows;
+    groups parallelize naturally.
+
+    Output: group_cols + ``median`` (same type as ``value_col``).
+    """
+    hist = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = Window.partitionBy(*group_cols).orderBy(value_col)
+    w_all = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__n", F.sum("__c").over(w_all)
+    )
+    return (
+        cum.filter(F.col("__cum") * 2 >= F.col("__n"))
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias("median"))
+    )
+
+
+def event_transition_probs(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) with exact counts — the
+    behavioral-model input for "what do users do after X" product
+    questions.
+
+    One lead() window per user (partitioned on the user key — parallel,
+    input bounded by a user's history; ``tiebreak_col`` makes
+    equal-timestamp ordering total so the matrix is deterministic),
+    then a (from, to)-keyed count and a broadcast join against per-from
+    totals. Probabilities are single divisions of exact counts.
+
+    Output: from_type, to_type, n, p.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    nxt = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = nxt.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.col("__tot")).alias("p"),
+    )

@@ -503,3 +503,51 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def khop_distances(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    source_nodes: list,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Unweighted BFS distances from a seed set, bounded at ``max_hops``
+    — reachability/blast-radius analysis over the engine's graphs
+    ("which nations are within k trade hops", "which docs link to this
+    cluster within k steps").
+
+    Fixed-iteration label relaxation: start the seeds at distance 0;
+    each round joins the frontier onto the (symmetrized) edge list and
+    keeps the MIN distance per node — one shuffle keyed on node id per
+    round, map-side-combined min, ``localCheckpoint`` per round to
+    truncate lineage. A FIXED hop bound (like :func:`pagerank`'s fixed
+    iterations) keeps the result pure deterministic integer arithmetic,
+    replayable as unrolled SQL CTEs.
+
+    Output: node, distance (0..max_hops; unreachable nodes absent).
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame(
+        [(n, 0) for n in source_nodes], ["node", "distance"]
+    )
+    for _ in range(max_hops):
+        hop = (
+            dist.join(sym, dist["node"] == sym["a"])
+            .select(F.col("b").alias("node"), (F.col("distance") + 1).alias("distance"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -520,3 +520,30 @@ def incremental_line_dedup(
         .distinct()
     )
     return cleaned, delta
+
+
+def ivm_join_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    join_keys: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an inner-join view: the delta
+    rows the view gains when both join inputs receive inserts — the
+    standard delta algebra  ΔV = ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB  (old bases on
+    the non-delta side so no pair is produced twice).
+
+    This is how a warehouse keeps a join view fresh WITHOUT re-joining
+    two 100 TB bases per batch: each term joins a (small) delta against
+    a base, so cost follows the batch, and with the base bucketed on the
+    join key the base side never reshuffles. Insert-only contract
+    (deletes/updates route through the CDC operators, scd.py).
+
+    Returns the delta VIEW rows (columns of A ⋈ B on ``join_keys``).
+    """
+    return (
+        delta_a.join(base_b, join_keys)
+        .unionByName(base_a.join(delta_b, join_keys))
+        .unionByName(delta_a.join(delta_b, join_keys))
+    )

@@ -313,3 +313,89 @@ def kmv_estimate(store: DataFrame, k: int = 64) -> DataFrame:
     return store.select(
         *group_cols, "n_seen", est.alias("distinct_est")
     )
+
+
+def _cm_hash(value_col, j_col, seed: int, width: int):
+    """Engine-portable CM row hash: md5(value ':seed:' j) folded to a
+    column index — the same md5→BIGINT construction as
+    curation.sample_hash, so a SQL oracle reproduces every cell."""
+    tagged = F.concat(
+        F.col(value_col).cast("string"),
+        F.lit(f":{seed}:"),
+        F.col(j_col).cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+    return h % width
+
+
+def cm_build_store(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Count–Min sketch of a value column's frequency distribution
+    (Cormode & Muthukrishnan 2005): ``depth`` hash rows × ``width``
+    counters, stored SPARSE as (j, col, cnt) rows — the mergeable
+    frequency-store sibling of the KMV/HLL distinct stores: merging two
+    stores is summing cells, and a point estimate min(row_j[h_j(x)])
+    NEVER undercounts.
+
+    One pass: each input row fans out to ``depth`` cells (bounded map),
+    then one map-side-combined count per (j, col). The md5 cell hash is
+    engine-portable, so the whole sketch — not just its answers — is
+    SQL-replayable.
+
+    Output: j (int), col (long), cnt (long).
+    """
+    fanned = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            value_col,
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        )
+        .select("j", _cm_hash(value_col, "j", seed, width).alias("col"))
+    )
+    return fanned.groupBy("j", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cm_merge(*stores: DataFrame) -> DataFrame:
+    """Merge CM stores built with identical (depth, width, seed):
+    cell-wise count sum — the property that makes the sketch a STORE
+    (daily partials roll up without touching raw data)."""
+    out = stores[0]
+    for s in stores[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_point_estimates(
+    store: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Point frequency estimates for ``items`` from a CM store:
+    est(x) = min_j store[j, h_j(x)] — an upper bound on the true count
+    (collisions only ADD). Items fan out to their depth cells and join
+    the store on (j, col); the store is broadcast when small (its size
+    is depth × width cells max, independent of data volume).
+
+    Output: item_col, est (long).
+    """
+    fanned = items.select(
+        item_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    ).select(
+        item_col, "j", _cm_hash(item_col, "j", seed, width).alias("col")
+    )
+    return (
+        fanned.join(F.broadcast(store), ["j", "col"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -1194,3 +1194,46 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 100) -> DataFrame:
         ((F.col("sy") - slope * F.col("sx")) / k).alias("intercept"),
         (spxy * spxy / (ssx * ssy)).alias("r2"),
     )
+
+
+def phrase_search(
+    df: DataFrame, id_col: str, text_col: str, phrase: list[str]
+) -> DataFrame:
+    """Exact positional phrase search — the IR capability BM25's
+    bag-of-words scoring cannot express: find documents containing the
+    words of ``phrase`` CONSECUTIVELY, with match counts.
+
+    Build: positional postings (id, pos, token) from one posexplode,
+    FILTERED to the phrase's tokens before any shuffle (the phrase acts
+    as its own predicate pushdown — posting lists for a handful of
+    words, not the corpus). Match: k−1 self-equi-joins keyed on
+    (id, pos+offset), each join side already token-filtered. At 100 TB
+    this is the standard positional-index intersection: cost follows
+    the RAREST phrase token's posting list.
+
+    Output: id (named after ``id_col``), n_matches — one row per
+    document containing the phrase at least once.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    toks = whitespace_tokens(text_col)
+    postings = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(toks).alias("__pos", "__tok"),
+    ).filter(F.col("__tok").isin(phrase))
+    first = postings.filter(F.col("__tok") == phrase[0]).select(
+        "__id", F.col("__pos").alias("__p0")
+    )
+    matched = first
+    for k, word in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("__tok") == word).select(
+            F.col("__id").alias("__idk"), F.col("__pos").alias(f"__p{k}")
+        )
+        matched = matched.join(
+            nxt,
+            (F.col("__id") == F.col("__idk"))
+            & (F.col(f"__p{k}") == F.col("__p0") + k),
+        ).drop("__idk")
+    return matched.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

@@ -414,3 +414,39 @@ def cusum_change_point(
         )
     )
     return peak
+
+
+def max_drawdown(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maximum drawdown per group: the largest peak-to-trough fall of a
+    running series (finance's risk staple, equally useful for "how far
+    did daily volume collapse from its high" ops reporting).
+
+    drawdown(t) = running_max(value) − value(t); the report returns each
+    group's worst one plus the peak it fell from. One window pass per
+    group ordered by ``order_col`` — input is the (group, period)
+    aggregate series (e.g. daily totals), so window partitions are
+    |periods in the group|, bounded and parallel across groups. All
+    arithmetic is subtraction of exact (integer/decimal-sourced)
+    values — deterministic, SQL-replayable.
+
+    Output: group, peak_value, max_drawdown.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = df.withColumn("__peak", F.max(value_col).over(w))
+    return (
+        run.withColumn("__dd", F.col("__peak") - F.col(value_col))
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.max("__peak").alias("peak_value"),
+            F.max("__dd").alias("max_drawdown"),
+        )
+    )

@@ -12,10 +12,13 @@ measure surface (Schema_Trabajo_Final.xml:69-72) and the analytics layer
 graph queries a warehouse team runs next; the curriculum face belongs to
 the beyond-reference LLM-data-pipeline surface.
 
-Every double that reaches the driver hash is either a single division of
-exact integers/decimals or a positive-sum — no cancellation, no
-transcendentals in any ORDER BY — so results are hash-stable and every
-face here carries a DuckDB oracle.
+Hash-stability discipline: every double reaching the driver hash is a
+single division of exact integers/decimals, a positive-sum, or (for the
+reweighting/drift/Zipf faces) log/exp arithmetic on well-conditioned
+ratios — ≤1 ulp cross-engine, far inside the 6-significant-digit hash
+rounding, with no cancellation and no transcendental feeding an ORDER BY
+cutoff whose ties aren't broken by an exact key. Every face here carries
+a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -1185,4 +1188,593 @@ def rolling_7d_active_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan.join(days, "w_day")
         .groupBy(F.col("w_day").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search & ship-latency distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "phrase_search_postings",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_R8} AS toks FROM documents)
+    SELECT doc_id, count(*)::BIGINT AS n_matches
+    FROM t, unnest(range(1, len(toks))) AS u(i)
+    WHERE toks[i] = 'table' AND toks[i+1] = 'scan'
+    GROUP BY 1
+    """,
+)
+def phrase_search_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact positional phrase search ("table scan") over the documents
+    corpus — the IR operation BM25's bag-of-words cannot express,
+    served from positional postings filtered to the phrase's tokens
+    BEFORE any shuffle (operators/textstats.py:phrase_search); the
+    consecutive-position self-join costs the rarest token's posting
+    list, not the corpus."""
+    from datawarehousefinal_spark.operators.textstats import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(docs, "doc_id", "text", ["table", "scan"])
+
+
+@query(
+    "ship_latency_by_priority",
+    oracle="""
+    WITH fs AS (
+      SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+      FROM lineitem GROUP BY 1
+    ),
+    lat AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE), f.first_ship)
+               ::BIGINT AS days
+      FROM orders o JOIN fs f ON o.o_orderkey = f.l_orderkey
+    ),
+    hist AS (SELECT priority, days, count(*)::BIGINT AS c
+             FROM lat GROUP BY 1, 2),
+    cum AS (
+      SELECT priority, days, c,
+             sum(c) OVER (PARTITION BY priority ORDER BY days) AS cumc,
+             sum(c) OVER (PARTITION BY priority) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT priority, min(days) AS median_days
+      FROM cum WHERE cumc * 2 >= n GROUP BY 1
+    ),
+    agg AS (
+      SELECT priority, count(*)::BIGINT AS n_orders,
+             CAST(sum(days) AS DOUBLE) / count(*) AS avg_days
+      FROM lat GROUP BY 1
+    )
+    SELECT a.priority, a.n_orders, a.avg_days, m.median_days
+    FROM agg a JOIN med m ON a.priority = m.priority
+    """,
+)
+def ship_latency_by_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency per order priority: volume, mean
+    days (one division of exact integer sums), and the EXACT lower
+    median via the per-group value-histogram cumulative method
+    (operators/analytics.py:grouped_exact_median — windows run over
+    |distinct latencies| per group, never rows). The ops-SLA view a
+    fulfillment dashboard opens with."""
+    from datawarehousefinal_spark.operators.analytics import (
+        grouped_exact_median,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fs = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("__first_ship")
+    )
+    lat = orders.join(
+        fs, orders["o_orderkey"] == fs["l_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("__first_ship"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    med = grouped_exact_median(lat, ["priority"], "days").select(
+        "priority", F.col("median").alias("median_days")
+    )
+    agg = lat.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("days").cast("double") / F.count(F.lit(1))).alias("avg_days"),
+    )
+    return agg.join(F.broadcast(med), "priority")
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance & drawdown analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ivm_join_view_merge",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def ivm_join_view_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join view, proven by identity: the
+    orders⋈customer revenue-by-nation view is built from an 80/20 split
+    of BOTH inputs using the delta algebra ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    (operators/incremental.py:ivm_join_delta) and merged with the base
+    view's aggregate state — three delta-sized joins instead of one
+    full re-join per batch. The oracle computes the view DIRECTLY from
+    the full tables: hash equality proves the maintenance algebra drops
+    and double-counts nothing. Decimal-exact revenue."""
+    from datawarehousefinal_spark.operators.incremental import ivm_join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    base_a = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta_a = orders.filter(F.col("o_orderkey") % 5 == 0)
+    base_b = cust.filter(F.col("o_custkey") % 7 != 0)
+    delta_b = cust.filter(F.col("o_custkey") % 7 == 0)
+
+    def view_agg(joined: DataFrame) -> DataFrame:
+        return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev"),
+        )
+
+    base_view = view_agg(base_a.join(base_b, "o_custkey"))
+    delta_view = view_agg(
+        ivm_join_delta(base_a, delta_a, base_b, delta_b, ["o_custkey"])
+    )
+    return (
+        base_view.unionByName(delta_view)
+        .groupBy("nationkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("__rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "max_drawdown_report",
+    oracle="""
+    WITH daily AS (
+      SELECT EXTRACT(year FROM o_orderdate)::INT AS yr,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT yr, day, revenue,
+             max(revenue) OVER (
+               PARTITION BY yr ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS peak
+      FROM daily
+    )
+    SELECT yr AS "group", max(peak) AS peak_value,
+           max(peak - revenue) AS max_drawdown
+    FROM run GROUP BY 1
+    """,
+)
+def max_drawdown_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of daily revenue per year — worst
+    peak-to-trough collapse of the running series
+    (operators/timeseries.py:max_drawdown). The window input is the
+    DAILY aggregate (≤366 rows per year-partition, parallel across
+    years), never raw orders; daily revenue is decimal-exact so the
+    subtractions are differences of exact values."""
+    from datawarehousefinal_spark.operators.timeseries import max_drawdown
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return max_drawdown(daily, "yr", "day", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability & referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+def _khop_oracle(max_hops: int = 3) -> str:
+    prev = "d0"
+    its = []
+    for i in range(1, max_hops + 1):
+        its.append(f"""
+    d{i} AS (
+      SELECT node, min(distance) AS distance FROM (
+        SELECT node, distance FROM {prev}
+        UNION ALL
+        SELECT e.b AS node, d.distance + 1 AS distance
+        FROM {prev} d JOIN sym e ON d.node = e.a
+      ) GROUP BY 1
+    )""")
+        prev = f"d{i}"
+    return f"""
+    WITH trade AS (
+      SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    sym AS (
+      SELECT a, b FROM trade UNION SELECT b, a FROM trade
+    ),
+    d0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS distance),{",".join(its)}
+    SELECT na.n_name AS nation, d.distance
+    FROM {prev} d JOIN nation na ON d.node = na.n_nationkey
+    ORDER BY nation
+    """
+
+
+@query("trade_khop_distances", oracle=_khop_oracle())
+def trade_khop_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability: exact hop distances (≤3) from nation 0 over the
+    undirected nation trade graph — blast-radius analysis as fixed-
+    iteration min-relaxation (operators/graph.py:khop_distances, one
+    node-keyed shuffle per hop, lineage-truncated), with the three hops
+    unrolled as oracle CTEs. Pure integer arithmetic."""
+    from datawarehousefinal_spark.operators.graph import khop_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .distinct()
+    )
+    dist = khop_distances(edges, "a", "b", [0], max_hops=3)
+    return (
+        dist.join(F.broadcast(nation), dist["node"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "distance")
+        .orderBy("nation")
+    )
+
+
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def _ref_integrity_oracle() -> str:
+    parts = []
+    for label, child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{label}' AS fk,
+           (SELECT count(*) FROM {child})::BIGINT AS n_rows,
+           (SELECT count(*) FROM {child} ch
+            WHERE NOT EXISTS (
+              SELECT 1 FROM {parent} p WHERE p.{pk} = ch.{ck}
+            ))::BIGINT AS n_orphans""")
+    return " UNION ALL ".join(parts)
+
+
+@query("referential_integrity_report", oracle=_ref_integrity_oracle())
+def referential_integrity_report_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Warehouse-wide referential-integrity audit: every FK edge of the
+    star/snowflake checked with one broadcast anti-join (dims broadcast;
+    the fact scans stream) — row counts and orphan counts per edge, the
+    load-gate report an ETL run signs off on. All exact integers."""
+    result = None
+    for label, child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(ck)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        row = (
+            c.join(F.broadcast(p), c[ck] == p[pk], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(pk).isNull().cast("bigint")).alias("n_orphans"),
+            )
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+        result = row if result is None else result.unionByName(row)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency store & event transition matrix
+# ---------------------------------------------------------------------------
+
+_CM_HASH_SQL = (
+    "('0x' || substr(md5({v}::VARCHAR || ':42:' || {j}::VARCHAR), 1, 15))"
+    "::BIGINT % 256"
+)
+
+
+@query(
+    "cm_frequency_store",
+    oracle=f"""
+    WITH ev AS (SELECT user_id FROM events),
+    cells AS (
+      SELECT j, {_CM_HASH_SQL.format(v="user_id", j="j")} AS col,
+             count(*)::BIGINT AS cnt
+      FROM ev, unnest(range(0, 4)) AS u(j)
+      GROUP BY 1, 2
+    ),
+    items AS (SELECT DISTINCT user_id FROM ev WHERE user_id < 10),
+    fan AS (
+      SELECT i.user_id, u.j,
+             {_CM_HASH_SQL.format(v="i.user_id", j="u.j")} AS col
+      FROM items i, unnest(range(0, 4)) AS u(j)
+    ),
+    est AS (
+      SELECT f.user_id, min(c.cnt)::BIGINT AS est_n
+      FROM fan f JOIN cells c ON c.j = f.j AND c.col = f.col
+      GROUP BY 1
+    ),
+    ex AS (SELECT user_id, count(*)::BIGINT AS exact_n FROM ev
+           WHERE user_id < 10 GROUP BY 1)
+    SELECT e.user_id, s.est_n, e.exact_n,
+           (s.est_n - e.exact_n)::BIGINT AS overcount
+    FROM ex e JOIN est s ON e.user_id = s.user_id
+    """,
+)
+def cm_frequency_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency store with the merge==rebuild identity baked
+    into the gate: the per-user event-frequency sketch is built from TWO
+    halves of the stream and cell-wise MERGED
+    (operators/sketches.py:cm_build_store/cm_merge), then point
+    estimates for the tracked users come from the merged store; the
+    oracle rebuilds the sketch directly from the full stream — hash
+    equality proves merging dropped nothing. ``overcount`` exhibits the
+    CM guarantee (estimates never undercount). All exact integers; the
+    md5 cell hash is engine-portable."""
+    from datawarehousefinal_spark.operators.sketches import (
+        cm_build_store,
+        cm_merge,
+        cm_point_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    store = cm_merge(
+        cm_build_store(half_a, "user_id"), cm_build_store(half_b, "user_id")
+    )
+    items = ev.filter(F.col("user_id") < 10).select("user_id").distinct()
+    est = cm_point_estimates(store, items, "user_id").select(
+        "user_id", F.col("est").alias("est_n")
+    )
+    exact = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "est_n",
+        "exact_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, count(*)::BIGINT AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n, c.n / t.tot AS p
+    FROM c JOIN t ON c.from_type = t.from_type
+    """,
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event type | current), exact counts, event_id
+    tie-break for equal timestamps
+    (operators/analytics.py:event_transition_probs). The behavioral
+    input for 'what happens after add_to_cart' product analysis."""
+    from datawarehousefinal_spark.operators.analytics import (
+        event_transition_probs,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return event_transition_probs(
+        events, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decayed activity, control chart, Gini concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decayed_activity_score",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+    sc AS (
+      SELECT user_id,
+             sum(pow(CAST(0.9 AS DOUBLE),
+                     date_diff('day', CAST(ts AS DATE), (SELECT m FROM mx))
+                 )) AS score,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events, score
+    FROM sc ORDER BY score DESC, user_id LIMIT 20
+    """,
+)
+def decayed_activity_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: per-user sum of 0.9^(days-ago) over
+    their events — the standard exponential-decay activity score that
+    ranks a user who was active yesterday above one equally active last
+    quarter. One groupBy after a map-side decay term; the anchor date is
+    a broadcast scalar. Positive-sum doubles; top-20 with user-id
+    tie-break."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    mx = events.agg(F.max("day").alias("__m"))
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.pow(F.lit(0.9), F.datediff(F.col("__m"), F.col("day")))
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "n_events", "score")
+        .orderBy(F.desc("score"), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "p_chart_order_status",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+               AS n_f
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(sum(n_f) AS DOUBLE) / sum(n) AS pbar FROM daily
+    )
+    SELECT day, n, n_f,
+           n_f / n AS p,
+           pbar + 3 * sqrt(pbar * (1 - pbar) / n) AS ucl,
+           greatest(pbar - 3 * sqrt(pbar * (1 - pbar) / n),
+                    CAST(0.0 AS DOUBLE)) AS lcl,
+           (n_f / n > pbar + 3 * sqrt(pbar * (1 - pbar) / n)
+            OR n_f / n < greatest(
+                 pbar - 3 * sqrt(pbar * (1 - pbar) / n),
+                 CAST(0.0 AS DOUBLE))) AS out_of_control
+    FROM daily, base
+    """,
+)
+def p_chart_order_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control: a p-chart of the daily 'F'-status
+    order proportion with 3-sigma binomial control limits around the
+    overall rate — the SPC screen a pipeline-health dashboard runs on
+    any daily ratio. Two aggregates (daily counts, global rate); limits
+    are per-row arithmetic on exact counts; sqrt differs ≤1 ulp
+    cross-engine, far inside hash rounding, and the boolean flag
+    compares quantities whose gap is O(1/n) — not at the ulp boundary."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_orderstatus") == "F").cast("bigint")).alias("n_f"),
+    )
+    base = daily.agg(
+        (F.sum("n_f").cast("double") / F.sum("n")).alias("__pbar")
+    )
+    pbar = F.col("__pbar")
+    sig = F.sqrt(pbar * (1 - pbar) / F.col("n"))
+    ucl = pbar + 3 * sig
+    lcl = F.greatest(pbar - 3 * sig, F.lit(0.0))
+    p = F.col("n_f") / F.col("n")
+    return daily.crossJoin(F.broadcast(base)).select(
+        "day",
+        "n",
+        "n_f",
+        p.alias("p"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    )
+
+
+@query(
+    "gini_revenue",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS customer,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, customer) AS i,
+             count(*) OVER () AS n
+      FROM per
+    )
+    SELECT (2 * sum(i * x) / (max(n) * sum(x)))
+             - (max(n) + CAST(1.0 AS DOUBLE)) / max(n) AS gini,
+           max(n)::BIGINT AS n_customers
+    FROM r
+    """,
+)
+def gini_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the one-number inequality
+    companion to the Pareto decile report, via the rank formula
+    G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n over ascending revenue. The rank
+    comes from the distributed prefix-sum ntile machinery's cumsum (no
+    global single-partition window); revenue is decimal-sourced so
+    ranks are deterministic, and the two sums are positive-term
+    doubles."""
+    from datawarehousefinal_spark.operators.packing import distributed_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("customer")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    ranked = distributed_cumsum(
+        per.withColumn("__one", F.lit(1).cast("bigint")),
+        ["x", "customer"],
+        "__one",
+        "__i",
+    )
+    return ranked.agg(
+        (
+            2 * F.sum(F.col("__i") * F.col("x"))
+            / (F.max("__i") * F.sum("x"))
+            - (F.max("__i") + F.lit(1.0)) / F.max("__i")
+        ).alias("gini"),
+        F.max("__i").cast("long").alias("n_customers"),
     )

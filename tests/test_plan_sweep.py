@@ -118,6 +118,10 @@ BNLJ_ALLOWED = {
     # pareto: the single-row grand-total revenue frame crossJoined onto
     # the 10-row decile frame — bounded scalar-broadcast.
     "pareto_revenue_report",
+    # decayed activity's single-row max-date anchor and the p-chart's
+    # single-row overall-rate frame — bounded scalar-broadcast.
+    "decayed_activity_score",
+    "p_chart_order_status",
 }
 
 

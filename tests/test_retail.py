@@ -172,3 +172,14 @@ def test_loo_group_influence_exact(spark):
     assert out["a"]["influence"] == pytest.approx(14 / 3 - 10)
     assert out["b"]["influence"] == pytest.approx(14 / 3 - 2)
     assert out["b"]["group_mean"] == pytest.approx(10.0)
+
+
+def test_khop_distances_known_graph(spark):
+    from datawarehousefinal_spark.operators.graph import khop_distances
+
+    # path 1-2-3-4-5 plus isolated 9; seeds {1}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 9)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    out = {r["node"]: r["distance"] for r in
+           khop_distances(df, "s", "d", [1], max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond horizon, 9 unreachable
