@@ -474,11 +474,15 @@ def pq_recon_error(
             lambda acc, x: acc + x,
         ),
     )
-    w = Window.partitionBy(id_col, "__s").orderBy("__d2", "__code")
+    # Argmin as a map-side-combinable MIN over (d2, code) structs
+    # (struct ordering = lexicographic, identical to the previous
+    # window's ORDER BY d2, code) — the combiner folds the 256
+    # candidate rows per (vector, subspace) before the shuffle, so the
+    # exchange carries N×m rows instead of N×m×256 sorted ones.
     mins = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "__s", "__d2")
+        scored.groupBy(id_col, "__s")
+        .agg(F.min(F.struct("__d2", "__code")).alias("__m"))
+        .select(id_col, "__s", F.col("__m.__d2").alias("__d2"))
     )
     return mins.groupBy(id_col).agg(
         F.sum("__d2").alias("sq_err"),
