@@ -1778,3 +1778,243 @@ def gini_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.max("__i").cast("long").alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation & lifetime-value analytics, regex ETL
+# ---------------------------------------------------------------------------
+
+_AB_HASH_SQL = (
+    "('0x' || substr(md5(user_id::VARCHAR || ':77'), 1, 15))::BIGINT % 2"
+)
+
+
+@query(
+    "ab_test_report",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id, {_AB_HASH_SQL} AS arm FROM events
+    ),
+    conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 HAVING count(*) >= 14
+    ),
+    per AS (
+      SELECT a.arm, count(*)::BIGINT AS n_users,
+             sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_converted
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 0 THEN n_users END) AS n_a,
+        max(CASE WHEN arm = 0 THEN n_converted END) AS c_a,
+        max(CASE WHEN arm = 1 THEN n_users END) AS n_b,
+        max(CASE WHEN arm = 1 THEN n_converted END) AS c_b
+      FROM per
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           c_a / n_a AS p_a, c_b / n_b AS p_b,
+           CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+             (c_a / n_a - c_b / n_b)
+               / sqrt(((c_a + c_b) / (n_a + n_b))
+                      * (1 - (c_a + c_b) / (n_a + n_b))
+                      * (CAST(1.0 AS DOUBLE) / n_a
+                         + CAST(1.0 AS DOUBLE) / n_b))
+           END AS z_stat
+    FROM wide
+    """,
+)
+def ab_test_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into two arms (the
+    deterministic md5 assignment every experimentation platform uses —
+    stable under re-runs and late-arriving data), per-arm conversion
+    (>= 14 purchase events — a non-degenerate split of this fixture's
+    usage distribution), and the pooled two-proportion z statistic. All counts
+    exact; the z arithmetic is an identical expression tree on exact
+    inputs on both engines, so the doubles match bit-for-bit."""
+    from datawarehousefinal_spark.operators.curation import sample_hash
+
+    events = load_table(spark, sf_dir, "events")
+    assign = events.select("user_id").distinct().select(
+        "user_id", (sample_hash("user_id", 77) % 2).alias("arm")
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 14)
+        .select("user_id")
+        .withColumn("__c", F.lit(1))
+    )
+    per = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("__c", F.lit(0)).cast("bigint")).alias(
+                "n_converted"
+            ),
+        )
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    # Guarded: a degenerate experiment (pool 0 or 1) serves NULL
+    # instead of tripping ANSI division-by-zero in strict sessions.
+    tot_c = F.col("c_a") + F.col("c_b")
+    tot_n = F.col("n_a") + F.col("n_b")
+    z = F.when(
+        (tot_c > 0) & (tot_c < tot_n),
+        (p_a - p_b)
+        / F.sqrt(
+            pool * (1 - pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+    )
+    return wide.select(
+        "n_a", "c_a", "n_b", "c_b",
+        p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z_stat"),
+    )
+
+
+@query(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH first_m AS (
+      SELECT o_custkey, min(date_trunc('month', CAST(o_orderdate AS DATE)))
+               AS cohort
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort,
+                       date_trunc('month', CAST(o.o_orderdate AS DATE)))
+               ::BIGINT AS age,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+    ),
+    sizes AS (SELECT cohort, count(*)::BIGINT AS cohort_users
+              FROM first_m GROUP BY 1),
+    m AS (
+      SELECT cohort, age,
+             sum(price) AS month_rev
+      FROM rev GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT cohort, age, month_rev,
+             sum(month_rev) OVER (
+               PARTITION BY cohort ORDER BY age
+             ) AS cum_rev
+      FROM m
+    )
+    SELECT CAST(c.cohort AS DATE) AS cohort, c.age,
+           CAST(c.month_rev AS DOUBLE) AS month_revenue,
+           CAST(c.cum_rev AS DOUBLE) / s.cohort_users AS ltv_per_user
+    FROM c JOIN sizes s ON c.cohort = s.cohort
+    WHERE c.age <= 6
+    """,
+)
+def cohort_ltv_curves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per cohort user by cohort age (months
+    since acquisition) — the money companion to the retention matrix.
+    Revenue accumulates in exact decimal through BOTH the monthly
+    aggregate and the cumulative window (partitioned per cohort over
+    ≤ age rows), so every double served is one terminal cast/division."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    first_m = orders.groupBy("o_custkey").agg(
+        F.min(F.trunc("od", "month")).alias("cohort")
+    )
+    sizes = first_m.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = orders.join(first_m, "o_custkey").select(
+        "cohort",
+        F.months_between(F.trunc("od", "month"), F.col("cohort"))
+        .cast("long")
+        .alias("age"),
+        "price",
+    )
+    m = rev.groupBy("cohort", "age").agg(F.sum("price").alias("month_rev"))
+    w = Window.partitionBy("cohort").orderBy("age")
+    c = m.withColumn("cum_rev", F.sum("month_rev").over(w))
+    return (
+        c.join(F.broadcast(sizes), "cohort")
+        .filter(F.col("age") <= 6)
+        .select(
+            "cohort",
+            "age",
+            F.col("month_rev").cast("double").alias("month_revenue"),
+            (F.col("cum_rev").cast("double") / F.col("cohort_users")).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
+
+
+@query(
+    "regex_parse_roundtrip",
+    oracle="""
+    WITH logs AS (
+      SELECT 'order id=' || o_orderkey || ' cust=' || o_custkey
+               || ' status=' || o_orderstatus || ' total='
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               AS line
+      FROM orders
+    ),
+    parsed AS (
+      SELECT regexp_extract(line, 'id=(\\d+)', 1)::BIGINT AS orderkey,
+             regexp_extract(line, 'status=([A-Z])', 1) AS status,
+             regexp_extract(line, 'total=([0-9.]+)', 1)
+               ::DECIMAL(18,2) AS total
+      FROM logs
+    )
+    SELECT status, count(*)::BIGINT AS n,
+           CAST(sum(total) AS DOUBLE) AS total_sum,
+           max(orderkey)::BIGINT AS max_key
+    FROM parsed GROUP BY 1
+    """,
+)
+def regex_parse_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-parsing ETL roundtrip: structured rows are FORMATTED into log
+    lines, then re-extracted with regexp groups and re-aggregated — the
+    semi-structured ingestion path (regexp_extract stays inside
+    whole-stage codegen; no UDF). The aggregate equality against the
+    typed source proves the round trip loses nothing: key, status and
+    2-decimal money survive the text representation exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    logs = orders.select(
+        F.concat(
+            F.lit("order id="), F.col("o_orderkey").cast("string"),
+            F.lit(" cust="), F.col("o_custkey").cast("string"),
+            F.lit(" status="), F.col("o_orderstatus"),
+            F.lit(" total="),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        ).alias("line")
+    )
+    parsed = logs.select(
+        F.regexp_extract("line", r"id=(\d+)", 1).cast("long").alias(
+            "orderkey"
+        ),
+        F.regexp_extract("line", r"status=([A-Z])", 1).alias("status"),
+        F.regexp_extract("line", r"total=([0-9.]+)", 1)
+        .cast("decimal(18,2)")
+        .alias("total"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("total").cast("double").alias("total_sum"),
+        F.max("orderkey").alias("max_key"),
+    )
