@@ -450,3 +450,44 @@ def max_drawdown(
             F.max("__dd").alias("max_drawdown"),
         )
     )
+
+
+def concurrent_intervals_daily(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrency counting: for every day, how many
+    intervals [start, end] are open — capacity/backlog analysis
+    ("orders awaiting shipment", "rooms occupied", "jobs in flight").
+
+    The scalable shape is the sweep, NOT per-day fan-out (an interval
+    spanning a year would fan 365×; a sweep emits exactly two deltas
+    per interval regardless of span): +1 at start, −1 at end+1, summed
+    per day (map-side combined), then a distributed prefix sum over the
+    tiny per-day delta frame (packing.distributed_cumsum — no global
+    single-partition window). Exact integers.
+
+    Output: day, n_open — one row per day from each interval's start
+    to its end (days with zero deltas between events carry forward and
+    are emitted only when some interval's boundary lands on them; join
+    against a calendar for gap-free reporting).
+    """
+    from datawarehousefinal_spark.operators.packing import distributed_cumsum
+
+    starts = df.select(
+        F.col(start_col).alias("day"), F.lit(1).cast("bigint").alias("__d")
+    )
+    ends = df.select(
+        F.date_add(F.col(end_col), 1).alias("day"),
+        F.lit(-1).cast("bigint").alias("__d"),
+    )
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(F.sum("__d").alias("__delta"))
+    )
+    swept = distributed_cumsum(deltas, ["day"], "__delta", "n_open")
+    return swept.filter(F.col("n_open") > 0).select(
+        "day", F.col("n_open").cast("long").alias("n_open")
+    )

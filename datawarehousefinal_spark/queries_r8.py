@@ -2018,3 +2018,122 @@ def regex_parse_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total").cast("double").alias("total_sum"),
         F.max("orderkey").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency & share-of-parent rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "concurrent_open_orders",
+    oracle="""
+    WITH fs AS (
+      SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS fship
+      FROM lineitem GROUP BY 1
+    ),
+    iv AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS s, f.fship AS e
+      FROM orders o JOIN fs f ON o.o_orderkey = f.l_orderkey
+    ),
+    deltas AS (
+      SELECT day, sum(d)::BIGINT AS delta FROM (
+        SELECT s AS day, 1 AS d FROM iv
+        UNION ALL
+        SELECT e + 1, -1 FROM iv
+      ) GROUP BY 1
+    ),
+    swept AS (
+      SELECT day, sum(delta) OVER (ORDER BY day)::BIGINT AS n_open
+      FROM deltas
+    )
+    SELECT day, n_open FROM swept WHERE n_open > 0
+    """,
+)
+def concurrent_open_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog concurrency via the sweep-line: how many orders are
+    open (placed, not yet first-shipped) on each boundary day
+    (operators/timeseries.py:concurrent_intervals_daily). Two deltas
+    per interval REGARDLESS of its span — the shape per-day fan-out
+    cannot match (a year-long interval would fan 365×) — then a
+    distributed prefix sum over the per-day delta frame. Exact
+    integers."""
+    from datawarehousefinal_spark.operators.timeseries import (
+        concurrent_intervals_daily,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fs = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("__e")
+    )
+    iv = orders.join(fs, orders["o_orderkey"] == fs["l_orderkey"]).select(
+        F.to_date("o_orderdate").alias("__s"), "__e"
+    )
+    return concurrent_intervals_daily(iv, "__s", "__e")
+
+
+@query(
+    "share_of_parent_rollup",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rv
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, sum(rv) AS rr FROM rev GROUP BY 1),
+    tot AS (SELECT sum(rv) AS t FROM rev)
+    SELECT rev.region, rev.nation,
+           CAST(rev.rv AS DOUBLE) AS revenue,
+           CAST(rev.rv AS DOUBLE) / CAST(reg.rr AS DOUBLE)
+             AS share_of_region,
+           CAST(reg.rr AS DOUBLE) / CAST(tot.t AS DOUBLE)
+             AS region_share_of_total
+    FROM rev JOIN reg ON rev.region = reg.region, tot
+    """,
+)
+def share_of_parent_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent OLAP report over the geography hierarchy: nation
+    revenue, its share within the region, and the region's share of
+    total — the drill-down ratio columns every hierarchy UI shows next
+    to the raw measure. Decimal-exact sums at all three levels; ratios
+    are single divisions of exact values; dims broadcast onto the fact
+    scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    geo = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(geo), cust["c_nationkey"] == geo["n_nationkey"])
+        .groupBy("region", "nation")
+        .agg(F.sum("p").alias("rv"))
+    )
+    reg = rev.groupBy("region").agg(F.sum("rv").alias("rr"))
+    tot = rev.agg(F.sum("rv").alias("t"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("rv").cast("double").alias("revenue"),
+            (F.col("rv").cast("double") / F.col("rr").cast("double")).alias(
+                "share_of_region"
+            ),
+            (F.col("rr").cast("double") / F.col("t").cast("double")).alias(
+                "region_share_of_total"
+            ),
+        )
+    )

@@ -203,3 +203,24 @@ def test_event_transition_probs_known_sequence(spark):
     assert out[("a", "b")]["p"] == 2 / 3
     assert out[("b", "a")]["n"] == 1
     assert ("c", "a") not in out  # c is terminal within user 1
+
+
+def test_concurrent_intervals_sweep(spark):
+    from datetime import date
+
+    from datawarehousefinal_spark.operators.timeseries import (
+        concurrent_intervals_daily,
+    )
+
+    rows = [
+        (date(2024, 1, 1), date(2024, 1, 3)),
+        (date(2024, 1, 2), date(2024, 1, 2)),
+        (date(2024, 1, 10), date(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, ["s", "e"])
+    out = {str(r["day"]): r["n_open"] for r in
+           concurrent_intervals_daily(df, "s", "e").collect()}
+    # boundary days only: 1/1 (1 open), 1/2 (2), 1/3 (1 after -1 at 1/3),
+    # 1/10 (1); 1/4 and 1/11 close to zero and are filtered
+    assert out == {"2024-01-01": 1, "2024-01-02": 2,
+                   "2024-01-03": 1, "2024-01-10": 1}

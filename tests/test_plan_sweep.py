@@ -122,6 +122,9 @@ BNLJ_ALLOWED = {
     # single-row overall-rate frame — bounded scalar-broadcast.
     "decayed_activity_score",
     "p_chart_order_status",
+    # share-of-parent: the single-row grand-total frame crossJoined onto
+    # the 25-row nation rollup — bounded scalar-broadcast.
+    "share_of_parent_rollup",
 }
 
 
