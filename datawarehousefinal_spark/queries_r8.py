@@ -2137,3 +2137,131 @@ def share_of_parent_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data governance: forget-user cascade, k-anonymity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forget_users_cascade",
+    oracle="""
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 3
+    ),
+    ev AS (
+      SELECT 'events' AS tbl,
+             count(*)::BIGINT AS n_before,
+             count(*) FILTER (WHERE f.user_id IS NULL)::BIGINT AS n_after
+      FROM events e LEFT JOIN forget f ON e.user_id = f.user_id
+    ),
+    daily AS (
+      SELECT 'daily_counts' AS tbl,
+             (SELECT count(*) FROM (
+                SELECT CAST(ts AS DATE) AS d FROM events GROUP BY 1))
+               ::BIGINT AS n_before,
+             (SELECT count(*) FROM (
+                SELECT CAST(e.ts AS DATE) AS d FROM events e
+                LEFT JOIN forget f ON e.user_id = f.user_id
+                WHERE f.user_id IS NULL GROUP BY 1))::BIGINT AS n_after
+    )
+    SELECT tbl, n_before, n_after,
+           (n_before - n_after)::BIGINT AS n_removed
+    FROM ev
+    UNION ALL
+    SELECT tbl, n_before, n_after, (n_before - n_after)::BIGINT
+    FROM daily
+    """,
+)
+def forget_users_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: a deterministic forget-set
+    of users is removed from the raw events AND the derived daily-count
+    aggregate is rebuilt from the scrubbed base; the report shows
+    before/after/removed rows per affected table — the deletion
+    evidence a privacy review signs off on. Removal is one broadcast
+    anti-join per table (the forget-set is small by contract); the
+    derived table demonstrates the CASCADE: aggregates must be rebuilt
+    from scrubbed inputs, not patched."""
+    events = load_table(spark, sf_dir, "events")
+    forget = (
+        events.filter(F.col("user_id") % 17 == 3)
+        .select("user_id")
+        .distinct()
+    )
+    scrubbed = events.join(F.broadcast(forget), "user_id", "left_anti")
+
+    def report(tbl: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        b = before.agg(F.count(F.lit(1)).alias("n_before"))
+        a = after.agg(F.count(F.lit(1)).alias("n_after"))
+        return b.crossJoin(a).select(
+            F.lit(tbl).alias("tbl"),
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("n_removed"),
+        )
+
+    daily_before = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    daily_after = scrubbed.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return report("events", events, scrubbed).unionByName(
+        report("daily_counts", daily_before, daily_after)
+    )
+
+
+@query(
+    "k_anonymity_report",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             (1 + ((row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1)
+                   * 10) // count(*) OVER ())::INT AS bal_decile
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_decile,
+             count(*)::BIGINT AS group_size
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT
+      (SELECT count(*) FROM g)::BIGINT AS n_groups,
+      (SELECT coalesce(min(group_size), 0) FROM g)::BIGINT AS k_anonymity,
+      (SELECT count(*) FROM g WHERE group_size < 5)::BIGINT
+        AS n_groups_under_5,
+      (SELECT coalesce(sum(group_size), 0) FROM g WHERE group_size < 5)
+        ::BIGINT AS n_rows_at_risk
+    """,
+)
+def k_anonymity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier (nation, market segment, account-balance decile):
+    the minimum equivalence-class size IS the table's k, and classes
+    under k=5 are re-identification risks a release gate must
+    suppress or generalize. The balance decile uses the deterministic
+    distributed-rank ntile; everything else is two aggregates. Exact
+    integers."""
+    from datawarehousefinal_spark.operators.retail import deterministic_ntile
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    q = deterministic_ntile(
+        cust, ["c_acctbal", "c_custkey"], 10, "bal_decile"
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_decile").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.min("group_size"), F.lit(0)).alias("k_anonymity"),
+        F.sum((F.col("group_size") < 5).cast("bigint")).alias(
+            "n_groups_under_5"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("group_size") < 5, F.col("group_size"))),
+            F.lit(0),
+        ).alias("n_rows_at_risk"),
+    )

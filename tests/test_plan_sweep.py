@@ -125,6 +125,9 @@ BNLJ_ALLOWED = {
     # share-of-parent: the single-row grand-total frame crossJoined onto
     # the 25-row nation rollup — bounded scalar-broadcast.
     "share_of_parent_rollup",
+    # forget-cascade: per-table before/after 1-row aggregates
+    # crossJoined into the report rows — bounded scalar-broadcast.
+    "forget_users_cascade",
 }
 
 
