@@ -602,3 +602,64 @@ def event_transition_probs(
         "n",
         (F.col("n") / F.col("__tot")).alias("p"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto front, maximize both axes): the rows no
+    other row weakly dominates — multi-criteria shortlisting ("best
+    customers by balance AND order volume", "docs best on quality AND
+    length") without collapsing the axes into one arbitrary score.
+
+    The quadratic dominance self-join is avoided with the classic
+    sort-sweep, distributed: per distinct x, only the max-y rows can
+    survive; a row survives iff its y strictly exceeds the running max
+    of y over all STRICTLY-larger x (``packing.distributed_cummax``
+    over the distinct-x frame — never a global single-partition
+    window). Ties on both axes all survive (neither dominates —
+    dominance requires strict improvement in one axis). Exact
+    comparisons only; deterministic and SQL-replayable via the
+    NOT EXISTS dominance definition.
+
+    Output: the input's (id, x, y) rows on the skyline.
+    """
+    from datawarehousefinal_spark.operators.packing import distributed_cummax
+
+    per_x = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(F.col(y_col)).alias("__maxy")
+    )
+    # Running max over strictly larger x: order by x DESC and lag the
+    # running max by excluding the current row — done by computing the
+    # inclusive cummax, then taking the PREVIOUS value via a second
+    # pass: inclusive cummax over (-x) minus self is just the cummax of
+    # the predecessor row, which equals the inclusive cummax of x' > x
+    # because per_x has one row per x.
+    ordered = per_x.withColumn("__negx", -F.col("__x"))
+    inc = distributed_cummax(ordered, ["__negx"], "__maxy", "__inc")
+    # Survivor criterion. Let inc(x) = max of __maxy over all x' >= x
+    # (the inclusive descending-x running max above). x survives iff
+    # __maxy(x) STRICTLY exceeds every larger x's __maxy — i.e.
+    # __maxy == __inc AND x is the first (largest-x) attainment of
+    # that inc value. inc is monotone (nondecreasing as x falls), so
+    # rows sharing an inc value form one contiguous run whose largest-x
+    # row is exactly where inc jumped — and a jump requires
+    # __maxy == __inc there. Hence "largest x per inc value" picks the
+    # true first attainment, and no lag/window over the distinct-x
+    # frame is needed.
+    first_attain = inc.groupBy("__inc").agg(F.max("__x").alias("__x_at"))
+    sky_x = (
+        inc.join(F.broadcast(first_attain), "__inc")
+        .filter(
+            (F.col("__maxy") == F.col("__inc"))
+            & (F.col("__x") == F.col("__x_at"))
+        )
+        .select("__x", "__maxy")
+    )
+    return df.join(
+        sky_x,
+        (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__maxy")),
+    ).select(id_col, x_col, y_col)

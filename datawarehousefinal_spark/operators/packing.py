@@ -266,3 +266,45 @@ def greedy_pack(
         .groupBy(shard_col)
         .applyInPandas(pack, out_schema)
     )
+
+
+def distributed_cummax(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cummax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running maximum of ``value_col`` over the total order
+    ``order_cols`` without a global single-partition window — the MAX
+    sibling of :func:`distributed_cumsum`, same two-phase shape: (1)
+    the window runs WITHIN each literal-frozen range bucket; (2)
+    per-bucket maxima (one row per bucket) cumulate into prefix
+    offsets and broadcast-join back, and the result is
+    ``greatest(local running max, best of all earlier buckets)``.
+
+    Same contract as the sum variant: ``order_cols`` must be a unique
+    key; bucket ids are pure row functions so nothing persists.
+    """
+    sc = df.sparkSession.sparkContext
+    n = num_partitions or sc.defaultParallelism
+    tagged = df.withColumn("__pid", _range_bucket_expr(df, order_cols, n))
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = tagged.withColumn("__local", F.max(value_col).over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(F.max(value_col).alias("__ptot"))
+        .withColumn("__off", F.max("__ptot").over(w_off))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__off").isNull(), F.col("__local")
+            ).otherwise(F.greatest("__local", "__off")),
+        )
+        .drop("__pid", "__local", "__off")
+    )

@@ -2265,3 +2265,51 @@ def k_anonymity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("n_rows_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skyline_customers",
+    oracle="""
+    WITH pts AS (
+      SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal,
+             count(*)::BIGINT AS n_orders
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT custkey, acctbal, n_orders FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.acctbal >= p.acctbal AND q.n_orders >= p.n_orders
+        AND (q.acctbal > p.acctbal OR q.n_orders > p.n_orders)
+    )
+    """,
+)
+def skyline_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: customers Pareto-optimal on (account balance, order
+    count) — no other customer is at least as good on both axes and
+    strictly better on one. The engine runs the distributed sort-sweep
+    (operators/analytics.py:skyline_2d — per-x max, distributed running
+    max over the distinct-x frame, first-attainment pick; NO quadratic
+    dominance self-join); the oracle states the NOT EXISTS dominance
+    definition directly, so hash equality proves the sweep equals the
+    definition. Exact comparisons only."""
+    from datawarehousefinal_spark.operators.analytics import skyline_2d
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    pts = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return skyline_2d(pts, "acctbal", "n_orders", "custkey")

@@ -183,3 +183,38 @@ def test_khop_distances_known_graph(spark):
     out = {r["node"]: r["distance"] for r in
            khop_distances(df, "s", "d", [1], max_hops=3).collect()}
     assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond horizon, 9 unreachable
+
+
+def test_skyline_2d_known_points(spark):
+    from datawarehousefinal_spark.operators.analytics import skyline_2d
+
+    pts = [
+        (1, 10.0, 5), (2, 10.0, 7),   # 2 dominates 1 (same x, higher y)
+        (3, 8.0, 9), (4, 12.0, 3),
+        (5, 8.0, 9),                   # exact tie with 3: both survive
+        (6, 12.0, 3),                  # exact tie with 4: both survive
+        (7, 9.0, 7),                   # dominated by 2 (10 >= 9, 7 >= 7, strict x)
+        (8, 5.0, 1),                   # dominated by everyone
+    ]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    out = sorted(r["id"] for r in skyline_2d(df, "x", "y", "id").collect())
+    assert out == [2, 3, 4, 5, 6]
+
+
+def test_distributed_cummax_matches_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from datawarehousefinal_spark.operators.packing import distributed_cummax
+
+    rows = [(i, float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r["m"]
+        for r in distributed_cummax(df, ["k"], "v", "m").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["m"]
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    }
+    assert got == want
