@@ -2313,3 +2313,79 @@ def skyline_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return skyline_2d(pts, "acctbal", "n_orders", "custkey")
+
+
+# ---------------------------------------------------------------------------
+# Behavioral set intersections & ID-space gap audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_type_intersections",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), '+')
+               AS combo,
+             count(DISTINCT event_type)::INT AS n_types
+      FROM events GROUP BY user_id
+    )
+    SELECT combo, n_types, count(*)::BIGINT AS n_users
+    FROM per_user GROUP BY 1, 2
+    """,
+)
+def event_type_intersections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral set intersections (the UpSet-plot input): users
+    bucketed by the exact SET of event types they performed — which
+    behavior combinations exist and how common each is. One user-keyed
+    collect_set aggregate; the combo key is the sorted '+'-joined set,
+    so both engines derive the identical canonical label. Exact
+    integers."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), "+"
+        ).alias("combo"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+    return per_user.groupBy("combo", "n_types").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
+    "id_gap_report",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey // 1000 AS bucket,
+             count(*)::BIGINT AS n_present,
+             min(o_orderkey)::BIGINT AS min_key,
+             max(o_orderkey)::BIGINT AS max_key
+      FROM orders GROUP BY 1
+    )
+    SELECT bucket::BIGINT AS bucket, n_present, min_key, max_key,
+           (max_key - min_key + 1 - n_present)::BIGINT AS n_missing_inside
+    FROM b WHERE max_key - min_key + 1 - n_present > 0
+    """,
+)
+def id_gap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-space gap audit: per 1000-key bucket of the order-key
+    sequence, how many keys are missing between the bucket's observed
+    min and max — the load-completeness check that catches dropped
+    extracts without sorting the table globally (one bucket-keyed
+    aggregate; gaps INSIDE buckets are counted exactly, and a wholly
+    missing bucket surfaces as its neighbors' boundary min/max). Exact
+    integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        (F.col("o_orderkey") / 1000).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    missing = F.col("max_key") - F.col("min_key") + 1 - F.col("n_present")
+    return b.filter(missing > 0).select(
+        "bucket", "n_present", "min_key", "max_key",
+        missing.alias("n_missing_inside"),
+    )
