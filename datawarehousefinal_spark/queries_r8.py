@@ -1,8 +1,19 @@
-"""Round-8 query faces: classic warehouse bench anchors (TPC-H Q1/Q5
-shapes with decimal-exact money math), market-basket lift, RFM customer
-segmentation, score-decile lift, triangle counting and fixed-iteration
-PageRank over co-occurrence graphs, and curriculum phase scheduling for
-training-data ordering.
+"""Round-8 query faces.
+
+Classic warehouse anchors (TPC-H Q1/Q5 shapes, decimal-exact money),
+retail/customer analytics (basket lift, RFM, decile lift, Pareto
+deciles, Gini, cohort LTV, A/B z-test), graph analytics (triangles,
+fixed-iteration PageRank, k-hop BFS), LLM-pipeline curation (DoReMi
+reweighting, LOO influence, curriculum phases, dup-cluster histogram,
+hard-negative mining, vocabulary drift, n-gram diversity, Zipf fit),
+IR (positional phrase search), activity analytics (cumulative users,
+new-vs-returning, rolling 7-day actives, decayed scores, transitions,
+set intersections), order statistics (exact grouped medians, sweep-line
+concurrency, max drawdown, 2-D skyline), warehouse machinery
+(incremental join-view maintenance, Count-Min frequency store, regex
+ETL roundtrip, referential-integrity and ID-gap audits, p-chart SPC,
+share-of-parent rollup), governance (forget-cascade, k-anonymity), and
+a sliding-window streaming aggregation.
 
 Registered into the same ``QUERIES``/``ORACLES`` registry as
 :mod:`datawarehousefinal_spark.queries` (imported from its tail, before
