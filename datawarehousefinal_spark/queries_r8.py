@@ -2400,3 +2400,96 @@ def id_gap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "n_present", "min_key", "max_key",
         missing.alias("n_missing_inside"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase dynamics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "reorder_interval_histogram",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+               ),
+               CAST(o_orderdate AS DATE))::BIGINT AS gap_days
+      FROM orders
+    ),
+    g AS (SELECT gap_days FROM seq WHERE gap_days IS NOT NULL),
+    b AS (
+      SELECT CASE
+               WHEN gap_days <= 7 THEN '0-7'
+               WHEN gap_days <= 30 THEN '8-30'
+               WHEN gap_days <= 90 THEN '31-90'
+               WHEN gap_days <= 365 THEN '91-365'
+               ELSE '365+' END AS band,
+             gap_days
+      FROM g
+    )
+    SELECT band, count(*)::BIGINT AS n_intervals,
+           min(gap_days)::BIGINT AS min_days,
+           max(gap_days)::BIGINT AS max_days,
+           CAST(sum(gap_days) AS DOUBLE) / count(*) AS avg_days
+    FROM b GROUP BY 1
+    """,
+)
+def reorder_interval_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase dynamics: the distribution of day-gaps between a
+    customer's consecutive orders, banded into the lifecycle buckets a
+    retention model feeds on. One lag() window per customer (partitioned
+    on the customer key, orderkey tie-break for same-day orders), then a
+    band-keyed aggregate. Exact integer gaps; the mean is one division
+    of exact sums."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(F.col("od"), F.lag("od").over(w)).cast("long").alias(
+            "gap_days"
+        )
+    ).filter(F.col("gap_days").isNotNull())
+    band = (
+        F.when(F.col("gap_days") <= 7, "0-7")
+        .when(F.col("gap_days") <= 30, "8-30")
+        .when(F.col("gap_days") <= 90, "31-90")
+        .when(F.col("gap_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return gaps.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.min("gap_days").alias("min_days"),
+        F.max("gap_days").alias("max_days"),
+        (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias(
+            "avg_days"
+        ),
+    )
+
+
+@query(
+    "order_frequency_histogram",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, count(*)::BIGINT AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT n_orders, count(*)::BIGINT AS n_customers
+    FROM per GROUP BY 1
+    """,
+)
+def order_frequency_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies: how many customers placed exactly k
+    orders — the engagement-distribution headline (and the input Good-
+    Turing style estimators read). Two map-side-combined aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return per.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
