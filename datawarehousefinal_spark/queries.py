@@ -4204,7 +4204,7 @@ def streaming_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_path("stream_cube", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src, state, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
-    events.repartition(3).write.parquet(src)
+    events.repartition(2).write.parquet(src)
     stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
     (
         stream.writeStream.foreachBatch(
@@ -4765,7 +4765,7 @@ def streaming_session_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_path("stream_sessions", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
-    events.repartition(3).write.parquet(src)
+    events.repartition(2).write.parquet(src)
     stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
     sessions = session_window_counts(
         stream, "user_id", "ts", gap="30 minutes", watermark="36500 days"
@@ -4794,7 +4794,7 @@ def streaming_session_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join made driver-visible AND
-    oracled: the events table re-serves as a 3-batch stream, two
+    oracled: the events table re-serves as a 2-batch stream, two
     streaming branches (views, purchases) of the SAME source join on
     user within a 1-hour attribution window
     (streaming/pipeline.stream_stream_interval_join — watermarked both
@@ -4816,7 +4816,7 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_path("stream_ssjoin", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
-    events.repartition(3).write.parquet(src)
+    events.repartition(2).write.parquet(src)
     stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
     views = stream.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts"
@@ -5177,7 +5177,7 @@ def streaming_stateful_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_path("stream_state", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
-    events.repartition(3).write.parquet(src)
+    events.repartition(2).write.parquet(src)
     stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
     table = f"dwf_stateful_totals_{tag}"
     spark.catalog.dropTempView(table)
@@ -5201,7 +5201,7 @@ def streaming_stateful_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dedup_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup made driver-visible AND oracled: the
     events table plus PLANTED replays (every 7th event duplicated) is
-    re-served as a 3-batch parquet stream through
+    re-served as a 2-batch parquet stream through
     ``dropDuplicatesWithinWatermark`` (streaming/pipeline.
     streaming_dedup — Spark keeps per-key state only for the watermark
     horizon), and the surviving rows' daily counts must hash-match the
@@ -5222,7 +5222,7 @@ def streaming_dedup_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFram
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
     replays = events.filter(F.col("event_id") % 7 == 0)
-    events.unionByName(replays).repartition(3).write.parquet(src)
+    events.unionByName(replays).repartition(2).write.parquet(src)
     stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
     deduped = streaming_dedup(
         stream, ["event_id"], "ts", watermark="36500 days"
@@ -5248,7 +5248,7 @@ def streaming_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermarked windowed aggregation made driver-visible AND
     oracled — A4's daily counts as a genuine event-time streaming
     aggregate (streaming/pipeline.windowed_event_counts: tumbling 1-day
-    windows, watermark-bounded state), driven over a 3-batch re-serve of
+    windows, watermark-bounded state), driven over a 2-batch re-serve of
     the events table. Complete output mode emits every window's final
     count after availableNow drains the source, which must hash-match
     the batch daily aggregation exactly — the streaming face of
@@ -5265,7 +5265,7 @@ def streaming_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_path("stream_window", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
-    events.repartition(3).write.parquet(src)
+    events.repartition(2).write.parquet(src)
     stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
     counts = windowed_event_counts(stream, "ts", "1 day", "1 day")
     table = "dwf_stream_window_counts"
@@ -8164,7 +8164,7 @@ def streaming_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_path("stream_enrich", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
-    events.repartition(3).write.parquet(src)
+    events.repartition(2).write.parquet(src)
     stream = read_parquet_stream(
         spark, src, events.schema, max_files_per_trigger=1
     )

@@ -664,7 +664,7 @@ def new_vs_returning_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows made driver-visible AND oracled: the
-    events table re-served as a 3-batch parquet stream through a 2-day
+    events table re-served as a 2-batch parquet stream through a 2-day
     window hopping by 1 day (streaming/pipeline.sliding_window_counts)
     — every event lands in exactly two windows. Complete mode emits
     final counts after availableNow drains; the oracle replays the
@@ -685,7 +685,7 @@ def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_path("stream_sliding", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src = f"{base}/src"
-    events.repartition(3).write.parquet(src)
+    events.repartition(2).write.parquet(src)
     stream = read_parquet_stream(
         spark, src, events.schema, max_files_per_trigger=1
     )
