@@ -2493,3 +2493,53 @@ def order_frequency_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "weekday_seasonality_profile",
+    oracle="""
+    WITH d AS (
+      SELECT isodow(CAST(o_orderdate AS DATE))::INT AS dow,
+             count(*)::BIGINT AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(n)::BIGINT AS tn FROM d)
+    SELECT dow, n, revenue,
+           n * 7 / CAST(tn AS DOUBLE) AS volume_index
+    FROM d, t
+    """,
+)
+def weekday_seasonality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality: order volume and decimal-exact revenue per
+    ISO weekday, plus the volume index (share × 7 — 1.0 means a flat
+    week) — the seasonality profile demand forecasting starts from.
+    One aggregate + a scalar broadcast; index is a single division of
+    exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.dayofweek(F.to_date("o_orderdate")).alias("__dow_sun1")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    ).select(
+        # Spark dayofweek is 1=Sunday; ISO wants 1=Monday..7=Sunday.
+        F.when(F.col("__dow_sun1") == 1, F.lit(7))
+        .otherwise(F.col("__dow_sun1") - 1)
+        .cast("int")
+        .alias("dow"),
+        "n",
+        "revenue",
+    )
+    t = d.agg(F.sum("n").alias("__tn"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n",
+        "revenue",
+        (F.col("n") * 7 / F.col("__tn").cast("double")).alias(
+            "volume_index"
+        ),
+    )

@@ -128,6 +128,9 @@ BNLJ_ALLOWED = {
     # forget-cascade: per-table before/after 1-row aggregates
     # crossJoined into the report rows — bounded scalar-broadcast.
     "forget_users_cascade",
+    # weekday profile: single-row order-total frame crossJoined onto
+    # the 7-row weekday frame — bounded scalar-broadcast.
+    "weekday_seasonality_profile",
 }
 
 
