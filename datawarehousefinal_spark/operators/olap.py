@@ -277,6 +277,67 @@ def serve_moments(state: DataFrame) -> DataFrame:
     )
 
 
+def serve_moments_exact(state: DataFrame, frac_digits: int = 2) -> DataFrame:
+    """:func:`serve_moments` with a fully INTEGER derived-measure surface:
+    mean and population variance are emitted as BIGINT micro-units
+    (1e-6 of the measure's currency/unit), computed with decimal integer
+    arithmetic and ONE integral division — no IEEE double ever touches
+    the derived values, so the output is bit-identical across engines,
+    runs, and partial-agg merge orders by construction.
+
+    Why integers and not ``decimal(38,6)``: the last double-free step —
+    presenting ``micro / 10^6`` as a decimal — requires a decimal
+    division, and decimal-division precision/scale/rounding rules are
+    engine-specific (Spark reduces scale with HALF_UP under the 38-digit
+    cap; other engines differ), which would reintroduce the very
+    cross-engine jitter this function exists to kill. BIGINT micro-units
+    carry the same information with zero engine-defined arithmetic.
+    An oracle replays them verbatim with 128-bit integer math::
+
+        CAST((CAST(sum_m * 100 AS HUGEINT) * 10000) // n AS BIGINT)
+        CAST(((n * CAST(sum_sq * 10000 AS HUGEINT)
+               - CAST(sum_m * 100 AS HUGEINT) * CAST(sum_m * 100 AS HUGEINT))
+              * 100) // (n * n) AS BIGINT)
+
+    Exactness argument: ``sum_m``/``sum_sq`` are exact decimals
+    (:func:`moment_state`), so scaling by ``10^frac_digits`` /
+    ``10^(2*frac_digits)`` yields exact integers S1 (measure in
+    10^-frac units) and S2 (squared measure in 10^-2frac units). Then
+    ``promedio_micro = (S1 * 10^(6-frac)) div n`` and
+    ``varianza_micro = ((n*S2 - S1^2) * 10^(6-2frac)) div n^2`` — both
+    numerators are nonnegative (Cauchy–Schwarz for the variance), so
+    Spark's truncating ``DIV`` equals floor division and matches any
+    engine's floor semantics. Requires ``frac_digits <= 3`` (the
+    variance scale factor must be a nonnegative power of ten) and at
+    least one non-null measure value per group (n >= 1, guaranteed by
+    groupBy over observed rows).
+
+    Output: ``*group_cols, cantidad_movimientos (long),
+    promedio_micro (long), varianza_micro (long), min_medida,
+    max_medida (double — raw input values through min/max only, hence
+    order-invariant and byte-identical on every engine)``.
+    """
+    if not 0 <= frac_digits <= 3:
+        raise ValueError("frac_digits must be in [0, 3]")
+    group_cols = [c for c in state.columns if c not in MOMENT_COLS]
+    s1 = f"CAST(sum_m * {10 ** frac_digits} AS DECIMAL(38,0))"
+    s2 = f"CAST(sum_sq * {10 ** (2 * frac_digits)} AS DECIMAL(38,0))"
+    mean_mult = 10 ** (6 - frac_digits)
+    var_mult = 10 ** (6 - 2 * frac_digits)
+    promedio = f"CAST(({s1} * {mean_mult}) DIV n AS BIGINT)"
+    varianza = (
+        f"CAST(((n * {s2} - {s1} * {s1}) * {var_mult}) DIV (n * n) AS BIGINT)"
+    )
+    return state.select(
+        *group_cols,
+        F.col("n").alias("cantidad_movimientos"),
+        F.expr(promedio).alias("promedio_micro"),
+        F.expr(varianza).alias("varianza_micro"),
+        F.col("min_m").alias("min_medida"),
+        F.col("max_m").alias("max_medida"),
+    )
+
+
 def grouping_sets_measures(
     spark,
     df: DataFrame,

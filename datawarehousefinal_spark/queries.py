@@ -114,6 +114,22 @@ def _eager(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _rebuilt(df: DataFrame) -> DataFrame:
+    """:func:`_eager` taken to its hermetic limit: collect the (tiny)
+    result NOW and recreate it as a literal local-rows DataFrame. The
+    returned frame has NO lineage at all — not to /tmp scratch files
+    (mkdtemp already isolates those), and unlike ``localCheckpoint``
+    not even to executor block storage, whose blocks an executor death
+    or eviction between the driver's hash passes would force to
+    recompute from a scratch dir that may have been mutated since.
+    Values pass through untouched (``collect`` → Arrow/pickle → literal
+    rows under the SAME schema), so this changes bytes never, lineage
+    only. Reserved for sink-roundtrip faces whose results are
+    contract-small (≤ a few dozen rows)."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 # ---------------------------------------------------------------------------
 # Flagship + OLAP measures (SURVEY.md §2.5 A1-A3, §2.3 J1/J3)
 # ---------------------------------------------------------------------------
@@ -4221,25 +4237,31 @@ def streaming_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "incremental_cube_moments",
     oracle="""
-    WITH s AS (
+    WITH c AS (
+      -- exact integer cents per order: DECIMAL(18,2) * 100 is exact,
+      -- HUGEINT (128-bit) arithmetic from here on — no doubles, no
+      -- engine-defined decimal rescaling anywhere near the hash
       SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
              o_orderstatus,
-             count(o_totalprice)::BIGINT AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_m,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))
-                 * CAST(o_totalprice AS DECIMAL(18,2))) AS sum_sq,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+               AS cents,
+             o_totalprice
+      FROM orders
+    ),
+    s AS (
+      SELECT anio, o_orderstatus,
+             count(*)::BIGINT AS n,
+             sum(cents) AS s1,
+             sum(cents * cents) AS s2,
              min(o_totalprice) AS min_medida,
              max(o_totalprice) AS max_medida
-      FROM orders GROUP BY 1, 2
+      FROM c GROUP BY 1, 2
     )
     SELECT anio, o_orderstatus,
            n AS cantidad_movimientos,
-           CAST(sum_m AS DOUBLE) / n AS promedio_medida,
-           greatest(
-             CAST(sum_sq AS DOUBLE) / n
-               - (CAST(sum_m AS DOUBLE) / n) * (CAST(sum_m AS DOUBLE) / n),
-             0.0
-           ) AS varianza_medida,
+           CAST((s1 * 10000) // n AS BIGINT) AS promedio_micro,
+           CAST(((n * s2 - s1 * s1) * 100) // (n * n) AS BIGINT)
+             AS varianza_micro,
            min_medida, max_medida
     FROM s
     """,
@@ -4247,14 +4269,23 @@ def streaming_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_cube_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`incremental_cube_merge` generalized to second moments: the
     (n, Σx, Σx², min, max) state is built over two halves of the fact,
-    merged component-wise, and served as count/avg/var_pop/min/max.
+    merged component-wise, and served as count/mean/var_pop/min/max.
     Hash-equality against the direct whole-table aggregation proves the
     full moment decomposition merges exactly — variance included, the
-    measure a count/sum-only state cannot serve."""
+    measure a count/sum-only state cannot serve.
+
+    Hermetic-hash hardening (the last r8 driver flake class): mean and
+    variance are served as BIGINT micro-units via
+    ``serve_moments_exact`` — decimal integer arithmetic plus one
+    nonnegative integral division on each side, so NO IEEE double
+    reaches the hashed derived measures (min/max pass raw input doubles
+    through order-invariant folds only), and the tiny result is
+    collect-rebuilt (``_rebuilt``) so it carries zero lineage for any
+    later driver pass to re-execute differently."""
     from datawarehousefinal_spark.operators.olap import (
         merge_moment_state,
         moment_state,
-        serve_moments,
+        serve_moments_exact,
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -4267,7 +4298,7 @@ def incremental_cube_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
     state = moment_state(half_a, ["anio", "o_orderstatus"], "o_totalprice")
     delta = moment_state(half_b, ["anio", "o_orderstatus"], "o_totalprice")
-    return serve_moments(merge_moment_state(state, delta))
+    return _rebuilt(serve_moments_exact(merge_moment_state(state, delta)))
 
 
 _BM25_ORACLE = """
@@ -4636,7 +4667,10 @@ def partition_overwrite_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFra
     read-back aggregate proves the replay REPLACED that partition
     (append would double it; static overwrite would erase the others),
     and a runtime guard requires the partition filter to prune at the
-    scan (PartitionFilters, not a post-scan filter)."""
+    scan (PartitionFilters, not a post-scan filter). The 5-row result is
+    collect-rebuilt (``_rebuilt``) so the returned frame has zero
+    lineage to the scratch dir or block storage — nothing a later
+    driver hash pass could re-execute against mutated state."""
     from datawarehousefinal_spark.plans import physical_plan
     from datawarehousefinal_spark.sources.writers import overwrite_partitions
 
@@ -4657,7 +4691,7 @@ def partition_overwrite_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFra
     seg = plan.split("PartitionFilters", 1)
     if len(seg) < 2 or "event_type" not in seg[1][:120]:
         raise RuntimeError("partition filter did not prune at the scan")
-    return _eager(back.groupBy("event_type").agg(
+    return _rebuilt(back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("user_id_sum"),
     ))
