@@ -670,14 +670,28 @@ def dsir_importance(
     # distribution, its total, and the scoring aggregate) derives from this
     # compact frame (≤ n_docs × n_buckets rows, in practice ~n_feats/doc),
     # so the token stream is never shuffled and never scanned twice.
+    # SCOPED PERSIST: without it, "derives from" becomes "re-explodes
+    # for" — hist has THREE lazy consumers (the scored main side, the
+    # q_r broadcast build, and q_r's total inside the scalar cross
+    # join), and p_t has two (broadcast build + total), so one action
+    # would re-run the uni+bigram explode of the raw corpus three times
+    # and of the target twice. Same double-consumption class as the r6
+    # repeated_span_report regression; the persisted frames are the
+    # bounded ones (histogram rows / ≤ n_buckets rows), never the token
+    # stream.
     hist = (
         feats(raw, with_id=True)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("n_db"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     q_r = hist.groupBy("bucket").agg(F.sum("n_db").alias("ct_r"))
     t_feats = feats(target, with_id=False)
-    p_t = t_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct_t"))
+    p_t = (
+        t_feats.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct_t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = p_t.agg(F.sum("ct_t").alias("tot_t")).crossJoin(
         q_r.agg(F.sum("ct_r").alias("tot_r"))
     )

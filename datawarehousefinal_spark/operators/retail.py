@@ -39,30 +39,41 @@ def basket_pairs(
     Self-join on the basket key with an inequality on the item — Spark
     plans this as a shuffle hash join on ``basket_col`` (co-partitioned,
     no cartesian); pair volume is quadratic only in the ITEMS OF ONE
-    BASKET, and baskets over ``max_basket`` distinct items are dropped
-    loudly (column ``__dropped`` on :func:`basket_lift` report) rather
-    than allowed to straggle.
+    BASKET, and baskets over ``max_basket`` distinct items are excluded
+    before the self-join rather than allowed to straggle (see
+    :func:`basket_lift` for how the exclusion keeps the metric
+    denominators consistent).
 
     Output: one row per (basket, item_a, item_b).
     """
     items = baskets.select(basket_col, item_col).distinct()
-    return _pairs_from_items(items, basket_col, item_col, max_basket)
+    return _pairs_from_items(
+        _cap_baskets(items, basket_col, max_basket), basket_col, item_col
+    )
 
 
-def _pairs_from_items(
-    items: DataFrame, basket_col: str, item_col: str, max_basket: int
+def _cap_baskets(
+    items: DataFrame, basket_col: str, max_basket: int
 ) -> DataFrame:
-    """Pair enumeration over an already-distinct (basket, item) frame —
-    split out so :func:`basket_lift` can materialize that frame once and
-    feed every consumer (basket count, item counts, pairs) without
-    re-running the upstream join per consumer."""
+    """Drop baskets holding more than ``max_basket`` distinct items from
+    a distinct (basket, item) frame — the quadratic-straggler guard."""
     sizes = items.groupBy(basket_col).agg(F.count(F.lit(1)).alias("__bsz"))
-    ok = items.join(
+    return items.join(
         sizes.filter(F.col("__bsz") <= max_basket).select(basket_col),
         basket_col,
     )
-    a = ok.select(basket_col, F.col(item_col).alias("item_a"))
-    b = ok.select(basket_col, F.col(item_col).alias("item_b"))
+
+
+def _pairs_from_items(
+    items: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Pair enumeration over an already-distinct, already-capped
+    (basket, item) frame — split out so :func:`basket_lift` can
+    materialize that frame once and feed every consumer (basket count,
+    item counts, pairs) without re-running the upstream join or the
+    :func:`_cap_baskets` guard per consumer."""
+    a = items.select(basket_col, F.col(item_col).alias("item_a"))
+    b = items.select(basket_col, F.col(item_col).alias("item_b"))
     return a.join(b, basket_col).filter(F.col("item_a") < F.col("item_b"))
 
 
@@ -82,22 +93,35 @@ def basket_lift(
     exact integers — deterministic regardless of partial-agg merge
     order, so the result is hash-stable and DuckDB-replayable.
 
+    Baskets over ``max_basket`` distinct items are excluded from the
+    WHOLE analysis — basket count, item counts, and pairs alike — so
+    the cap changes every probability's denominator consistently
+    instead of silently deflating pair supports against item totals
+    that still include the dropped baskets. Replay the guard in any
+    external oracle as a ``HAVING count(*) <= max_basket`` pre-filter
+    on the distinct (basket, item) frame.
+
     Output: item_a, item_b, n_ab, n_a, n_b, lift, confidence_ab.
     """
-    # Materialize the distinct (basket, item) frame ONCE: three
+    # Materialize the capped distinct (basket, item) frame ONCE: three
     # consumers (basket count, item counts, pair self-join) would
-    # otherwise each re-run the upstream source join.
+    # otherwise each re-run the upstream source join and the size
+    # filter. The pre-cap distinct frame is checkpointed too so the
+    # size aggregate and the filter probe share one upstream run.
     items = (
         baskets.select(basket_col, item_col)
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_baskets = items.select(basket_col).distinct().count()
-    item_counts = items.groupBy(item_col).agg(
+    ok = _cap_baskets(items, basket_col, max_basket).localCheckpoint(
+        eager=True
+    )
+    n_baskets = ok.select(basket_col).distinct().count()
+    item_counts = ok.groupBy(item_col).agg(
         F.count(F.lit(1)).alias("__n_item")
     )
     pair_counts = (
-        _pairs_from_items(items, basket_col, item_col, max_basket)
+        _pairs_from_items(ok, basket_col, item_col)
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_support)

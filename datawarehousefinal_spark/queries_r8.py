@@ -196,10 +196,17 @@ def regional_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "basket_lift_pairs",
     oracle="""
-    WITH items AS (
+    WITH items0 AS (
       SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
+    ok AS (
+      -- mirror of retail.basket_lift's max_basket guard (default 200):
+      -- oversized baskets leave the basket count, item counts, and
+      -- pairs alike, so the contract holds on ANY data
+      SELECT basket FROM items0 GROUP BY 1 HAVING count(*) <= 200
+    ),
+    items AS (SELECT i.basket, i.item FROM items0 i JOIN ok USING (basket)),
     nb AS (SELECT count(DISTINCT basket) AS n FROM items),
     ic AS (SELECT item, count(*)::BIGINT AS n_item FROM items GROUP BY 1),
     pairs AS (
@@ -227,9 +234,10 @@ def basket_lift_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation self-joins the distinct (basket, item) frame on the
     basket key (co-partitioned shuffle join, never cartesian; the
     ``max_basket`` guard in operators/retail.py bounds the per-basket
-    quadratic term — a no-op here since an order holds ≤25 brands, kept
-    so the face exercises the production guard). All metric inputs are
-    exact counts; lift/confidence are single divisions — hash-stable."""
+    quadratic term — a no-op here since an order holds ≤25 brands, but
+    the oracle REPLAYS the guard so the contract holds on any data,
+    not only on fixtures under the cap). All metric inputs are exact
+    counts; lift/confidence are single divisions — hash-stable."""
     from datawarehousefinal_spark.operators.retail import basket_lift
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1646,13 +1654,15 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
     sc AS (
       SELECT user_id,
-             sum(pow(CAST(0.9 AS DOUBLE),
-                     date_diff('day', CAST(ts AS DATE), (SELECT m FROM mx))
-                 )) AS score,
+             sum(CAST(pow(CAST(0.9 AS DOUBLE),
+                          date_diff('day', CAST(ts AS DATE),
+                                    (SELECT m FROM mx)))
+                      AS DECIMAL(24,9))) AS score_d,
              count(*)::BIGINT AS n_events
       FROM events GROUP BY 1
     )
-    SELECT user_id, n_events, score
+    SELECT user_id, n_events,
+           CAST(CAST(score_d AS DECIMAL(24,6)) AS DOUBLE) AS score
     FROM sc ORDER BY score DESC, user_id LIMIT 20
     """,
 )
@@ -1661,22 +1671,38 @@ def decayed_activity_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     their events — the standard exponential-decay activity score that
     ranks a user who was active yesterday above one equally active last
     quarter. One groupBy after a map-side decay term; the anchor date is
-    a broadcast scalar. Positive-sum doubles; top-20 with user-id
-    tie-break."""
+    a broadcast scalar.
+
+    Hash-robust cutoff: each decay term is quantized to DECIMAL(24,9)
+    before summing (so the per-user score is an exact decimal — no
+    partial-agg merge-order jitter), then the served score is the
+    decimal rounded to the hash precision (6 decimals) and the top-20
+    ORDER BY runs on that rounded value with the user-id tie-break.
+    Users whose raw double scores differ below 1e-6 — the class that
+    could swap ranks 20/21 across runs or engines — now tie exactly and
+    break on user_id on both sides."""
     events = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
     mx = events.agg(F.max("day").alias("__m"))
+    term = F.pow(F.lit(0.9), F.datediff(F.col("__m"), F.col("day"))).cast(
+        "decimal(24,9)"
+    )
     return (
         events.crossJoin(F.broadcast(mx))
         .groupBy("user_id")
         .agg(
-            F.sum(
-                F.pow(F.lit(0.9), F.datediff(F.col("__m"), F.col("day")))
-            ).alias("score"),
+            F.sum(term).alias("__score_d"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .select("user_id", "n_events", "score")
+        .select(
+            "user_id",
+            "n_events",
+            F.col("__score_d")
+            .cast("decimal(24,6)")
+            .cast("double")
+            .alias("score"),
+        )
         .orderBy(F.desc("score"), "user_id")
         .limit(20)
     )
@@ -2386,10 +2412,13 @@ def id_gap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts without sorting the table globally (one bucket-keyed
     aggregate; gaps INSIDE buckets are counted exactly, and a wholly
     missing bucket surfaces as its neighbors' boundary min/max). Exact
-    integers."""
+    integers; the bucket is integer division (``DIV``, truncating
+    toward zero exactly like the oracle's ``//``) — never a truncating
+    cast of a double quotient, which silently loses exactness for keys
+    beyond double's 2^53 integer range."""
     orders = load_table(spark, sf_dir, "orders")
     b = orders.groupBy(
-        (F.col("o_orderkey") / 1000).cast("long").alias("bucket")
+        F.expr("o_orderkey DIV 1000").alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("n_present"),
         F.min("o_orderkey").alias("min_key"),
