@@ -8378,73 +8378,82 @@ def pq_recon_error_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still while the driver snapshots it.
 
 _DRIVER_WINDOW = [
-    # Round-8 rotation. No CORRECTNESS_r07 was recorded, so the round-7
-    # window (flake-fix re-proofs + first-ever rows) is still unsampled;
-    # this rotation keeps its high-priority core and adds the eight new
-    # round-8 faces so this round's deliverables get driver evidence.
-    # Displaced to make room (all with existing green evidence):
-    # parquet_sink/orc_sink/schema_evolution roundtrips (driver-green in
-    # r1-r6; the r7 scratch hardening they shared is re-proven by the
-    # five flake entries below, which exercise the same mkdtemp+eager
-    # code path) and five judge-verified report queries
-    # (benford/column_entropy/daily_value_percentiles/day_over_day/
-    # melt_measures) that wait one more round. Frozen for the round.
+    # Round-9 rotation: PURE BACKLOG. After r8, 58 of 241 registry
+    # entries had never been sampled by any driver window (union of
+    # CORRECTNESS_r01-r08 keys = 183); this window takes 50 of them so
+    # union(r1-r9) reaches 233, with the 8 deferred below plus this
+    # round's new faces finishing in r10. Every r8-window face came
+    # back with a fresh row last round, so nothing here displaces live
+    # evidence. The two r8 hash-flake faces
+    # (partition_overwrite_roundtrip, incremental_cube_moments) were
+    # made hermetic this round (integer-only derived measures +
+    # collect-rebuilt results) and are intentionally NOT re-sampled —
+    # the flake-free gate for r9 is "zero hash_match:false across this
+    # window"; they re-enter in r10 for their green re-proof.
+    # Deferred to r10 (untouched this round, all local-oracle green):
+    # skyline_customers, event_type_intersections,
+    # reorder_interval_histogram, order_frequency_histogram,
+    # weekday_seasonality_profile, forget_users_cascade,
+    # k_anonymity_report, share_of_parent_rollup. Frozen for the round.
     #
-    # -- round-8 new faces ---------------------------------------------
-    "pricing_summary_report",
-    "regional_supplier_volume",
-    "basket_lift_pairs",
-    "rfm_segment_counts",
-    "decile_lift_table",
-    "supplier_triangle_count",
-    "nation_trade_pagerank",
-    "curriculum_schedule",
-    # -- r7 flake-fix re-proof (mkdtemp scratch + eager checkpoint +
-    #    decimal-exact sums; the five r6 hash-flake reds) ---------------
-    "zorder_sink_roundtrip",
-    "bucketed_join_roundtrip",
-    "partition_overwrite_roundtrip",
-    "json_repair_roundtrip",
-    "incremental_cube_moments",
-    # -- r7 semantic/oracle changes needing first driver proof ---------
-    "chi2_independence_report",
-    "simhash_near_dupes",
-    "ivf_topk",
-    "pq_ann_topk",
-    "ivf_append_assignments",
-    "embedding_lsh_near_dups",
-    "corpus_curation_funnel",
-    "training_pipeline_e2e",
-    "stratified_split_train",
-    "feature_cache_roundtrip",
-    # -- first-ever driver rows (carried from the r7 rotation) ---------
-    "aggregate_routing",
-    "audio_meta_sniff",
-    "cdc_extract_roundtrip",
-    "compaction_roundtrip",
-    "date_dimension_build",
-    "drift_report_orders",
-    "dynamic_partition_pruning",
-    "embedding_quality_report",
-    "entity_resolution_clusters",
-    "entity_sample_events",
-    "funnel_step_timing",
-    "group_sample_exact",
-    "grouped_quantile_normalize",
-    "grouping_sets_measures",
-    "hll_sketch_store_daily",
-    "imputation_value_report",
-    "incremental_components_merge",
-    "kll_quantile_store",
-    "kmv_distinct_store",
-    "pmi_collocations",
-    "sentence_stats",
-    "stratified_sample_exact",
-    "streaming_cdc_apply",
-    "streaming_interval_join",
-    "streaming_session_counts",
-    "top_event_paths",
-    "windowed_funnel_report",
+    # -- faces touched by round-9 fixes (ADVICE/perf) -------------------
+    "decayed_activity_score",
+    "id_gap_report",
+    "dsir_importance_weights",
+    "dsir_resampled_mix",
+    # -- LLM-curation / text-statistics reports -------------------------
+    "ppl_bucket_mix",
+    "bpe_subword_report",
+    "bpe_merge_table",
+    "prototypicality_prune_keep",
+    "knn_label_propagation",
+    "unimax_lang_mix",
+    "domain_reweight_mix",
+    "loo_source_influence",
+    "hard_negative_mining",
+    "vocab_drift_report",
+    "vocab_truncate_counts",
+    "ngram_diversity_report",
+    "zipf_fit_report",
+    "bigram_lm_perplexity",
+    "phrase_search_postings",
+    # -- dedup / similarity / ANN ---------------------------------------
+    "prefix_filter_jaccard_pairs",
+    "dup_cluster_size_histogram",
+    "image_ahash_dedup",
+    "ann_recall_report",
+    "pq_recon_error_report",
+    # -- governance / quality audits ------------------------------------
+    "referential_integrity_report",
+    "regex_parse_roundtrip",
+    "benford_digit_report",
+    "column_entropy_report",
+    "cm_frequency_store",
+    # -- retail / revenue analytics -------------------------------------
+    "pareto_revenue_report",
+    "gini_revenue",
+    "ab_test_report",
+    "cohort_ltv_curves",
+    "conversion_attribution",
+    "max_drawdown_report",
+    "ship_latency_by_priority",
+    "p_chart_order_status",
+    # -- time-series / user-activity ------------------------------------
+    "day_over_day_change",
+    "daily_value_percentiles",
+    "cumulative_active_users",
+    "new_vs_returning_daily",
+    "rolling_7d_active_users",
+    "cusum_change_point",
+    "event_transition_matrix",
+    "concurrent_open_orders",
+    # -- graph / incremental / streaming --------------------------------
+    "trade_khop_distances",
+    "ivm_join_view_merge",
+    "streaming_dim_enrich",
+    "streaming_sliding_counts",
+    # -- reshaping -------------------------------------------------------
+    "melt_measures",
 ]
 
 
