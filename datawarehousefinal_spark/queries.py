@@ -1223,7 +1223,79 @@ def incremental_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
-@query("incremental_minhash_dedup")  # no SQL oracle: xxhash64 signatures
+# Shared oracle for the two incremental-store identity reports: the
+# replayable facts are the exact corpus/batch split counts; the three
+# booleans are identities the Spark face COMPUTES by comparing real
+# frames (batch-applied store vs rebuilt-from-scratch store, survivor ⊆
+# batch, store row per corpus doc) and the oracle asserts — the same
+# merge==rebuild pattern that oracled the KMV/HLL/KLL sketch stores and
+# incremental_components_merge (xxhash64 itself has no SQL twin, but the
+# store algebra does).
+_INCR_STORE_ORACLE = """
+    SELECT
+      (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT
+        AS n_corpus_docs,
+      (SELECT count(*) FROM documents WHERE doc_id % 2 = 1)::BIGINT
+        AS n_batch_docs,
+      true AS store_covers_corpus,
+      true AS append_equals_rebuild,
+      true AS survivors_subset_of_batch
+    """
+
+
+def _incr_store_report(
+    corpus: DataFrame,
+    batch: DataFrame,
+    store: DataFrame,
+    survivors: DataFrame,
+    delta: DataFrame,
+    rebuilt: DataFrame,
+) -> DataFrame:
+    """Assemble the one-row identity report both incremental dedup faces
+    serve: exact split counts plus three computed invariants —
+    ``store ⊎ delta ≡ rebuild(corpus ∪ survivors)`` (signatures are
+    per-document functions, so applying a batch to a store must equal
+    rebuilding from scratch over the surviving corpus — catches drift
+    between signature generation, delta construction, and survivor
+    logic), survivors ⊆ batch, and one store row per corpus doc. All
+    comparisons are lazy aggregates; the single-row frames compose via
+    the bounded scalar-broadcast cross join."""
+    cols = sorted(store.columns)
+    applied = store.unionByName(delta).select(*cols)
+    rebuilt = rebuilt.select(*cols)
+    mism = (
+        applied.exceptAll(rebuilt)
+        .unionByName(rebuilt.exceptAll(applied))
+        .agg(F.count(F.lit(1)).alias("__mm"))
+    )
+    stray = (
+        survivors.select("doc_id")
+        .join(batch.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("__stray"))
+    )
+    nc = corpus.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    nb = batch.agg(F.count(F.lit(1)).alias("n_batch_docs"))
+    ns = store.agg(F.count(F.lit(1)).alias("__ns"))
+    return (
+        nc.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(stray))
+        .select(
+            "n_corpus_docs",
+            "n_batch_docs",
+            (F.col("__ns") == F.col("n_corpus_docs")).alias(
+                "store_covers_corpus"
+            ),
+            (F.col("__mm") == F.lit(0)).alias("append_equals_rebuild"),
+            (F.col("__stray") == F.lit(0)).alias(
+                "survivors_subset_of_batch"
+            ),
+        )
+    )
+
+
+@query("incremental_minhash_dedup", oracle=_INCR_STORE_ORACLE)
 def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store-based incremental NEAR-dup dedup in the PRODUCTION ingest
     shape: the first half of the corpus is the existing store (its
@@ -1232,9 +1304,14 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     state), and the second half ingests against it. Candidates come from
     banded batch×store bucket joins; verification is signature-estimated
     Jaccard — corpus text is never re-read, and the ingest cost is
-    O(batch), not O(corpus). Rows-only driver check (deterministic:
-    seeded signature family); the pairwise-unique survivor contract AND
-    the empty-store bootstrap path are asserted in
+    O(batch), not O(corpus).
+
+    Served as the ORACLED store-identity report (_incr_store_report):
+    the driver hash now pins ``store ⊎ delta ≡ rebuild(corpus ∪
+    survivors)`` — merge==rebuild over deterministic xxhash64
+    signatures — plus survivor containment and store coverage, against
+    exact replayable split counts. The pairwise-unique survivor
+    contract AND the empty-store bootstrap path stay asserted in
     tests/test_incremental.py."""
     from datawarehousefinal_spark.operators.incremental import (
         incremental_minhash_dedup,
@@ -1245,19 +1322,23 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     # The store is scanned several times by the ingest pass (banding +
-    # verification sides); persist it — in production it would be a
-    # parquet table, read, not recomputed.
+    # verification sides) and by the identity compare; persist it — in
+    # production it would be a parquet table, read, not recomputed.
     store = minhash_store(
         corpus, "doc_id", "text", num_hashes=16, shingle_width=_W
     ).persist()
-    survivors, _delta = incremental_minhash_dedup(
+    survivors, delta = incremental_minhash_dedup(
         batch, store, "doc_id", "text",
         threshold=0.9, num_hashes=16, shingle_width=_W,
     )
-    return survivors.select("doc_id")
+    rebuilt = minhash_store(
+        corpus.unionByName(survivors.select("doc_id", "text")),
+        "doc_id", "text", num_hashes=16, shingle_width=_W,
+    )
+    return _incr_store_report(corpus, batch, store, survivors, delta, rebuilt)
 
 
-@query("incremental_simhash_dedup")  # no SQL oracle: xxhash64 fingerprints
+@query("incremental_simhash_dedup", oracle=_INCR_STORE_ORACLE)
 def incremental_simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash variant of the store-based incremental dedup, in the
     same PRODUCTION ingest shape as ``incremental_minhash_dedup``: the
@@ -1266,10 +1347,13 @@ def incremental_simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shared block-combination keys over DISTINCT batch × store
     fingerprints, verification is one bit_count(xor) per candidate, and
     the within-batch tier uses the direct dropped-id formulation
-    (dedup.simhash_dropped_ids — no pair materialization). Rows-only
-    driver check (deterministic xxhash64 fingerprints); the
-    hamming-unique survivor contract and the empty-store bootstrap path
-    are asserted in tests/test_incremental.py."""
+    (dedup.simhash_dropped_ids — no pair materialization).
+
+    Served as the ORACLED store-identity report, same contract as the
+    MinHash face: ``store ⊎ delta ≡ rebuild(corpus ∪ survivors)`` over
+    deterministic xxhash64 fingerprints, survivor containment, store
+    coverage. The hamming-unique survivor contract and the empty-store
+    bootstrap path stay asserted in tests/test_incremental.py."""
     from datawarehousefinal_spark.operators.incremental import (
         incremental_simhash_dedup,
         simhash_store,
@@ -1279,10 +1363,14 @@ def incremental_simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     store = simhash_store(corpus, "doc_id", "text", shingle_width=_W).persist()
-    survivors, _delta = incremental_simhash_dedup(
+    survivors, delta = incremental_simhash_dedup(
         batch, store, "doc_id", "text", max_hamming=8, shingle_width=_W,
     )
-    return survivors.select("doc_id")
+    rebuilt = simhash_store(
+        corpus.unionByName(survivors.select("doc_id", "text")),
+        "doc_id", "text", shingle_width=_W,
+    )
+    return _incr_store_report(corpus, batch, store, survivors, delta, rebuilt)
 
 
 def _curation_funnel_oracle() -> str:
@@ -7828,7 +7916,67 @@ def bpe_subword_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_subword_stats(docs, "doc_id", "text", _BPE_MERGES)
 
 
-@query("bpe_merge_table")  # no SQL oracle: iterative argmax training loop
+def _bpe_merge_oracle(k: int) -> str:
+    """Fixed-``k`` unroll of the BPE training loop as chained CTEs —
+    the same pattern that oracled the fixed-iteration PageRank: each
+    round is (pair-count over the vocab, deterministic argmax with the
+    ``count DESC, a, b`` tie-break, all-occurrences replace), and the
+    ``WHERE cnt >= 2`` guard on every argmax replays ``bpe_learn``'s
+    ``min_freq`` early stop EXACTLY — an empty round NULLs the vocab
+    through ``replace``, so all later rounds yield no row, matching the
+    Spark loop's ``break``. MATERIALIZED hints keep DuckDB from
+    re-inlining each vocab generation into the next (the chain re-reads
+    every frame several times via scalar subqueries)."""
+    ctes = [
+        f"""w0 AS (
+      SELECT t AS w, count(*)::BIGINT AS n
+      FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+      GROUP BY 1
+    ),
+    v0 AS MATERIALIZED (
+      SELECT array_to_string([chr(30) || substr(w, i, 1) || chr(31)
+                              for i in generate_series(1, length(w))],
+                             '') AS e, n
+      FROM w0
+    )"""
+    ]
+    for i in range(k):
+        ctes.append(
+            f"""s{i} AS (
+      SELECT list_filter(list_transform(string_split(e, chr(31)),
+                                        x -> substr(x, 2)),
+                         x -> x <> '') AS s, n
+      FROM v{i}
+    ),
+    p{i} AS (
+      SELECT s[u.i] AS a, s[u.i + 1] AS b, sum(n) AS cnt
+      FROM s{i}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT a, b FROM p{i} WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1
+    )"""
+        )
+        if i < k - 1:
+            ctes.append(
+                f"""v{i + 1} AS MATERIALIZED (
+      SELECT replace(e,
+                     chr(30) || (SELECT a FROM b{i}) || chr(31)
+                       || chr(30) || (SELECT b FROM b{i}) || chr(31),
+                     chr(30) || (SELECT a FROM b{i})
+                       || (SELECT b FROM b{i}) || chr(31)) AS e,
+             n
+      FROM v{i}
+    )"""
+            )
+    sel = "\n    UNION ALL ".join(
+        f'SELECT {i + 1} AS rank, a AS "left", b AS "right" FROM b{i}'
+        for i in range(k)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@query("bpe_merge_table", oracle=_bpe_merge_oracle(8))
 def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING as a registered capability (the iterative
     half of the frozen-model split, same family as kmeans/cv_grid):
@@ -7837,8 +7985,11 @@ def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized pair-count iterations with a deterministic
     single-row argmax each — the merge list is a pure function of the
     corpus (count desc, pair ascending tie-break), pinned exactly by
-    tests/test_textstats.py on a fixture and by frozen == retrained on
-    sf0.001."""
+    tests/test_textstats.py on a fixture, by frozen == retrained on
+    sf0.001, and now by the fixed-k unrolled SQL oracle
+    (_bpe_merge_oracle), which replays all 8 rounds — pair counts,
+    argmax tie-break, all-occurrences replace, and the min_freq early
+    stop — as chained CTEs."""
     from datawarehousefinal_spark.operators.textstats import bpe_learn
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -8376,6 +8527,33 @@ def pq_recon_error_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_queries_oracle.py regardless of position. Keep this list
 # FROZEN within a round: the rotation only pays if the window holds
 # still while the driver snapshots it.
+
+@query(
+    "bench_calibration",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           CAST(sum((i * i) % 97) AS BIGINT) AS checksum
+    FROM range(0, 100000000) t(i)
+    """,
+)
+def bench_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-speed probe, NOT a workload face: a fixed 100M-row
+    arithmetic-only aggregate over ``spark.range`` — no I/O, no Python,
+    no shuffle beyond the final single-partition partial-agg merge —
+    whose wall time moves ONLY with the machine (JIT'd whole-stage
+    codegen throughput). bench.py divides the common-set ratio by this
+    face's round-over-round ratio to produce a drift-adjusted number,
+    so a slow sandbox week no longer reads as a code regression (the
+    r7→r8 adjudication, now measured instead of argued). The checksum
+    is exact integer arithmetic, so the face doubles as a (trivially)
+    oracled registry entry rather than an unchecked side channel."""
+    return spark.range(0, 100_000_000).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("id") * F.col("id")) % 97).cast("bigint").alias(
+            "checksum"
+        ),
+    )
+
 
 _DRIVER_WINDOW = [
     # Round-9 rotation: PURE BACKLOG. After r8, 58 of 241 registry

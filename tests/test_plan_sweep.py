@@ -131,6 +131,12 @@ BNLJ_ALLOWED = {
     # weekday profile: single-row order-total frame crossJoined onto
     # the 7-row weekday frame — bounded scalar-broadcast.
     "weekday_seasonality_profile",
+    # incremental store identity reports: five SINGLE-ROW aggregates
+    # (split counts, store count, mismatch count, stray count)
+    # crossJoined into the 1-row report — bounded scalar-broadcast by
+    # construction (_incr_store_report).
+    "incremental_minhash_dedup",
+    "incremental_simhash_dedup",
 }
 
 
