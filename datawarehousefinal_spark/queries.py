@@ -1259,10 +1259,17 @@ def _incr_store_report(
     between signature generation, delta construction, and survivor
     logic), survivors ⊆ batch, and one store row per corpus doc. All
     comparisons are lazy aggregates; the single-row frames compose via
-    the bounded scalar-broadcast cross join."""
+    the bounded scalar-broadcast cross join. The two compared frames are
+    scope-persisted: each feeds BOTH directions of the symmetric
+    ``exceptAll``, and without the persist the rebuild's full signature
+    pass (a corpus-sized shingle explode) would execute twice."""
+    from pyspark.storagelevel import StorageLevel
+
     cols = sorted(store.columns)
-    applied = store.unionByName(delta).select(*cols)
-    rebuilt = rebuilt.select(*cols)
+    applied = store.unionByName(delta).select(*cols).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rebuilt = rebuilt.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
     mism = (
         applied.exceptAll(rebuilt)
         .unionByName(rebuilt.exceptAll(applied))
