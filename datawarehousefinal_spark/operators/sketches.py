@@ -399,3 +399,132 @@ def cm_point_estimates(
         .groupBy(item_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership store
+# ---------------------------------------------------------------------------
+
+def _bloom_pos(item_col, j_col, seed: int, m_bits: int):
+    """Engine-portable Bloom bit position: md5(item ':seed:' j) folded
+    to [0, m_bits) — the same md5→BIGINT construction as
+    :func:`_cm_hash` / curation.sample_hash, so a SQL oracle (or any
+    other engine) reproduces every set bit."""
+    tagged = F.concat(
+        F.col(item_col).cast("string"),
+        F.lit(f":{seed}:"),
+        F.col(j_col).cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+    return h % m_bits
+
+
+def bloom_probe_positions(
+    value, m_bits: int = 8192, k_hashes: int = 4, seed: int = 42
+) -> list[int]:
+    """Driver-side twin of :func:`_bloom_pos` for literal probe values
+    (identical md5 arithmetic — first 15 hex digits as an integer, mod
+    m_bits), deduplicated and sorted so membership checks compare
+    DISTINCT positions on both engines."""
+    import hashlib
+
+    out = {
+        int(
+            hashlib.md5(f"{value}:{seed}:{j}".encode()).hexdigest()[:15], 16
+        )
+        % m_bits
+        for j in range(k_hashes)
+    }
+    return sorted(out)
+
+
+def bloom_build_store(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group Bloom filter membership store (Bloom 1970): ``k_hashes``
+    md5-derived bit positions per distinct item, stored SPARSE as the
+    ascending array of SET positions — the dense bitmap's mergeable,
+    SQL-replayable twin (position-set union IS the bitwise OR, and a
+    group's state is bounded by ``m_bits`` ints no matter how much data
+    it summarizes). The set-membership sibling of the KMV/CM stores:
+    "have we ever seen id X in partition P" without storing ids —
+    no false negatives, false-positive rate ≈ fill_ratio^k.
+
+    One pass: distinct (group, item), a bounded k-way fan-out, one
+    map-side-combined distinct per (group, position).
+
+    Output: ``*group_cols, bits (array<long> ascending), bits_set
+    (long)``.
+    """
+    items = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, item_col)
+        .distinct()
+    )
+    fanned = items.withColumn(
+        "__j", F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1)))
+    )
+    pos = fanned.select(
+        *group_cols, _bloom_pos(item_col, "__j", seed, m_bits).alias("__p")
+    ).distinct()
+    return pos.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__p")).alias("bits"),
+        F.count(F.lit(1)).cast("long").alias("bits_set"),
+    )
+
+
+def bloom_merge(store: DataFrame, group_cols: list[str]) -> DataFrame:
+    """OR Bloom filters down to a coarser grouping (e.g. daily store →
+    global): union the position sets and re-count. ``merge(bloom(A),
+    bloom(B)) ≡ bloom(A ∪ B)`` EXACTLY — set-bit union is associative
+    and item positions don't depend on grouping — so rollups come from
+    the store alone, like every sketch in this module. The explode runs
+    over SKETCH rows (≤ |input groups| × m_bits), never the data."""
+    exploded = store.select(
+        *group_cols, F.explode("bits").alias("__p")
+    ).distinct()
+    return exploded.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__p")).alias("bits"),
+        F.count(F.lit(1)).cast("long").alias("bits_set"),
+    )
+
+
+def bloom_contains_literal(bits_col, probe_positions: list[int]):
+    """Membership Column for a LITERAL probe: true iff every one of the
+    probe's (pre-computed, distinct) bit positions is present in the
+    group's position array — the k array-membership tests a Bloom
+    lookup is. No false negatives by construction."""
+    probe = F.array(*[F.lit(int(p)).cast("long") for p in probe_positions])
+    return F.size(F.array_except(probe, bits_col)) == 0
+
+
+def bloom_estimate(
+    store: DataFrame, m_bits: int = 8192, k_hashes: int = 4
+) -> DataFrame:
+    """Serve cardinality estimates from the fill level (Swamidass &
+    Baldi 2007): ``n̂ = -(m/k) · ln(1 - bits_set/m)``, NULL when the
+    filter is saturated (every bit set — the estimator diverges).
+    Deterministic for fixed inputs, so a SQL oracle replays estimates
+    exactly. Non-sketch columns pass through untouched.
+
+    Output: pass-through columns + ``bits_set, fill_ratio,
+    distinct_est``.
+    """
+    group_cols = [c for c in store.columns if c not in ("bits", "bits_set")]
+    fill = F.col("bits_set").cast("double") / F.lit(float(m_bits))
+    est = F.when(
+        F.col("bits_set") < m_bits,
+        F.lit(-(float(m_bits) / float(k_hashes)))
+        * F.log(F.lit(1.0) - fill),
+    )
+    return store.select(
+        *group_cols,
+        "bits_set",
+        fill.alias("fill_ratio"),
+        est.alias("distinct_est"),
+    )

@@ -8659,10 +8659,11 @@ def _apply_driver_window_order() -> None:
         reg.update({n: snapshot[n] for n in order if n in snapshot})
 
 
-# Round-8 faces register into the same QUERIES/ORACLES dicts; the import
-# sits before the window reorder so rotation covers them. (Import at the
-# module tail: queries_r8 imports `query` back from this module, which is
+# Round-8+ faces register into the same QUERIES/ORACLES dicts; the imports
+# sit before the window reorder so rotation covers them. (Imports at the
+# module tail: these modules import `query` back from this module, which is
 # fully initialized by this point.)
 from datawarehousefinal_spark import queries_r8  # noqa: E402,F401
+from datawarehousefinal_spark import queries_r9  # noqa: E402,F401
 
 _apply_driver_window_order()

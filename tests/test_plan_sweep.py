@@ -137,6 +137,10 @@ BNLJ_ALLOWED = {
     # construction (_incr_store_report).
     "incremental_minhash_dedup",
     "incremental_simhash_dedup",
+    # KS drift: the single-row (na, nb) totals frame crossJoined onto
+    # the cumulative histogram and the 1-row argmax — bounded
+    # scalar-broadcast by construction.
+    "ks_drift_report",
 }
 
 

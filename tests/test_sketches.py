@@ -227,3 +227,80 @@ def test_kmv_ignores_null_values(spark):
     )
     r = kmv_estimate(kmv_build_store(df, ["g"], "v", k=8), k=8).collect()[0]
     assert r["n_seen"] == 2 and r["distinct_est"] == 2.0
+
+def test_bloom_merge_equals_rebuild_membership_and_estimate(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.sketches import (
+        bloom_build_store,
+        bloom_contains_literal,
+        bloom_estimate,
+        bloom_merge,
+        bloom_probe_positions,
+    )
+
+    m_bits, k = 2048, 4
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 900).alias("v"),  # 900 distinct items overall
+    )
+    store = bloom_build_store(df, ["g"], "v", m_bits, k)
+    merged = bloom_merge(store.withColumn("g", F.lit("ALL")), ["g"])
+    direct = bloom_build_store(
+        df.withColumn("g", F.lit("ALL")), ["g"], "v", m_bits, k
+    )
+    mr, dr = merged.collect()[0], direct.collect()[0]
+    assert mr["bits"] == dr["bits"] and mr["bits_set"] == dr["bits_set"]
+
+    # no false negatives: every inserted item tests present
+    probe_in = bloom_probe_positions(123, m_bits, k)  # 123 < 900 -> inserted
+    probe_out = bloom_probe_positions("never-inserted", m_bits, k)
+    flags = direct.select(
+        bloom_contains_literal(F.col("bits"), probe_in).alias("has_in"),
+        bloom_contains_literal(F.col("bits"), probe_out).alias("has_out"),
+    ).collect()[0]
+    assert flags["has_in"] is True
+    # 900 items * 4 hashes in 2048 bits -> fill ~0.83; an absent probe CAN
+    # false-positive, so only assert the positive direction above and the
+    # estimate below.
+
+    est = bloom_estimate(direct, m_bits, k).collect()[0]
+    assert est["bits_set"] <= m_bits
+    assert abs(est["distinct_est"] - 900) / 900 < 0.25
+
+    # Python probe positions == engine positions (same md5 arithmetic)
+    eng = (
+        spark.range(123, 124)
+        .select(F.col("id").alias("v"))
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    )
+    from datawarehousefinal_spark.operators.sketches import _bloom_pos
+
+    eng_pos = sorted(
+        {r[0] for r in eng.select(_bloom_pos("v", "__j", 42, m_bits)).collect()}
+    )
+    assert eng_pos == probe_in
+
+
+def test_bloom_ignores_null_items_and_saturation_guard(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.sketches import (
+        bloom_build_store,
+        bloom_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2)], "g string, v int"
+    )
+    r = bloom_build_store(df, ["g"], "v", 64, 2).collect()[0]
+    assert 1 <= r["bits_set"] <= 4  # two items x two hashes, minus collisions
+
+    # saturation: tiny filter, many items -> every bit set -> NULL estimate
+    big = spark.range(0, 500).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    sat = bloom_estimate(
+        bloom_build_store(big, ["g"], "v", 8, 2), 8, 2
+    ).collect()[0]
+    assert sat["bits_set"] == 8 and sat["distinct_est"] is None
