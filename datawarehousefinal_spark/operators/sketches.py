@@ -401,6 +401,48 @@ def cm_point_estimates(
     )
 
 
+def kmv_overlap(
+    pairs: DataFrame,
+    kmv_a: str,
+    kmv_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Set-OVERLAP estimates between two KMV sketches carried on one row
+    (Beyer et al. 2007 §5, the KMV set-algebra result): with
+    ``U_k`` = the k smallest hashes of A ∪ B,
+
+    - ``est_jaccard  = |U_k ∩ A ∩ B| / |U_k|`` (each union k-min is a
+      uniform sample of A ∪ B; the fraction landing in both sketches
+      estimates J),
+    - ``est_union``   = the KMV cardinality estimator on U_k (exact
+      when the union's distinct hashes number fewer than k — both
+      sketches are then complete sets),
+    - ``est_intersection = est_jaccard × est_union``.
+
+    This is what makes a KMV STORE more than a distinct counter: day-
+    over-day user overlap, retention, and audience-intersection
+    questions are answered from the sketch rows alone — array algebra
+    on ≤ k longs per pair, no raw-data rescan, and md5-portable so a
+    SQL oracle replays every estimate bit-for-bit. Appends the three
+    estimate columns to ``pairs``.
+    """
+    a, b = F.col(kmv_a), F.col(kmv_b)
+    uni_all = F.array_union(a, b)  # distinct by construction
+    u_k = F.slice(F.sort_array(uni_all), 1, k)
+    inter = F.size(F.array_intersect(F.array_intersect(u_k, a), b))
+    jac = inter.cast("double") / F.size(u_k)
+    kth = F.element_at(u_k, k).cast("double") / F.lit(_KMV_HASH_SPACE)
+    union_est = F.when(
+        F.size(uni_all) < k, F.size(uni_all).cast("double")
+    ).otherwise((F.lit(float(k)) - 1.0) / kth)
+    return pairs.select(
+        "*",
+        jac.alias("est_jaccard"),
+        union_est.alias("est_union"),
+        (jac * union_est).alias("est_intersection"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter membership store
 # ---------------------------------------------------------------------------
@@ -409,11 +451,13 @@ def _bloom_pos(item_col, j_col, seed: int, m_bits: int):
     """Engine-portable Bloom bit position: md5(item ':seed:' j) folded
     to [0, m_bits) — the same md5→BIGINT construction as
     :func:`_cm_hash` / curation.sample_hash, so a SQL oracle (or any
-    other engine) reproduces every set bit."""
+    other engine) reproduces every set bit. ``j_col`` may be a column
+    name or a literal Column."""
+    j = F.col(j_col) if isinstance(j_col, str) else j_col
     tagged = F.concat(
         F.col(item_col).cast("string"),
         F.lit(f":{seed}:"),
-        F.col(j_col).cast("string"),
+        j.cast("string"),
     )
     h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
     return h % m_bits
@@ -501,6 +545,44 @@ def bloom_contains_literal(bits_col, probe_positions: list[int]):
     lookup is. No false negatives by construction."""
     probe = F.array(*[F.lit(int(p)).cast("long") for p in probe_positions])
     return F.size(F.array_except(probe, bits_col)) == 0
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    positions: DataFrame,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """MAY-CONTAIN prefilter of ``df`` by a Bloom filter's set-position
+    table (one ``p`` column — a store row's ``bits`` array exploded):
+    keep only rows whose key could be in the set that built the filter.
+    The runtime-filter join pattern as an explicit, store-backed
+    operator: at 100 TB the build-side key set may be too large to
+    broadcast, but its Bloom filter is bounded by ``m_bits`` rows
+    FOREVER — so the prefilter is ``k_hashes`` successive broadcast
+    LEFT SEMI hash joins on the row's j-th position, all map-side, no
+    shuffle of ``df``; the exact join that follows then moves only the
+    may-match fraction. False positives pass (the exact join removes
+    them); false negatives cannot happen, so the composition is
+    semantically transparent. A persisted store row prefilters
+    tomorrow's ingest without recomputing anything."""
+    pos = positions.select(F.col(positions.columns[0]).alias("__bfp"))
+    out = df
+    for j in range(k_hashes):
+        out = (
+            out.withColumn(
+                "__bp", _bloom_pos(key_col, F.lit(j), seed, m_bits)
+            )
+            .join(
+                F.broadcast(pos),
+                F.col("__bp") == F.col("__bfp"),
+                "left_semi",
+            )
+            .drop("__bp")
+        )
+    return out
 
 
 def bloom_estimate(

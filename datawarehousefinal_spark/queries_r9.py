@@ -157,6 +157,159 @@ def bloom_filter_store_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV set algebra: day-over-day user overlap from the sketch store
+# ---------------------------------------------------------------------------
+
+@query(
+    "kmv_day_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(concat('0x', substr(md5(user_id::VARCHAR || ':42'),
+                  1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    rk AS (
+      SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT day, list_sort(list(h)) AS kmv, count(*)::BIGINT AS n_seen
+      FROM rk WHERE rn <= 64 GROUP BY 1
+    ),
+    pr AS (
+      SELECT a.day AS day_a, b.day AS day_b,
+             a.n_seen AS n_a, b.n_seen AS n_b,
+             a.kmv AS ka, b.kmv AS kb
+      FROM sk a JOIN sk b
+        ON CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
+    ),
+    est AS (
+      SELECT day_a, day_b, n_a, n_b, ka, kb,
+             list_sort(list_distinct(ka || kb)) AS uni
+      FROM pr
+    ),
+    est2 AS (SELECT *, uni[1:64] AS u_k FROM est)
+    SELECT day_a, day_b, n_a, n_b,
+           len(list_intersect(list_intersect(u_k, ka), kb))
+             / (1.0 * len(u_k)) AS est_jaccard,
+           CASE WHEN len(uni) < 64 THEN len(uni)::DOUBLE
+                ELSE 63.0 / (u_k[64] / 1152921504606846976.0)
+           END AS est_union,
+           len(list_intersect(list_intersect(u_k, ka), kb))
+             / (1.0 * len(u_k))
+             * (CASE WHEN len(uni) < 64 THEN len(uni)::DOUBLE
+                     ELSE 63.0 / (u_k[64] / 1152921504606846976.0)
+                END) AS est_intersection
+    FROM est2
+    """,
+)
+def kmv_day_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day user overlap straight from the KMV sketch store
+    (sketches.kmv_overlap — Beyer et al. 2007's set-algebra result):
+    for each consecutive-day pair, estimated Jaccard, union size, and
+    intersection size of the two days' user sets, computed from ≤ k
+    longs per day — the retention question ("how many of yesterday's
+    users came back") answered WITHOUT rescanning events, which at
+    100 TB is the whole point of keeping a sketch store. md5 hashing
+    makes every estimate SQL-replayable; the estimators are exact
+    integer-array algebra plus single divisions, hash-stable by
+    construction."""
+    from datawarehousefinal_spark.operators.sketches import (
+        kmv_build_store,
+        kmv_overlap,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "user_id"
+    )
+    store = kmv_build_store(ev, ["day"], "user_id", k=64)
+    a = store.select(
+        F.col("day").alias("day_a"),
+        F.col("kmv").alias("__ka"),
+        F.col("n_seen").alias("n_a"),
+    )
+    b = store.select(
+        F.col("day").alias("day_b"),
+        F.col("kmv").alias("__kb"),
+        F.col("n_seen").alias("n_b"),
+    )
+    pairs = a.join(
+        b,
+        F.date_add(F.to_date("day_a"), 1) == F.to_date("day_b"),
+    ).select("day_a", "day_b", "n_a", "n_b", "__ka", "__kb")
+    return kmv_overlap(pairs, "__ka", "__kb", k=64).drop("__ka", "__kb")
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime-filter semi-join
+# ---------------------------------------------------------------------------
+
+@query(
+    "bloom_semijoin_revenue",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_lineitems,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def bloom_semijoin_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic RUNTIME-FILTER join as an explicit store-backed
+    operator: urgent-order revenue where the fact side is pre-filtered
+    by the md5-positional Bloom filter of the selective dim side's keys
+    BEFORE the exact join (sketches.bloom_prefilter — k broadcast LEFT
+    SEMI hash joins on the sparse positions table, all map-side). At
+    100 TB the dim's key set can be too big to broadcast, but its Bloom
+    filter is bounded by m_bits rows forever, so the fact shuffle moves
+    only the may-match fraction; a persisted store row prefilters
+    tomorrow's ingest with no recomputation (Catalyst's
+    InjectRuntimeFilter applies the same trick when it can prove it —
+    this face makes it a reusable, storable surface). The filter is
+    only a MAY-CONTAIN prefilter — the exact join follows — so the
+    result is exactly the plain join's, and the oracle IS the plain
+    join: hash equality proves the prefilter is semantically
+    transparent, false positives and all. A runtime guard asserts the
+    semi-join probes made it into the physical plan."""
+    from datawarehousefinal_spark.operators.sketches import (
+        bloom_build_store,
+        bloom_prefilter,
+    )
+    from datawarehousefinal_spark.plans import physical_plan
+    from datawarehousefinal_spark.queries import _money_sum
+
+    m_bits, k = 262144, 2
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    store = bloom_build_store(
+        keys.withColumn("__g", F.lit(1)), ["__g"], "o_orderkey", m_bits, k
+    )
+    positions = store.select(F.explode("bits").alias("p"))
+    li = bloom_prefilter(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "l_orderkey",
+        positions,
+        m_bits,
+        k,
+    )
+    res = li.join(
+        keys, li["l_orderkey"] == keys["o_orderkey"]
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        _money_sum("l_extendedprice").alias("revenue"),
+    )
+    if physical_plan(res).count("LeftSemi") < k:
+        raise RuntimeError("bloom prefilter semi-joins missing from plan")
+    return res
+
+
+# ---------------------------------------------------------------------------
 # MAD robust outlier screen
 # ---------------------------------------------------------------------------
 

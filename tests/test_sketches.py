@@ -304,3 +304,44 @@ def test_bloom_ignores_null_items_and_saturation_guard(spark):
         bloom_build_store(big, ["g"], "v", 8, 2), 8, 2
     ).collect()[0]
     assert sat["bits_set"] == 8 and sat["distinct_est"] is None
+
+
+def test_kmv_overlap_exact_regime_and_estimate(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehousefinal_spark.operators.sketches import (
+        kmv_build_store,
+        kmv_overlap,
+    )
+
+    # exact regime: both groups under k -> sketches ARE the sets, so the
+    # overlap "estimates" are the true Jaccard/union/intersection
+    df = spark.createDataFrame(
+        [("a", v) for v in range(30)] + [("b", v) for v in range(20, 50)],
+        "g string, v int",
+    )
+    store = kmv_build_store(df, ["g"], "v", k=64)
+    a = store.filter("g = 'a'").select(
+        F.col("kmv").alias("ka"), F.col("n_seen").alias("n_a")
+    )
+    b = store.filter("g = 'b'").select(
+        F.col("kmv").alias("kb"), F.col("n_seen").alias("n_b")
+    )
+    r = kmv_overlap(a.crossJoin(b), "ka", "kb", k=64).collect()[0]
+    assert r["est_union"] == 50.0
+    assert abs(r["est_jaccard"] - 10 / 50) < 1e-12
+    assert abs(r["est_intersection"] - 10.0) < 1e-9
+
+    # estimated regime: overlapping ranges, k well under distinct count
+    big = spark.createDataFrame(
+        [("a", v) for v in range(0, 1000)]
+        + [("b", v) for v in range(500, 1500)],
+        "g string, v int",
+    )
+    st = kmv_build_store(big, ["g"], "v", k=64)
+    aa = st.filter("g = 'a'").select(F.col("kmv").alias("ka"))
+    bb = st.filter("g = 'b'").select(F.col("kmv").alias("kb"))
+    e = kmv_overlap(aa.crossJoin(bb), "ka", "kb", k=64).collect()[0]
+    # true: union 1500, intersection 500, J = 1/3; KMV rse ~ 1/sqrt(62)
+    assert abs(e["est_union"] - 1500) / 1500 < 0.4
+    assert abs(e["est_jaccard"] - 1 / 3) < 0.2
