@@ -1648,51 +1648,100 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "decayed_activity_score",
-    oracle="""
-    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+def _decay_weight_literals() -> "list[tuple[int, str]]":
+    """Frozen exponential-decay weight table: 0.9**d quantized to 9
+    decimals, computed ONCE in Python ``decimal.Decimal`` (exact rational
+    powers, half-even quantize) and embedded as identical literals in
+    BOTH the Spark face and the DuckDB oracle. The weight underflows to
+    0.000000000 at d=204, so the table is 204 rows; any larger day gap
+    contributes exactly zero on both sides via LEFT JOIN + coalesce.
+
+    Rationale (round-9 verdict #1): ``pow(0.9, d)`` in double is not
+    correctly rounded across libms — a 1-ulp difference at a
+    DECIMAL(24,9) quantization boundary flipped the driver hash twice.
+    With frozen literals no transcendental ever reaches either engine
+    (the bloom-probe frozen-literal pattern, queries_r9.py)."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    w = Decimal(9) / Decimal(10)
+    q = Decimal("0.000000001")
+    out = []
+    cur = Decimal(1)
+    d = 0
+    while True:
+        qq = cur.quantize(q, rounding=ROUND_HALF_EVEN)
+        if qq == 0:
+            break
+        out.append((d, f"{qq:.9f}"))
+        d += 1
+        cur *= w
+    return out
+
+
+def _decay_oracle() -> str:
+    rows = ",\n      ".join(
+        f"({d}, CAST('{wt}' AS DECIMAL(24,9)))"
+        for d, wt in _decay_weight_literals()
+    )
+    return f"""
+    WITH w(d, wt) AS (VALUES
+      {rows}
+    ),
+    mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
     sc AS (
-      SELECT user_id,
-             sum(CAST(pow(CAST(0.9 AS DOUBLE),
-                          date_diff('day', CAST(ts AS DATE),
-                                    (SELECT m FROM mx)))
-                      AS DECIMAL(24,9))) AS score_d,
+      SELECT e.user_id,
+             sum(coalesce(w.wt, CAST('0.000000000' AS DECIMAL(24,9))))
+               AS score_d,
              count(*)::BIGINT AS n_events
-      FROM events GROUP BY 1
+      FROM events e
+      LEFT JOIN w
+        ON w.d = date_diff('day', CAST(e.ts AS DATE), (SELECT m FROM mx))
+      GROUP BY 1
     )
     SELECT user_id, n_events,
            CAST(CAST(score_d AS DECIMAL(24,6)) AS DOUBLE) AS score
     FROM sc ORDER BY score DESC, user_id LIMIT 20
-    """,
-)
+    """
+
+
+@query("decayed_activity_score", oracle=_decay_oracle())
 def decayed_activity_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted engagement: per-user sum of 0.9^(days-ago) over
     their events — the standard exponential-decay activity score that
     ranks a user who was active yesterday above one equally active last
-    quarter. One groupBy after a map-side decay term; the anchor date is
-    a broadcast scalar.
+    quarter. One groupBy after a map-side decay lookup; the anchor date
+    is a broadcast scalar and the 204-row weight table is a broadcast
+    dim.
 
-    Hash-robust cutoff: each decay term is quantized to DECIMAL(24,9)
-    before summing (so the per-user score is an exact decimal — no
-    partial-agg merge-order jitter), then the served score is the
-    decimal rounded to the hash precision (6 decimals) and the top-20
-    ORDER BY runs on that rounded value with the user-id tie-break.
-    Users whose raw double scores differ below 1e-6 — the class that
-    could swap ranks 20/21 across runs or engines — now tie exactly and
-    break on user_id on both sides."""
+    Hash-robust by construction: the decay weights are FROZEN exact
+    decimals (``_decay_weight_literals`` — the same literals are
+    embedded in the oracle's VALUES CTE), so the per-user score is an
+    exact decimal sum of identical terms on both engines — no ``pow``,
+    no quantization boundary, no partial-agg merge-order jitter. The
+    served score is the decimal rounded to the hash precision (6
+    decimals) and the top-20 ORDER BY runs on that rounded value with
+    the user-id tie-break, so sub-1e-6 near-ties break identically."""
+    from decimal import Decimal
+
     events = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
     mx = events.agg(F.max("day").alias("__m"))
-    term = F.pow(F.lit(0.9), F.datediff(F.col("__m"), F.col("day"))).cast(
-        "decimal(24,9)"
+    weights = spark.createDataFrame(
+        [(d, Decimal(wt)) for d, wt in _decay_weight_literals()],
+        "d INT, wt DECIMAL(24,9)",
     )
     return (
         events.crossJoin(F.broadcast(mx))
+        .withColumn("__d", F.datediff(F.col("__m"), F.col("day")))
+        .join(F.broadcast(weights), F.col("__d") == F.col("d"), "left")
         .groupBy("user_id")
         .agg(
-            F.sum(term).alias("__score_d"),
+            F.sum(
+                F.coalesce(
+                    F.col("wt"), F.lit("0").cast("decimal(24,9)")
+                )
+            ).alias("__score_d"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
