@@ -8563,82 +8563,75 @@ def bench_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_WINDOW = [
-    # Round-9 rotation: PURE BACKLOG. After r8, 58 of 241 registry
-    # entries had never been sampled by any driver window (union of
-    # CORRECTNESS_r01-r08 keys = 183); this window takes 50 of them so
-    # union(r1-r9) reaches 233, with the 8 deferred below plus this
-    # round's new faces finishing in r10. Every r8-window face came
-    # back with a fresh row last round, so nothing here displaces live
-    # evidence. The two r8 hash-flake faces
-    # (partition_overwrite_roundtrip, incremental_cube_moments) were
-    # made hermetic this round (integer-only derived measures +
-    # collect-rebuilt results) and are intentionally NOT re-sampled —
-    # the flake-free gate for r9 is "zero hash_match:false across this
-    # window"; they re-enter in r10 for their green re-proof.
-    # Deferred to r10 (untouched this round, all local-oracle green):
-    # skyline_customers, event_type_intersections,
-    # reorder_interval_histogram, order_frequency_histogram,
-    # weekday_seasonality_profile, forget_users_cascade,
-    # k_anonymity_report, share_of_parent_rollup. Frozen for the round.
+    # Round-10 rotation: FINISH THE SCOREBOARD. Union(r1-r9) = 233/247;
+    # the 14 never-sampled entries lead (8 r9-deferred backlog + the 6
+    # r9-wave faces incl. bench_calibration), followed by the 3 faces
+    # whose last driver rows are red/stale fixes awaiting re-proof
+    # (partition_overwrite_roundtrip + incremental_cube_moments hermetic
+    # r9 fixes; decayed_activity_score's frozen-decimal weight table this
+    # round) and the 2 incremental dedup stores whose merge==rebuild
+    # oracles need their first HASH rows (last sampled r4, rows-only).
+    # That makes union(r1-r10) = 247/247 with zero unproven fixes. The
+    # remaining 31 slots refresh the OLDEST evidence in the registry:
+    # the reference-surface core (star/cube/dims/cleaning — last rows
+    # r4), which simultaneously regression-locks SURVEY §2 for the
+    # round's edits. Frozen for the round.
     #
-    # -- faces touched by round-9 fixes (ADVICE/perf) -------------------
+    # -- never-sampled: r9-deferred backlog ------------------------------
+    "share_of_parent_rollup",
+    "forget_users_cascade",
+    "k_anonymity_report",
+    "skyline_customers",
+    "event_type_intersections",
+    "reorder_interval_histogram",
+    "order_frequency_histogram",
+    "weekday_seasonality_profile",
+    # -- never-sampled: r9-wave faces ------------------------------------
+    "bloom_filter_store_daily",
+    "kmv_day_overlap",
+    "bloom_semijoin_revenue",
+    "mad_outlier_report",
+    "ks_drift_report",
+    "bench_calibration",
+    # -- fix re-proofs ---------------------------------------------------
+    "partition_overwrite_roundtrip",
+    "incremental_cube_moments",
     "decayed_activity_score",
-    "id_gap_report",
-    "dsir_importance_weights",
-    "dsir_resampled_mix",
-    # -- LLM-curation / text-statistics reports -------------------------
-    "ppl_bucket_mix",
-    "bpe_subword_report",
-    "bpe_merge_table",
-    "prototypicality_prune_keep",
-    "knn_label_propagation",
-    "unimax_lang_mix",
-    "domain_reweight_mix",
-    "loo_source_influence",
-    "hard_negative_mining",
-    "vocab_drift_report",
-    "vocab_truncate_counts",
-    "ngram_diversity_report",
-    "zipf_fit_report",
-    "bigram_lm_perplexity",
-    "phrase_search_postings",
-    # -- dedup / similarity / ANN ---------------------------------------
-    "prefix_filter_jaccard_pairs",
-    "dup_cluster_size_histogram",
-    "image_ahash_dedup",
-    "ann_recall_report",
-    "pq_recon_error_report",
-    # -- governance / quality audits ------------------------------------
-    "referential_integrity_report",
-    "regex_parse_roundtrip",
-    "benford_digit_report",
-    "column_entropy_report",
-    "cm_frequency_store",
-    # -- retail / revenue analytics -------------------------------------
-    "pareto_revenue_report",
-    "gini_revenue",
-    "ab_test_report",
-    "cohort_ltv_curves",
-    "conversion_attribution",
-    "max_drawdown_report",
-    "ship_latency_by_priority",
-    "p_chart_order_status",
-    # -- time-series / user-activity ------------------------------------
-    "day_over_day_change",
-    "daily_value_percentiles",
-    "cumulative_active_users",
-    "new_vs_returning_daily",
-    "rolling_7d_active_users",
-    "cusum_change_point",
-    "event_transition_matrix",
-    "concurrent_open_orders",
-    # -- graph / incremental / streaming --------------------------------
-    "trade_khop_distances",
-    "ivm_join_view_merge",
-    "streaming_dim_enrich",
-    "streaming_sliding_counts",
-    # -- reshaping -------------------------------------------------------
-    "melt_measures",
+    # -- first hash rows for the merge==rebuild dedup-store oracles ------
+    "incremental_minhash_dedup",
+    "incremental_simhash_dedup",
+    # -- oldest evidence: reference-surface core (last rows r4) ----------
+    "movements_by_year",
+    "cube_measures_by_dims",
+    "sql_cube_measures",
+    "text_normalize",
+    "sentinel_null_cast",
+    "spanish_month_roundtrip",
+    "fecha_completa_roundtrip",
+    "category_map_segments",
+    "unmapped_report",
+    "filter_split_union",
+    "dim_build_surrogate",
+    "fact_fk_attach",
+    "dim_merge_incremental",
+    "star_denormalized",
+    "daily_counts",
+    "value_counts",
+    "class_weights",
+    "top_n_per_group",
+    "year_exclusion",
+    "time_split_train",
+    "distinct_count",
+    "max_anchor",
+    "ordered_limit",
+    "fuzzy_closest_match",
+    "hierarchy_rollup",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "near_dup_components",
+    "minhash_lsh_pairs",
+    "incremental_exact_dedup",
+    "doc_stats",
 ]
 
 
