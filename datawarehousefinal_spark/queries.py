@@ -1249,7 +1249,7 @@ def _incr_store_report(
     store: DataFrame,
     survivors: DataFrame,
     delta: DataFrame,
-    rebuilt: DataFrame,
+    resig: DataFrame,
 ) -> DataFrame:
     """Assemble the one-row identity report both incremental dedup faces
     serve: exact split counts plus three computed invariants —
@@ -1257,24 +1257,35 @@ def _incr_store_report(
     per-document functions, so applying a batch to a store must equal
     rebuilding from scratch over the surviving corpus — catches drift
     between signature generation, delta construction, and survivor
-    logic), survivors ⊆ batch, and one store row per corpus doc. All
-    comparisons are lazy aggregates; the single-row frames compose via
-    the bounded scalar-broadcast cross join. The two compared frames are
-    scope-persisted: each feeds BOTH directions of the symmetric
-    ``exceptAll``, and without the persist the rebuild's full signature
-    pass (a corpus-sized shingle explode) would execute twice."""
-    from pyspark.storagelevel import StorageLevel
+    logic), survivors ⊆ batch, and one store row per corpus doc.
 
+    The merge≡rebuild check is served through its algebraic reduction
+    (the round-9 perf ask): with ``store := sig(corpus)`` built in this
+    same job from the same deterministic xxhash64 signature function,
+    ``store ⊎ delta ≡ sig(corpus) ⊎ sig(survivors)`` holds iff
+    ``delta ≡ sig(survivors)`` — so ``resig`` is the signature store
+    over the SURVIVORS ONLY (no corpus-sized second signature pass),
+    and the multiset compare is two one-row checksum aggregates
+    (``count`` + two independently-seeded ``bit_xor(xxhash64(*cols))``
+    folds, the graph.py fingerprint pattern) joined null-safely —
+    no store-sized ``exceptAll`` shuffle. Same drift detection: any
+    row-level divergence between the ingest's delta and a from-scratch
+    signing of the survivors moves a checksum. All comparisons stay
+    lazy aggregates; the single-row frames compose via the bounded
+    scalar-broadcast cross join."""
     cols = sorted(store.columns)
-    applied = store.unionByName(delta).select(*cols).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    rebuilt = rebuilt.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
-    mism = (
-        applied.exceptAll(rebuilt)
-        .unionByName(rebuilt.exceptAll(applied))
-        .agg(F.count(F.lit(1)).alias("__mm"))
-    )
+
+    def _chk(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(*cols).agg(
+            F.count(F.lit(1)).alias(f"__n{tag}"),
+            F.bit_xor(F.xxhash64(*cols)).alias(f"__x{tag}"),
+            F.bit_xor(
+                F.xxhash64(*cols, F.lit(0x9E3779B9))
+            ).alias(f"__y{tag}"),
+        )
+
+    ca = _chk(delta, "a")
+    cb = _chk(resig, "b")
     stray = (
         survivors.select("doc_id")
         .join(batch.select("doc_id"), "doc_id", "left_anti")
@@ -1286,7 +1297,8 @@ def _incr_store_report(
     return (
         nc.crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(ns))
-        .crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(cb))
         .crossJoin(F.broadcast(stray))
         .select(
             "n_corpus_docs",
@@ -1294,7 +1306,11 @@ def _incr_store_report(
             (F.col("__ns") == F.col("n_corpus_docs")).alias(
                 "store_covers_corpus"
             ),
-            (F.col("__mm") == F.lit(0)).alias("append_equals_rebuild"),
+            (
+                (F.col("__na") == F.col("__nb"))
+                & F.col("__xa").eqNullSafe(F.col("__xb"))
+                & F.col("__ya").eqNullSafe(F.col("__yb"))
+            ).alias("append_equals_rebuild"),
             (F.col("__stray") == F.lit(0)).alias(
                 "survivors_subset_of_batch"
             ),
@@ -1314,9 +1330,9 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(batch), not O(corpus).
 
     Served as the ORACLED store-identity report (_incr_store_report):
-    the driver hash now pins ``store ⊎ delta ≡ rebuild(corpus ∪
-    survivors)`` — merge==rebuild over deterministic xxhash64
-    signatures — plus survivor containment and store coverage, against
+    the driver hash pins merge==rebuild over deterministic xxhash64
+    signatures via its survivors-only reduction (see the report's
+    docstring), plus survivor containment and store coverage, against
     exact replayable split counts. The pairwise-unique survivor
     contract AND the empty-store bootstrap path stay asserted in
     tests/test_incremental.py."""
@@ -1338,11 +1354,17 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, store, "doc_id", "text",
         threshold=0.9, num_hashes=16, shingle_width=_W,
     )
-    rebuilt = minhash_store(
-        corpus.unionByName(survivors.select("doc_id", "text")),
+    resig = minhash_store(
+        survivors.select("doc_id", "text"),
         "doc_id", "text", num_hashes=16, shingle_width=_W,
     )
-    return _incr_store_report(corpus, batch, store, survivors, delta, rebuilt)
+    # Materialize the one-row report NOW (zero-lineage), then release
+    # the scoped persist — no cached frame outlives the face.
+    out = _rebuilt(
+        _incr_store_report(corpus, batch, store, survivors, delta, resig)
+    )
+    store.unpersist()
+    return out
 
 
 @query("incremental_simhash_dedup", oracle=_INCR_STORE_ORACLE)
@@ -1357,10 +1379,11 @@ def incremental_simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.simhash_dropped_ids — no pair materialization).
 
     Served as the ORACLED store-identity report, same contract as the
-    MinHash face: ``store ⊎ delta ≡ rebuild(corpus ∪ survivors)`` over
-    deterministic xxhash64 fingerprints, survivor containment, store
-    coverage. The hamming-unique survivor contract and the empty-store
-    bootstrap path stay asserted in tests/test_incremental.py."""
+    MinHash face: merge==rebuild over deterministic xxhash64
+    fingerprints via the survivors-only reduction (see
+    ``_incr_store_report``), survivor containment, store coverage. The
+    hamming-unique survivor contract and the empty-store bootstrap path
+    stay asserted in tests/test_incremental.py."""
     from datawarehousefinal_spark.operators.incremental import (
         incremental_simhash_dedup,
         simhash_store,
@@ -1373,11 +1396,15 @@ def incremental_simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors, delta = incremental_simhash_dedup(
         batch, store, "doc_id", "text", max_hamming=8, shingle_width=_W,
     )
-    rebuilt = simhash_store(
-        corpus.unionByName(survivors.select("doc_id", "text")),
-        "doc_id", "text", shingle_width=_W,
+    resig = simhash_store(
+        survivors.select("doc_id", "text"), "doc_id", "text",
+        shingle_width=_W,
     )
-    return _incr_store_report(corpus, batch, store, survivors, delta, rebuilt)
+    out = _rebuilt(
+        _incr_store_report(corpus, batch, store, survivors, delta, resig)
+    )
+    store.unpersist()
+    return out
 
 
 def _curation_funnel_oracle() -> str:
