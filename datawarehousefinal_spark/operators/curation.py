@@ -641,6 +641,19 @@ def dsir_importance(
     with at least one token; resample with
     :func:`weighted_sample_exact` on ``exp(log_weight)`` or threshold
     on ``log_weight`` directly.
+
+    Persist lifecycle — BOUNDED LEAK, ACCEPTED: the two scoped persists
+    below (``hist``: one row per (doc, hit bucket); ``p_t``: ≤
+    ``n_buckets`` rows) are referenced by the returned lazy plan, so
+    the operator cannot unpersist them itself, and the caller cannot
+    reach them. They stay cached until session end or LRU eviction.
+    This is deliberate: the returned frame must remain a lazy,
+    composable, never-collected plan (materializing per-document
+    weights driver-side to enable an unpersist would be the real
+    scale-killer), and both frames are orders of magnitude smaller
+    than the token stream whose re-explosion they prevent. A long-lived
+    session re-running the face accumulates one bounded pair per run
+    under MEMORY_AND_DISK (evictable, never OOM-fatal).
     """
     from datawarehousefinal_spark.operators.textstats import (
         whitespace_tokens,

@@ -304,13 +304,19 @@ def serve_moments_exact(state: DataFrame, frac_digits: int = 2) -> DataFrame:
     ``10^(2*frac_digits)`` yields exact integers S1 (measure in
     10^-frac units) and S2 (squared measure in 10^-2frac units). Then
     ``promedio_micro = (S1 * 10^(6-frac)) div n`` and
-    ``varianza_micro = ((n*S2 - S1^2) * 10^(6-2frac)) div n^2`` — both
-    numerators are nonnegative (Cauchy–Schwarz for the variance), so
-    Spark's truncating ``DIV`` equals floor division and matches any
-    engine's floor semantics. Requires ``frac_digits <= 3`` (the
-    variance scale factor must be a nonnegative power of ten) and at
-    least one non-null measure value per group (n >= 1, guaranteed by
-    groupBy over observed rows).
+    ``varianza_micro = ((n*S2 - S1^2) * 10^(6-2frac)) div n^2``. The
+    variance numerator is always nonnegative (Cauchy–Schwarz); the mean
+    numerator S1 follows the measure's sign, so the exactness contract
+    is TRUNCATING division on both engines — Spark's integer ``DIV``
+    truncates toward zero, and so does DuckDB's ``//`` on integers,
+    which is why the oracle template above replays bit-for-bit. For a
+    measure that can go negative, truncation equals floor only on the
+    nonnegative groups; engines whose integer division FLOORS negative
+    quotients would diverge on negative-sum groups, so pairing this
+    serve with a floor-division oracle requires a nonnegative measure.
+    Requires ``frac_digits <= 3`` (the variance scale factor must be a
+    nonnegative power of ten) and at least one non-null measure value
+    per group (n >= 1, guaranteed by groupBy over observed rows).
 
     Output: ``*group_cols, cantidad_movimientos (long),
     promedio_micro (long), varianza_micro (long), min_medida,

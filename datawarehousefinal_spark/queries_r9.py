@@ -77,7 +77,7 @@ def _bloom_oracle() -> str:
              ('0x' || substr(md5(user_id::VARCHAR || ':{_BLOOM_SEED}:'
                                  || u.j::VARCHAR), 1, 15))::BIGINT
                % {_BLOOM_M} AS p
-      FROM events, unnest([0, 1, 2, 3]) AS u(j)
+      FROM events, unnest([{", ".join(map(str, range(_BLOOM_K)))}]) AS u(j)
     ),
     bits AS (
       SELECT day, p FROM pos
