@@ -8685,5 +8685,6 @@ def _apply_driver_window_order() -> None:
 # fully initialized by this point.)
 from datawarehousefinal_spark import queries_r8  # noqa: E402,F401
 from datawarehousefinal_spark import queries_r9  # noqa: E402,F401
+from datawarehousefinal_spark import queries_r10  # noqa: E402,F401
 
 _apply_driver_window_order()
