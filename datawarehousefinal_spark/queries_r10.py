@@ -2,8 +2,12 @@
 
 The Bloom store's month-grain rollup (completing the sketch-store
 rollup symmetry with ``hll_rollup``: day filters OR-merged to months,
-hash-proven against a direct month-grain rebuild), plus further
-round-10 additions.
+hash-proven against a direct month-grain rebuild), plus the classic
+ad-hoc warehouse query battery (TPC-H Q3/Q4/Q7/Q8/Q10/Q14/Q15/Q19
+shapes, adapted to the fixture's columns) — the shipping-priority,
+late-shipment, bilateral-trade, market-share, returned-item,
+promo-share, top-supplier, and multi-predicate-revenue questions every
+star-schema analyst asks next after Q1/Q5 (which shipped in round 8).
 
 Registered into the same ``QUERIES``/``ORACLES`` registry as
 :mod:`datawarehousefinal_spark.queries` (imported from its tail, before
@@ -143,3 +147,575 @@ def bloom_month_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bits_set",
     )
     return bloom_estimate(probed, _BLOOM_M, _BLOOM_K)
+
+
+# ---------------------------------------------------------------------------
+# Classic ad-hoc warehouse battery: TPC-H Q3/Q4/Q7/Q8/Q10/Q14/Q15/Q19
+# shapes over the fixture star schema. Shared money discipline with
+# queries_r8: exact-decimal accumulation, doubles only at the serve
+# boundary (or as a single division of exact values).
+# ---------------------------------------------------------------------------
+
+from datawarehousefinal_spark.queries_r8 import (  # noqa: E402
+    _EP_SQL,
+    _DISC_SQL,
+    _ep,
+    _disc_f,
+)
+
+
+@query(
+    "shipping_priority_topk",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(sum({_EP_SQL} * {_DISC_SQL}) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the 10 highest-revenue orders from
+    BUILDING-segment customers that were placed before the cutoff but
+    still have lineitems shipping after it — the unshipped-backlog
+    triage query. 100 TB shape: both filters push to the parquet scans
+    (segment on customer, dates on orders/lineitem), the filtered
+    customer keys broadcast onto orders, and the one real shuffle is
+    the fact-to-fact lineitem⋈orders join on orderkey followed by a
+    partially-aggregated groupBy on the SAME key (no second exchange —
+    the join output is already hash-partitioned by orderkey). Revenue
+    accumulates in exact decimals; the top-10 ORDER BY runs on the
+    decimal-exact value with the orderkey tie-break, then serves
+    doubles."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_ep() * _disc_f()).alias("__rev_d"))
+        .orderBy(F.desc("__rev_d"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("__rev_d").cast("double").alias("revenue"),
+            "orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           sum(CASE WHEN EXISTS (
+                 SELECT 1 FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey
+                   AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+               ) THEN 1 ELSE 0 END)::BIGINT AS n_late_orders,
+           CAST(sum(CASE WHEN EXISTS (
+                 SELECT 1 FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey
+                   AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+               ) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS late_share
+    FROM orders o
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority_counts_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking), adapted to the
+    fixture's columns (no commitdate; "late" = any lineitem shipping
+    more than a year after the order date): per priority class, how
+    many orders have at least one late lineitem. The EXISTS is the
+    canonical LEFT SEMI join — at 100 TB the semi join shuffles only
+    (orderkey, orderdate) pairs against the lineitem keys and
+    deduplicates on the build side, never materializing the multi-
+    lineitem fan-out. Counts are exact; the share is one division of
+    exact counts."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+    total = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        total.join(F.broadcast(late), "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.coalesce("n_late_orders", F.lit(0)).alias("n_late_orders"),
+            (
+                F.coalesce("n_late_orders", F.lit(0)).cast("double")
+                / F.col("n_orders")
+            ).alias("late_share"),
+        )
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum({_EP_SQL} * {_DISC_SQL}) AS DOUBLE) AS revenue,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    — revenue per (supplier nation, customer nation, ship year) for
+    both directions of the NATION_1↔NATION_2 pair. 100 TB shape: the
+    nation-filtered supplier side broadcasts onto lineitem (map-side
+    elimination of ~96% of lineitems before any shuffle), the
+    nation-filtered customer side broadcasts onto orders likewise, and
+    the one shuffle is the surviving-fact join on orderkey; the final
+    aggregate is a handful of (nation, nation, year) groups. Revenue is
+    decimal-exact; year is calendar arithmetic on raw timestamps."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.sum(_ep() * _disc_f()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "market_share_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+             {_EP_SQL} * {_DISC_SQL} AS vol,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT order_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                         THEN vol ELSE CAST(0 AS DECIMAL(17,4)) END)
+                AS DOUBLE)
+             / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                         THEN vol ELSE CAST(0 AS DECIMAL(17,4)) END)
+                AS DOUBLE) AS nation_volume,
+           CAST(sum(vol) AS DOUBLE) AS total_volume
+    FROM base GROUP BY 1
+    """,
+)
+def market_share_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_2's share of PROMO-part
+    revenue sold into ASIA-region customers, per order year. 100 TB
+    shape: part(type) and the region→nation→customer climb reduce to
+    broadcast maps applied before the single orderkey shuffle; both
+    numerator and denominator accumulate in the SAME exact-decimal
+    aggregate pass (a conditional sum, not two scans), and the share is
+    one double division at the serve boundary."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("order_year"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = _ep() * _disc_f()
+    zero = F.lit("0").cast("decimal(17,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("order_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+                    zero
+                )
+            ).alias("__nat_d"),
+            F.sum(vol).alias("__tot_d"),
+        )
+        .select(
+            "order_year",
+            (
+                F.col("__nat_d").cast("double")
+                / F.col("__tot_d").cast("double")
+            ).alias("mkt_share"),
+            F.col("__nat_d").cast("double").alias("nation_volume"),
+            F.col("__tot_d").cast("double").alias("total_volume"),
+        )
+    )
+
+
+@query(
+    "returned_items_topk",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(sum({_EP_SQL} * {_DISC_SQL}) AS DOUBLE) AS lost_revenue,
+           count(*)::BIGINT AS n_returned_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): the 20 customers who returned the
+    most revenue in 1997 — the churn-risk escalation list. 100 TB
+    shape: the returnflag and date filters push to the scans, lineitem
+    ⋈ orders shuffles on orderkey, the customer attach shuffles on
+    custkey (customer is NOT broadcast — at scale it's a fact-sized
+    dim; the aggregate keys on custkey so the attach and the groupBy
+    share the exchange), and nation broadcasts last onto the 20-row
+    cut... in fact onto the aggregate, which is still per-customer —
+    the TakeOrderedAndProject cut happens on the decimal-exact revenue
+    with the custkey tie-break."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(_ep() * _disc_f()).alias("__rev_d"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+    )
+    return (
+        agg.join(cust, agg["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .orderBy(F.desc("__rev_d"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("__rev_d").cast("double").alias("lost_revenue"),
+            "n_returned_items",
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_EP_SQL} * {_DISC_SQL}
+                         ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(sum({_EP_SQL} * {_DISC_SQL}) AS DOUBLE) AS total_revenue,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_EP_SQL} * {_DISC_SQL}
+                         ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+             / CAST(sum({_EP_SQL} * {_DISC_SQL}) AS DOUBLE)
+             AS promo_share
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO-type parts' share of monthly
+    revenue. 100 TB shape: the partkey→type map is the broadcast dim
+    (at extreme part cardinality AQE would flip it to a shuffle join —
+    the plan is declared, not hand-scheduled), numerator and
+    denominator ride one conditional-decimal aggregate pass, months are
+    calendar strings off the raw timestamp, and the share is one double
+    division at the serve boundary."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    vol = _ep() * _disc_f()
+    zero = F.lit("0").cast("decimal(17,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)
+            ).alias("__promo_d"),
+            F.sum(vol).alias("__tot_d"),
+        )
+        .select(
+            "ship_month",
+            F.col("__promo_d").cast("double").alias("promo_revenue"),
+            F.col("__tot_d").cast("double").alias("total_revenue"),
+            (
+                F.col("__promo_d").cast("double")
+                / F.col("__tot_d").cast("double")
+            ).alias("promo_share"),
+        )
+    )
+
+
+@query(
+    "top_supplier_per_quarter",
+    oracle=f"""
+    WITH rev AS (
+      SELECT year(l_shipdate)::VARCHAR || '-Q'
+               || quarter(l_shipdate)::VARCHAR AS ship_quarter,
+             l_suppkey,
+             sum({_EP_SQL} * {_DISC_SQL}) AS rev_d
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT ship_quarter, max(rev_d) AS mx_d FROM rev GROUP BY 1
+    )
+    SELECT r.ship_quarter, s.s_suppkey, s.s_name,
+           CAST(r.rev_d AS DOUBLE) AS revenue
+    FROM rev r
+    JOIN mx ON r.ship_quarter = mx.ship_quarter AND r.rev_d = mx.mx_d
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    """,
+)
+def top_supplier_per_quarter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier), generalized to every quarter: the
+    supplier(s) with the maximum revenue in each ship quarter. The
+    max-equality join is EXACT because revenue never leaves decimal
+    until the serve cast — the cross-engine trap Q15 sets (double
+    revenue ties diverging by 1 ulp) cannot occur, and genuine ties
+    surface as multiple rows on both engines identically. 100 TB
+    shape: one partial-aggregated shuffle on (quarter, suppkey), a
+    window-max over the per-quarter slice (here a self-join against
+    the 1-row-per-quarter max frame — broadcast), supplier names
+    broadcast last."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        li.groupBy(
+            F.concat(
+                F.year("l_shipdate").cast("string"),
+                F.lit("-Q"),
+                F.quarter("l_shipdate").cast("string"),
+            ).alias("ship_quarter"),
+            "l_suppkey",
+        )
+        .agg(F.sum(_ep() * _disc_f()).alias("__rev_d"))
+    )
+    mx = (
+        rev.groupBy(F.col("ship_quarter").alias("__mx_q"))
+        .agg(F.max("__rev_d").alias("__mx_d"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.join(
+            F.broadcast(mx),
+            (F.col("ship_quarter") == F.col("__mx_q"))
+            & (F.col("__rev_d") == F.col("__mx_d")),
+        )
+        .select("ship_quarter", "l_suppkey", "__rev_d")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ship_quarter",
+            "s_suppkey",
+            "s_name",
+            F.col("__rev_d").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "discounted_revenue_filtered",
+    oracle=f"""
+    SELECT CAST(sum({_EP_SQL} * {_DISC_SQL}) AS DOUBLE) AS revenue,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def discounted_revenue_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): total revenue under an
+    OR-of-ANDs brand/size/quantity predicate — the disjunctive-filter
+    join the optimizer has to split correctly. 100 TB shape: the brand
+    disjunction's common supersets (brand IN set, size <= 50) push into
+    the part scan; the part side broadcasts; the per-branch conjuncts
+    evaluate post-join inside whole-stage codegen; result is a 1-row
+    exact aggregate."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    pred = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#3") & sz.between(20, 50) & q.between(20, 40))
+    )
+    return joined.filter(pred).agg(
+        F.sum(_ep() * _disc_f()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
