@@ -719,3 +719,386 @@ def discounted_revenue_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(_ep() * _disc_f()).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic warehouse battery, part 2: the semi/anti-join and
+# scalar-subquery shapes (TPC-H Q11/Q16/Q18/Q20/Q21/Q22), adapted to
+# the fixture's columns (no partsupp/commitdate/phone — lateness is
+# measured against the order date, the Q16 complaint list becomes a
+# low-balance supplier blacklist, Q22's "no orders" becomes dormancy
+# after a cutoff since every fixture customer has at least one order).
+# These exercise the plan shapes part 1 doesn't: LeftSemi/LeftAnti
+# broadcasts, HAVING against a global scalar aggregate, and the
+# aggregate reformulation of correlated EXISTS/NOT-EXISTS.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "important_parts_revenue",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey,
+             sum({_EP_SQL} * {_DISC_SQL}) AS rev_d,
+             count(*)::BIGINT AS n_lineitems
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT sum(rev_d) AS tot_d FROM pr)
+    SELECT pr.l_partkey AS partkey,
+           CAST(pr.rev_d AS DOUBLE) AS revenue,
+           pr.n_lineitems
+    FROM pr, t
+    WHERE pr.rev_d * 2000 > t.tot_d
+    """,
+)
+def important_parts_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): the parts whose revenue
+    exceeds 0.05% of TOTAL revenue — a HAVING clause against a global
+    scalar aggregate. The threshold compare is CROSS-MULTIPLIED
+    (``rev × 2000 > total``), so both engines compare exact decimals —
+    no fraction-of-total double ever exists to diverge. 100 TB shape:
+    one partially-aggregated shuffle on partkey; the global total
+    re-aggregates the PER-PART frame (never rescans lineitem) into a
+    1-row scalar that cross-joins back as a broadcast (bounded by
+    construction, plan-sweep allowlisted)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(_ep() * _disc_f()).alias("__rev_d"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    tot = pr.agg(F.sum("__rev_d").alias("__tot_d"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("__rev_d") * F.lit(2000) > F.col("__tot_d"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("__rev_d").cast("double").alias("revenue"),
+            "n_lineitems",
+        )
+    )
+
+
+@query(
+    "supplier_part_breadth",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey)::BIGINT AS n_suppliers,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+    )
+    GROUP BY 1, 2
+    """,
+)
+def supplier_part_breadth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers can ship each (brand, size), excluding a supplier
+    blacklist — the reference's complaint filter re-expressed as the
+    low-balance list the fixture can compute. The NOT IN is a LEFT ANTI
+    join against the blacklist (broadcast — it's a filtered dim), then
+    the part attributes broadcast onto the surviving lineitems, and the
+    distinct-supplier count runs as Spark's standard two-stage distinct
+    aggregate (partial on (brand,size,suppkey), final on (brand,size)).
+    Exact integer counts only — nothing to quantize."""
+    blacklist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "large_quantity_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_d
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_totalprice AS totalprice,
+           CAST(b.qty_d AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def large_quantity_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customers): the orders whose total
+    lineitem quantity exceeds 250 units, with their customers — the
+    aggregate-HAVING-then-semi-join-back shape. 100 TB shape: the
+    quantity aggregate partially combines map-side and shuffles on
+    orderkey; the survivors (a tiny fraction — the HAVING is the
+    filter) BROADCAST back onto orders, so the big table is never
+    shuffled; the customer attach shuffles only the surviving orders.
+    Quantities accumulate in exact decimals; o_totalprice is a raw
+    input value passed through untouched."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__qty_d"))
+        .filter(F.col("__qty_d") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("__qty_d").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "promo_heavy_suppliers",
+    oracle="""
+    WITH promo AS (
+      SELECT l.l_suppkey,
+             sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty_d
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO' AND year(l.l_shipdate) = 1997
+      GROUP BY 1
+      HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) > 500
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+           CAST(pr.qty_d AS DOUBLE) AS promo_qty
+    FROM promo pr
+    JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def promo_heavy_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the suppliers who
+    moved more than 500 units of PROMO-type parts in 1997 — the
+    qualify-by-aggregate-then-join-the-dim chain (the fixture has no
+    partsupp, so availability becomes shipped volume). 100 TB shape:
+    the PROMO part keys broadcast onto the date-pruned lineitem scan
+    (both filters pushed), the per-supplier aggregate partially
+    combines before its one shuffle, and the handful of qualifying
+    suppliers joins the supplier/nation dims broadcast-side."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1997)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    promo = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__qty_d"))
+        .filter(F.col("__qty_d") > 500)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        promo.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.col("__qty_d").cast("double").alias("promo_qty"),
+        )
+    )
+
+
+@query(
+    "sole_late_supplier_blame",
+    oracle="""
+    WITH per_order AS (
+      SELECT l.l_orderkey,
+             count(DISTINCT l.l_suppkey) AS n_supp,
+             count(DISTINCT CASE
+               WHEN l.l_shipdate > o.o_orderdate + INTERVAL 1400 DAY
+               THEN l.l_suppkey END) AS n_late,
+             max(CASE
+               WHEN l.l_shipdate > o.o_orderdate + INTERVAL 1400 DAY
+               THEN l.l_suppkey END) AS sole_suppkey
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           count(*)::BIGINT AS n_blamed_orders
+    FROM per_order po
+    JOIN supplier s ON po.sole_suppkey = s.s_suppkey
+    WHERE po.n_supp > 1 AND po.n_late = 1
+    GROUP BY 1, 2
+    ORDER BY n_blamed_orders DESC, s.s_suppkey
+    LIMIT 20
+    """,
+)
+def sole_late_supplier_blame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for each
+    multi-supplier order where EXACTLY ONE supplier shipped very late
+    (>1400 days after the order date — the fixture's p90 lateness),
+    blame that supplier; rank suppliers by blamed-order count. The
+    correlated EXISTS/NOT-EXISTS pair is re-expressed as ONE per-order
+    aggregate — n_supp, n_late, and the argmax-when-sole in a single
+    pass — which is the shape that actually scales: no correlated
+    rescans, one orderkey shuffle shared by the join and the groupBy,
+    and the blame count aggregates a frame that already has one row
+    per order. Integer counts; top-20 tie-broken on suppkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 1400 DAYS"
+    )
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late"
+            ),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("sole_suppkey"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("sole_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_blamed_orders"))
+        .join(
+            F.broadcast(supp),
+            F.col("sole_suppkey") == F.col("s_suppkey"),
+        )
+        .orderBy(F.desc("n_blamed_orders"), "s_suppkey")
+        .limit(20)
+        .select("s_suppkey", "s_name", "n_blamed_orders")
+    )
+
+
+@query(
+    "dormant_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum,
+             count(*)::BIGINT AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    ),
+    dormant AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(c.c_acctbal AS DECIMAL(12,2)) AS bal_d
+      FROM customer c, pos
+      WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * pos.n_pos > pos.bal_sum
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+    )
+    SELECT n.n_name AS nation,
+           count(*)::BIGINT AS n_customers,
+           CAST(sum(d.bal_d) AS DOUBLE) AS total_acctbal
+    FROM dormant d
+    JOIN nation n ON d.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def dormant_rich_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers with an
+    above-average positive balance and NO orders since 2000-01-01
+    (every fixture customer has SOME order, so Q22's "never ordered"
+    becomes dormancy after a cutoff), grouped by nation. Two classic
+    shapes in one face: the above-average filter is a 1-row scalar
+    broadcast whose compare is CROSS-MULTIPLIED into exact decimals
+    (``bal × n_pos > bal_sum`` — the mean itself is never computed, so
+    no engine-specific division rounding exists), and the dormancy is
+    a LEFT ANTI join against the date-pruned orders scan. 100 TB
+    shape: the anti join shuffles custkeys only (the date filter
+    pushed into the orders scan first); the nation rollup broadcasts
+    the dim."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("__bal_d"),
+    )
+    pos = cust.filter(F.col("__bal_d") > 0).agg(
+        F.sum("__bal_d").alias("__bal_sum"),
+        F.count(F.lit(1)).alias("__n_pos"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("__bal_d") * F.col("__n_pos") > F.col("__bal_sum"))
+        .join(
+            recent,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("__bal_d").cast("double").alias("total_acctbal"),
+        )
+    )

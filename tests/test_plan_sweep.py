@@ -52,6 +52,12 @@ BNLJ_ALLOWED = {
     # winsorized_stats' single-row percentile cut-point cross join —
     # the same bounded scalar-broadcast pattern.
     "winsorized_stats",
+    # important_parts_revenue's single-row total-revenue cross join and
+    # dormant_rich_customers' single-row (bal_sum, n_pos) cross join —
+    # the same bounded scalar-broadcast pattern (BuildRight of one
+    # aggregate row feeding a cross-multiplied threshold compare).
+    "important_parts_revenue",
+    "dormant_rich_customers",
     # bm25_topk's single-row corpus-stats (N, avgdl, dfs) cross join —
     # the same bounded scalar-broadcast pattern. The append variant
     # scores through the identical shape (verified: `BuildRight, Cross`
