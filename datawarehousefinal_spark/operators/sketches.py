@@ -334,6 +334,7 @@ def cm_build_store(
     depth: int = 4,
     width: int = 256,
     seed: int = 42,
+    part_cols: list[str] | None = None,
 ) -> DataFrame:
     """Count–Min sketch of a value column's frequency distribution
     (Cormode & Muthukrishnan 2005): ``depth`` hash rows × ``width``
@@ -347,17 +348,24 @@ def cm_build_store(
     engine-portable, so the whole sketch — not just its answers — is
     SQL-replayable.
 
-    Output: j (int), col (long), cnt (long).
+    ``part_cols`` makes it a PARTITIONED store (one sketch per group —
+    e.g. per day), the build grain that :func:`cm_rollup` climbs.
+
+    Output: *part_cols, j (int), col (long), cnt (long).
     """
+    part_cols = part_cols or []
     fanned = (
         df.filter(F.col(value_col).isNotNull())
         .select(
+            *part_cols,
             value_col,
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
         )
-        .select("j", _cm_hash(value_col, "j", seed, width).alias("col"))
+        .select(
+            *part_cols, "j", _cm_hash(value_col, "j", seed, width).alias("col")
+        )
     )
-    return fanned.groupBy("j", "col").agg(
+    return fanned.groupBy(*part_cols, "j", "col").agg(
         F.count(F.lit(1)).alias("cnt")
     )
 
@@ -372,6 +380,18 @@ def cm_merge(*stores: DataFrame) -> DataFrame:
     return out.groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
 
 
+def cm_rollup(store: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll a partitioned CM store up a grain (day→month, day→ALL):
+    cell-wise count sum within each coarser group. CM merge is exactly
+    linear, so the rolled-up store is IDENTICAL to one built directly
+    at the coarser grain — the identity the month-rollup face's oracle
+    hash-proves. Touches sketch rows only (≤ groups × depth × width),
+    never raw data."""
+    return store.groupBy(*group_cols, "j", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
 def cm_point_estimates(
     store: DataFrame,
     items: DataFrame,
@@ -379,24 +399,33 @@ def cm_point_estimates(
     depth: int = 4,
     width: int = 256,
     seed: int = 42,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point frequency estimates for ``items`` from a CM store:
     est(x) = min_j store[j, h_j(x)] — an upper bound on the true count
     (collisions only ADD). Items fan out to their depth cells and join
     the store on (j, col); the store is broadcast when small (its size
-    is depth × width cells max, independent of data volume).
+    is depth × width cells max per group, independent of data volume).
 
-    Output: item_col, est (long).
+    ``group_cols`` queries a PARTITIONED store: items must carry the
+    same group columns, and each estimate reads its own group's sketch.
+
+    Output: *group_cols, item_col, est (long).
     """
+    group_cols = group_cols or []
     fanned = items.select(
+        *group_cols,
         item_col,
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
     ).select(
-        item_col, "j", _cm_hash(item_col, "j", seed, width).alias("col")
+        *group_cols,
+        item_col,
+        "j",
+        _cm_hash(item_col, "j", seed, width).alias("col"),
     )
     return (
-        fanned.join(F.broadcast(store), ["j", "col"])
-        .groupBy(item_col)
+        fanned.join(F.broadcast(store), [*group_cols, "j", "col"])
+        .groupBy(*group_cols, item_col)
         .agg(F.min("cnt").alias("est"))
     )
 

@@ -1102,3 +1102,161 @@ def dormant_rich_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__bal_d").cast("double").alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-store rollup symmetry, completed: CM and KLL day→week climbs
+# (HLL has hll_rollup, KMV has kmv_merge, Bloom got its month rollup
+# above — these two give every sketch store in the engine the same
+# time-hierarchy direction). Week grain, not month: the events fixture
+# spans exactly one month, so ISO weeks (date_trunc 'week', Monday
+# start on BOTH engines) are the finest grain that still merges
+# multiple daily sketches per group — 5 non-degenerate groups.
+# ---------------------------------------------------------------------------
+
+_CM_HASH_ORACLE = (
+    "('0x' || substr(md5({v}::VARCHAR || ':42:' || {j}::VARCHAR), 1, 15))"
+    "::BIGINT % 256"
+)
+
+
+@query(
+    "cm_week_rollup",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+             user_id
+      FROM events
+    ),
+    cells AS (
+      SELECT week, j,
+             {_CM_HASH_ORACLE.format(v="user_id", j="j")} AS col,
+             count(*)::BIGINT AS cnt
+      FROM ev, unnest(range(0, 4)) AS u(j)
+      GROUP BY 1, 2, 3
+    ),
+    items AS (SELECT DISTINCT week, user_id FROM ev WHERE user_id < 5),
+    fan AS (
+      SELECT i.week, i.user_id, u.j,
+             {_CM_HASH_ORACLE.format(v="i.user_id", j="u.j")} AS col
+      FROM items i, unnest(range(0, 4)) AS u(j)
+    ),
+    est AS (
+      SELECT f.week, f.user_id, min(c.cnt)::BIGINT AS est_n
+      FROM fan f JOIN cells c
+        ON c.week = f.week AND c.j = f.j AND c.col = f.col
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT week, user_id, count(*)::BIGINT AS exact_n
+      FROM ev WHERE user_id < 5 GROUP BY 1, 2
+    )
+    SELECT e.week, e.user_id, s.est_n, e.exact_n,
+           (s.est_n - e.exact_n)::BIGINT AS overcount
+    FROM ex e JOIN est s ON e.week = s.week AND e.user_id = s.user_id
+    """,
+)
+def cm_week_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-grain rollup of a DAILY Count-Min store — the frequency
+    sketch's day→week climb, completing the time-hierarchy symmetry
+    with ``bloom_month_rollup``/``hll_rollup``. The Spark side builds
+    per-(week, day) sketches and rolls weeks up EXCLUSIVELY by
+    cell-wise summing the daily stores (sketches.cm_rollup — CM merge
+    is exactly linear); the oracle rebuilds each week's cells directly
+    from the raw stream. Hash equality of the served per-(week, user)
+    estimates proves ``rollup(cm(day₁..dayₙ)) ≡ cm(week)`` — and the
+    tracked users' exact counts ride along to exhibit the never-
+    undercount guarantee per week. 100 TB shape: the daily build is
+    one map-side-combined count per (day, j, col); the rollup touches
+    ≤ days × depth × width sketch rows; estimates broadcast the
+    per-week store (≤ 4×256 cells/week)."""
+    from datawarehousefinal_spark.operators.sketches import (
+        cm_build_store,
+        cm_point_estimates,
+        cm_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "user_id",
+        F.date_trunc("week", "ts").cast("date").cast("string").alias("week"),
+    )
+    daily = cm_build_store(ev, "user_id", part_cols=["week", "day"])
+    weekly = cm_rollup(daily, ["week"])
+    items = (
+        ev.filter(F.col("user_id") < 5)
+        .select("week", "user_id")
+        .distinct()
+    )
+    est = cm_point_estimates(
+        weekly, items, "user_id", group_cols=["week"]
+    ).select("week", "user_id", F.col("est").alias("est_n"))
+    exact = (
+        ev.filter(F.col("user_id") < 5)
+        .groupBy("week", "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return exact.join(est, ["week", "user_id"]).select(
+        "week",
+        "user_id",
+        "est_n",
+        "exact_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+@query(
+    "kll_week_quantiles",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+           count(*)::BIGINT AS n_rows,
+           true AS q50_rank_ok, true AS q95_rank_ok
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def kll_week_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-grain rollup of the DAILY KLL quantile store: per-day
+    sketches of the event value merged to per-week p50/p95 — "last
+    week's p95 latency" without rescanning the week. KLL readouts
+    aren't SQL-replayable (randomized compaction), so the gate verifies
+    the rolled-up store's CONTRACT per week (the kll_quantile_store
+    pattern, now grouped): the exact replayable row count, plus — for
+    each served quantile — that the estimate's EXACT within-week rank
+    lands inside KLL's 5% rank-error envelope. The booleans are
+    computed Spark-side by joining the per-week readouts (a ≤
+    months-sized frame, broadcast) back onto the raw values — fully
+    distributed, no driver collect — and pinned TRUE by the oracle.
+    100 TB shape: the daily build shuffles once on (week, day); the
+    week merge folds ~KB sketches per week; the rank check is
+    gate-only scaffolding the production surface never runs."""
+    from datawarehousefinal_spark.operators.sketches import (
+        kll_build_store,
+        kll_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.to_date("ts").alias("day"),
+        F.date_trunc("week", "ts").cast("date").cast("string").alias("week"),
+    )
+    store = kll_build_store(ev, "value", ["week", "day"])
+    readout = kll_quantiles(store, [0.5, 0.95], group_cols=["week"])
+    vals = ev.filter(F.col("value").isNotNull()).select("week", "value")
+    joined = vals.join(
+        F.broadcast(
+            readout.select(
+                F.col("week").alias("__m"), "q_50", "q_95", "n_rows"
+            )
+        ),
+        F.col("week") == F.col("__m"),
+    )
+    n = F.count(F.lit(1))
+
+    def rank_ok(est_col: str, target: float):
+        rank = F.sum((F.col("value") <= F.col(est_col)).cast("long")) / n
+        return F.abs(rank - F.lit(target)) < F.lit(0.05)
+
+    return joined.groupBy("week").agg(
+        n.cast("long").alias("n_rows"),
+        rank_ok("q_50", 0.5).alias("q50_rank_ok"),
+        rank_ok("q_95", 0.95).alias("q95_rank_ok"),
+    )
