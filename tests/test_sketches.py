@@ -345,3 +345,79 @@ def test_kmv_overlap_exact_regime_and_estimate(spark):
     # true: union 1500, intersection 500, J = 1/3; KMV rse ~ 1/sqrt(62)
     assert abs(e["est_union"] - 1500) / 1500 < 0.4
     assert abs(e["est_jaccard"] - 1 / 3) < 0.2
+
+
+def test_cm_rollup_equals_direct_build(spark):
+    from datawarehousefinal_spark.operators.sketches import (
+        cm_build_store,
+        cm_rollup,
+    )
+
+    # 3 coarse groups x 4 sub-partitions, skewed values
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 12).cast("string").alias("sub"),
+        (F.col("id") % 97).alias("v"),
+    )
+    daily = cm_build_store(df, "v", part_cols=["g", "sub"])
+    rolled = cm_rollup(daily, ["g"])
+    direct = cm_build_store(df, "v", part_cols=["g"])
+    # CM merge is exactly linear: the rolled-up store must be
+    # cell-for-cell IDENTICAL to one built directly at the coarse grain.
+    assert rolled.exceptAll(direct).count() == 0
+    assert direct.exceptAll(rolled).count() == 0
+
+
+def test_cm_grouped_point_estimates_never_undercount(spark):
+    from datawarehousefinal_spark.operators.sketches import (
+        cm_build_store,
+        cm_point_estimates,
+    )
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        # decoupled from g (id%2 and id%50 share parity)
+        (F.floor(F.col("id") / 2) % 50).alias("v"),
+    )
+    store = cm_build_store(df, "v", part_cols=["g"])
+    items = df.select("g", "v").distinct()
+    est = cm_point_estimates(store, items, "v", group_cols=["g"])
+    exact = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("exact"))
+    joined = est.join(exact, ["g", "v"]).collect()
+    assert len(joined) == 100  # every (g, v) tracked
+    # the CM guarantee, per group: min-of-cells never undercounts
+    assert all(r["est"] >= r["exact"] for r in joined)
+
+
+def test_kll_grouped_quantiles_within_rank_error(spark):
+    from datawarehousefinal_spark.operators.sketches import (
+        kll_build_store,
+        kll_quantiles,
+    )
+
+    # two groups with DIFFERENT distributions so a cross-group leak
+    # would blow the rank check: g0 uniform 0..999, g1 uniform 0..99
+    df = spark.range(0, 8000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 4).cast("string").alias("sub"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 1000))
+        .otherwise(F.col("id") % 100)
+        .cast("double")
+        .alias("v"),
+    )
+    store = kll_build_store(df, "v", ["g", "sub"])
+    out = {
+        r["g"]: r
+        for r in kll_quantiles(store, [0.5, 0.95], group_cols=["g"]).collect()
+    }
+    rows = df.collect()
+    for g, lo_hi in {"0": 1000, "1": 100}.items():
+        vals = sorted(r["v"] for r in rows if r["g"] == g)
+        n = len(vals)
+        assert out[g]["n_rows"] == n
+        for q, col in ((0.5, "q_50"), (0.95, "q_95")):
+            est = out[g][col]
+            rank = sum(1 for v in vals if v <= est) / n
+            assert abs(rank - q) < 0.05, (g, col, est, rank)
+        # sanity: the per-group estimate reflects ITS distribution
+        assert out[g]["q_95"] <= lo_hi
