@@ -1260,3 +1260,61 @@ def kll_week_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok("q_50", 0.5).alias("q50_rank_ok"),
         rank_ok("q_95", 0.95).alias("q95_rank_ok"),
     )
+
+
+@query(
+    "small_quantity_part_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+             count(*)::BIGINT AS n_items
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand,
+           count(*)::BIGINT AS n_small_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS small_qty_revenue
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * pa.n_items * 5 < pa.qty_sum
+    GROUP BY 1
+    """,
+)
+def small_quantity_part_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of their part's average quantity, revenue
+    rolled up per brand — the PER-GROUP correlated scalar subquery
+    (each row compared against its own group's aggregate), the shape
+    Q11's single global scalar doesn't cover. The threshold compare is
+    cross-multiplied (``qty × n × 5 < qty_sum``) so both engines
+    compare exact decimals — the per-part average is never computed as
+    a division. 100 TB shape: the per-part aggregate and the join-back
+    both key on partkey — ONE shuffle partitioning serves both sides
+    (no broadcast needed at any part cardinality); the brand dim
+    broadcasts onto the small-quantity survivors; the final rollup is
+    25 groups."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(12,2)").alias("__qty_d"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("__ep_d"),
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__qty_d").alias("__qty_sum"),
+        F.count(F.lit(1)).alias("__n_items"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("__pk"))
+        .filter(
+            F.col("__qty_d") * F.col("__n_items") * F.lit(5)
+            < F.col("__qty_sum")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_items"),
+            F.sum("__ep_d").cast("double").alias("small_qty_revenue"),
+        )
+    )
