@@ -1318,3 +1318,117 @@ def small_quantity_part_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("__ep_d").cast("double").alias("small_qty_revenue"),
         )
     )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT CAST(sum({_EP_SQL} * CAST(l_discount AS DECIMAL(4,2)))
+                AS DOUBLE) AS potential_revenue,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the revenue that would be
+    recovered by eliminating mid-band discounts on small-quantity
+    lineitems — the PURE scan-aggregate, no join at all. Its whole
+    point at 100 TB is the scan: both range predicates push into the
+    parquet reader (row-group min/max pruning does the skipping), the
+    projection reads three columns, and the plan is one whole-stage-
+    codegen'd partial aggregate into a 1-row final — the I/O-bound
+    lower bound every other query's cost sits on top of. Discount and
+    quantity filter on raw input doubles (identical on both engines);
+    the money product accumulates in exact decimals."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.filter(
+            F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_ep() * F.col("l_discount").cast("decimal(4,2)"))
+            .cast("double")
+            .alias("potential_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "product_profit_report",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(sum({_EP_SQL} * {_DISC_SQL} * 10
+                    - CAST(l.l_quantity AS DECIMAL(12,2))
+                      * CAST(p.p_retailprice AS DECIMAL(12,2)))
+                AS DOUBLE) / 10 AS profit,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%blue%'
+    GROUP BY 1, 2
+    """,
+)
+def product_profit_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), adapted: profit on 'blue' parts
+    per supplier nation and order year, with unit cost proxied as 10%
+    of the part's retail price (the fixture has no partsupp/
+    supplycost). 100 TB shape: the name filter cuts part to a sliver
+    that BROADCASTS onto lineitem first (map-side elimination before
+    any shuffle), supplier→nation is a second broadcast map, and the
+    one real shuffle is the orderkey join to pick up the year; the
+    final rollup is (nation × year). The profit expression —
+    revenue minus cost — is a DIFFERENCE of exact decimals computed
+    per row BEFORE aggregation (cancellation-safe: decimal subtraction
+    is exact, and the sum folds exact decimals; the only double is the
+    serve cast). DuckDB's /10 on DECIMAL keeps exact scale; Spark
+    divides the same exact decimal by a literal 10 — both yield the
+    identical exact quotient at scale 6."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").cast("decimal(12,2)").alias("__rp_d"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("order_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit_term = _ep() * _disc_f() * F.lit(10) - (
+        F.col("l_quantity").cast("decimal(12,2)") * F.col("__rp_d")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "order_year")
+        .agg(
+            (F.sum(profit_term).cast("double") / F.lit(10)).alias(
+                "profit"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
