@@ -17,10 +17,20 @@ Supported subset (the shapes the reference schema can answer):
 - explicit member sets ``{[Dim].[Level].[v1], [Dim].[Level].[v2]}``
   (a dice: group by the level, keep the named members)
 - ``CROSSJOIN(<set>, <set>)`` / nested crossjoins (multi-dim rows axis)
+- the grand-total member ``[Dim].[(All)]`` (every reference hierarchy
+  declares ``hasAll="true"``): a set mixing ``(All)`` with a level
+  drilldown — ``{[Fecha].[(All)], [Fecha].[Anio].Members}`` — expands
+  to GROUPING SETS (the level cells plus the all-member cell, NULL in
+  the level column, Spark rollup convention); crossjoined All sets
+  multiply into the grouping-set lattice, all in ONE Expand +
+  HashAggregate pass (never a per-level re-scan)
 - ``NON EMPTY`` on the rows axis (a no-op under inner-join semantics:
   groupBy only materializes non-empty cells — accepted for parity)
 - slicer tuple ``WHERE ([Dim].[Level].[member], ...)`` (equality
-  filters applied BEFORE aggregation, Mondrian slicer semantics)
+  filters applied BEFORE aggregation, Mondrian slicer semantics).
+  Member dices on the rows axis also filter before aggregation, so an
+  All cell over a diced set totals the VISIBLE members (MDX
+  ``VisualTotals`` semantics) — documented, deterministic, oracled.
 
 Deliberately out of scope (the schema never exercises them): calculated
 members, named sets, ``PARALLELPERIOD``/time intelligence, member
@@ -187,11 +197,17 @@ class _Parser:
 
 
 def _rows_axis(node_list, cube: CubeDef):
-    """Flatten the rows-axis AST into (group_columns, member_filters):
-    every crossjoin branch and set item contributes its level's column;
-    explicit member sets additionally contribute an IN filter."""
+    """Flatten the rows-axis AST into (group_columns, member_filters,
+    grouping_alternatives): every crossjoin branch and set item
+    contributes its level's column; explicit member sets additionally
+    contribute an IN filter; an ``[Dim].[(All)]`` item makes the set's
+    columns OPTIONAL — each set yields its list of grouping
+    alternatives ([cols] alone, or [cols] plus [] when All is present),
+    and the crossjoin product of alternatives is the grouping-set
+    lattice the query answers."""
     group_cols: list[str] = []
     filters: dict[str, list[str]] = {}
+    alternatives: list[list[list[str]]] = []
 
     def walk(nodes):
         for node in nodes:
@@ -201,8 +217,17 @@ def _rows_axis(node_list, cube: CubeDef):
                 continue
             _, items = node
             by_level: dict[tuple[str, str], list] = {}
+            has_all = False
             for segs, is_members in items:
-                if len(segs) == 2 and is_members:
+                # the hasAll grand-total member, hierarchy-qualified
+                # ([Dim].[(All)]) or level-qualified ([Dim].[Level].[(All)])
+                if not is_members and segs[-1].lower() == "(all)" and (
+                    len(segs) in (2, 3)
+                ):
+                    if len(segs) == 3:
+                        cube.level_column(segs[0], segs[1])  # validate
+                    has_all = True
+                elif len(segs) == 2 and is_members:
                     by_level.setdefault((segs[0], segs[1]), [])
                 elif len(segs) == 3 and not is_members:
                     by_level.setdefault((segs[0], segs[1]), []).append(
@@ -210,18 +235,24 @@ def _rows_axis(node_list, cube: CubeDef):
                     )
                 else:
                     raise MdxError(
-                        "rows axis items must be [Dim].[Level].Members "
-                        f"or [Dim].[Level].[member], got {segs}"
+                        "rows axis items must be [Dim].[Level].Members, "
+                        f"[Dim].[Level].[member] or [Dim].[(All)], got {segs}"
                     )
+            set_cols: list[str] = []
             for (dim, level), members in by_level.items():
                 col = cube.level_column(dim, level)
+                set_cols.append(col)
                 if col not in group_cols:
                     group_cols.append(col)
                 if members:
                     filters.setdefault(col, []).extend(members)
+            opts = [set_cols]
+            if has_all and set_cols:
+                opts.append([])
+            alternatives.append(opts)
 
     walk(node_list)
-    return group_cols, filters
+    return group_cols, filters, alternatives
 
 
 def parse_mdx(text: str, cube: CubeDef):
@@ -258,9 +289,22 @@ def parse_mdx(text: str, cube: CubeDef):
     rows_set = p.parse_set()
     p.expect_word("ON")
     p.expect_word("ROWS")
-    group_cols, member_filters = _rows_axis(rows_set, cube)
-    if not group_cols:
+    group_cols, member_filters, alternatives = _rows_axis(rows_set, cube)
+    if not alternatives:
         raise MdxError("ROWS axis selected no levels")
+    # crossjoin product of each set's grouping alternatives = the
+    # grouping-set lattice; a single full-column set degenerates to a
+    # plain GROUP BY (kept distinct so the simple case keeps the
+    # simple plan).
+    from itertools import product as _product
+
+    grouping_sets, _seen = [], set()
+    for combo in _product(*alternatives):
+        gs = [c for opt in combo for c in opt]
+        key = tuple(gs)
+        if key not in _seen:
+            _seen.add(key)
+            grouping_sets.append(gs)
 
     p.expect_word("FROM")
     kind, val = p.next()
@@ -290,20 +334,32 @@ def parse_mdx(text: str, cube: CubeDef):
         p.expect_punct(")")
     if p.peek()[0] != "eof":
         raise MdxError(f"trailing tokens from {p.peek()[1]!r}")
-    return measure_names, group_cols, member_filters, slicer_filters
+    return (
+        measure_names,
+        group_cols,
+        member_filters,
+        slicer_filters,
+        grouping_sets,
+    )
 
 
 def mdx_query(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
     """Run an MDX SELECT against a cube: build the star, apply slicer
     and rows-axis member filters (both BEFORE aggregation — they reach
     the scans through the star's broadcast joins), group by the rows-
-    axis level columns, aggregate the COLUMNS-axis measures. One
-    shuffle, partial aggregation, no driver-side evaluation."""
-    measures, group_cols, member_f, slicer_f = parse_mdx(mdx, cube)
+    axis level columns, aggregate the COLUMNS-axis measures. A rows
+    axis without ``(All)`` members is a plain groupBy; with them, the
+    grouping-set lattice runs as ONE Expand + HashAggregate (All cells
+    carry NULL in their level columns, the Spark rollup convention).
+    Either way: one shuffle, partial aggregation, no driver-side
+    evaluation."""
+    measures, group_cols, member_f, slicer_f, gsets = parse_mdx(mdx, cube)
     star = cube.star_builder(*star_args)
     for col, vals in {**slicer_f}.items():
         star = star.filter(F.col(col).isin(vals))
     for col, vals in member_f.items():
         star = star.filter(F.col(col).isin(vals))
     aggs = [cube.measure_agg(m) for m in measures]
-    return star.groupBy(*group_cols).agg(*aggs)
+    if len(gsets) == 1:
+        return star.groupBy(*gsets[0]).agg(*aggs)
+    return star.groupingSets(gsets, *group_cols).agg(*aggs)

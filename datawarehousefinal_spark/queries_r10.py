@@ -1534,3 +1534,48 @@ def mdx_cube_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.mdx import mdx_query
 
     return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_STATEMENT)
+
+
+_MDX_ROLLUP_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Promedio Medida]}
+       ON COLUMNS,
+       CROSSJOIN(
+         {[Fecha].[(All)], [Fecha].[Anio].Members},
+         {[Persona].[Nacionalidad].[(All)],
+          [Persona].[Nacionalidad].Members}
+       ) ON ROWS
+FROM [Movimientos]
+"""
+
+
+@query(
+    "mdx_rollup_query",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           n.n_name AS nacionalidad,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS (
+      (year(o.o_orderdate), n.n_name),
+      (year(o.o_orderdate)),
+      (n.n_name),
+      ()
+    )
+    """,
+)
+def mdx_rollup_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MDX front door's hasAll direction: every reference hierarchy
+    declares ``hasAll="true"`` (Schema_Trabajo_Final.xml:3,16,30,38,46),
+    and this face queries those grand-total members THROUGH THE QUERY
+    LANGUAGE — a crossjoin of two {(All), Level.Members} sets, which
+    the translator expands to the 2×2 grouping-set lattice (leaf
+    cells, both one-dim subtotals, grand total) executed as ONE
+    Expand + HashAggregate pass (operators/mdx.py). The oracle is the
+    equivalent GROUPING SETS SQL — hash equality proves the lattice
+    expansion, NULL-member convention included."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+
+    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_ROLLUP_STATEMENT)

@@ -46,7 +46,7 @@ def _toy_cube(spark):
 
 def test_parse_members_crossjoin_slicer(spark):
     cube = _toy_cube(spark)
-    measures, group_cols, member_f, slicer_f = parse_mdx(
+    measures, group_cols, member_f, slicer_f, gsets = parse_mdx(
         """
         SELECT {[Measures].[Cantidad], [Measures].[Total]} ON COLUMNS,
                NON EMPTY CROSSJOIN({[Fecha].[Anio].Members},
@@ -61,6 +61,7 @@ def test_parse_members_crossjoin_slicer(spark):
     assert group_cols == ["anio", "pais"]
     assert member_f == {"pais": ["AR", "BR"]}
     assert slicer_f == {"seg": ["A"]}
+    assert gsets == [["anio", "pais"]]
 
 
 def test_mdx_query_matches_hand_written(spark):
@@ -141,3 +142,66 @@ def test_mdx_face_registered():
 
     qs, os_ = m.queries(), m.oracle_sql()
     assert "mdx_cube_query" in qs and "mdx_cube_query" in os_
+
+
+def test_mdx_all_member_expands_to_grouping_sets(spark):
+    cube = _toy_cube(spark)
+    rows = mdx_query(
+        cube,
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[(All)], [Fecha].[Anio].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["sum_medida"]) for r in rows}
+    # per-year cells plus the hasAll grand total (NULL year)
+    assert got == {(2024, 60.0), (2025, 90.0), (None, 150.0)}
+
+
+def test_mdx_crossjoined_all_lattice(spark):
+    cube = _toy_cube(spark)
+    rows = mdx_query(
+        cube,
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               CROSSJOIN({[Fecha].[(All)], [Fecha].[Anio].Members},
+                         {[Persona].[Pais].[(All)],
+                          [Persona].[Pais].Members}) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    cells = {(r["anio"], r["pais"]): r["n"] for r in rows}
+    # full 2x2 grouping-set lattice: (anio,pais), (anio), (pais), ()
+    assert cells[(None, None)] == 5          # grand total
+    assert cells[(2024, None)] == 3          # year subtotal
+    assert cells[(None, "AR")] == 3          # country subtotal
+    assert cells[(2024, "AR")] == 2          # leaf cell
+
+
+def test_mdx_all_only_set_is_grand_total(spark):
+    cube = _toy_cube(spark)
+    rows = mdx_query(
+        cube,
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[(All)]} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 5
+
+
+def test_mdx_all_respects_slicer_visual_totals(spark):
+    cube = _toy_cube(spark)
+    rows = mdx_query(
+        cube,
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[(All)], [Fecha].[Anio].Members} ON ROWS
+        FROM [Toy] WHERE ([Cliente].[Seg].[A])
+        """,
+    ).collect()
+    got = {(r["anio"], r["sum_medida"]) for r in rows}
+    # seg=A rows: (2024, 10+30), (2025, 40); All totals the slice
+    assert got == {(2024, 40.0), (2025, 40.0), (None, 80.0)}
