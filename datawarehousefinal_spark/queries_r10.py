@@ -1,13 +1,25 @@
 """Round-10 query faces.
 
-The Bloom store's month-grain rollup (completing the sketch-store
-rollup symmetry with ``hll_rollup``: day filters OR-merged to months,
-hash-proven against a direct month-grain rebuild), plus the classic
-ad-hoc warehouse query battery (TPC-H Q3/Q4/Q7/Q8/Q10/Q14/Q15/Q19
-shapes, adapted to the fixture's columns) — the shipping-priority,
-late-shipment, bilateral-trade, market-share, returned-item,
-promo-share, top-supplier, and multi-predicate-revenue questions every
-star-schema analyst asks next after Q1/Q5 (which shipped in round 8).
+Four waves:
+
+1. The Bloom store's month-grain rollup (completing the sketch-store
+   rollup symmetry with ``hll_rollup``: day filters OR-merged to
+   months, hash-proven against a direct month-grain rebuild), later
+   joined by the CM and KLL day→week climbs.
+2. The classic ad-hoc warehouse battery, part 1 — TPC-H
+   Q3/Q4/Q6/Q7/Q8/Q9/Q10/Q14/Q15/Q19 shapes adapted to the fixture's
+   columns: the questions every star-schema analyst asks next after
+   Q1/Q5 (which shipped in round 8).
+3. Part 2 — the semi/anti-join and scalar-subquery shapes
+   (Q11/Q16/Q17/Q18/Q20/Q21/Q22): LeftSemi/LeftAnti broadcasts,
+   HAVING against global and PER-GROUP scalars (always
+   cross-multiplied into exact decimals), and correlated
+   EXISTS/NOT-EXISTS re-expressed as single-pass aggregates. With
+   ``order_frequency_histogram`` (= Q13) this completes every TPC-H
+   shape the fixture's columns can express.
+4. The MDX front door (operators/mdx.py): Mondrian client query text
+   — members, crossjoins, slicers, hasAll grand totals — translated
+   onto the same cube plans, oracled at the query-language level.
 
 Registered into the same ``QUERIES``/``ORACLES`` registry as
 :mod:`datawarehousefinal_spark.queries` (imported from its tail, before
