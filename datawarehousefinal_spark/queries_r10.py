@@ -1591,3 +1591,51 @@ def mdx_rollup_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.mdx import mdx_query
 
     return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_ROLLUP_STATEMENT)
+
+
+@query(
+    "xml_sink_roundtrip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+           o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def xml_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/scan roundtrip — the parquet/ORC/CSV/JSONL roundtrip
+    contract on Spark 4's native XML data source (the merged
+    spark-xml), covering the legacy-feed interchange case: aggregate,
+    export as row-tagged XML, read back under an EXPLICIT schema
+    (inference would rescan), hash-match the direct aggregation. XML
+    is an export/ingest format — the docstrings on
+    sources.write_xml/read_xml say so loudly — so the face roundtrips
+    an AGGREGATE (contract-small), never the fact table."""
+    from datawarehousefinal_spark.queries import (
+        _eager,
+        _money_sum,
+        _scratch_path,
+    )
+    from datawarehousefinal_spark.sources.readers import read_xml
+    from datawarehousefinal_spark.sources.writers import write_xml
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("anio"), F.col("o_orderpriority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _money_sum("o_totalprice").alias("total"),
+        )
+    )
+    path = _scratch_path("xml_sink", sf_dir)
+    write_xml(agg, path, row_tag="cell", root_tag="cube")
+    out = read_xml(
+        spark,
+        path,
+        row_tag="cell",
+        schema="anio INT, o_orderpriority STRING, n BIGINT, total DOUBLE",
+    )
+    return _eager(out.select("anio", "o_orderpriority", "n", "total"))

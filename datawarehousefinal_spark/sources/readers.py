@@ -346,3 +346,19 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     for parquet (Catalyst data-source v2; ORC carries its own stripe
     min/max + optional bloom indexes)."""
     return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: str | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 native, the merged spark-xml). Pass an
+    explicit ``schema`` DDL in production — schema inference reads the
+    data twice and, at 100 TB, once is already the dominant cost; XML
+    is an ingest format to land into parquet, not to query in place."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

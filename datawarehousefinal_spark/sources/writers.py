@@ -237,3 +237,26 @@ def shard_manifest(
             F.max(id_col).alias("max_id"),
         )
     )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink — Spark 4 ships the (former spark-xml) data source
+    natively. Beyond-reference format coverage for the B2B/legacy-feed
+    interchange case; one XML document per partition file under
+    ``root_tag``, one ``row_tag`` element per row. Row-based and
+    verbose — an EXPORT format, not an analytical store (no column
+    pruning or predicate pushdown on scan; land XML into parquet
+    before analytics)."""
+    (
+        df.write.format("xml")
+        .mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
