@@ -1639,3 +1639,41 @@ def xml_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="anio INT, o_orderpriority STRING, n BIGINT, total DOUBLE",
     )
     return _eager(out.select("anio", "o_orderpriority", "n", "total"))
+
+
+@query(
+    "variant_props_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+             AS k_decile,
+           count(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def variant_props_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    events ``props`` JSON is parsed ONCE into the binary variant
+    encoding (``parse_json``) and fields are extracted typed
+    (``variant_get``) — the engine-native path that at 100 TB replaces
+    per-extraction string re-parsing (``get_json_object`` re-tokenizes
+    the JSON text for every field it pulls; the variant parse is paid
+    once and every extraction is a binary offset lookup). Served as a
+    per-(event_type, k-decile) histogram — integer DIV buckets, exact
+    counts — distinct from ``json_props_rollup``'s string-path
+    aggregate face so both JSON strategies stay pinned."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("__v")
+    ).select(
+        "event_type",
+        F.variant_get("__v", "$.k", "int").alias("__k"),
+    )
+    return (
+        v.groupBy(
+            "event_type",
+            F.expr("__k div 10").cast("int").alias("k_decile"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
