@@ -45,6 +45,22 @@ SWEEP = [
     "knn_label_propagation",
     # lag + running-sum session windows over float-free micro gaps
     "session_stats",
+    # r10 battery risk surface, pinned before its r11 driver window:
+    # conditional decimal sums feeding a double-division share
+    "market_share_report",
+    # decimal max-equality join (the Q15 cross-engine tie trap)
+    "top_supplier_per_quarter",
+    # per-row decimal difference folded into one sum (Q9 profit)
+    "product_profit_report",
+    # cross-multiplied scalar-broadcast threshold compares
+    "dormant_rich_customers",
+    "important_parts_revenue",
+    # KLL fold order varies with partitioning — the rank-envelope
+    # booleans must absorb it; CM rollup is integer-invariant, pin it
+    "kll_week_quantiles",
+    "cm_week_rollup",
+    # avg(double) measures over the grouping-set lattice via MDX
+    "mdx_rollup_query",
 ]
 
 _CONFS = [
