@@ -216,7 +216,10 @@ def _rows_axis(node_list, cube: CubeDef):
                 walk(node[2])
                 continue
             _, items = node
-            by_level: dict[tuple[str, str], list] = {}
+            # per level: explicit members plus whether .Members appeared
+            # (a set is a UNION — .Members absorbs any explicit member of
+            # the same level, so the dice filter must then be dropped)
+            by_level: dict[tuple[str, str], dict] = {}
             has_all = False
             for segs, is_members in items:
                 # the hasAll grand-total member, hierarchy-qualified
@@ -226,26 +229,45 @@ def _rows_axis(node_list, cube: CubeDef):
                 ):
                     if len(segs) == 3:
                         cube.level_column(segs[0], segs[1])  # validate
+                    else:
+                        dim_key = segs[0].lower() + "."
+                        if not any(
+                            k.lower().startswith(dim_key)
+                            for k in cube.levels
+                        ):
+                            raise MdxError(
+                                f"unknown dimension [{segs[0]}] on cube "
+                                f"[{cube.name}]"
+                            )
                     has_all = True
                 elif len(segs) == 2 and is_members:
-                    by_level.setdefault((segs[0], segs[1]), [])
+                    by_level.setdefault(
+                        (segs[0], segs[1]), {"all_members": False, "vals": []}
+                    )["all_members"] = True
                 elif len(segs) == 3 and not is_members:
-                    by_level.setdefault((segs[0], segs[1]), []).append(
-                        segs[2]
-                    )
+                    by_level.setdefault(
+                        (segs[0], segs[1]), {"all_members": False, "vals": []}
+                    )["vals"].append(segs[2])
                 else:
                     raise MdxError(
                         "rows axis items must be [Dim].[Level].Members, "
                         f"[Dim].[Level].[member] or [Dim].[(All)], got {segs}"
                     )
             set_cols: list[str] = []
-            for (dim, level), members in by_level.items():
+            for (dim, level), sel in by_level.items():
                 col = cube.level_column(dim, level)
+                if col in group_cols:
+                    # the same Mondrian error: a hierarchy may appear in
+                    # only one axis set — a duplicate would emit
+                    # duplicated grouping columns (doubled rows)
+                    raise MdxError(
+                        f"level [{dim}].[{level}] appears in more than "
+                        "one rows-axis set"
+                    )
                 set_cols.append(col)
-                if col not in group_cols:
-                    group_cols.append(col)
-                if members:
-                    filters.setdefault(col, []).extend(members)
+                group_cols.append(col)
+                if sel["vals"] and not sel["all_members"]:
+                    filters.setdefault(col, []).extend(sel["vals"])
             opts = [set_cols]
             if has_all and set_cols:
                 opts.append([])
@@ -277,6 +299,11 @@ def parse_mdx(text: str, cube: CubeDef):
             raise MdxError(
                 f"unknown measure [Measures].[{segs[1]}] on cube "
                 f"[{cube.name}]"
+            )
+        if segs[1].lower() in {m.lower() for m in measure_names}:
+            raise MdxError(
+                f"measure [Measures].[{segs[1]}] appears twice on the "
+                "COLUMNS axis"
             )
         measure_names.append(segs[1])
 
@@ -355,9 +382,7 @@ def mdx_query(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
     evaluation."""
     measures, group_cols, member_f, slicer_f, gsets = parse_mdx(mdx, cube)
     star = cube.star_builder(*star_args)
-    for col, vals in {**slicer_f}.items():
-        star = star.filter(F.col(col).isin(vals))
-    for col, vals in member_f.items():
+    for col, vals in (*slicer_f.items(), *member_f.items()):
         star = star.filter(F.col(col).isin(vals))
     aggs = [cube.measure_agg(m) for m in measures]
     if len(gsets) == 1:

@@ -1267,21 +1267,27 @@ def _incr_store_report(
     over the SURVIVORS ONLY (no corpus-sized second signature pass),
     and the multiset compare is two one-row checksum aggregates
     (``count`` + two independently-seeded ``bit_xor(xxhash64(*cols))``
-    folds, the graph.py fingerprint pattern) joined null-safely —
-    no store-sized ``exceptAll`` shuffle. Same drift detection: any
-    row-level divergence between the ingest's delta and a from-scratch
-    signing of the survivors moves a checksum. All comparisons stay
-    lazy aggregates; the single-row frames compose via the bounded
-    scalar-broadcast cross join."""
+    folds + an exact-decimal ``sum(xxhash64)`` fold, the graph.py
+    fingerprint pattern extended) joined null-safely — no store-sized
+    ``exceptAll`` shuffle. The sum fold exists because XOR alone is
+    blind to EVEN-multiplicity divergences (R,R vs S,S cancels under
+    every seed); the sum is multiplicity-sensitive (2·R ≠ 2·S exactly,
+    accumulated in decimal(38,0) so no overflow wrap), so a divergence
+    must defeat count, two seeded XORs, AND the exact sum
+    simultaneously — engineered-collision territory, not drift. All
+    comparisons stay lazy aggregates; the single-row frames compose
+    via the bounded scalar-broadcast cross join."""
     cols = sorted(store.columns)
 
     def _chk(df: DataFrame, tag: str) -> DataFrame:
+        h = F.xxhash64(*cols)
         return df.select(*cols).agg(
             F.count(F.lit(1)).alias(f"__n{tag}"),
-            F.bit_xor(F.xxhash64(*cols)).alias(f"__x{tag}"),
+            F.bit_xor(h).alias(f"__x{tag}"),
             F.bit_xor(
                 F.xxhash64(*cols, F.lit(0x9E3779B9))
             ).alias(f"__y{tag}"),
+            F.sum(h.cast("decimal(38,0)")).alias(f"__s{tag}"),
         )
 
     ca = _chk(delta, "a")
@@ -1310,6 +1316,7 @@ def _incr_store_report(
                 (F.col("__na") == F.col("__nb"))
                 & F.col("__xa").eqNullSafe(F.col("__xb"))
                 & F.col("__ya").eqNullSafe(F.col("__yb"))
+                & F.col("__sa").eqNullSafe(F.col("__sb"))
             ).alias("append_equals_rebuild"),
             (F.col("__stray") == F.lit(0)).alias(
                 "survivors_subset_of_batch"

@@ -76,8 +76,14 @@ def _bloom_month_oracle() -> str:
       FROM events, unnest([{js}]) AS u(j)
     ),
     days AS (
+      -- only days that PRODUCE a daily store row count as merged: the
+      -- store build drops null user_ids, so an all-null day has no
+      -- filter to merge (face/oracle alignment — latent divergence on
+      -- fixtures with nullable user_id)
       SELECT substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 7) AS month,
-             count(DISTINCT CAST(ts AS DATE))::BIGINT AS n_days_merged
+             count(DISTINCT CASE WHEN user_id IS NOT NULL
+                                 THEN CAST(ts AS DATE) END)::BIGINT
+               AS n_days_merged
       FROM events GROUP BY 1
     ),
     srv AS (SELECT month, count(*)::BIGINT AS bits_set FROM pos GROUP BY 1),

@@ -205,3 +205,56 @@ def test_mdx_all_respects_slicer_visual_totals(spark):
     got = {(r["anio"], r["sum_medida"]) for r in rows}
     # seg=A rows: (2024, 10+30), (2025, 40); All totals the slice
     assert got == {(2024, 40.0), (2025, 40.0), (None, 80.0)}
+
+
+def test_mdx_members_absorbs_explicit_member_of_same_level(spark):
+    # a set is a UNION: .Members + an explicit member of the same level
+    # must NOT collapse to a dice on the explicit member
+    cube = _toy_cube(spark)
+    rows = mdx_query(
+        cube,
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[Anio].Members, [Fecha].[Anio].[2024]} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {r["anio"] for r in rows} == {2024, 2025}
+
+
+def test_mdx_duplicate_level_across_sets_is_loud(spark):
+    with pytest.raises(MdxError):
+        parse_mdx(
+            """
+            SELECT {[Measures].[Cantidad]} ON COLUMNS,
+                   CROSSJOIN({[Fecha].[(All)], [Fecha].[Anio].Members},
+                             {[Fecha].[Anio].[2024]}) ON ROWS
+            FROM [Toy]
+            """,
+            _toy_cube(spark),
+        )
+
+
+def test_mdx_unknown_dimension_all_is_loud(spark):
+    with pytest.raises(MdxError):
+        parse_mdx(
+            """
+            SELECT {[Measures].[Cantidad]} ON COLUMNS,
+                   {[Tyop].[(All)], [Fecha].[Anio].Members} ON ROWS
+            FROM [Toy]
+            """,
+            _toy_cube(spark),
+        )
+
+
+def test_mdx_duplicate_measure_is_loud(spark):
+    with pytest.raises(MdxError):
+        parse_mdx(
+            """
+            SELECT {[Measures].[Cantidad], [Measures].[Cantidad]}
+                   ON COLUMNS,
+                   {[Fecha].[Anio].Members} ON ROWS
+            FROM [Toy]
+            """,
+            _toy_cube(spark),
+        )
