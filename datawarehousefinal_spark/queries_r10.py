@@ -1683,3 +1683,111 @@ def variant_props_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_MDX_ENVIOS_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Promedio Medida]}
+       ON COLUMNS,
+       NON EMPTY CROSSJOIN(
+         {[Fecha].[Anio].Members},
+         {[Proveedor].[Nacion].Members}
+       ) ON ROWS
+FROM [Envios]
+WHERE ([Pieza].[Marca].[Brand#1], [Pieza].[Marca].[Brand#2])
+"""
+
+
+def _envios_cube(spark: SparkSession, sf_dir: str):
+    """The reference's SECOND cube (Schema_Trabajo_Final.xml declares
+    two structurally-identical cubes, Emigrantes + Inmigrantes, over
+    different fact tables): Envios over the lineitem star — Fecha from
+    l_shipdate, Proveedor.Nacion through supplier→nation, Pieza.Marca
+    from part — with the same count + avg measure pair. Proves the
+    front door is cube-generic, not a hard-coded translation of one
+    star."""
+    from datawarehousefinal_spark.operators.mdx import CubeDef
+
+    def star_builder():
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_shipdate", "l_quantity",
+        )
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand"
+        )
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        return (
+            li.join(
+                F.broadcast(part),
+                li["l_partkey"] == part["p_partkey"],
+                "left",
+            )
+            .join(
+                F.broadcast(supp),
+                li["l_suppkey"] == supp["s_suppkey"],
+                "left",
+            )
+            .join(
+                F.broadcast(nation),
+                supp["s_nationkey"] == nation["n_nationkey"],
+                "left",
+            )
+            .select(
+                F.year("l_shipdate").alias("anio"),
+                F.month("l_shipdate").alias("mes"),
+                F.col("p_brand").alias("marca"),
+                F.col("n_name").alias("nacion"),
+                "l_orderkey",
+                "l_quantity",
+            )
+        )
+
+    return CubeDef(
+        name="Envios",
+        star_builder=star_builder,
+        levels={
+            "Fecha.Anio": "anio",
+            "Fecha.Mes": "mes",
+            "Pieza.Marca": "marca",
+            "Proveedor.Nacion": "nacion",
+        },
+        measures={
+            "Cantidad Movimientos": (
+                "count", "l_orderkey", "cantidad_movimientos",
+            ),
+            "Promedio Medida": ("avg", "l_quantity", "promedio_medida"),
+        },
+    )
+
+
+@query(
+    "mdx_second_cube_query",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS INTEGER) AS anio,
+           n.n_name AS nacion,
+           count(l.l_orderkey) AS cantidad_movimientos,
+           avg(l.l_quantity) AS promedio_medida
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+    GROUP BY 1, 2
+    """,
+)
+def mdx_second_cube_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MDX front door's SECOND cube — the reference schema declares
+    two cubes over different fact tables, and this face queries the
+    lineitem-fact Envios cube through the same parser/translator
+    (operators/mdx.py) with a multi-member slicer, proving the front
+    door is declaration-driven: a new CubeDef is the entire cost of
+    serving a new cube. Same plan shape as every cube face: slicer and
+    dims broadcast, one shuffle on the grouping keys."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+
+    return mdx_query(_envios_cube(spark, sf_dir), _MDX_ENVIOS_STATEMENT)
