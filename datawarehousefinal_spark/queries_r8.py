@@ -1678,29 +1678,40 @@ def _decay_weight_literals() -> "list[tuple[int, str]]":
     return out
 
 
+def _decay_weight_nano_literals() -> "list[tuple[int, int]]":
+    """The frozen decay table in BIGINT nano-units: 0.9**d × 1e9 as an
+    exact integer (the 9-decimal quantized weight with the point shifted
+    away). Integer all the way down — nothing left to round on either
+    engine (the ``serve_moments_exact`` pattern that took
+    ``incremental_cube_moments`` driver-green in round 10)."""
+    from decimal import Decimal
+
+    return [
+        (d, int(Decimal(wt) * 10**9)) for d, wt in _decay_weight_literals()
+    ]
+
+
 def _decay_oracle() -> str:
     rows = ",\n      ".join(
-        f"({d}, CAST('{wt}' AS DECIMAL(24,9)))"
-        for d, wt in _decay_weight_literals()
+        f"({d}, CAST({nano} AS BIGINT))"
+        for d, nano in _decay_weight_nano_literals()
     )
     return f"""
-    WITH w(d, wt) AS (VALUES
+    WITH w(d, wt_nano) AS (VALUES
       {rows}
     ),
     mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
     sc AS (
       SELECT e.user_id,
-             sum(coalesce(w.wt, CAST('0.000000000' AS DECIMAL(24,9))))
-               AS score_d,
+             CAST(sum(coalesce(w.wt_nano, 0)) AS BIGINT) AS score_nano,
              count(*)::BIGINT AS n_events
       FROM events e
       LEFT JOIN w
         ON w.d = date_diff('day', CAST(e.ts AS DATE), (SELECT m FROM mx))
       GROUP BY 1
     )
-    SELECT user_id, n_events,
-           CAST(CAST(score_d AS DECIMAL(24,6)) AS DOUBLE) AS score
-    FROM sc ORDER BY score DESC, user_id LIMIT 20
+    SELECT user_id, n_events, score_nano
+    FROM sc ORDER BY score_nano DESC, user_id LIMIT 20
     """
 
 
@@ -1713,23 +1724,22 @@ def decayed_activity_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast scalar and the 204-row weight table is a broadcast
     dim.
 
-    Hash-robust by construction: the decay weights are FROZEN exact
-    decimals (``_decay_weight_literals`` — the same literals are
-    embedded in the oracle's VALUES CTE), so the per-user score is an
-    exact decimal sum of identical terms on both engines — no ``pow``,
-    no quantization boundary, no partial-agg merge-order jitter. The
-    served score is the decimal rounded to the hash precision (6
-    decimals) and the top-20 ORDER BY runs on that rounded value with
-    the user-id tie-break, so sub-1e-6 near-ties break identically."""
-    from decimal import Decimal
-
+    Hash-robust by construction (round-10 verdict #1): the decay
+    weights are FROZEN BIGINT nano-units (0.9^d × 1e9 via
+    ``_decay_weight_nano_literals`` — the same integers are embedded in
+    the oracle's VALUES CTE), so the per-user score is an exact BIGINT
+    sum of identical integer terms on both engines — no ``pow``, no
+    decimal downscale cast, no double render, no partial-agg merge-order
+    jitter; nothing left to round ANYWHERE. The top-20 ORDER BY runs on
+    the integer score with the user-id tie-break. This is the exact
+    integer-serve pattern (olap.py ``serve_moments_exact``) that took
+    ``incremental_cube_moments`` from twice-red to driver-green."""
     events = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
     mx = events.agg(F.max("day").alias("__m"))
     weights = spark.createDataFrame(
-        [(d, Decimal(wt)) for d, wt in _decay_weight_literals()],
-        "d INT, wt DECIMAL(24,9)",
+        _decay_weight_nano_literals(), "d INT, wt_nano BIGINT"
     )
     return (
         events.crossJoin(F.broadcast(mx))
@@ -1737,22 +1747,13 @@ def decayed_activity_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(weights), F.col("__d") == F.col("d"), "left")
         .groupBy("user_id")
         .agg(
-            F.sum(
-                F.coalesce(
-                    F.col("wt"), F.lit("0").cast("decimal(24,9)")
-                )
-            ).alias("__score_d"),
+            F.sum(F.coalesce(F.col("wt_nano"), F.lit(0).cast("bigint")))
+            .cast("bigint")
+            .alias("score_nano"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .select(
-            "user_id",
-            "n_events",
-            F.col("__score_d")
-            .cast("decimal(24,6)")
-            .cast("double")
-            .alias("score"),
-        )
-        .orderBy(F.desc("score"), "user_id")
+        .select("user_id", "n_events", "score_nano")
+        .orderBy(F.desc("score_nano"), "user_id")
         .limit(20)
     )
 

@@ -116,16 +116,32 @@ def overwrite_partitions(
     loads, etl_final.ktr:555-589) becomes re-runnable at scale: replaying
     one day/year replaces exactly that directory — static overwrite would
     truncate the whole dataset, and append would duplicate the replayed
-    rows. The conf is set per-write via ``.option()``, not mutated on the
-    session.
+    rows. Belt-and-braces (round-10 verdict #2): the dynamic mode is set
+    BOTH per-write via ``.option()`` AND on the session conf for the
+    duration of the write (restored in ``finally``) — some Spark builds
+    ignore the writer-local option for v1 parquet sinks, and an ignored
+    option silently degrades to static overwrite (truncate).
     """
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("compression", compression)
-        .partitionBy(*partition_by)
-        .parquet(path)
-    )
+    spark = df.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
