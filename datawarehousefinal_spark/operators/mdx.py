@@ -13,9 +13,18 @@ Supported subset (the shapes the reference schema can answer):
 
 - ``SELECT {<measures>} ON COLUMNS, <set> ON ROWS FROM [Cube]``
 - measure references ``[Measures].[Name]``
-- level member sets ``{[Dim].[Level].Members}`` (drill to a level)
+- level member sets ``{[Dim].[Level].Members}`` (drill to a level).
+  HIERARCHY-AWARE: when the cube declares a level hierarchy for the
+  dimension (``CubeDef.hierarchies``, e.g. Fecha = Anio > Mes > Dia,
+  Schema_Trabajo_Final.xml:2-13), members of a child level are keyed
+  by their full ancestor chain — ``[Fecha].[Mes].Members`` yields
+  (Anio, Mes) cells, exactly as a Mondrian client drilling past year
+  grain expects (January 1997 is a DIFFERENT member than January
+  1998). Dimensions without a declared hierarchy keep single-column
+  keys.
 - explicit member sets ``{[Dim].[Level].[v1], [Dim].[Level].[v2]}``
-  (a dice: group by the level, keep the named members)
+  (a dice: group by the level — ancestor-chain-keyed when a hierarchy
+  is declared — keep the named members)
 - ``CROSSJOIN(<set>, <set>)`` / nested crossjoins (multi-dim rows axis)
 - the grand-total member ``[Dim].[(All)]`` (every reference hierarchy
   declares ``hasAll="true"``): a set mixing ``(All)`` with a level
@@ -24,8 +33,13 @@ Supported subset (the shapes the reference schema can answer):
   the level column, Spark rollup convention); crossjoined All sets
   multiply into the grouping-set lattice, all in ONE Expand +
   HashAggregate pass (never a per-level re-scan)
-- ``NON EMPTY`` on the rows axis (a no-op under inner-join semantics:
-  groupBy only materializes non-empty cells — accepted for parity)
+- ``NON EMPTY`` on the rows axis — a DOCUMENTED no-op: groupBy only
+  materializes non-empty cells, and for hasAll grouping-set lattices
+  Spark's Expand + HashAggregate emits ZERO rows on empty input (the
+  ``()`` grouping set is still a keyed group, unlike a global
+  aggregate, so no fabricated All cell ever appears). NON EMPTY and
+  its absence therefore coincide on every plan this translator can
+  emit; pinned by tests/test_mdx.py::test_mdx_empty_input_emits_no_all_cell
 - slicer tuple ``WHERE ([Dim].[Level].[member], ...)`` (equality
   filters applied BEFORE aggregation, Mondrian slicer semantics).
   Member dices on the rows axis also filter before aggregation, so an
@@ -70,12 +84,22 @@ class CubeDef:
     ``(aggregator, column, output_alias)`` triple with aggregator in
     {count, sum, avg, min, max} — the Mondrian ``aggregator=`` set the
     reference schema uses (count/avg) plus the obvious siblings.
+
+    ``hierarchies`` (optional) maps a dimension name to its ordered
+    level-name list, top grain first (Mondrian ``<Hierarchy>`` order —
+    the reference's Fecha declares Anio > Mes > Dia,
+    Schema_Trabajo_Final.xml:2-13). When declared, a member of a child
+    level is keyed by its ANCESTOR CHAIN: drilling ``[Fecha].[Mes]``
+    groups by (anio_col, mes_col), never by the bare month (which
+    would merge January 1997 with January 1998). A dimension absent
+    from ``hierarchies`` keeps single-column member keys.
     """
 
     name: str
     star_builder: Callable[..., DataFrame]
     levels: dict[str, str] = field(default_factory=dict)
     measures: dict[str, tuple[str, str, str]] = field(default_factory=dict)
+    hierarchies: dict[str, list[str]] = field(default_factory=dict)
 
     def level_column(self, dim: str, level: str) -> str:
         key = f"{dim}.{level}".lower()
@@ -85,6 +109,28 @@ class CubeDef:
         raise MdxError(
             f"unknown level [{dim}].[{level}] on cube [{self.name}]"
         )
+
+    def level_chain(self, dim: str, level: str) -> list[str]:
+        """Star columns keying a member of ``[dim].[level]``: the
+        declared ancestor levels' columns (top grain first) plus the
+        level's own column; just the level's column when the dimension
+        declares no hierarchy. Loud on a level missing from its
+        dimension's declared hierarchy — a cube-definition bug, never
+        a silent single-column fallback."""
+        for hdim, hlevels in self.hierarchies.items():
+            if hdim.lower() != dim.lower():
+                continue
+            for i, lvl in enumerate(hlevels):
+                if lvl.lower() == level.lower():
+                    return [
+                        self.level_column(dim, anc)
+                        for anc in hlevels[: i + 1]
+                    ]
+            raise MdxError(
+                f"level [{dim}].[{level}] is not in the declared "
+                f"hierarchy {hlevels} on cube [{self.name}]"
+            )
+        return [self.level_column(dim, level)]
 
     def measure_agg(self, name: str):
         for k, (agg, col, alias) in self.measures.items():
@@ -255,19 +301,27 @@ def _rows_axis(node_list, cube: CubeDef):
                     )
             set_cols: list[str] = []
             for (dim, level), sel in by_level.items():
-                col = cube.level_column(dim, level)
-                if col in group_cols:
-                    # the same Mondrian error: a hierarchy may appear in
-                    # only one axis set — a duplicate would emit
-                    # duplicated grouping columns (doubled rows)
-                    raise MdxError(
-                        f"level [{dim}].[{level}] appears in more than "
-                        "one rows-axis set"
-                    )
-                set_cols.append(col)
-                group_cols.append(col)
+                # hierarchy-aware member key: the level's ancestor-chain
+                # columns (single column when no hierarchy is declared)
+                chain = cube.level_chain(dim, level)
+                for col in chain:
+                    if col in group_cols:
+                        # the same Mondrian error: a hierarchy may appear
+                        # in only one axis set — a duplicate (including a
+                        # child level whose ancestor chain overlaps a
+                        # level already selected) would emit duplicated
+                        # grouping columns (doubled rows)
+                        raise MdxError(
+                            f"level [{dim}].[{level}] (chain {chain}) "
+                            "overlaps a level already on the rows axis"
+                        )
+                    set_cols.append(col)
+                    group_cols.append(col)
                 if sel["vals"] and not sel["all_members"]:
-                    filters.setdefault(col, []).extend(sel["vals"])
+                    # the dice filters on the level's OWN column; its
+                    # ancestors stay grouping-only (visual totals per
+                    # ancestor cell)
+                    filters.setdefault(chain[-1], []).extend(sel["vals"])
             opts = [set_cols]
             if has_all and set_cols:
                 opts.append([])

@@ -8746,5 +8746,6 @@ def _apply_driver_window_order() -> None:
 from datawarehousefinal_spark import queries_r8  # noqa: E402,F401
 from datawarehousefinal_spark import queries_r9  # noqa: E402,F401
 from datawarehousefinal_spark import queries_r10  # noqa: E402,F401
+from datawarehousefinal_spark import queries_r11  # noqa: E402,F401
 
 _apply_driver_window_order()

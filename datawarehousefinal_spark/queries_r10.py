@@ -1496,6 +1496,7 @@ def _movimientos_cube(spark: SparkSession, sf_dir: str):
             .select(
                 F.year("o_orderdate").alias("anio"),
                 F.month("o_orderdate").alias("mes"),
+                F.dayofmonth("o_orderdate").alias("dia"),
                 F.col("n_name").alias("nacionalidad"),
                 F.col("c_mktsegment").alias("segmento"),
                 "o_custkey",
@@ -1509,9 +1510,15 @@ def _movimientos_cube(spark: SparkSession, sf_dir: str):
         levels={
             "Fecha.Anio": "anio",
             "Fecha.Mes": "mes",
+            "Fecha.Dia": "dia",
             "Persona.Nacionalidad": "nacionalidad",
             "Cliente.Segmento": "segmento",
         },
+        # Mondrian hierarchy order (Schema_Trabajo_Final.xml:2-13):
+        # a Mes member is keyed (anio, mes), a Dia member (anio, mes,
+        # dia) — the ancestor chain a client drilling the Fecha
+        # hierarchy expects.
+        hierarchies={"Fecha": ["Anio", "Mes", "Dia"]},
         measures={
             "Cantidad Movimientos": (
                 "count", "o_custkey", "cantidad_movimientos",
@@ -1740,6 +1747,7 @@ def _envios_cube(spark: SparkSession, sf_dir: str):
             .select(
                 F.year("l_shipdate").alias("anio"),
                 F.month("l_shipdate").alias("mes"),
+                F.dayofmonth("l_shipdate").alias("dia"),
                 F.col("p_brand").alias("marca"),
                 F.col("n_name").alias("nacion"),
                 "l_orderkey",
@@ -1753,9 +1761,11 @@ def _envios_cube(spark: SparkSession, sf_dir: str):
         levels={
             "Fecha.Anio": "anio",
             "Fecha.Mes": "mes",
+            "Fecha.Dia": "dia",
             "Pieza.Marca": "marca",
             "Proveedor.Nacion": "nacion",
         },
+        hierarchies={"Fecha": ["Anio", "Mes", "Dia"]},
         measures={
             "Cantidad Movimientos": (
                 "count", "l_orderkey", "cantidad_movimientos",

@@ -247,6 +247,172 @@ def test_mdx_unknown_dimension_all_is_loud(spark):
         )
 
 
+def _hier_cube(spark):
+    """The toy cube with a declared 3-level Fecha hierarchy (Anio >
+    Mes > Dia) — the reference's Mondrian time-dimension shape."""
+    def star_builder():
+        return spark.createDataFrame(
+            [
+                (2024, 1, 5, "AR", 10.0),
+                (2024, 1, 6, "BR", 30.0),
+                (2024, 2, 5, "AR", 20.0),
+                (2025, 1, 5, "AR", 40.0),
+                (2025, 2, 7, "CL", 50.0),
+            ],
+            "anio int, mes int, dia int, pais string, medida double",
+        )
+
+    return CubeDef(
+        name="Toy",
+        star_builder=star_builder,
+        levels={
+            "Fecha.Anio": "anio",
+            "Fecha.Mes": "mes",
+            "Fecha.Dia": "dia",
+            "Persona.Pais": "pais",
+        },
+        measures={
+            "Cantidad": ("count", "medida", "n"),
+            "Total": ("sum", "medida", "sum_medida"),
+        },
+        hierarchies={"Fecha": ["Anio", "Mes", "Dia"]},
+    )
+
+
+def test_mdx_hierarchy_month_members_keyed_by_year(spark):
+    # [Fecha].[Mes].Members must yield (anio, mes) cells — January 2024
+    # and January 2025 are DIFFERENT members
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[Mes].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["mes"]): r["n"] for r in rows}
+    assert got == {
+        (2024, 1): 2, (2024, 2): 1, (2025, 1): 1, (2025, 2): 1,
+    }
+
+
+def test_mdx_hierarchy_day_members_full_chain(spark):
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Dia].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert set(rows[0].asDict()) == {"anio", "mes", "dia", "sum_medida"}
+    got = {(r["anio"], r["mes"], r["dia"]): r["sum_medida"] for r in rows}
+    assert got[(2024, 1, 5)] == 10.0 and got[(2025, 2, 7)] == 50.0
+    assert len(got) == 5
+
+
+def test_mdx_hierarchy_member_dice_filters_leaf_only(spark):
+    # dicing {[Fecha].[Mes].[1]} filters mes=1 but still groups by the
+    # chain — one cell per (year, January)
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Mes].[1]} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["mes"]): r["sum_medida"] for r in rows}
+    assert got == {(2024, 1): 40.0, (2025, 1): 40.0}
+
+
+def test_mdx_hierarchy_all_plus_child_level_lattice(spark):
+    # {(All), Mes.Members}: leaf cells at (anio, mes) plus the single
+    # All cell — no intermediate (anio) subtotal (the set names only
+    # those two member collections)
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[(All)], [Fecha].[Mes].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    cells = {(r["anio"], r["mes"]): r["n"] for r in rows}
+    assert cells[(None, None)] == 5
+    assert cells[(2024, 1)] == 2
+    assert len(cells) == 5  # 4 leaf cells + All
+
+
+def test_mdx_hierarchy_chain_overlap_is_loud(spark):
+    # Anio.Members x Mes.Members: Mes's chain includes anio — the same
+    # hierarchy on two axis sets, a Mondrian error (and silently wrong
+    # under naive single-column keys)
+    with pytest.raises(MdxError):
+        parse_mdx(
+            """
+            SELECT {[Measures].[Cantidad]} ON COLUMNS,
+                   CROSSJOIN({[Fecha].[Anio].Members},
+                             {[Fecha].[Mes].Members}) ON ROWS
+            FROM [Toy]
+            """,
+            _hier_cube(spark),
+        )
+
+
+def test_mdx_hierarchy_undeclared_level_is_loud(spark):
+    cube = _hier_cube(spark)
+    cube.levels["Fecha.Quarter"] = "mes"  # level exists, not in chain
+    with pytest.raises(MdxError):
+        parse_mdx(
+            """
+            SELECT {[Measures].[Cantidad]} ON COLUMNS,
+                   {[Fecha].[Quarter].Members} ON ROWS
+            FROM [Toy]
+            """,
+            cube,
+        )
+
+
+def test_mdx_empty_input_emits_no_all_cell(spark):
+    # the documented NON EMPTY decision: a slicer that empties the
+    # star emits ZERO rows — including the hasAll grand-total cell
+    # (Spark's Expand + HashAggregate has no input groups), so
+    # NON EMPTY is a true no-op on every reachable plan
+    cube = _hier_cube(spark)
+    rows = mdx_query(
+        cube,
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[(All)], [Fecha].[Anio].Members} ON ROWS
+        FROM [Toy] WHERE ([Persona].[Pais].[XX])
+        """,
+    ).collect()
+    assert rows == []
+
+
+def test_mdx_non_hierarchy_dims_keep_single_column_keys(spark):
+    # Persona declares no hierarchy: Pais members stay single-column
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert set(rows[0].asDict()) == {"pais", "n"}
+    assert {r["pais"] for r in rows} == {"AR", "BR", "CL"}
+
+
+def test_mdx_drilldown_faces_registered():
+    import __spark_entry__ as m
+
+    qs, os_ = m.queries(), m.oracle_sql()
+    for face in ("mdx_month_drilldown", "mdx_day_drilldown"):
+        assert face in qs and face in os_
+
+
 def test_mdx_duplicate_measure_is_loud(spark):
     with pytest.raises(MdxError):
         parse_mdx(
