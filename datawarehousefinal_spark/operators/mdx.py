@@ -13,6 +13,14 @@ Supported subset (the shapes the reference schema can answer):
 
 - ``SELECT {<measures>} ON COLUMNS, <set> ON ROWS FROM [Cube]``
 - measure references ``[Measures].[Name]``
+- ``WITH MEMBER [Measures].[Name] AS <expr>`` calculated measures:
+  arithmetic (``+ - * /``, parens, unary minus, numeric literals) over
+  base measures and previously-defined calculated members, evaluated
+  AFTER aggregation (Mondrian solve-order-0 semantics — exactly one
+  aggregation pass, the calculation is a post-agg projection). The
+  expression may be quoted (``AS '...'``, classic Mondrian) or bare
+  (modern MDX). Output column = the member name lowercased with
+  non-alphanumerics collapsed to ``_``.
 - level member sets ``{[Dim].[Level].Members}`` (drill to a level).
   HIERARCHY-AWARE: when the cube declares a level hierarchy for the
   dimension (``CubeDef.hierarchies``, e.g. Fecha = Anio > Mes > Dia,
@@ -22,17 +30,38 @@ Supported subset (the shapes the reference schema can answer):
   grain expects (January 1997 is a DIFFERENT member than January
   1998). Dimensions without a declared hierarchy keep single-column
   keys.
+- member drill-down ``[Dim].[Level].[member].Children``: the members
+  of the NEXT level of the declared hierarchy under that member —
+  ``[Fecha].[Anio].[1997].Children`` groups by the (Anio, Mes) chain
+  diced to Anio = 1997. Children of two parents in one set union
+  (parent IN (...)); loud on a dimension without a declared hierarchy,
+  on the hierarchy's leaf level, and when the same set mixes a
+  Children drill with an explicit member dice of the child level (a
+  disjunctive shape this conjunctive-filter translator cannot express).
 - explicit member sets ``{[Dim].[Level].[v1], [Dim].[Level].[v2]}``
   (a dice: group by the level — ancestor-chain-keyed when a hierarchy
   is declared — keep the named members)
 - ``CROSSJOIN(<set>, <set>)`` / nested crossjoins (multi-dim rows axis)
+- ``TOPCOUNT(<set>, <n>, [Measures].[M])`` on the rows axis: the n
+  set members ranking highest by the (base or calculated) measure,
+  ties broken by the grouping columns ascending so the result is
+  deterministic (documented divergence from Mondrian's unspecified
+  tie order). Translates to ``ORDER BY measure DESC, keys LIMIT n``
+  after aggregation — at 100 TB a TakeOrderedAndProject over the
+  aggregate, never a full sort of the fact.
+- ``FILTER(<set>, <measure-expr> <cmp> <measure-expr>)`` on the rows
+  axis: a post-aggregation HAVING (cmp in ``< <= > >= = <>``); the
+  sides are calculated-member expressions, so ratios and composites
+  filter too. TOPCOUNT/FILTER nest (evaluated innermost-first).
 - the grand-total member ``[Dim].[(All)]`` (every reference hierarchy
   declares ``hasAll="true"``): a set mixing ``(All)`` with a level
   drilldown — ``{[Fecha].[(All)], [Fecha].[Anio].Members}`` — expands
   to GROUPING SETS (the level cells plus the all-member cell, NULL in
   the level column, Spark rollup convention); crossjoined All sets
   multiply into the grouping-set lattice, all in ONE Expand +
-  HashAggregate pass (never a per-level re-scan)
+  HashAggregate pass (never a per-level re-scan). TOPCOUNT/FILTER
+  over an All-lattice would rank/filter cells of MIXED grain — loud
+  MdxError, never a silently grain-mixed answer.
 - ``NON EMPTY`` on the rows axis — a DOCUMENTED no-op: groupBy only
   materializes non-empty cells, and for hasAll grouping-set lattices
   Spark's Expand + HashAggregate emits ZERO rows on empty input (the
@@ -46,17 +75,21 @@ Supported subset (the shapes the reference schema can answer):
   All cell over a diced set totals the VISIBLE members (MDX
   ``VisualTotals`` semantics) — documented, deterministic, oracled.
 
-Deliberately out of scope (the schema never exercises them): calculated
-members, named sets, ``PARALLELPERIOD``/time intelligence, member
-properties, sub-selects.
+Deliberately out of scope (the schema never exercises them): named
+sets, ``PARALLELPERIOD``/time intelligence, member properties,
+sub-selects, ``ORDER``/``HEAD``/``TAIL`` (TopCount covers the ranking
+shape clients use).
 
 Execution model: the cube definition supplies a DENORMALIZED star
 builder (broadcast dim joins — the same star the SQL serving path
 registers) plus level→column and measure→aggregate mappings; the
 translated query is one ``groupBy(levels).agg(measures)`` over the
-slicer-filtered star. At 100 TB that is exactly the hand-written plan:
-slicer predicates push through the star's dim joins, the fact shuffles
-once on the grouping keys, aggregates partially combine map-side.
+slicer-filtered star, followed by at most a projection (calculated
+members), a HAVING filter, and a top-n. At 100 TB that is exactly the
+hand-written plan: slicer predicates push through the star's dim
+joins, the fact shuffles once on the grouping keys, aggregates
+partially combine map-side, and TopCount is a TakeOrderedAndProject
+over group-count-many rows.
 """
 
 from __future__ import annotations
@@ -65,7 +98,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -132,6 +165,31 @@ class CubeDef:
             )
         return [self.level_column(dim, level)]
 
+    def child_level(self, dim: str, level: str) -> str:
+        """The level one below ``level`` in ``dim``'s declared
+        hierarchy — what ``[member].Children`` drills to. Loud when the
+        dimension has no declared hierarchy or the level is its leaf."""
+        for hdim, hlevels in self.hierarchies.items():
+            if hdim.lower() != dim.lower():
+                continue
+            for i, lvl in enumerate(hlevels):
+                if lvl.lower() == level.lower():
+                    if i + 1 >= len(hlevels):
+                        raise MdxError(
+                            f"[{dim}].[{level}] is the leaf of its "
+                            f"hierarchy — Children is empty by "
+                            f"construction on cube [{self.name}]"
+                        )
+                    return hlevels[i + 1]
+            raise MdxError(
+                f"level [{dim}].[{level}] is not in the declared "
+                f"hierarchy {hlevels} on cube [{self.name}]"
+            )
+        raise MdxError(
+            f"Children needs a declared hierarchy for dimension "
+            f"[{dim}] on cube [{self.name}]"
+        )
+
     def measure_agg(self, name: str):
         for k, (agg, col, alias) in self.measures.items():
             if k.lower() == name.lower():
@@ -150,13 +208,41 @@ class CubeDef:
             f"unknown measure [Measures].[{name}] on cube [{self.name}]"
         )
 
+    def measure_alias(self, name: str) -> str:
+        for k, (_agg, _col, alias) in self.measures.items():
+            if k.lower() == name.lower():
+                return alias
+        raise MdxError(
+            f"unknown measure [Measures].[{name}] on cube [{self.name}]"
+        )
+
+    def has_measure(self, name: str) -> bool:
+        return name.lower() in {k.lower() for k in self.measures}
+
+
+def _calc_alias(name: str) -> str:
+    """Deterministic output column for a calculated member: lowercase,
+    non-alphanumerics collapsed to single underscores."""
+    return re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+
+
+def _coerce_member(value: str):
+    """Member names arrive as bracketed text; integer-looking ones
+    (e.g. [Fecha].[Anio].[1997]) compare against INT/BIGINT level
+    columns, so coerce them to Python ints — an exact predicate, never
+    a string-vs-int implicit cast left to engine-specific rules."""
+    return int(value) if re.fullmatch(r"-?\d+", value) else value
+
 
 # -- tokenizer ---------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<seg>\[[^\]]*\])       # [bracketed segment]
+      | (?P<quote>'[^']*')        # 'quoted calculated-member body'
+      | (?P<num>\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op><=|>=|<>|[<>=+\-*/])
       | (?P<punct>[{}(),.])
     )""",
     re.VERBOSE,
@@ -173,8 +259,14 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             break
         if m.group("seg") is not None:
             out.append(("seg", m.group("seg")[1:-1]))
+        elif m.group("quote") is not None:
+            out.append(("quote", m.group("quote")[1:-1]))
+        elif m.group("num") is not None:
+            out.append(("num", m.group("num")))
         elif m.group("word") is not None:
             out.append(("word", m.group("word")))
+        elif m.group("op") is not None:
+            out.append(("op", m.group("op")))
         else:
             out.append(("punct", m.group("punct")))
         pos = m.end()
@@ -204,23 +296,71 @@ class _Parser:
         if kind != "punct" or val != p:
             raise MdxError(f"expected {p!r}, got {val!r}")
 
-    # member path: [Seg].[Seg](.[Seg] | .Members)*
+    # member path: [Seg].[Seg](.[Seg] | .Members | .Children)*
     def member_path(self):
         kind, val = self.next()
         if kind != "seg":
             raise MdxError(f"expected [segment], got {val!r}")
-        segs, members = [val], False
+        segs, suffix = [val], None
         while self.peek() == ("punct", "."):
             self.next()
             kind, val = self.next()
             if kind == "seg":
                 segs.append(val)
             elif kind == "word" and val.upper() == "MEMBERS":
-                members = True
+                suffix = "members"
+                break
+            elif kind == "word" and val.upper() == "CHILDREN":
+                suffix = "children"
                 break
             else:
-                raise MdxError(f"expected [segment] or Members, got {val!r}")
-        return segs, members
+                raise MdxError(
+                    f"expected [segment], Members or Children, got {val!r}"
+                )
+        return segs, suffix
+
+    def measure_ref(self) -> str:
+        """A [Measures].[Name] path; returns Name."""
+        segs, suffix = self.member_path()
+        if len(segs) != 2 or segs[0].lower() != "measures" or suffix:
+            raise MdxError(
+                f"expected a [Measures].[Name] reference, got {segs}"
+            )
+        return segs[1]
+
+    # calculated-member / FILTER arithmetic --------------------------------
+    # expr := term (('+'|'-') term)* ; term := unary (('*'|'/') unary)*
+    # unary := '-' unary | num | '(' expr ')' | [Measures].[Name]
+    def calc_expr(self):
+        node = self._calc_term()
+        while self.peek()[0] == "op" and self.peek()[1] in "+-":
+            op = self.next()[1]
+            node = ("bin", op, node, self._calc_term())
+        return node
+
+    def _calc_term(self):
+        node = self._calc_unary()
+        while self.peek()[0] == "op" and self.peek()[1] in "*/":
+            op = self.next()[1]
+            node = ("bin", op, node, self._calc_unary())
+        return node
+
+    def _calc_unary(self):
+        kind, val = self.peek()
+        if kind == "op" and val == "-":
+            self.next()
+            return ("neg", self._calc_unary())
+        if kind == "num":
+            self.next()
+            return ("num", float(val) if "." in val else int(val))
+        if kind == "punct" and val == "(":
+            self.next()
+            node = self.calc_expr()
+            self.expect_punct(")")
+            return node
+        if kind == "seg":
+            return ("ref", self.measure_ref())
+        raise MdxError(f"expected a measure expression, got {val!r}")
 
     # set := '{' path (',' path)* '}' | CROSSJOIN '(' set ',' set ')'
     def parse_set(self):
@@ -233,6 +373,11 @@ class _Parser:
             right = self.parse_set()
             self.expect_punct(")")
             return [("crossjoin", left, right)]
+        if kind == "word" and val.upper() in ("TOPCOUNT", "FILTER"):
+            raise MdxError(
+                f"{val.upper()} may only wrap the whole rows axis, not "
+                "a CROSSJOIN branch or nested set"
+            )
         self.expect_punct("{")
         items = [self.member_path()]
         while self.peek() == ("punct", ","):
@@ -241,18 +386,51 @@ class _Parser:
         self.expect_punct("}")
         return [("set", items)]
 
+    # rows axis := TOPCOUNT '(' rows ',' n ',' measure ')'
+    #            | FILTER '(' rows ',' expr cmp expr ')'
+    #            | set
+    def parse_rows_axis(self):
+        kind, val = self.peek()
+        if kind == "word" and val.upper() == "TOPCOUNT":
+            self.next()
+            self.expect_punct("(")
+            inner = self.parse_rows_axis()
+            self.expect_punct(",")
+            nkind, nval = self.next()
+            if nkind != "num" or "." in nval or int(nval) < 1:
+                raise MdxError(
+                    f"TOPCOUNT count must be a positive integer, got {nval!r}"
+                )
+            self.expect_punct(",")
+            measure = self.measure_ref()
+            self.expect_punct(")")
+            return ("topcount", inner, int(nval), measure)
+        if kind == "word" and val.upper() == "FILTER":
+            self.next()
+            self.expect_punct("(")
+            inner = self.parse_rows_axis()
+            self.expect_punct(",")
+            left = self.calc_expr()
+            okind, oval = self.next()
+            if okind != "op" or oval not in ("<", "<=", ">", ">=", "=", "<>"):
+                raise MdxError(f"expected a comparison operator, got {oval!r}")
+            right = self.calc_expr()
+            self.expect_punct(")")
+            return ("filter", inner, (oval, left, right))
+        return ("nodes", self.parse_set())
+
 
 def _rows_axis(node_list, cube: CubeDef):
-    """Flatten the rows-axis AST into (group_columns, member_filters,
-    grouping_alternatives): every crossjoin branch and set item
-    contributes its level's column; explicit member sets additionally
-    contribute an IN filter; an ``[Dim].[(All)]`` item makes the set's
-    columns OPTIONAL — each set yields its list of grouping
-    alternatives ([cols] alone, or [cols] plus [] when All is present),
-    and the crossjoin product of alternatives is the grouping-set
-    lattice the query answers."""
+    """Flatten the rows-axis set AST into (group_columns,
+    member_filters, grouping_alternatives): every crossjoin branch and
+    set item contributes its level's column; explicit member sets
+    additionally contribute an IN filter; an ``[Dim].[(All)]`` item
+    makes the set's columns OPTIONAL — each set yields its list of
+    grouping alternatives ([cols] alone, or [cols] plus [] when All is
+    present), and the crossjoin product of alternatives is the
+    grouping-set lattice the query answers."""
     group_cols: list[str] = []
-    filters: dict[str, list[str]] = {}
+    filters: dict[str, list] = {}
     alternatives: list[list[list[str]]] = []
 
     def walk(nodes):
@@ -262,15 +440,17 @@ def _rows_axis(node_list, cube: CubeDef):
                 walk(node[2])
                 continue
             _, items = node
-            # per level: explicit members plus whether .Members appeared
-            # (a set is a UNION — .Members absorbs any explicit member of
-            # the same level, so the dice filter must then be dropped)
+            # per level: explicit members, whether .Members appeared (a
+            # set is a UNION — .Members absorbs any explicit member of
+            # the same level, so the dice filter must then be dropped),
+            # and Children drills that land on the level (keyed by
+            # parent column → parent members).
             by_level: dict[tuple[str, str], dict] = {}
             has_all = False
-            for segs, is_members in items:
+            for segs, suffix in items:
                 # the hasAll grand-total member, hierarchy-qualified
                 # ([Dim].[(All)]) or level-qualified ([Dim].[Level].[(All)])
-                if not is_members and segs[-1].lower() == "(all)" and (
+                if not suffix and segs[-1].lower() == "(all)" and (
                     len(segs) in (2, 3)
                 ):
                     if len(segs) == 3:
@@ -286,18 +466,33 @@ def _rows_axis(node_list, cube: CubeDef):
                                 f"[{cube.name}]"
                             )
                     has_all = True
-                elif len(segs) == 2 and is_members:
+                elif len(segs) == 2 and suffix == "members":
                     by_level.setdefault(
-                        (segs[0], segs[1]), {"all_members": False, "vals": []}
-                    )["all_members"] = True
-                elif len(segs) == 3 and not is_members:
+                        (segs[0], segs[1]),
+                        {"members": False, "vals": [], "parents": {}},
+                    )["members"] = True
+                elif len(segs) == 3 and suffix == "children":
+                    # [Dim].[Level].[member].Children → the next level
+                    # of the declared hierarchy, diced to the parent
+                    child = cube.child_level(segs[0], segs[1])
+                    rec = by_level.setdefault(
+                        (segs[0], child),
+                        {"members": False, "vals": [], "parents": {}},
+                    )
+                    parent_col = cube.level_column(segs[0], segs[1])
+                    rec["parents"].setdefault(parent_col, []).append(
+                        _coerce_member(segs[2])
+                    )
+                elif len(segs) == 3 and not suffix:
                     by_level.setdefault(
-                        (segs[0], segs[1]), {"all_members": False, "vals": []}
-                    )["vals"].append(segs[2])
+                        (segs[0], segs[1]),
+                        {"members": False, "vals": [], "parents": {}},
+                    )["vals"].append(_coerce_member(segs[2]))
                 else:
                     raise MdxError(
                         "rows axis items must be [Dim].[Level].Members, "
-                        f"[Dim].[Level].[member] or [Dim].[(All)], got {segs}"
+                        "[Dim].[Level].[member](.Children) or "
+                        f"[Dim].[(All)], got {segs}"
                     )
             set_cols: list[str] = []
             for (dim, level), sel in by_level.items():
@@ -317,11 +512,28 @@ def _rows_axis(node_list, cube: CubeDef):
                         )
                     set_cols.append(col)
                     group_cols.append(col)
-                if sel["vals"] and not sel["all_members"]:
+                if sel["vals"] and sel["parents"]:
+                    # {[Anio].[1997].Children, [Mes].[6]} is a UNION of
+                    # months-of-1997 with month-6-of-all-years — not a
+                    # conjunction of column filters; refuse loudly
+                    # rather than dice to their intersection.
+                    raise MdxError(
+                        f"set mixes a Children drill into [{dim}]."
+                        f"[{level}] with an explicit member dice of the "
+                        "same level — a union this translator cannot "
+                        "express as filters"
+                    )
+                if sel["members"]:
+                    # .Members is the whole level: it absorbs both
+                    # explicit dices and Children restrictions.
+                    continue
+                if sel["vals"]:
                     # the dice filters on the level's OWN column; its
                     # ancestors stay grouping-only (visual totals per
                     # ancestor cell)
                     filters.setdefault(chain[-1], []).extend(sel["vals"])
+                for parent_col, parent_vals in sel["parents"].items():
+                    filters.setdefault(parent_col, []).extend(parent_vals)
             opts = [set_cols]
             if has_all and set_cols:
                 opts.append([])
@@ -331,35 +543,90 @@ def _rows_axis(node_list, cube: CubeDef):
     return group_cols, filters, alternatives
 
 
-def parse_mdx(text: str, cube: CubeDef):
-    """Parse an MDX SELECT against ``cube``; returns
-    (measure_names, group_cols, member_filters, slicer_filters)."""
+@dataclass
+class MdxSelect:
+    """A parsed MDX SELECT: what :func:`mdx_query` executes.
+
+    ``columns`` preserves COLUMNS-axis order; each name is a base
+    measure or a key of ``calc_members`` (ordered definition ASTs).
+    ``wrappers`` lists rows-axis TOPCOUNT/FILTER nodes outermost-first
+    (execution applies them innermost-first)."""
+
+    columns: list[str]
+    calc_members: dict[str, tuple]
+    group_cols: list[str]
+    member_filters: dict[str, list]
+    slicer_filters: dict[str, list]
+    grouping_sets: list[list[str]]
+    wrappers: list[tuple]
+
+
+def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
+    """Parse an MDX [WITH MEMBER ...] SELECT against ``cube``."""
     p = _Parser(_tokenize(text))
+
+    # WITH MEMBER [Measures].[Name] AS <expr> (expr quoted or bare)
+    calc_members: dict[str, tuple] = {}
+    kind, val = p.peek()
+    if kind == "word" and val.upper() == "WITH":
+        p.next()
+        while True:
+            kind, val = p.peek()
+            if not (kind == "word" and val.upper() == "MEMBER"):
+                break
+            p.next()
+            name = p.measure_ref()
+            if cube.has_measure(name) or name.lower() in {
+                k.lower() for k in calc_members
+            }:
+                raise MdxError(
+                    f"calculated member [Measures].[{name}] collides "
+                    "with an existing measure"
+                )
+            p.expect_word("AS")
+            kind, val = p.peek()
+            if kind == "quote":
+                p.next()
+                sub = _Parser(_tokenize(val))
+                expr = sub.calc_expr()
+                if sub.peek()[0] != "eof":
+                    raise MdxError(
+                        f"trailing tokens in calculated member body "
+                        f"from {sub.peek()[1]!r}"
+                    )
+            else:
+                expr = p.calc_expr()
+            _validate_refs(expr, cube, calc_members)
+            calc_members[name] = expr
+        if not calc_members:
+            raise MdxError("WITH must declare at least one MEMBER")
+
     p.expect_word("SELECT")
 
-    # COLUMNS axis: measures
+    # COLUMNS axis: base measures and calculated members
     cols_set = p.parse_set()
     p.expect_word("ON")
     p.expect_word("COLUMNS")
     if len(cols_set) != 1 or cols_set[0][0] != "set":
         raise MdxError("COLUMNS axis must be a {measure, ...} set")
-    measure_names = []
-    for segs, is_members in cols_set[0][1]:
-        if len(segs) != 2 or segs[0].lower() != "measures" or is_members:
+    columns: list[str] = []
+    known_calc = {k.lower() for k in calc_members}
+    for segs, suffix in cols_set[0][1]:
+        if len(segs) != 2 or segs[0].lower() != "measures" or suffix:
             raise MdxError(
                 f"COLUMNS axis items must be [Measures].[Name], got {segs}"
             )
-        if segs[1].lower() not in {k.lower() for k in cube.measures}:
+        if not cube.has_measure(segs[1]) and segs[1].lower() not in known_calc:
             raise MdxError(
                 f"unknown measure [Measures].[{segs[1]}] on cube "
                 f"[{cube.name}]"
             )
-        if segs[1].lower() in {m.lower() for m in measure_names}:
+        if segs[1].lower() in {m.lower() for m in columns}:
             raise MdxError(
                 f"measure [Measures].[{segs[1]}] appears twice on the "
                 "COLUMNS axis"
             )
-        measure_names.append(segs[1])
+        columns.append(segs[1])
 
     p.expect_punct(",")
     # optional NON EMPTY
@@ -367,10 +634,32 @@ def parse_mdx(text: str, cube: CubeDef):
     if kind == "word" and val.upper() == "NON":
         p.next()
         p.expect_word("EMPTY")
-    rows_set = p.parse_set()
+    rows_node = p.parse_rows_axis()
     p.expect_word("ON")
     p.expect_word("ROWS")
-    group_cols, member_filters, alternatives = _rows_axis(rows_set, cube)
+
+    # unwrap TOPCOUNT/FILTER (outermost-first) down to the set nodes
+    wrappers: list[tuple] = []
+    while rows_node[0] in ("topcount", "filter"):
+        if rows_node[0] == "topcount":
+            _, inner, n, measure = rows_node
+            if not cube.has_measure(measure) and (
+                measure.lower() not in known_calc
+            ):
+                raise MdxError(
+                    f"TOPCOUNT ranks by unknown measure "
+                    f"[Measures].[{measure}] on cube [{cube.name}]"
+                )
+            wrappers.append(("topcount", n, measure))
+        else:
+            _, inner, cond = rows_node
+            _validate_refs(cond[1], cube, calc_members)
+            _validate_refs(cond[2], cube, calc_members)
+            wrappers.append(("filter", cond))
+        rows_node = inner
+    group_cols, member_filters, alternatives = _rows_axis(
+        rows_node[1], cube
+    )
     if not alternatives:
         raise MdxError("ROWS axis selected no levels")
     # crossjoin product of each set's grouping alternatives = the
@@ -386,6 +675,11 @@ def parse_mdx(text: str, cube: CubeDef):
         if key not in _seen:
             _seen.add(key)
             grouping_sets.append(gs)
+    if wrappers and len(grouping_sets) > 1:
+        raise MdxError(
+            "TOPCOUNT/FILTER over a set containing [(All)] would "
+            "rank/filter cells of mixed grain — not supported"
+        )
 
     p.expect_word("FROM")
     kind, val = p.next()
@@ -394,20 +688,22 @@ def parse_mdx(text: str, cube: CubeDef):
     if val.lower() != cube.name.lower():
         raise MdxError(f"query addresses cube [{val}], not [{cube.name}]")
 
-    slicer_filters: dict[str, list[str]] = {}
+    slicer_filters: dict[str, list] = {}
     kind, val = p.peek()
     if kind == "word" and val.upper() == "WHERE":
         p.next()
         p.expect_punct("(")
         while True:
-            segs, is_members = p.member_path()
-            if len(segs) != 3 or is_members:
+            segs, suffix = p.member_path()
+            if len(segs) != 3 or suffix:
                 raise MdxError(
                     f"slicer members must be [Dim].[Level].[member], "
                     f"got {segs}"
                 )
             col = cube.level_column(segs[0], segs[1])
-            slicer_filters.setdefault(col, []).append(segs[2])
+            slicer_filters.setdefault(col, []).append(
+                _coerce_member(segs[2])
+            )
             if p.peek() == ("punct", ","):
                 p.next()
                 continue
@@ -415,30 +711,177 @@ def parse_mdx(text: str, cube: CubeDef):
         p.expect_punct(")")
     if p.peek()[0] != "eof":
         raise MdxError(f"trailing tokens from {p.peek()[1]!r}")
-    return (
-        measure_names,
-        group_cols,
-        member_filters,
-        slicer_filters,
-        grouping_sets,
+    return MdxSelect(
+        columns=columns,
+        calc_members=calc_members,
+        group_cols=group_cols,
+        member_filters=member_filters,
+        slicer_filters=slicer_filters,
+        grouping_sets=grouping_sets,
+        wrappers=wrappers,
     )
 
 
+def _validate_refs(expr, cube: CubeDef, calc_members: dict) -> None:
+    """Every ("ref", name) in a calculated-member / FILTER expression
+    must name a base measure or an ALREADY-DEFINED calculated member
+    (Mondrian definition-order scoping) — loud otherwise."""
+    kind = expr[0]
+    if kind == "ref":
+        name = expr[1]
+        if not cube.has_measure(name) and name.lower() not in {
+            k.lower() for k in calc_members
+        }:
+            raise MdxError(
+                f"expression references unknown measure "
+                f"[Measures].[{name}] on cube [{cube.name}]"
+            )
+    elif kind == "bin":
+        _validate_refs(expr[2], cube, calc_members)
+        _validate_refs(expr[3], cube, calc_members)
+    elif kind == "neg":
+        _validate_refs(expr[1], cube, calc_members)
+
+
+def _collect_base_refs(expr, cube: CubeDef, calc_members: dict, out: list):
+    """Base measures an expression (transitively) depends on, in
+    first-encounter order."""
+    kind = expr[0]
+    if kind == "ref":
+        name = expr[1]
+        if cube.has_measure(name):
+            if name.lower() not in {m.lower() for m in out}:
+                out.append(name)
+        else:
+            for k, sub in calc_members.items():
+                if k.lower() == name.lower():
+                    _collect_base_refs(sub, cube, calc_members, out)
+                    break
+    elif kind == "bin":
+        _collect_base_refs(expr[2], cube, calc_members, out)
+        _collect_base_refs(expr[3], cube, calc_members, out)
+    elif kind == "neg":
+        _collect_base_refs(expr[1], cube, calc_members, out)
+
+
+def _build_expr(expr, cube: CubeDef, calc_members: dict) -> Column:
+    """Compile a calculated-member AST to a post-aggregation Column:
+    base measure refs become their agg output columns, calc refs inline
+    their definitions (solve-order 0: everything is one projection
+    over one aggregate)."""
+    kind = expr[0]
+    if kind == "num":
+        return F.lit(expr[1])
+    if kind == "neg":
+        return -_build_expr(expr[1], cube, calc_members)
+    if kind == "ref":
+        name = expr[1]
+        if cube.has_measure(name):
+            return F.col(cube.measure_alias(name))
+        for k, sub in calc_members.items():
+            if k.lower() == name.lower():
+                return _build_expr(sub, cube, calc_members)
+        raise MdxError(f"unknown measure reference [{name}]")
+    op, left, right = expr[1], expr[2], expr[3]
+    lc = _build_expr(left, cube, calc_members)
+    rc = _build_expr(right, cube, calc_members)
+    if op == "+":
+        return lc + rc
+    if op == "-":
+        return lc - rc
+    if op == "*":
+        return lc * rc
+    if op == "/":
+        return lc / rc
+    raise MdxError(f"unsupported operator {op!r}")
+
+
+_CMP = {
+    "<": Column.__lt__,
+    "<=": Column.__le__,
+    ">": Column.__gt__,
+    ">=": Column.__ge__,
+    "=": Column.__eq__,
+    "<>": Column.__ne__,
+}
+
+
 def mdx_query(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
-    """Run an MDX SELECT against a cube: build the star, apply slicer
-    and rows-axis member filters (both BEFORE aggregation — they reach
-    the scans through the star's broadcast joins), group by the rows-
-    axis level columns, aggregate the COLUMNS-axis measures. A rows
-    axis without ``(All)`` members is a plain groupBy; with them, the
-    grouping-set lattice runs as ONE Expand + HashAggregate (All cells
-    carry NULL in their level columns, the Spark rollup convention).
-    Either way: one shuffle, partial aggregation, no driver-side
-    evaluation."""
-    measures, group_cols, member_f, slicer_f, gsets = parse_mdx(mdx, cube)
+    """Run an MDX [WITH ...] SELECT against a cube: build the star,
+    apply slicer and rows-axis member filters (both BEFORE aggregation
+    — they reach the scans through the star's broadcast joins), group
+    by the rows-axis level columns, aggregate every base measure the
+    COLUMNS axis / calculated members / wrappers need, then project
+    calculated members, apply FILTER (a HAVING over group-count-many
+    rows) and TOPCOUNT (ORDER BY measure DESC, keys LIMIT n — a
+    TakeOrderedAndProject, never a fact-sized sort) innermost-first.
+    A rows axis without ``(All)`` members is a plain groupBy; with
+    them, the grouping-set lattice runs as ONE Expand + HashAggregate
+    (All cells carry NULL in their level columns, the Spark rollup
+    convention). Either way: one shuffle, partial aggregation, no
+    driver-side evaluation."""
+    sel = parse_mdx(mdx, cube)
     star = cube.star_builder(*star_args)
-    for col, vals in (*slicer_f.items(), *member_f.items()):
+    for col, vals in (
+        *sel.slicer_filters.items(),
+        *sel.member_filters.items(),
+    ):
         star = star.filter(F.col(col).isin(vals))
-    aggs = [cube.measure_agg(m) for m in measures]
-    if len(gsets) == 1:
-        return star.groupBy(*gsets[0]).agg(*aggs)
-    return star.groupingSets(gsets, *group_cols).agg(*aggs)
+
+    # base measures needed: COLUMNS-axis bases + transitive deps of
+    # calc members on the axis + wrapper refs
+    needed: list[str] = []
+    for name in sel.columns:
+        if cube.has_measure(name):
+            if name.lower() not in {m.lower() for m in needed}:
+                needed.append(name)
+        else:
+            expr = next(
+                v for k, v in sel.calc_members.items()
+                if k.lower() == name.lower()
+            )
+            _collect_base_refs(expr, cube, sel.calc_members, needed)
+    for w in sel.wrappers:
+        if w[0] == "topcount":
+            ref = ("ref", w[2])
+        else:
+            ref = ("bin", "+", w[1][1], w[1][2])
+        _collect_base_refs(ref, cube, sel.calc_members, needed)
+    if not needed:
+        raise MdxError("query selects no base measures to aggregate")
+
+    aggs = [cube.measure_agg(m) for m in needed]
+    if len(sel.grouping_sets) == 1:
+        out = star.groupBy(*sel.grouping_sets[0]).agg(*aggs)
+    else:
+        out = star.groupingSets(
+            sel.grouping_sets, *sel.group_cols
+        ).agg(*aggs)
+
+    def resolve(name: str) -> Column:
+        return _build_expr(("ref", name), cube, sel.calc_members)
+
+    # wrappers were collected outermost-first; execute innermost-first
+    for w in reversed(sel.wrappers):
+        if w[0] == "filter":
+            op, left, right = w[1]
+            out = out.filter(
+                _CMP[op](
+                    _build_expr(left, cube, sel.calc_members),
+                    _build_expr(right, cube, sel.calc_members),
+                )
+            )
+        else:
+            _tag, n, measure = w
+            out = out.orderBy(
+                resolve(measure).desc(),
+                *[F.col(c) for c in sel.group_cols],
+            ).limit(n)
+
+    final = [F.col(c) for c in sel.group_cols]
+    for name in sel.columns:
+        if cube.has_measure(name):
+            final.append(F.col(cube.measure_alias(name)))
+        else:
+            final.append(resolve(name).alias(_calc_alias(name)))
+    return out.select(*final)

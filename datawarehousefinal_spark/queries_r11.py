@@ -114,3 +114,157 @@ def mdx_day_drilldown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.queries_r10 import _envios_cube
 
     return mdx_query(_envios_cube(spark, sf_dir), _MDX_DAY_STATEMENT)
+
+
+# ---------------------------------------------------------------------------
+# MDX language depth: WITH MEMBER, TopCount, Filter, Children
+# ---------------------------------------------------------------------------
+
+_MDX_CALC_STATEMENT = """
+WITH MEMBER [Measures].[Medida Total] AS
+     '[Measures].[Promedio Medida] * [Measures].[Cantidad Movimientos]'
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Medida Total]}
+       ON COLUMNS,
+       {[Fecha].[Anio].Members} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_calculated_member",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) * count(o.o_custkey) AS medida_total
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def mdx_calculated_member_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH MEMBER`` calculated measures through the MDX front door
+    (operators/mdx.py): the classic Mondrian quoted-expression syntax
+    defines ``[Medida Total] = [Promedio Medida] * [Cantidad
+    Movimientos]`` and the translator evaluates it AFTER aggregation
+    (solve-order-0) as a post-agg projection — exactly one aggregation
+    pass, the calculation never re-scans the fact. The oracle computes
+    the identical ``avg * count`` formula so both engines share the
+    same double rounding story (hash at 6 significant digits). 100 TB
+    shape: unchanged from every cube face — slicer through the
+    broadcast star, one shuffle on anio, plus a zero-cost projection."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_CALC_STATEMENT)
+
+
+_MDX_TOPCOUNT_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos]} ON COLUMNS,
+       TOPCOUNT({[Pieza].[Marca].Members}, 5,
+                [Measures].[Cantidad Movimientos]) ON ROWS
+FROM [Envios]
+"""
+
+
+@query(
+    "mdx_topcount",
+    oracle="""
+    SELECT p.p_brand AS marca,
+           count(l.l_orderkey) AS cantidad_movimientos
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    ORDER BY cantidad_movimientos DESC, marca
+    LIMIT 5
+    """,
+)
+def mdx_topcount_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TOPCOUNT`` on the rows axis: the 5 brands ranking highest by
+    the count measure on the lineitem-fact Envios cube, ties broken by
+    the grouping column ascending so both engines pick the same cut
+    (documented divergence from Mondrian's unspecified tie order; the
+    ranking measure is an exact BIGINT count, so the comparison itself
+    can never diverge). Plan: one shuffle to the brand aggregate, then
+    a TakeOrderedAndProject over brand-count-many rows — at 100 TB the
+    top-n never sorts the fact, only the (tiny) aggregate."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _envios_cube
+
+    return mdx_query(_envios_cube(spark, sf_dir), _MDX_TOPCOUNT_STATEMENT)
+
+
+_MDX_FILTER_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Promedio Medida]}
+       ON COLUMNS,
+       FILTER({[Persona].[Nacionalidad].Members},
+              [Measures].[Cantidad Movimientos] > 600) ON ROWS
+FROM [Movimientos]
+"""
+
+
+@query(
+    "mdx_filter_having",
+    oracle="""
+    SELECT n.n_name AS nacionalidad,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    HAVING count(o.o_custkey) > 600
+    """,
+)
+def mdx_filter_having_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FILTER`` on the rows axis is a post-aggregation HAVING: keep
+    the nationality members whose movement count exceeds a threshold.
+    The condition compares an exact BIGINT count with an integer
+    literal — engine-identical, no boundary rounding can flip a row in
+    or out. Plan: the HAVING filters group-count-many rows after the
+    single aggregation shuffle; at 100 TB it never touches the fact a
+    second time."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_FILTER_STATEMENT)
+
+
+_MDX_CHILDREN_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos]} ON COLUMNS,
+       {[Fecha].[Anio].[1997].Children} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[MACHINERY])
+"""
+
+
+@query(
+    "mdx_children_drilldown",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+           count(o.o_custkey) AS cantidad_movimientos
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+      AND year(o.o_orderdate) = 1997
+    GROUP BY 1, 2
+    """,
+)
+def mdx_children_drilldown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``[member].Children`` — THE drill-down gesture of every OLAP
+    client: expanding year 1997 yields its months, keyed by the full
+    (anio, mes) ancestor chain and diced to the parent member. The
+    member literal ``[1997]`` is coerced to an exact integer predicate
+    against the INT level column (never a string-vs-int engine cast).
+    Plan: the parent dice applies at the scan edge BEFORE aggregation
+    (a Filter directly over the fact scan — on a date-partitioned
+    fact it becomes partition pruning, so drilling into one year
+    reads one year)."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_CHILDREN_STATEMENT
+    )

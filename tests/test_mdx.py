@@ -46,7 +46,7 @@ def _toy_cube(spark):
 
 def test_parse_members_crossjoin_slicer(spark):
     cube = _toy_cube(spark)
-    measures, group_cols, member_f, slicer_f, gsets = parse_mdx(
+    sel = parse_mdx(
         """
         SELECT {[Measures].[Cantidad], [Measures].[Total]} ON COLUMNS,
                NON EMPTY CROSSJOIN({[Fecha].[Anio].Members},
@@ -57,11 +57,11 @@ def test_parse_members_crossjoin_slicer(spark):
         """,
         cube,
     )
-    assert measures == ["Cantidad", "Total"]
-    assert group_cols == ["anio", "pais"]
-    assert member_f == {"pais": ["AR", "BR"]}
-    assert slicer_f == {"seg": ["A"]}
-    assert gsets == [["anio", "pais"]]
+    assert sel.columns == ["Cantidad", "Total"]
+    assert sel.group_cols == ["anio", "pais"]
+    assert sel.member_filters == {"pais": ["AR", "BR"]}
+    assert sel.slicer_filters == {"seg": ["A"]}
+    assert sel.grouping_sets == [["anio", "pais"]]
 
 
 def test_mdx_query_matches_hand_written(spark):
@@ -424,3 +424,269 @@ def test_mdx_duplicate_measure_is_loud(spark):
             """,
             _toy_cube(spark),
         )
+
+
+# -- round-11 extensions: WITH MEMBER, TopCount, Filter, Children ------------
+
+
+def test_mdx_calculated_member_quoted_and_bare(spark):
+    cube = _toy_cube(spark)
+    for body in (
+        "'[Measures].[Total] / [Measures].[Cantidad]'",
+        "[Measures].[Total] / [Measures].[Cantidad]",
+    ):
+        rows = mdx_query(
+            cube,
+            f"""
+            WITH MEMBER [Measures].[Ticket Medio] AS {body}
+            SELECT {{[Measures].[Cantidad], [Measures].[Ticket Medio]}}
+                   ON COLUMNS,
+                   {{[Fecha].[Anio].Members}} ON ROWS
+            FROM [Toy]
+            """,
+        ).collect()
+        got = {r["anio"]: (r["n"], r["ticket_medio"]) for r in rows}
+        assert got == {2024: (3, 20.0), 2025: (2, 45.0)}
+
+
+def test_mdx_calculated_member_arithmetic_and_chaining(spark):
+    # a calc member referencing an earlier calc member, with literals,
+    # parens and unary minus
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Doble] AS [Measures].[Total] * 2
+             MEMBER [Measures].[Ajuste] AS ([Measures].[Doble] + 10) - -5
+        SELECT {[Measures].[Ajuste]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {r["anio"]: r["ajuste"] for r in rows}
+    assert got == {2024: 60.0 * 2 + 15, 2025: 90.0 * 2 + 15}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # collides with a base measure
+        "WITH MEMBER [Measures].[Cantidad] AS 1 "
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # references an unknown measure
+        "WITH MEMBER [Measures].[X] AS [Measures].[Nope] "
+        "SELECT {[Measures].[X]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # forward reference (definition-order scoping)
+        "WITH MEMBER [Measures].[A] AS [Measures].[B] "
+        "MEMBER [Measures].[B] AS 1 "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # WITH without MEMBER
+        "WITH SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # calc member never aggregates anything
+        "WITH MEMBER [Measures].[K] AS 1 "
+        "SELECT {[Measures].[K]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_calculated_member_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad)
+
+
+def test_mdx_topcount_with_deterministic_ties(spark):
+    # pais totals: AR=70, BR=30, CL=50 → top2 = AR, CL
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               TOPCOUNT({[Persona].[Pais].Members}, 2,
+                        [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["pais"], r["sum_medida"]) for r in rows} == {
+        ("AR", 70.0), ("CL", 50.0),
+    }
+    # tie at the cut: counts AR=3, BR=1, CL=1 → top2 keeps BR (asc name)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               TOPCOUNT({[Persona].[Pais].Members}, 2,
+                        [Measures].[Cantidad]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {r["pais"] for r in rows} == {"AR", "BR"}
+
+
+def test_mdx_topcount_measure_not_on_columns(spark):
+    # ranking measure needs aggregating even when not projected
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               TOPCOUNT({[Persona].[Pais].Members}, 1,
+                        [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["n"]) for r in rows] == [("AR", 3)]
+    assert rows[0].asDict().keys() == {"pais", "n"}
+
+
+def test_mdx_filter_is_post_aggregation_having(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               FILTER({[Persona].[Pais].Members},
+                      [Measures].[Total] >= 50) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["pais"], r["sum_medida"]) for r in rows} == {
+        ("AR", 70.0), ("CL", 50.0),
+    }
+
+
+def test_mdx_filter_on_calculated_expression(spark):
+    # ratio condition: avg-per-row = Total/Cantidad > 25
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               FILTER({[Persona].[Pais].Members},
+                      [Measures].[Total] / [Measures].[Cantidad] > 25)
+                   ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    # per-pais avgs: AR=23.33, BR=30, CL=50
+    assert {r["pais"] for r in rows} == {"BR", "CL"}
+
+
+def test_mdx_topcount_of_filter_nests_innermost_first(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               TOPCOUNT(FILTER({[Persona].[Pais].Members},
+                               [Measures].[Total] < 60),
+                        1, [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    # filter drops AR(70); top-1 of {BR:30, CL:50} = CL
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [("CL", 50.0)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # wrapper inside a crossjoin branch
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "CROSSJOIN(TOPCOUNT({[Persona].[Pais].Members}, 2, "
+        "[Measures].[Cantidad]), {[Fecha].[Anio].Members}) ON ROWS "
+        "FROM [Toy]",
+        # wrapper over an All-lattice mixes grains
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "TOPCOUNT({[Persona].[(All)], [Persona].[Pais].Members}, 2, "
+        "[Measures].[Cantidad]) ON ROWS FROM [Toy]",
+        # non-integer count
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "TOPCOUNT({[Persona].[Pais].Members}, 2.5, "
+        "[Measures].[Cantidad]) ON ROWS FROM [Toy]",
+        # unknown ranking measure
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "TOPCOUNT({[Persona].[Pais].Members}, 2, [Measures].[Nope]) "
+        "ON ROWS FROM [Toy]",
+        # bad comparison operator arity
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "FILTER({[Persona].[Pais].Members}, [Measures].[Cantidad]) "
+        "ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_wrapper_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad)
+
+
+def test_mdx_children_drills_one_level_with_parent_dice(spark):
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[Anio].[2024].Children} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["mes"]): r["n"] for r in rows}
+    assert got == {(2024, 1): 2, (2024, 2): 1}
+
+
+def test_mdx_children_of_two_parents_union(spark):
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[Anio].[2024].Children,
+                [Fecha].[Anio].[2025].Children} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["anio"], r["mes"]) for r in rows} == {
+        (2024, 1), (2024, 2), (2025, 1), (2025, 2),
+    }
+
+
+def test_mdx_members_absorbs_children_restriction(spark):
+    # {Mes.Members, Anio.[2024].Children} is a union = all months
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[Mes].Members,
+                [Fecha].[Anio].[2024].Children} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["anio"], r["mes"]) for r in rows} == {
+        (2024, 1), (2024, 2), (2025, 1), (2025, 2),
+    }
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # Children on a dimension without a declared hierarchy
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Persona].[Pais].[AR].Children} ON ROWS FROM [Toy]",
+        # Children of the hierarchy leaf
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Dia].[5].Children} ON ROWS FROM [Toy]",
+        # Children mixed with an explicit dice of the child level
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].[2024].Children, [Fecha].[Mes].[1]} ON ROWS "
+        "FROM [Toy]",
+    ],
+)
+def test_mdx_children_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_hier_cube(spark), bad)
+
+
+def test_mdx_integer_members_coerce_exactly(spark):
+    # [Fecha].[Anio].[2024] dices an INT column with an int predicate,
+    # never a string-vs-int engine cast
+    sel = parse_mdx(
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].[2024]} ON ROWS FROM [Toy] "
+        "WHERE ([Fecha].[Mes].[1])",
+        _hier_cube(spark),
+    )
+    assert sel.member_filters == {"anio": [2024]}
+    assert sel.slicer_filters == {"mes": [1]}
