@@ -1,0 +1,209 @@
+"""Aggregate tables + aggregate navigator for the MDX cube surface.
+
+Mondrian's production answer to big facts is AGGREGATE TABLES: a
+pre-aggregated rollup of the fact at some grain, plus a navigator that
+answers any query AT OR ABOVE that grain from the rollup instead of the
+fact (Mondrian's ``<AggName>`` declarations and AggStar matcher — the
+natural companion of the reference's cube schema,
+Schema_Trabajo_Final.xml:56-91). This module re-expresses that
+mechanism Spark-first:
+
+- :func:`materialize_aggregate` groups the cube's star once at a
+  declared grain and stores MERGEABLE MEASURE STATES, not final
+  values — ``count`` → a per-cell count, ``sum`` → a per-cell sum,
+  ``avg`` → BOTH (sum, count), ``min``/``max`` → per-cell min/max —
+  because a coarser query must re-aggregate cells, and an average of
+  averages is wrong. Written to parquet when a path is given (the
+  production shape: build once, serve forever), else kept as a
+  DataFrame.
+- :func:`choose_aggregate` is the navigator: a parsed MDX SELECT is
+  answerable from an aggregate table iff every grouping column AND
+  every filter column (slicer + member dices — they must apply before
+  re-aggregation) is part of the table's grain; among the answerable
+  tables the smallest grain (fewest columns ≈ fewest cells) wins.
+- :func:`mdx_query_navigated` runs the query against the chosen
+  rollup through the same execution core as the fact path
+  (operators/mdx.py:execute_select) — calculated members, TOPCOUNT,
+  FILTER, hasAll grouping-set lattices all work unchanged, because
+  the only thing that differs is how a base measure aggregates
+  (re-fold the states instead of folding the fact). No covering
+  table → the fact star answers, exactly Mondrian's fallback.
+
+100 TB story: this is THE scale lever for the BI surface. A
+(year, month, segment) rollup of a 100 TB fact is a few thousand rows;
+every dashboard drill at or above month grain then reads kilobytes,
+never the fact. Materialization itself is one map-side-combined
+shuffle of the fact — the same cost as answering one query at that
+grain — amortized over every query the navigator routes. Correctness
+does not depend on the navigator's choice (states are mergeable), so
+routing is a pure optimization, proven by the oracled face
+``mdx_aggregate_navigator`` (hash-identical to the fact-path answer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datawarehousefinal_spark.operators.mdx import (
+    CubeDef,
+    MdxError,
+    MdxSelect,
+    execute_select,
+    needed_base_measures,
+    parse_mdx,
+)
+
+
+@dataclass
+class AggTable:
+    """A materialized rollup of a cube's star: ``grain`` is the star
+    columns it groups by; ``table`` carries one row per grain cell with
+    the mergeable state columns of EVERY cube measure (see
+    :func:`_state_columns`)."""
+
+    name: str
+    grain: tuple[str, ...]
+    table: DataFrame
+
+
+def _state_columns(cube: CubeDef) -> list[tuple[str, str, Column]]:
+    """(measure_alias, state_name, state_agg) triples for every cube
+    measure — the per-cell mergeable states an aggregate table stores.
+    ``avg`` stores two states (sum + count); the others one."""
+    out: list[tuple[str, str, Column]] = []
+    seen: set[str] = set()
+
+    def add(alias: str, kind: str, agg: Column):
+        name = f"{alias}__{kind}"
+        if name not in seen:
+            seen.add(name)
+            out.append((alias, name, agg.alias(name)))
+
+    for _mname, (agg, col, alias) in cube.measures.items():
+        if agg == "count":
+            add(alias, "cnt", F.count(col))
+        elif agg == "sum":
+            add(alias, "sum", F.sum(col))
+        elif agg == "avg":
+            add(alias, "sum", F.sum(col))
+            add(alias, "cnt", F.count(col))
+        elif agg == "min":
+            add(alias, "min", F.min(col))
+        elif agg == "max":
+            add(alias, "max", F.max(col))
+        else:
+            raise MdxError(f"unsupported aggregator {agg!r}")
+    return out
+
+
+def grain_columns(cube: CubeDef, levels: list[str]) -> tuple[str, ...]:
+    """Expand ``"Dim.Level"`` names to the star columns an aggregate at
+    that grain must group by — each level contributes its full ancestor
+    chain (a month cell is keyed (anio, mes), the same hierarchy-aware
+    keys the MDX translator groups by), deduplicated in order."""
+    cols: list[str] = []
+    for spec in levels:
+        dim, _, level = spec.partition(".")
+        if not level:
+            raise MdxError(
+                f"aggregate grain entries must be 'Dim.Level', got {spec!r}"
+            )
+        for c in cube.level_chain(dim, level):
+            if c not in cols:
+                cols.append(c)
+    if not cols:
+        raise MdxError("aggregate grain selected no columns")
+    return tuple(cols)
+
+
+def materialize_aggregate(
+    cube: CubeDef,
+    levels: list[str],
+    *star_args,
+    path: str | None = None,
+    name: str | None = None,
+) -> AggTable:
+    """Build the rollup of ``cube``'s star at the grain of ``levels``
+    (``"Dim.Level"`` names, hierarchy-chain-expanded). One
+    map-side-combined shuffle of the fact; the result has one row per
+    grain cell. With ``path``, write parquet and serve the read-back
+    (build-once-serve-forever — the navigator's scans then provably
+    touch the rollup file, never the fact)."""
+    grain = grain_columns(cube, levels)
+    states = [s for _a, _n, s in _state_columns(cube)]
+    rollup = cube.star_builder(*star_args).groupBy(*grain).agg(*states)
+    if path is not None:
+        rollup.write.mode("overwrite").parquet(path)
+        spark = rollup.sparkSession
+        rollup = spark.read.parquet(path)
+    return AggTable(
+        name=name or f"agg_{'_'.join(grain)}", grain=grain, table=rollup
+    )
+
+
+def reagg_expr(cube: CubeDef, measure_name: str) -> Column:
+    """The re-aggregation of a base measure over aggregate-table cells:
+    fold the mergeable states — counts and sums re-SUM, min/max re-fold,
+    and avg divides the re-summed sum by the re-summed count (never an
+    average of averages)."""
+    for k, (agg, _col, alias) in cube.measures.items():
+        if k.lower() == measure_name.lower():
+            if agg == "count":
+                return F.sum(f"{alias}__cnt").alias(alias)
+            if agg == "sum":
+                return F.sum(f"{alias}__sum").alias(alias)
+            if agg == "avg":
+                return (
+                    F.sum(f"{alias}__sum") / F.sum(f"{alias}__cnt")
+                ).alias(alias)
+            if agg == "min":
+                return F.min(f"{alias}__min").alias(alias)
+            if agg == "max":
+                return F.max(f"{alias}__max").alias(alias)
+            raise MdxError(f"unsupported aggregator {agg!r}")
+    raise MdxError(
+        f"unknown measure [Measures].[{measure_name}] on cube "
+        f"[{cube.name}]"
+    )
+
+
+def choose_aggregate(
+    cube: CubeDef, sel: MdxSelect, aggs: list[AggTable]
+) -> AggTable | None:
+    """The navigator: the smallest-grain table that covers the query.
+    Covering = every grouping column and every filter column (slicer +
+    member dices, which must apply BEFORE re-aggregation) is in the
+    table's grain. Measures never disqualify a table — every table
+    stores every measure's states. None when nothing covers (the fact
+    answers)."""
+    needed_base_measures(sel, cube)  # loud on unknown measures first
+    required = set(sel.group_cols)
+    required.update(sel.member_filters)
+    required.update(sel.slicer_filters)
+    best: AggTable | None = None
+    for agg in aggs:
+        if required <= set(agg.grain):
+            if best is None or len(agg.grain) < len(best.grain):
+                best = agg
+    return best
+
+
+def mdx_query_navigated(
+    cube: CubeDef, mdx: str, aggs: list[AggTable], *star_args
+) -> DataFrame:
+    """Run an MDX SELECT through the aggregate navigator: answer from
+    the smallest covering rollup (re-folding its mergeable states), or
+    from the fact star when no table covers — Mondrian's aggregate-
+    table semantics, same answer either way (the oracled face pins
+    hash-equality of the two paths)."""
+    sel = parse_mdx(mdx, cube)
+    chosen = choose_aggregate(cube, sel, aggs)
+    if chosen is None:
+        star = cube.star_builder(*star_args)
+        return execute_select(sel, cube, star, cube.measure_agg)
+    return execute_select(
+        sel, cube, chosen.table, lambda m: reagg_expr(cube, m)
+    )

@@ -806,30 +806,10 @@ _CMP = {
 }
 
 
-def mdx_query(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
-    """Run an MDX [WITH ...] SELECT against a cube: build the star,
-    apply slicer and rows-axis member filters (both BEFORE aggregation
-    — they reach the scans through the star's broadcast joins), group
-    by the rows-axis level columns, aggregate every base measure the
-    COLUMNS axis / calculated members / wrappers need, then project
-    calculated members, apply FILTER (a HAVING over group-count-many
-    rows) and TOPCOUNT (ORDER BY measure DESC, keys LIMIT n — a
-    TakeOrderedAndProject, never a fact-sized sort) innermost-first.
-    A rows axis without ``(All)`` members is a plain groupBy; with
-    them, the grouping-set lattice runs as ONE Expand + HashAggregate
-    (All cells carry NULL in their level columns, the Spark rollup
-    convention). Either way: one shuffle, partial aggregation, no
-    driver-side evaluation."""
-    sel = parse_mdx(mdx, cube)
-    star = cube.star_builder(*star_args)
-    for col, vals in (
-        *sel.slicer_filters.items(),
-        *sel.member_filters.items(),
-    ):
-        star = star.filter(F.col(col).isin(vals))
-
-    # base measures needed: COLUMNS-axis bases + transitive deps of
-    # calc members on the axis + wrapper refs
+def needed_base_measures(sel: MdxSelect, cube: CubeDef) -> list[str]:
+    """Base measures a parsed SELECT must aggregate: COLUMNS-axis bases
+    plus the transitive dependencies of calculated members on the axis
+    plus TOPCOUNT/FILTER wrapper references, in first-need order."""
     needed: list[str] = []
     for name in sel.columns:
         if cube.has_measure(name):
@@ -849,12 +829,35 @@ def mdx_query(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
         _collect_base_refs(ref, cube, sel.calc_members, needed)
     if not needed:
         raise MdxError("query selects no base measures to aggregate")
+    return needed
 
-    aggs = [cube.measure_agg(m) for m in needed]
+
+def execute_select(
+    sel: MdxSelect,
+    cube: CubeDef,
+    source: DataFrame,
+    agg_expr_for: Callable[[str], Column],
+) -> DataFrame:
+    """The execution core shared by :func:`mdx_query` (aggregate the
+    fact star) and the aggregate navigator (re-aggregate a materialized
+    rollup, operators/aggnav.py): filter ``source`` by slicer and
+    rows-axis member dices (BEFORE aggregation), group by the rows-axis
+    grouping sets, aggregate each needed base measure via
+    ``agg_expr_for`` (the only thing that differs between the fact and
+    an aggregate table), then apply wrappers and project the COLUMNS
+    axis."""
+    for col, vals in (
+        *sel.slicer_filters.items(),
+        *sel.member_filters.items(),
+    ):
+        source = source.filter(F.col(col).isin(vals))
+
+    needed = needed_base_measures(sel, cube)
+    aggs = [agg_expr_for(m) for m in needed]
     if len(sel.grouping_sets) == 1:
-        out = star.groupBy(*sel.grouping_sets[0]).agg(*aggs)
+        out = source.groupBy(*sel.grouping_sets[0]).agg(*aggs)
     else:
-        out = star.groupingSets(
+        out = source.groupingSets(
             sel.grouping_sets, *sel.group_cols
         ).agg(*aggs)
 
@@ -885,3 +888,22 @@ def mdx_query(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
         else:
             final.append(resolve(name).alias(_calc_alias(name)))
     return out.select(*final)
+
+
+def mdx_query(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
+    """Run an MDX [WITH ...] SELECT against a cube: build the star,
+    apply slicer and rows-axis member filters (both BEFORE aggregation
+    — they reach the scans through the star's broadcast joins), group
+    by the rows-axis level columns, aggregate every base measure the
+    COLUMNS axis / calculated members / wrappers need, then project
+    calculated members, apply FILTER (a HAVING over group-count-many
+    rows) and TOPCOUNT (ORDER BY measure DESC, keys LIMIT n — a
+    TakeOrderedAndProject, never a fact-sized sort) innermost-first.
+    A rows axis without ``(All)`` members is a plain groupBy; with
+    them, the grouping-set lattice runs as ONE Expand + HashAggregate
+    (All cells carry NULL in their level columns, the Spark rollup
+    convention). Either way: one shuffle, partial aggregation, no
+    driver-side evaluation."""
+    sel = parse_mdx(mdx, cube)
+    star = cube.star_builder(*star_args)
+    return execute_select(sel, cube, star, cube.measure_agg)

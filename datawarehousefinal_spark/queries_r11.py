@@ -268,3 +268,63 @@ def mdx_children_drilldown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_CHILDREN_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate tables + navigator (Mondrian AggTable semantics, Spark-first)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mdx_aggregate_navigator",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    """,
+)
+def mdx_aggregate_navigator_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE TABLES + NAVIGATOR (operators/aggnav.py) — Mondrian's
+    production answer to big facts (its ``<AggName>`` declarations, the
+    natural companion of the reference's cube schema,
+    Schema_Trabajo_Final.xml:56-91), Spark-first: the month-grain
+    rollup of the Movimientos star is materialized ONCE to parquet with
+    MERGEABLE measure states (count cells, and sum+count pairs so avg
+    re-folds as sum/count — never an average of averages), and the
+    month-drilldown MDX statement is answered from that rollup. Two
+    tables are offered; the navigator must route to the SMALLER
+    covering grain (month, 3 columns) over the finer day-grain decoy
+    (4 columns). The oracle aggregates the raw fact directly — hash
+    equality proves the rollup path is LOSSLESS, so routing is a pure
+    optimization. 100 TB story: a (anio, mes, segmento) rollup of a
+    100 TB fact is a few thousand rows; every dashboard drill at or
+    above month grain reads kilobytes, and materialization costs one
+    map-side-combined shuffle, amortized over every routed query."""
+    from datawarehousefinal_spark.operators.aggnav import (
+        materialize_aggregate,
+        mdx_query_navigated,
+    )
+    from datawarehousefinal_spark.queries import _rebuilt, _scratch_path
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    cube = _movimientos_cube(spark, sf_dir)
+    rollup = materialize_aggregate(
+        cube,
+        ["Fecha.Mes", "Cliente.Segmento"],
+        path=_scratch_path("mdx_aggnav", sf_dir),
+        name="agg_mes_segmento",
+    )
+    # finer decoy (kept in-memory): also covers the query — the
+    # navigator must still pick the smaller month-grain table
+    decoy = materialize_aggregate(
+        cube, ["Fecha.Dia", "Cliente.Segmento"], name="agg_dia_segmento"
+    )
+    out = mdx_query_navigated(
+        cube, _MDX_MONTH_STATEMENT, [decoy, rollup]
+    )
+    return _rebuilt(out)

@@ -1,0 +1,213 @@
+"""Aggregate-table + navigator tests: mergeable-state re-aggregation
+equals the fact path for every aggregator, the navigator picks the
+smallest covering rollup and falls back to the fact, and parquet-backed
+rollups serve without touching the fact."""
+
+from __future__ import annotations
+
+import pytest
+
+from datawarehousefinal_spark.operators.aggnav import (
+    choose_aggregate,
+    grain_columns,
+    materialize_aggregate,
+    mdx_query_navigated,
+)
+from datawarehousefinal_spark.operators.mdx import (
+    CubeDef,
+    MdxError,
+    mdx_query,
+    parse_mdx,
+)
+
+
+def _cube(spark):
+    """Toy cube with every supported aggregator and UNEVEN group sizes,
+    so an average-of-averages shortcut produces a DIFFERENT number than
+    the correct sum/count re-fold (the classic aggregate-table bug)."""
+
+    def star_builder():
+        return spark.createDataFrame(
+            [
+                (2024, 1, "AR", 10.0),
+                (2024, 1, "AR", 20.0),
+                (2024, 1, "BR", 90.0),
+                (2024, 2, "AR", 40.0),
+                (2025, 1, "BR", 50.0),
+                (2025, 2, "AR", 60.0),
+                (2025, 2, "AR", 80.0),
+            ],
+            "anio int, mes int, pais string, medida double",
+        )
+
+    return CubeDef(
+        name="Toy",
+        star_builder=star_builder,
+        levels={
+            "Fecha.Anio": "anio",
+            "Fecha.Mes": "mes",
+            "Persona.Pais": "pais",
+        },
+        hierarchies={"Fecha": ["Anio", "Mes"]},
+        measures={
+            "Cantidad": ("count", "medida", "n"),
+            "Total": ("sum", "medida", "sum_medida"),
+            "Promedio": ("avg", "medida", "avg_medida"),
+            "Minimo": ("min", "medida", "min_medida"),
+            "Maximo": ("max", "medida", "max_medida"),
+        },
+    )
+
+
+_ALL_MEASURES_BY_YEAR = """
+SELECT {[Measures].[Cantidad], [Measures].[Total], [Measures].[Promedio],
+        [Measures].[Minimo], [Measures].[Maximo]} ON COLUMNS,
+       {[Fecha].[Anio].Members} ON ROWS
+FROM [Toy]
+"""
+
+
+def _sorted_rows(df):
+    # None-safe ordering: grouping-set All cells carry NULL keys
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def test_reagg_matches_direct_for_all_aggregators(spark):
+    cube = _cube(spark)
+    agg = materialize_aggregate(cube, ["Fecha.Mes", "Persona.Pais"])
+    got = mdx_query_navigated(cube, _ALL_MEASURES_BY_YEAR, [agg])
+    want = mdx_query(cube, _ALL_MEASURES_BY_YEAR)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # the avg is the correct 2024 value 40.0 (160/4), NOT the
+    # average-of-cell-averages (15+90+40)/3
+    by_year = {r["anio"]: r["avg_medida"] for r in got.collect()}
+    assert by_year[2024] == pytest.approx(40.0)
+
+
+def test_navigator_picks_smallest_covering(spark):
+    cube = _cube(spark)
+    fine = materialize_aggregate(
+        cube, ["Fecha.Mes", "Persona.Pais"], name="fine"
+    )
+    coarse = materialize_aggregate(cube, ["Fecha.Anio"], name="coarse")
+    sel = parse_mdx(
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        cube,
+    )
+    assert choose_aggregate(cube, sel, [fine, coarse]).name == "coarse"
+    # month grain: only the fine table covers
+    sel2 = parse_mdx(
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+        cube,
+    )
+    assert choose_aggregate(cube, sel2, [fine, coarse]).name == "fine"
+
+
+def test_navigator_requires_filter_columns_in_grain(spark):
+    cube = _cube(spark)
+    years_only = materialize_aggregate(cube, ["Fecha.Anio"])
+    # slicer on pais: the year-grain table cannot apply it pre-re-agg
+    sel = parse_mdx(
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy] "
+        "WHERE ([Persona].[Pais].[AR])",
+        cube,
+    )
+    assert choose_aggregate(cube, sel, [years_only]) is None
+    # ... and the navigated query silently answers from the fact
+    q = (
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy] "
+        "WHERE ([Persona].[Pais].[AR])"
+    )
+    got = mdx_query_navigated(cube, q, [years_only])
+    want = mdx_query(cube, q)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_member_dice_routes_and_filters_before_reagg(spark):
+    cube = _cube(spark)
+    agg = materialize_aggregate(cube, ["Fecha.Anio", "Persona.Pais"])
+    q = (
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "CROSSJOIN({[Fecha].[Anio].Members}, {[Persona].[Pais].[AR]}) "
+        "ON ROWS FROM [Toy]"
+    )
+    got = mdx_query_navigated(cube, q, [agg])
+    want = mdx_query(cube, q)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_all_lattice_through_rollup(spark):
+    cube = _cube(spark)
+    agg = materialize_aggregate(cube, ["Fecha.Mes", "Persona.Pais"])
+    q = (
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "CROSSJOIN({[Fecha].[(All)], [Fecha].[Anio].Members}, "
+        "{[Persona].[Pais].[(All)], [Persona].[Pais].Members}) ON ROWS "
+        "FROM [Toy]"
+    )
+    got = mdx_query_navigated(cube, q, [agg])
+    want = mdx_query(cube, q)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_topcount_and_calc_member_through_rollup(spark):
+    cube = _cube(spark)
+    agg = materialize_aggregate(cube, ["Persona.Pais"])
+    q = (
+        "WITH MEMBER [Measures].[Ticket] AS "
+        "'[Measures].[Total] / [Measures].[Cantidad]' "
+        "SELECT {[Measures].[Ticket]} ON COLUMNS, "
+        "TOPCOUNT({[Persona].[Pais].Members}, 1, [Measures].[Ticket]) "
+        "ON ROWS FROM [Toy]"
+    )
+    got = mdx_query_navigated(cube, q, [agg])
+    want = mdx_query(cube, q)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_parquet_rollup_serves_without_the_fact(spark, tmp_path):
+    cube = _cube(spark)
+    agg = materialize_aggregate(
+        cube,
+        ["Fecha.Mes", "Persona.Pais"],
+        path=str(tmp_path / "agg_mes_pais"),
+    )
+    # the rollup is smaller than the fact and lives in parquet
+    assert agg.table.count() < cube.star_builder().count()
+    got = mdx_query_navigated(cube, _ALL_MEASURES_BY_YEAR, [agg])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
+    # the toy fact is an in-memory LocalTableScan; a navigated plan
+    # must not contain it
+    assert "LocalTableScan" not in plan
+    assert _sorted_rows(got) == _sorted_rows(
+        mdx_query(cube, _ALL_MEASURES_BY_YEAR)
+    )
+
+
+def test_grain_columns_expand_hierarchy_chain(spark):
+    cube = _cube(spark)
+    assert grain_columns(cube, ["Fecha.Mes"]) == ("anio", "mes")
+    assert grain_columns(cube, ["Fecha.Mes", "Fecha.Anio"]) == (
+        "anio",
+        "mes",
+    )
+    with pytest.raises(MdxError):
+        grain_columns(cube, ["Fecha"])
+    with pytest.raises(MdxError):
+        grain_columns(cube, [])
+
+
+def test_aggnav_face_registered():
+    import __spark_entry__ as m
+
+    qs, os_ = m.queries(), m.oracle_sql()
+    assert "mdx_aggregate_navigator" in qs
+    assert "mdx_aggregate_navigator" in os_
