@@ -28,6 +28,12 @@ mechanism Spark-first:
   the only thing that differs is how a base measure aggregates
   (re-fold the states instead of folding the fact). No covering
   table → the fact star answers, exactly Mondrian's fallback.
+- :func:`ingest_into_aggregate` maintains a rollup INCREMENTALLY: a
+  batch of new star rows folds into the existing cells at O(batch +
+  touched cells) — the fact is never re-read — because every stored
+  state is a commutative monoid (counts/sums re-sum, min/max
+  re-fold). Merge ≡ rebuild, proven by the oracled face
+  ``incremental_aggregate_rollup``.
 
 100 TB story: this is THE scale lever for the BI surface. A
 (year, month, segment) rollup of a 100 TB fact is a few thousand rows;
@@ -125,16 +131,21 @@ def materialize_aggregate(
     *star_args,
     path: str | None = None,
     name: str | None = None,
+    source: DataFrame | None = None,
 ) -> AggTable:
     """Build the rollup of ``cube``'s star at the grain of ``levels``
     (``"Dim.Level"`` names, hierarchy-chain-expanded). One
     map-side-combined shuffle of the fact; the result has one row per
     grain cell. With ``path``, write parquet and serve the read-back
     (build-once-serve-forever — the navigator's scans then provably
-    touch the rollup file, never the fact)."""
+    touch the rollup file, never the fact). ``source`` overrides the
+    cube's star builder (e.g. the already-ingested slice of a fact
+    whose remainder arrives later through
+    :func:`ingest_into_aggregate`)."""
     grain = grain_columns(cube, levels)
     states = [s for _a, _n, s in _state_columns(cube)]
-    rollup = cube.star_builder(*star_args).groupBy(*grain).agg(*states)
+    star = source if source is not None else cube.star_builder(*star_args)
+    rollup = star.groupBy(*grain).agg(*states)
     if path is not None:
         rollup.write.mode("overwrite").parquet(path)
         spark = rollup.sparkSession
@@ -142,6 +153,46 @@ def materialize_aggregate(
     return AggTable(
         name=name or f"agg_{'_'.join(grain)}", grain=grain, table=rollup
     )
+
+
+_STATE_FOLD = {"cnt": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _merge_exprs(cube: CubeDef) -> list[Column]:
+    """How two rollups' state columns combine into one: counts and sums
+    re-SUM, min/max re-fold — the same mergeability that makes the
+    states query-safe makes them ingest-safe."""
+    out = []
+    for _alias, sname, _agg in _state_columns(cube):
+        kind = sname.rsplit("__", 1)[1]
+        out.append(_STATE_FOLD[kind](sname).alias(sname))
+    return out
+
+
+def ingest_into_aggregate(
+    cube: CubeDef, agg: AggTable, star_delta: DataFrame
+) -> AggTable:
+    """Incremental rollup maintenance: fold a batch of NEW star rows
+    into an existing aggregate table without rebuilding it — the
+    streaming-OLAP ingest pattern. The delta is aggregated to states at
+    the table's grain (one map-side-combined shuffle of the BATCH, the
+    fact is never re-read), unioned with the existing cells, and the
+    states re-folded per cell. Cost is O(batch + touched cells); cells
+    the batch doesn't touch pass through the fold unchanged. Correct by
+    the same algebra the navigator relies on (states are commutative
+    monoids), proven merge≡rebuild by the oracled face
+    ``incremental_aggregate_rollup``. At 100 TB the merged frame
+    becomes a MERGE INTO / partition overwrite of the touched cells on
+    the lakehouse table; the state algebra here is exactly what that
+    writer folds."""
+    states = [s for _a, _n, s in _state_columns(cube)]
+    delta = star_delta.groupBy(*agg.grain).agg(*states)
+    merged = (
+        agg.table.unionByName(delta)
+        .groupBy(*agg.grain)
+        .agg(*_merge_exprs(cube))
+    )
+    return AggTable(name=agg.name, grain=agg.grain, table=merged)
 
 
 def reagg_expr(cube: CubeDef, measure_name: str) -> Column:

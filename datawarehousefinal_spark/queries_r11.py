@@ -30,6 +30,7 @@ driver-green ``mdx_cube_query`` uses.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datawarehousefinal_spark.queries import query
 
@@ -328,3 +329,67 @@ def mdx_aggregate_navigator_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cube, _MDX_MONTH_STATEMENT, [decoy, rollup]
     )
     return _rebuilt(out)
+
+
+@query(
+    "incremental_aggregate_rollup",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    """,
+)
+def incremental_aggregate_rollup_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL rollup maintenance (operators/aggnav.py:
+    ingest_into_aggregate) — the streaming-OLAP ingest pattern: the
+    month-grain aggregate table is materialized from the even-day half
+    of the star, then the odd-day half arrives as a batch and FOLDS
+    into the existing cells (states are commutative monoids: counts
+    and sums re-sum — so the same (anio, mes, segmento) cell
+    accumulates contributions from both halves; the fact is never
+    re-read). The month-drilldown MDX statement is answered from the
+    merged table — routed explicitly, loud if the navigator were to
+    fall back — and the oracle aggregates the FULL raw fact: hash
+    equality IS merge≡rebuild at the query level. 100 TB: ingest cost
+    is O(batch + touched cells); in production the merged cells land
+    as a MERGE INTO / partition overwrite on the lakehouse rollup."""
+    from datawarehousefinal_spark.operators.aggnav import (
+        choose_aggregate,
+        ingest_into_aggregate,
+        materialize_aggregate,
+        reagg_expr,
+    )
+    from datawarehousefinal_spark.operators.mdx import (
+        execute_select,
+        parse_mdx,
+    )
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    cube = _movimientos_cube(spark, sf_dir)
+    star = cube.star_builder()
+    base = star.filter(F.col("dia") % 2 == 0)
+    delta = star.filter(F.col("dia") % 2 == 1)
+    rollup = materialize_aggregate(
+        cube,
+        ["Fecha.Mes", "Cliente.Segmento"],
+        source=base,
+        name="agg_mes_segmento",
+    )
+    merged = ingest_into_aggregate(cube, rollup, delta)
+    sel = parse_mdx(_MDX_MONTH_STATEMENT, cube)
+    chosen = choose_aggregate(cube, sel, [merged])
+    if chosen is None:
+        raise RuntimeError(
+            "navigator failed to route to the merged rollup — the face "
+            "would silently prove nothing"
+        )
+    return execute_select(
+        sel, cube, chosen.table, lambda m: reagg_expr(cube, m)
+    )

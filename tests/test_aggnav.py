@@ -211,3 +211,68 @@ def test_aggnav_face_registered():
     qs, os_ = m.queries(), m.oracle_sql()
     assert "mdx_aggregate_navigator" in qs
     assert "mdx_aggregate_navigator" in os_
+
+
+# -- incremental rollup maintenance ------------------------------------------
+
+
+def test_ingest_merge_equals_full_rebuild(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        ingest_into_aggregate,
+    )
+
+    cube = _cube(spark)
+    star = cube.star_builder()
+    # overlapping cells: both halves contribute to (2024, 1, AR)
+    base = star.filter("medida <= 40.0")
+    delta = star.filter("medida > 40.0")
+    rollup = materialize_aggregate(
+        cube, ["Fecha.Mes", "Persona.Pais"], source=base
+    )
+    merged = ingest_into_aggregate(cube, rollup, delta)
+    full = materialize_aggregate(cube, ["Fecha.Mes", "Persona.Pais"])
+    assert sorted(merged.table.columns) == sorted(full.table.columns)
+    got = _sorted_rows(merged.table.select(*sorted(merged.table.columns)))
+    want = _sorted_rows(full.table.select(*sorted(full.table.columns)))
+    assert got == want
+
+
+def test_ingest_handles_new_and_untouched_cells(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        ingest_into_aggregate,
+    )
+    from pyspark.sql import functions as F
+
+    cube = _cube(spark)
+    star = cube.star_builder()
+    base = star.filter(F.col("anio") == 2024)
+    delta = star.filter(F.col("anio") == 2025)  # entirely new cells
+    rollup = materialize_aggregate(cube, ["Fecha.Anio"], source=base)
+    merged = ingest_into_aggregate(cube, rollup, delta)
+    rows = {r["anio"]: r.asDict() for r in merged.table.collect()}
+    # untouched 2024 cell unchanged, new 2025 cell present
+    assert rows[2024]["n__cnt"] == 4 and rows[2025]["n__cnt"] == 3
+    assert rows[2024]["min_medida__min"] == 10.0
+    assert rows[2025]["max_medida__max"] == 80.0
+
+
+def test_ingest_empty_delta_is_identity(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        ingest_into_aggregate,
+    )
+
+    cube = _cube(spark)
+    star = cube.star_builder()
+    rollup = materialize_aggregate(cube, ["Fecha.Anio"])
+    merged = ingest_into_aggregate(cube, rollup, star.filter("anio < 0"))
+    got = _sorted_rows(merged.table.select(*sorted(merged.table.columns)))
+    want = _sorted_rows(rollup.table.select(*sorted(rollup.table.columns)))
+    assert got == want
+
+
+def test_incremental_rollup_face_registered():
+    import __spark_entry__ as m
+
+    qs, os_ = m.queries(), m.oracle_sql()
+    assert "incremental_aggregate_rollup" in qs
+    assert "incremental_aggregate_rollup" in os_
