@@ -200,25 +200,20 @@ def reagg_expr(cube: CubeDef, measure_name: str) -> Column:
     fold the mergeable states — counts and sums re-SUM, min/max re-fold,
     and avg divides the re-summed sum by the re-summed count (never an
     average of averages)."""
-    for k, (agg, _col, alias) in cube.measures.items():
-        if k.lower() == measure_name.lower():
-            if agg == "count":
-                return F.sum(f"{alias}__cnt").alias(alias)
-            if agg == "sum":
-                return F.sum(f"{alias}__sum").alias(alias)
-            if agg == "avg":
-                return (
-                    F.sum(f"{alias}__sum") / F.sum(f"{alias}__cnt")
-                ).alias(alias)
-            if agg == "min":
-                return F.min(f"{alias}__min").alias(alias)
-            if agg == "max":
-                return F.max(f"{alias}__max").alias(alias)
-            raise MdxError(f"unsupported aggregator {agg!r}")
-    raise MdxError(
-        f"unknown measure [Measures].[{measure_name}] on cube "
-        f"[{cube.name}]"
-    )
+    agg, _col, alias = cube.measure_def(measure_name)
+    if agg == "count":
+        return F.sum(f"{alias}__cnt").alias(alias)
+    if agg == "sum":
+        return F.sum(f"{alias}__sum").alias(alias)
+    if agg == "avg":
+        return (
+            F.sum(f"{alias}__sum") / F.sum(f"{alias}__cnt")
+        ).alias(alias)
+    if agg == "min":
+        return F.min(f"{alias}__min").alias(alias)
+    if agg == "max":
+        return F.max(f"{alias}__max").alias(alias)
+    raise MdxError(f"unsupported aggregator {agg!r}")
 
 
 def choose_aggregate(

@@ -35,9 +35,20 @@ Supported subset (the shapes the reference schema can answer):
   ``[Fecha].[Anio].[1997].Children`` groups by the (Anio, Mes) chain
   diced to Anio = 1997. Children of two parents in one set union
   (parent IN (...)); loud on a dimension without a declared hierarchy,
-  on the hierarchy's leaf level, and when the same set mixes a
-  Children drill with an explicit member dice of the child level (a
-  disjunctive shape this conjunctive-filter translator cannot express).
+  on any level BELOW the hierarchy top (a ``[Dim].[Level].[v]`` path
+  names a member by its leaf value alone, which is only unique at the
+  top grain — [Fecha].[Mes].[6] is a different June per year, and
+  drilling it would silently merge children across ancestors), and
+  when the same set mixes a Children drill with an explicit member
+  dice of the child level (a disjunctive shape this conjunctive-filter
+  translator cannot express).
+- member values are TEXT in the query and coerce to the level COLUMN's
+  type at execution (schema-driven, never spelling-driven):
+  ``[Anio].[1997]`` on an INT column is the exact predicate
+  ``anio IN (1997)``; ``[Codigo].[123]`` on a STRING column stays the
+  string (no engine-side column cast — which would crash under ANSI
+  mode on any non-numeric value); a member that cannot coerce to a
+  numeric level's type is a loud error.
 - explicit member sets ``{[Dim].[Level].[v1], [Dim].[Level].[v2]}``
   (a dice: group by the level — ancestor-chain-keyed when a hierarchy
   is declared — keep the named members)
@@ -63,9 +74,10 @@ Supported subset (the shapes the reference schema can answer):
   over an All-lattice would rank/filter cells of MIXED grain — loud
   MdxError, never a silently grain-mixed answer.
 - ``NON EMPTY`` on the rows axis — a DOCUMENTED no-op: groupBy only
-  materializes non-empty cells, and for hasAll grouping-set lattices
-  Spark's Expand + HashAggregate emits ZERO rows on empty input (the
-  ``()`` grouping set is still a keyed group, unlike a global
+  materializes non-empty cells, and every axis containing ``(All)``
+  members — including the degenerate all-only axis — runs as GROUPING
+  SETS, whose Expand + HashAggregate emits ZERO rows on empty input
+  (the ``()`` grouping set is still a keyed group, unlike a global
   aggregate, so no fabricated All cell ever appears). NON EMPTY and
   its absence therefore coincide on every plan this translator can
   emit; pinned by tests/test_mdx.py::test_mdx_empty_input_emits_no_all_cell
@@ -106,6 +118,15 @@ class MdxError(ValueError):
     """Raised for MDX text outside the supported subset, or references
     to cubes/levels/measures/members the cube definition doesn't
     declare — loud, never a silent wrong answer."""
+
+
+_AGG_FNS = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+}
 
 
 @dataclass
@@ -168,12 +189,25 @@ class CubeDef:
     def child_level(self, dim: str, level: str) -> str:
         """The level one below ``level`` in ``dim``'s declared
         hierarchy — what ``[member].Children`` drills to. Loud when the
-        dimension has no declared hierarchy or the level is its leaf."""
+        dimension has no declared hierarchy, the level is its leaf, or
+        the level is NOT the hierarchy's top: a ``[Dim].[Level].[v]``
+        path identifies a member by its leaf value alone, which is only
+        unique at the top grain ([Fecha].[Mes].[6] names a DIFFERENT
+        June per year — drilling it would silently merge children
+        across ancestors, the exact bug hierarchy-aware keys exist to
+        prevent)."""
         for hdim, hlevels in self.hierarchies.items():
             if hdim.lower() != dim.lower():
                 continue
             for i, lvl in enumerate(hlevels):
                 if lvl.lower() == level.lower():
+                    if i > 0:
+                        raise MdxError(
+                            f"a member of [{dim}].[{level}] is "
+                            "ambiguous without its ancestor chain — "
+                            "Children is supported on the hierarchy's "
+                            f"top level ([{dim}].[{hlevels[0]}]) only"
+                        )
                     if i + 1 >= len(hlevels):
                         raise MdxError(
                             f"[{dim}].[{level}] is the leaf of its "
@@ -190,31 +224,27 @@ class CubeDef:
             f"[{dim}] on cube [{self.name}]"
         )
 
-    def measure_agg(self, name: str):
-        for k, (agg, col, alias) in self.measures.items():
+    def measure_def(self, name: str) -> tuple[str, str, str]:
+        """The (aggregator, column, alias) triple of a measure, located
+        case-insensitively — the ONE lookup every measure consumer
+        (fact aggregation, alias resolution, aggregate-table states and
+        re-aggregation) goes through, loud on unknown names."""
+        for k, triple in self.measures.items():
             if k.lower() == name.lower():
-                if agg == "count":
-                    return F.count(col).alias(alias)
-                if agg == "sum":
-                    return F.sum(col).alias(alias)
-                if agg == "avg":
-                    return F.avg(col).alias(alias)
-                if agg == "min":
-                    return F.min(col).alias(alias)
-                if agg == "max":
-                    return F.max(col).alias(alias)
-                raise MdxError(f"unsupported aggregator {agg!r}")
+                return triple
         raise MdxError(
             f"unknown measure [Measures].[{name}] on cube [{self.name}]"
         )
 
+    def measure_agg(self, name: str):
+        agg, col, alias = self.measure_def(name)
+        fn = _AGG_FNS.get(agg)
+        if fn is None:
+            raise MdxError(f"unsupported aggregator {agg!r}")
+        return fn(col).alias(alias)
+
     def measure_alias(self, name: str) -> str:
-        for k, (_agg, _col, alias) in self.measures.items():
-            if k.lower() == name.lower():
-                return alias
-        raise MdxError(
-            f"unknown measure [Measures].[{name}] on cube [{self.name}]"
-        )
+        return self.measure_def(name)[2]
 
     def has_measure(self, name: str) -> bool:
         return name.lower() in {k.lower() for k in self.measures}
@@ -226,12 +256,40 @@ def _calc_alias(name: str) -> str:
     return re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
 
 
-def _coerce_member(value: str):
-    """Member names arrive as bracketed text; integer-looking ones
-    (e.g. [Fecha].[Anio].[1997]) compare against INT/BIGINT level
-    columns, so coerce them to Python ints — an exact predicate, never
-    a string-vs-int implicit cast left to engine-specific rules."""
-    return int(value) if re.fullmatch(r"-?\d+", value) else value
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "long")
+
+
+def _coerce_members(source: DataFrame, col: str, vals: list[str]) -> list:
+    """Member names arrive as bracketed TEXT; coerce them to the level
+    COLUMN's type before filtering — by the schema, never by the
+    member's spelling. ``[Fecha].[Anio].[1997]`` against an INT column
+    becomes the exact predicate ``anio IN (1997)``; ``[Zona].[Codigo].
+    [123]`` against a STRING column stays the string ``'123'`` (a
+    spelling-based coercion would make Spark cast the whole column —
+    an ANSI-mode runtime crash on any non-numeric value, and silent
+    engine cast rules otherwise). A member that cannot coerce to a
+    numeric level's type is a loud error: it could never match, and
+    letting it through would silently drop the dice."""
+    dtype = dict(source.dtypes).get(col, "")
+    if dtype.startswith(_NUMERIC_PREFIXES):
+        out = []
+        for v in vals:
+            if not re.fullmatch(r"-?\d+", str(v)):
+                raise MdxError(
+                    f"member [{v}] cannot match the numeric level "
+                    f"column {col!r} ({dtype})"
+                )
+            out.append(int(v))
+        return out
+    if dtype in ("float", "double") or dtype.startswith("decimal"):
+        try:
+            return [float(v) for v in vals]
+        except ValueError as exc:
+            raise MdxError(
+                f"member {vals!r} cannot match the numeric level "
+                f"column {col!r} ({dtype})"
+            ) from exc
+    return list(vals)
 
 
 # -- tokenizer ---------------------------------------------------------------
@@ -445,6 +503,8 @@ def _rows_axis(node_list, cube: CubeDef):
             # the same level, so the dice filter must then be dropped),
             # and Children drills that land on the level (keyed by
             # parent column → parent members).
+            # keyed case-insensitively (like every other member lookup);
+            # each record remembers its first-seen display spelling
             by_level: dict[tuple[str, str], dict] = {}
             has_all = False
             for segs, suffix in items:
@@ -468,26 +528,35 @@ def _rows_axis(node_list, cube: CubeDef):
                     has_all = True
                 elif len(segs) == 2 and suffix == "members":
                     by_level.setdefault(
-                        (segs[0], segs[1]),
-                        {"members": False, "vals": [], "parents": {}},
+                        (segs[0].lower(), segs[1].lower()),
+                        {
+                            "members": False, "vals": [], "parents": {},
+                            "display": (segs[0], segs[1]),
+                        },
                     )["members"] = True
                 elif len(segs) == 3 and suffix == "children":
                     # [Dim].[Level].[member].Children → the next level
                     # of the declared hierarchy, diced to the parent
                     child = cube.child_level(segs[0], segs[1])
                     rec = by_level.setdefault(
-                        (segs[0], child),
-                        {"members": False, "vals": [], "parents": {}},
+                        (segs[0].lower(), child.lower()),
+                        {
+                            "members": False, "vals": [], "parents": {},
+                            "display": (segs[0], child),
+                        },
                     )
                     parent_col = cube.level_column(segs[0], segs[1])
                     rec["parents"].setdefault(parent_col, []).append(
-                        _coerce_member(segs[2])
+                        segs[2]
                     )
                 elif len(segs) == 3 and not suffix:
                     by_level.setdefault(
-                        (segs[0], segs[1]),
-                        {"members": False, "vals": [], "parents": {}},
-                    )["vals"].append(_coerce_member(segs[2]))
+                        (segs[0].lower(), segs[1].lower()),
+                        {
+                            "members": False, "vals": [], "parents": {},
+                            "display": (segs[0], segs[1]),
+                        },
+                    )["vals"].append(segs[2])
                 else:
                     raise MdxError(
                         "rows axis items must be [Dim].[Level].Members, "
@@ -495,7 +564,8 @@ def _rows_axis(node_list, cube: CubeDef):
                         f"[Dim].[(All)], got {segs}"
                     )
             set_cols: list[str] = []
-            for (dim, level), sel in by_level.items():
+            for _key, sel in by_level.items():
+                dim, level = sel["display"]
                 # hierarchy-aware member key: the level's ancestor-chain
                 # columns (single column when no hierarchy is declared)
                 chain = cube.level_chain(dim, level)
@@ -701,9 +771,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
                     f"got {segs}"
                 )
             col = cube.level_column(segs[0], segs[1])
-            slicer_filters.setdefault(col, []).append(
-                _coerce_member(segs[2])
-            )
+            slicer_filters.setdefault(col, []).append(segs[2])
             if p.peek() == ("punct", ","):
                 p.next()
                 continue
@@ -711,6 +779,29 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
         p.expect_punct(")")
     if p.peek()[0] != "eof":
         raise MdxError(f"trailing tokens from {p.peek()[1]!r}")
+
+    # output-column uniqueness: grouping columns, base measure aliases
+    # and calculated-member snake_case aliases share one namespace — two
+    # members whose names collapse to the same alias (or shadow a
+    # grouping column / base alias) would emit duplicate columns, a
+    # silent wrong answer downstream
+    out_aliases = list(group_cols)
+    for name in columns:
+        out_aliases.append(
+            cube.measure_alias(name)
+            if cube.has_measure(name)
+            else _calc_alias(name)
+        )
+    seen_alias: set[str] = set()
+    for a in out_aliases:
+        if a.lower() in seen_alias:
+            raise MdxError(
+                f"output column {a!r} appears twice (colliding member "
+                "names, or a calculated member shadowing a grouping "
+                "column or base measure)"
+            )
+        seen_alias.add(a.lower())
+
     return MdxSelect(
         columns=columns,
         calc_members=calc_members,
@@ -850,13 +941,20 @@ def execute_select(
         *sel.slicer_filters.items(),
         *sel.member_filters.items(),
     ):
-        source = source.filter(F.col(col).isin(vals))
+        source = source.filter(
+            F.col(col).isin(_coerce_members(source, col, vals))
+        )
 
     needed = needed_base_measures(sel, cube)
     aggs = [agg_expr_for(m) for m in needed]
-    if len(sel.grouping_sets) == 1:
+    if len(sel.grouping_sets) == 1 and sel.grouping_sets[0]:
         out = source.groupBy(*sel.grouping_sets[0]).agg(*aggs)
     else:
+        # grouping sets even for the degenerate all-only axis ([[]]):
+        # the () grouping set is a KEYED group that emits zero rows on
+        # empty input, where groupBy() is a global aggregate that would
+        # fabricate an All cell — the NON-EMPTY-is-a-no-op invariant
+        # (module docstring) holds only on this plan.
         out = source.groupingSets(
             sel.grouping_sets, *sel.group_cols
         ).agg(*aggs)

@@ -679,14 +679,129 @@ def test_mdx_children_errors_are_loud(spark, bad):
         mdx_query(_hier_cube(spark), bad)
 
 
-def test_mdx_integer_members_coerce_exactly(spark):
-    # [Fecha].[Anio].[2024] dices an INT column with an int predicate,
-    # never a string-vs-int engine cast
+def test_mdx_integer_members_coerce_by_schema(spark):
+    # [Fecha].[Anio].[2024] dices an INT column with an int predicate —
+    # coerced at execution from the COLUMN's type, never the member's
+    # spelling (parse keeps the raw text)
     sel = parse_mdx(
         "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
         "{[Fecha].[Anio].[2024]} ON ROWS FROM [Toy] "
         "WHERE ([Fecha].[Mes].[1])",
         _hier_cube(spark),
     )
-    assert sel.member_filters == {"anio": [2024]}
-    assert sel.slicer_filters == {"mes": [1]}
+    assert sel.member_filters == {"anio": ["2024"]}
+    assert sel.slicer_filters == {"mes": ["1"]}
+    rows = mdx_query(
+        _hier_cube(spark),
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].[2024]} ON ROWS FROM [Toy] "
+        "WHERE ([Fecha].[Mes].[1])",
+    ).collect()
+    assert [(r["anio"], r["n"]) for r in rows] == [(2024, 2)]
+
+
+def test_mdx_digit_member_on_string_level_stays_string(spark):
+    # a digit-named member of a STRING level must filter as a string —
+    # a spelling-based coercion would cast the whole column (an ANSI
+    # runtime crash on any non-numeric value like 'ABC')
+    def star_builder():
+        return spark.createDataFrame(
+            [("123", 1.0), ("ABC", 2.0), ("123", 3.0)],
+            "codigo string, medida double",
+        )
+
+    cube = CubeDef(
+        name="Zonas",
+        star_builder=star_builder,
+        levels={"Zona.Codigo": "codigo"},
+        measures={"Cantidad": ("count", "medida", "n")},
+    )
+    rows = mdx_query(
+        cube,
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Zona].[Codigo].[123]} ON ROWS FROM [Zonas]",
+    ).collect()
+    assert [(r["codigo"], r["n"]) for r in rows] == [("123", 2)]
+
+
+def test_mdx_nonnumeric_member_on_int_level_is_loud(spark):
+    with pytest.raises(MdxError):
+        mdx_query(
+            _hier_cube(spark),
+            "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+            "{[Fecha].[Anio].[not_a_year]} ON ROWS FROM [Toy]",
+        ).collect()
+
+
+def test_mdx_calc_alias_collision_is_loud(spark):
+    # [A B] and [A_B] collapse to the same snake_case output column
+    with pytest.raises(MdxError):
+        parse_mdx(
+            "WITH MEMBER [Measures].[A B] AS 1 "
+            "MEMBER [Measures].[A_B] AS 2 "
+            "SELECT {[Measures].[Cantidad], [Measures].[A B], "
+            "[Measures].[A_B]} ON COLUMNS, "
+            "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+            _toy_cube(spark),
+        )
+    # ... and a calc member shadowing a grouping column is equally loud
+    with pytest.raises(MdxError):
+        parse_mdx(
+            "WITH MEMBER [Measures].[Anio] AS [Measures].[Cantidad] "
+            "SELECT {[Measures].[Anio]} ON COLUMNS, "
+            "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+            _toy_cube(spark),
+        )
+
+
+def test_mdx_all_only_axis_emits_no_row_on_empty_input(spark):
+    # the degenerate all-only axis must run as GROUPING SETS (()) — a
+    # keyed group emitting zero rows on empty input — not a global
+    # aggregate fabricating an All cell
+    def empty_star():
+        return spark.createDataFrame(
+            [], "anio int, mes int, pais string, seg string, medida double"
+        )
+
+    cube = CubeDef(
+        name="Toy",
+        star_builder=empty_star,
+        levels={"Fecha.Anio": "anio"},
+        measures={"Cantidad": ("count", "medida", "n")},
+    )
+    rows = mdx_query(
+        cube,
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "NON EMPTY {[Fecha].[(All)]} ON ROWS FROM [Toy]",
+    ).collect()
+    assert rows == []
+    # non-empty input still yields the single grand-total cell
+    rows2 = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[(All)]} ON ROWS FROM [Toy]",
+    ).collect()
+    assert len(rows2) == 1 and rows2[0]["n"] == 5
+
+
+def test_mdx_case_mixed_members_absorb(spark):
+    # .Members and an explicit member of the same level written in a
+    # different case must still merge into one level selection
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members, [fecha].[anio].[2024]} ON ROWS "
+        "FROM [Toy]",
+    ).collect()
+    assert {r["anio"] for r in rows} == {2024, 2025}
+
+
+def test_mdx_children_below_hierarchy_top_is_loud(spark):
+    # [Fecha].[Mes].[6] names a different June per year — drilling it
+    # would merge children across ancestors; must refuse
+    with pytest.raises(MdxError, match="ambiguous"):
+        parse_mdx(
+            "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+            "{[Fecha].[Mes].[1].Children} ON ROWS FROM [Toy]",
+            _hier_cube(spark),
+        )
