@@ -426,65 +426,68 @@ def pq_recon_error(
     (`ann_recall_report`), which measures the symptom; this measures
     the cause.
 
-    Pure deterministic serving arithmetic (the frozen-artifact split):
-    subspace slices explode JVM-side, the 2048-row codebook frame
-    broadcasts, per-(vector, subspace) argmin via one window, one
-    aggregate back to the vector. Squared distances accumulate as
-    ``Σ(a−c)²`` in a left fold — the same element order an external
-    engine's sequential list_sum replays (the expanded
-    ``v·v − 2v·c + c·c`` form cancels catastrophically near
-    zero-distance codes, exactly where a drift gate must be precise).
+    Pure deterministic serving arithmetic (the frozen-artifact split),
+    as a MAP-ONLY Arrow kernel — the same ``mapInPandas`` shape as
+    :func:`pq_encode`, because dense codebook distances are exactly
+    what vectorized float64 batches are for (the earlier
+    explode + broadcast-join + two-aggregate formulation materialized
+    N×m×256 rows and shuffled twice for row-local arithmetic; a
+    Catalyst higher-order-function rewrite kept the shuffles out but
+    paid interpreted per-element evaluation). Bit-exact contract with
+    the DuckDB oracle's sequential replay: per code the distance is
+    the LEFT FOLD ``((t0+t1)+t2)+...`` of ``(a−c)²`` terms — explicit
+    chained elementwise adds, never ``np.sum`` (whose pairwise
+    blocking reassociates) and never the expanded ``v·v − 2v·c + c·c``
+    form (which cancels catastrophically near zero-distance codes,
+    exactly where a drift gate must be precise); the per-vector rollup
+    is the same explicit fold in subspace order; min/max are
+    order-exact. No join, no shuffle beyond one round-robin exchange
+    that spreads a small corpus's single parquet split across the
+    cluster (at 100 TB the scan already has thousands of splits and
+    the rebalance is a no-op).
 
     Output: ``id_col, sq_err (double, Σ of subspace minima),
     max_sub_err (double, worst single subspace)``.
     """
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    spark = corpus.sparkSession
-    cb = spark.createDataFrame(
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _k, dsub = books.shape
+    out_schema = StructType(
         [
-            (s, c, [float(x) for x in cvec])
-            for s, book in enumerate(codebooks)
-            for c, cvec in enumerate(book)
-        ],
-        ["__s", "__code", "__cvec"],
+            corpus.schema[id_col],
+            StructField("sq_err", DoubleType()),
+            StructField("max_sub_err", DoubleType()),
+        ]
     )
-    v = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
-    subs = v.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("__s"),
-                        F.slice("__v", s * dsub + 1, dsub).alias("__sub"),
-                    )
-                    for s in range(m)
-                ]
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
             )
-        ).alias("__e"),
-    ).select(id_col, F.col("__e.__s").alias("__s"), F.col("__e.__sub").alias("__sub"))
-    scored = subs.join(F.broadcast(cb), "__s").withColumn(
-        "__d2",
-        F.aggregate(
-            F.zip_with(
-                F.col("__sub"), F.col("__cvec"), lambda a, c: (a - c) * (a - c)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    # Argmin as a map-side-combinable MIN over (d2, code) structs
-    # (struct ordering = lexicographic, identical to the previous
-    # window's ORDER BY d2, code) — the combiner folds the 256
-    # candidate rows per (vector, subspace) before the shuffle, so the
-    # exchange carries N×m rows instead of N×m×256 sorted ones.
-    mins = (
-        scored.groupBy(id_col, "__s")
-        .agg(F.min(F.struct("__d2", "__code")).alias("__m"))
-        .select(id_col, "__s", F.col("__m.__d2").alias("__d2"))
-    )
-    return mins.groupBy(id_col).agg(
-        F.sum("__d2").alias("sq_err"),
-        F.max("__d2").alias("max_sub_err"),
-    )
+            d2min = np.empty((len(X), m), dtype=np.float64)
+            for s in range(m):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                t = sub[:, None, :] - books[s][None, :, :]
+                t *= t  # (B, k, dsub) squared terms
+                d2 = t[:, :, 0]
+                for j in range(1, dsub):  # left fold, oracle order
+                    d2 = d2 + t[:, :, j]
+                d2min[:, s] = d2.min(axis=1)
+            sq = d2min[:, 0]
+            for s in range(1, m):  # left fold over subspaces
+                sq = sq + d2min[:, s]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sq_err": sq,
+                    "max_sub_err": d2min.max(axis=1),
+                }
+            )
+
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return base.mapInPandas(score, schema=out_schema)
