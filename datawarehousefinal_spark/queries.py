@@ -4351,15 +4351,21 @@ def streaming_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, state, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
     events.repartition(2).write.parquet(src)
     stream = read_parquet_stream(spark, src, events.schema, max_files_per_trigger=1)
-    (
-        stream.writeStream.foreachBatch(
-            foreach_batch_cube_merge(state, ["event_type"], "value")
-        )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    from datawarehousefinal_spark.streaming.pipeline import (
+        STATE_PARTITIONS_LOCAL,
+        scoped_shuffle_partitions,
     )
+
+    with scoped_shuffle_partitions(spark, STATE_PARTITIONS_LOCAL):
+        (
+            stream.writeStream.foreachBatch(
+                foreach_batch_cube_merge(state, ["event_type"], "value")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return _eager(serve_measures(read_cube_state(spark, state)))
 
 
@@ -7315,17 +7321,23 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_parquet_stream(
         spark, changes_dir, batch_a.schema, max_files_per_trigger=1
     )
-    (
-        stream.writeStream.foreachBatch(
-            foreach_batch_cdc_apply(
-                snap, ["o_orderkey"], op_col="op", seq_col="seq"
-            )
-        )
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    from datawarehousefinal_spark.streaming.pipeline import (
+        STATE_PARTITIONS_LOCAL,
+        scoped_shuffle_partitions,
     )
+
+    with scoped_shuffle_partitions(spark, STATE_PARTITIONS_LOCAL):
+        (
+            stream.writeStream.foreachBatch(
+                foreach_batch_cdc_apply(
+                    snap, ["o_orderkey"], op_col="op", seq_col="seq"
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return _eager(spark.read.parquet(snap))
 
 

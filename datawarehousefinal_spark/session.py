@@ -9,6 +9,7 @@ conf.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -39,6 +40,41 @@ _DEFAULT_CONF: dict[str, str] = {
     # inside generated JVM code, not Python).
     "spark.sql.codegen.wholeStage": "true",
 }
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily set ``spark.sql.shuffle.partitions``, restoring the
+    previous value on exit (no-op when ``n`` is None).
+
+    Two classes of work want a reducer count sized to their DATA rather
+    than to the session default (which is sized to the cluster):
+
+    - **Streaming state stores**: a stateful operator keeps one state-store
+      instance per shuffle partition and pays a per-instance open/commit
+      every micro-batch — fixed I/O independent of state size.
+    - **Iterative ML fits**: every iteration re-runs the stage DAG, so a
+      kilobyte-scale training frame shuffled into ``default`` partitions
+      pays ``default × iterations`` task launches for work that fits in a
+      handful of tasks.
+
+    AQE's partition coalescing solves this for one-shot batch SQL but
+    cannot help a streaming query (state partitioning is pinned at first
+    start) or an ``ml`` estimator's internal RDD jobs. Affects only
+    parallelism, never results. Lazy plans built inside the scope but
+    EXECUTED after it use the restored session value — callers must keep
+    eager work (fits, ``start()``/``awaitTermination``) inside the scope.
+    """
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def get_spark(

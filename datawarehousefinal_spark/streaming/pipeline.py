@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from datawarehousefinal_spark.session import scoped_shuffle_partitions
+
 
 def read_parquet_stream(
     spark: SparkSession,
@@ -396,22 +398,41 @@ def foreach_batch_incremental_dedup(
     return _dedup
 
 
+# State-partition count for locally-driven streaming queries. A stateful
+# streaming operator keeps one state-store instance PER shuffle partition,
+# and every micro-batch pays a per-instance open/commit (delta file write +
+# maintenance) regardless of how little state it holds — fixed I/O that
+# dwarfs the work when state is kilobytes. The count is pinned into the
+# checkpoint at FIRST query start (restarts reuse the checkpointed value,
+# so resume semantics never change mid-stream); it does not affect results,
+# only parallelism. Local harness state is tiny, so a handful of partitions
+# removes ~8× pure state-store overhead per stateful op; a production
+# deployment sizes this to state volume / peak throughput instead (e.g.
+# total-executor-cores × 2) by passing ``state_partitions`` explicitly or
+# ``None`` to inherit the session conf.
+STATE_PARTITIONS_LOCAL = 4
+
+
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,
     output_mode: str = "append",
+    state_partitions: int | None = STATE_PARTITIONS_LOCAL,
 ) -> None:
     """Drive a streaming DataFrame to completion over the data currently
     available (``trigger(availableNow=True)``) into an in-memory sink —
-    the test/debug harness for every operator above."""
-    (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    the test/debug harness for every operator above. ``state_partitions``
+    sizes the query's state stores (see :data:`STATE_PARTITIONS_LOCAL`)."""
+    spark = stream_df.sparkSession
+    with scoped_shuffle_partitions(spark, state_partitions):
+        (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 def run_to_parquet(
@@ -419,6 +440,7 @@ def run_to_parquet(
     out_path: str,
     checkpoint_path: str,
     output_mode: str = "append",
+    state_partitions: int | None = STATE_PARTITIONS_LOCAL,
 ) -> None:
     """Drive a streaming DataFrame over the currently-available data into
     a parquet file sink with a durable checkpoint — the PRODUCTION sink
@@ -427,16 +449,21 @@ def run_to_parquet(
     Calling this again after more source files land RESUMES from the
     checkpoint: the watermark carries over, already-emitted windows are
     never re-emitted, and late rows below the persisted watermark are
-    dropped — which is what makes restart-resume testable."""
-    (
-        stream_df.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    dropped — which is what makes restart-resume testable.
+    ``state_partitions`` sizes the state stores at FIRST start only —
+    the checkpoint pins it, so later resumes reuse the original count
+    (see :data:`STATE_PARTITIONS_LOCAL`)."""
+    spark = stream_df.sparkSession
+    with scoped_shuffle_partitions(spark, state_partitions):
+        (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 def foreach_batch_cube_merge(
