@@ -60,10 +60,24 @@ Supported subset (the shapes the reference schema can answer):
   tie order). Translates to ``ORDER BY measure DESC, keys LIMIT n``
   after aggregation — at 100 TB a TakeOrderedAndProject over the
   aggregate, never a full sort of the fact.
+  ``BOTTOMCOUNT(<set>, <n>, [Measures].[M])`` is the ascending twin
+  (same tie-break); cells absent from the aggregate (empty in MDX
+  terms) don't exist to rank — Mondrian's BottomCount ranks empty
+  cells first unless NON EMPTY intervenes, ours never fabricates
+  them (the same non-empty invariant NON EMPTY documents below).
+- ``ORDER(<set>, <measure-expr>[, ASC|DESC|BASC|BDESC])`` on the rows
+  axis: a pure presentation sort of the aggregated cells by a (base
+  or calculated) measure expression, grouping columns ascending as
+  the deterministic tie-break, default ASC. The B-variants (break
+  hierarchy) coincide with the plain ones here because a wrapped
+  axis is always single-grain (the All-lattice refusal below), so
+  there is no parent order to preserve or break. Sorts
+  group-count-many aggregated rows, never the fact.
 - ``FILTER(<set>, <measure-expr> <cmp> <measure-expr>)`` on the rows
   axis: a post-aggregation HAVING (cmp in ``< <= > >= = <>``); the
   sides are calculated-member expressions, so ratios and composites
-  filter too. TOPCOUNT/FILTER nest (evaluated innermost-first).
+  filter too. TOPCOUNT/BOTTOMCOUNT/ORDER/FILTER nest (evaluated
+  innermost-first).
 - the grand-total member ``[Dim].[(All)]`` (every reference hierarchy
   declares ``hasAll="true"``): a set mixing ``(All)`` with a level
   drilldown — ``{[Fecha].[(All)], [Fecha].[Anio].Members}`` — expands
@@ -89,8 +103,8 @@ Supported subset (the shapes the reference schema can answer):
 
 Deliberately out of scope (the schema never exercises them): named
 sets, ``PARALLELPERIOD``/time intelligence, member properties,
-sub-selects, ``ORDER``/``HEAD``/``TAIL`` (TopCount covers the ranking
-shape clients use).
+sub-selects, ``HEAD``/``TAIL`` (TopCount/BottomCount cover the
+ranking shapes clients use).
 
 Execution model: the cube definition supplies a DENORMALIZED star
 builder (broadcast dim joins — the same star the SQL serving path
@@ -431,7 +445,9 @@ class _Parser:
             right = self.parse_set()
             self.expect_punct(")")
             return [("crossjoin", left, right)]
-        if kind == "word" and val.upper() in ("TOPCOUNT", "FILTER"):
+        if kind == "word" and val.upper() in (
+            "TOPCOUNT", "BOTTOMCOUNT", "ORDER", "FILTER"
+        ):
             raise MdxError(
                 f"{val.upper()} may only wrap the whole rows axis, not "
                 "a CROSSJOIN branch or nested set"
@@ -445,11 +461,14 @@ class _Parser:
         return [("set", items)]
 
     # rows axis := TOPCOUNT '(' rows ',' n ',' measure ')'
+    #            | BOTTOMCOUNT '(' rows ',' n ',' measure ')'
+    #            | ORDER '(' rows ',' expr [',' direction] ')'
     #            | FILTER '(' rows ',' expr cmp expr ')'
     #            | set
     def parse_rows_axis(self):
         kind, val = self.peek()
-        if kind == "word" and val.upper() == "TOPCOUNT":
+        if kind == "word" and val.upper() in ("TOPCOUNT", "BOTTOMCOUNT"):
+            tag = val.lower()
             self.next()
             self.expect_punct("(")
             inner = self.parse_rows_axis()
@@ -457,12 +476,33 @@ class _Parser:
             nkind, nval = self.next()
             if nkind != "num" or "." in nval or int(nval) < 1:
                 raise MdxError(
-                    f"TOPCOUNT count must be a positive integer, got {nval!r}"
+                    f"{tag.upper()} count must be a positive integer, "
+                    f"got {nval!r}"
                 )
             self.expect_punct(",")
             measure = self.measure_ref()
             self.expect_punct(")")
-            return ("topcount", inner, int(nval), measure)
+            return (tag, inner, int(nval), measure)
+        if kind == "word" and val.upper() == "ORDER":
+            self.next()
+            self.expect_punct("(")
+            inner = self.parse_rows_axis()
+            self.expect_punct(",")
+            expr = self.calc_expr()
+            desc = False
+            if self.peek() == ("punct", ","):
+                self.next()
+                dkind, dval = self.next()
+                if dkind != "word" or dval.upper() not in (
+                    "ASC", "DESC", "BASC", "BDESC"
+                ):
+                    raise MdxError(
+                        "ORDER direction must be ASC, DESC, BASC or "
+                        f"BDESC, got {dval!r}"
+                    )
+                desc = dval.upper() in ("DESC", "BDESC")
+            self.expect_punct(")")
+            return ("order", inner, expr, desc)
         if kind == "word" and val.upper() == "FILTER":
             self.next()
             self.expect_punct("(")
@@ -708,19 +748,24 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
     p.expect_word("ON")
     p.expect_word("ROWS")
 
-    # unwrap TOPCOUNT/FILTER (outermost-first) down to the set nodes
+    # unwrap TOPCOUNT/BOTTOMCOUNT/ORDER/FILTER (outermost-first) down to
+    # the set nodes
     wrappers: list[tuple] = []
-    while rows_node[0] in ("topcount", "filter"):
-        if rows_node[0] == "topcount":
-            _, inner, n, measure = rows_node
+    while rows_node[0] in ("topcount", "bottomcount", "order", "filter"):
+        if rows_node[0] in ("topcount", "bottomcount"):
+            tag, inner, n, measure = rows_node
             if not cube.has_measure(measure) and (
                 measure.lower() not in known_calc
             ):
                 raise MdxError(
-                    f"TOPCOUNT ranks by unknown measure "
+                    f"{tag.upper()} ranks by unknown measure "
                     f"[Measures].[{measure}] on cube [{cube.name}]"
                 )
-            wrappers.append(("topcount", n, measure))
+            wrappers.append((tag, n, measure))
+        elif rows_node[0] == "order":
+            _, inner, expr, desc = rows_node
+            _validate_refs(expr, cube, calc_members)
+            wrappers.append(("order", expr, desc))
         else:
             _, inner, cond = rows_node
             _validate_refs(cond[1], cube, calc_members)
@@ -747,8 +792,9 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
             grouping_sets.append(gs)
     if wrappers and len(grouping_sets) > 1:
         raise MdxError(
-            "TOPCOUNT/FILTER over a set containing [(All)] would "
-            "rank/filter cells of mixed grain — not supported"
+            "TOPCOUNT/BOTTOMCOUNT/ORDER/FILTER over a set containing "
+            "[(All)] would rank/sort/filter cells of mixed grain — "
+            "not supported"
         )
 
     p.expect_word("FROM")
@@ -913,8 +959,10 @@ def needed_base_measures(sel: MdxSelect, cube: CubeDef) -> list[str]:
             )
             _collect_base_refs(expr, cube, sel.calc_members, needed)
     for w in sel.wrappers:
-        if w[0] == "topcount":
+        if w[0] in ("topcount", "bottomcount"):
             ref = ("ref", w[2])
+        elif w[0] == "order":
+            ref = w[1]
         else:
             ref = ("bin", "+", w[1][1], w[1][2])
         _collect_base_refs(ref, cube, sel.calc_members, needed)
@@ -972,10 +1020,18 @@ def execute_select(
                     _build_expr(right, cube, sel.calc_members),
                 )
             )
-        else:
-            _tag, n, measure = w
+        elif w[0] == "order":
+            _tag, expr, desc = w
+            key = _build_expr(expr, cube, sel.calc_members)
             out = out.orderBy(
-                resolve(measure).desc(),
+                key.desc() if desc else key.asc(),
+                *[F.col(c) for c in sel.group_cols],
+            )
+        else:
+            tag, n, measure = w
+            key = resolve(measure)
+            out = out.orderBy(
+                key.desc() if tag == "topcount" else key.asc(),
                 *[F.col(c) for c in sel.group_cols],
             ).limit(n)
 

@@ -393,3 +393,87 @@ def incremental_aggregate_rollup_q(
     return execute_select(
         sel, cube, chosen.table, lambda m: reagg_expr(cube, m)
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX ranking/sorting completions: BottomCount, Order
+# ---------------------------------------------------------------------------
+
+_MDX_BOTTOMCOUNT_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos]} ON COLUMNS,
+       BOTTOMCOUNT({[Pieza].[Marca].Members}, 5,
+                   [Measures].[Cantidad Movimientos]) ON ROWS
+FROM [Envios]
+"""
+
+
+@query(
+    "mdx_bottomcount",
+    oracle="""
+    SELECT p.p_brand AS marca,
+           count(l.l_orderkey) AS cantidad_movimientos
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    ORDER BY cantidad_movimientos ASC, marca
+    LIMIT 5
+    """,
+)
+def mdx_bottomcount_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``BOTTOMCOUNT`` — TOPCOUNT's ascending twin (the "worst
+    performers" dashboard gesture): the 5 brands ranking LOWEST by the
+    count measure on the lineitem-fact Envios cube, same deterministic
+    grouping-column tie-break as TopCount. One Mondrian divergence is
+    documented at the operator (operators/mdx.py module docstring):
+    Mondrian ranks EMPTY cells first unless NON EMPTY intervenes; this
+    translator's aggregate never materializes empty cells, so
+    BottomCount here ranks only existing members — the NON-EMPTY
+    reading, which is the one an analyst wants. Plan: one shuffle to
+    the brand aggregate, then a TakeOrderedAndProject (ascending) over
+    brand-count-many rows — the fact is never sorted."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _envios_cube
+
+    return mdx_query(_envios_cube(spark, sf_dir), _MDX_BOTTOMCOUNT_STATEMENT)
+
+
+_MDX_ORDER_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Promedio Medida]}
+       ON COLUMNS,
+       ORDER(FILTER({[Persona].[Nacionalidad].Members},
+                    [Measures].[Cantidad Movimientos] > 600),
+             [Measures].[Promedio Medida], BDESC) ON ROWS
+FROM [Movimientos]
+"""
+
+
+@query(
+    "mdx_order_members",
+    oracle="""
+    SELECT n.n_name AS nacionalidad,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    HAVING count(o.o_custkey) > 600
+    """,
+)
+def mdx_order_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER`` over a ``FILTER`` — the everyday BI axis sort
+    ("members above threshold, best average first"), proving wrapper
+    NESTING executes innermost-first (HAVING, then sort). ORDER is a
+    pure presentation sort of the aggregated cells (it never changes
+    the SET), so the oracle pins the set + values while the driver's
+    order-insensitive hash ignores row order BY DESIGN; the sort
+    itself — BDESC with the grouping-column tie-break — is pinned by
+    tests/test_mdx.py::test_mdx_order_sorts_rows. The B-variants
+    coincide with plain ASC/DESC here because a wrapped axis is always
+    single-grain (mixed-grain wrapping raises). Plan: the sort runs
+    over group-count-many aggregated rows after the single shuffle —
+    at 100 TB ordering a dashboard axis costs nothing."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_ORDER_STATEMENT)

@@ -805,3 +805,112 @@ def test_mdx_children_below_hierarchy_top_is_loud(spark):
             "{[Fecha].[Mes].[1].Children} ON ROWS FROM [Toy]",
             _hier_cube(spark),
         )
+
+
+def test_mdx_bottomcount_ascending_with_ties(spark):
+    # pais totals: AR=70, BR=30, CL=50 → bottom2 = BR, CL
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               BOTTOMCOUNT({[Persona].[Pais].Members}, 2,
+                           [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["pais"], r["sum_medida"]) for r in rows} == {
+        ("BR", 30.0), ("CL", 50.0),
+    }
+    # tie at the cut: counts AR=3, BR=1, CL=1 → bottom1 keeps BR
+    # (ascending grouping-column tie-break, same rule as TopCount)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               BOTTOMCOUNT({[Persona].[Pais].Members}, 1,
+                           [Measures].[Cantidad]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [r["pais"] for r in rows] == ["BR"]
+
+
+def test_mdx_order_sorts_rows(spark):
+    # BDESC by Total: AR(70), CL(50), BR(30) — collect order IS the pin
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               ORDER({[Persona].[Pais].Members},
+                     [Measures].[Total], BDESC) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [r["pais"] for r in rows] == ["AR", "CL", "BR"]
+    # default direction is ASC; ties (Cantidad BR=1, CL=1) break by the
+    # grouping column ascending
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               ORDER({[Persona].[Pais].Members},
+                     [Measures].[Cantidad]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [r["pais"] for r in rows] == ["BR", "CL", "AR"]
+
+
+def test_mdx_order_by_calc_expression_over_filter(spark):
+    # nesting: FILTER first (HAVING), then ORDER by a ratio expression
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               ORDER(FILTER({[Persona].[Pais].Members},
+                            [Measures].[Total] >= 50),
+                     [Measures].[Total] / [Measures].[Cantidad],
+                     DESC) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    # survivors: AR(70, avg 23.3), CL(50, avg 50) → CL first under DESC
+    assert [r["pais"] for r in rows] == ["CL", "AR"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # ORDER direction must be one of the four keywords
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "ORDER({[Persona].[Pais].Members}, [Measures].[Cantidad], "
+        "SIDEWAYS) ON ROWS FROM [Toy]",
+        # ORDER over an All-lattice mixes grains
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "ORDER({[Persona].[(All)], [Persona].[Pais].Members}, "
+        "[Measures].[Cantidad]) ON ROWS FROM [Toy]",
+        # ORDER inside a crossjoin branch
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "CROSSJOIN(ORDER({[Persona].[Pais].Members}, "
+        "[Measures].[Cantidad]), {[Fecha].[Anio].Members}) ON ROWS "
+        "FROM [Toy]",
+        # ORDER by an unknown measure
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "ORDER({[Persona].[Pais].Members}, [Measures].[Nope]) "
+        "ON ROWS FROM [Toy]",
+        # BOTTOMCOUNT shares TOPCOUNT's integer-count contract
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "BOTTOMCOUNT({[Persona].[Pais].Members}, 0, "
+        "[Measures].[Cantidad]) ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_order_bottomcount_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad)
+
+
+def test_mdx_ranking_faces_registered():
+    from datawarehousefinal_spark import queries as Q
+
+    for name in ("mdx_bottomcount", "mdx_order_members"):
+        assert name in Q.QUERIES and name in Q.ORACLES
