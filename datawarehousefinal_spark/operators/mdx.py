@@ -76,8 +76,23 @@ Supported subset (the shapes the reference schema can answer):
 - ``FILTER(<set>, <measure-expr> <cmp> <measure-expr>)`` on the rows
   axis: a post-aggregation HAVING (cmp in ``< <= > >= = <>``); the
   sides are calculated-member expressions, so ratios and composites
-  filter too. TOPCOUNT/BOTTOMCOUNT/ORDER/FILTER nest (evaluated
-  innermost-first).
+  filter too.
+- ``HEAD(<set>[, n])`` / ``TAIL(<set>[, n])`` on the rows axis (count
+  defaults to 1, Mondrian's documented default; must be ≥ 1 — loud
+  otherwise): the first/last n members in NATURAL member order, which
+  for this translator's value-keyed levels is the grouping columns
+  ascending in axis order (ties impossible: grouping keys are unique
+  by construction). A TakeOrderedAndProject over the aggregate, like
+  TopCount. All six wrappers nest (evaluated innermost-first).
+- ``WITH SET [Name] AS '<set>'`` named sets (quoted or bare body,
+  definition-order scoping like calculated members): a bare
+  ``[Name]`` reference anywhere a set is expected — the whole rows
+  axis, a CROSSJOIN branch, or inside any wrapper — splices the
+  declared set's AST at parse time; execution never knows sets were
+  named, so filters/grouping/plan shape are identical to writing the
+  set inline. Bodies may reference earlier-declared sets; wrapper
+  functions inside a body raise (wrappers are rows-axis-only in this
+  subset), and an unknown or twice-declared name is loud.
 - the grand-total member ``[Dim].[(All)]`` (every reference hierarchy
   declares ``hasAll="true"``): a set mixing ``(All)`` with a level
   drilldown — ``{[Fecha].[(All)], [Fecha].[Anio].Members}`` — expands
@@ -101,10 +116,8 @@ Supported subset (the shapes the reference schema can answer):
   All cell over a diced set totals the VISIBLE members (MDX
   ``VisualTotals`` semantics) — documented, deterministic, oracled.
 
-Deliberately out of scope (the schema never exercises them): named
-sets, ``PARALLELPERIOD``/time intelligence, member properties,
-sub-selects, ``HEAD``/``TAIL`` (TopCount/BottomCount cover the
-ranking shapes clients use).
+Deliberately out of scope (the schema never exercises them):
+``PARALLELPERIOD``/time intelligence, member properties, sub-selects.
 
 Execution model: the cube definition supplies a DENORMALIZED star
 builder (broadcast dim joins — the same star the SQL serving path
@@ -346,9 +359,17 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(
+        self,
+        tokens: list[tuple[str, str]],
+        named_sets: dict[str, list] | None = None,
+    ):
         self.toks = tokens
         self.i = 0
+        # lower-cased name → parsed set node list (WITH SET declarations);
+        # shared with sub-parsers of quoted bodies so earlier sets are
+        # referencable from later ones (Mondrian definition-order scoping)
+        self.named_sets = named_sets if named_sets is not None else {}
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -435,6 +456,7 @@ class _Parser:
         raise MdxError(f"expected a measure expression, got {val!r}")
 
     # set := '{' path (',' path)* '}' | CROSSJOIN '(' set ',' set ')'
+    #      | [NamedSet]
     def parse_set(self):
         kind, val = self.peek()
         if kind == "word" and val.upper() == "CROSSJOIN":
@@ -446,11 +468,28 @@ class _Parser:
             self.expect_punct(")")
             return [("crossjoin", left, right)]
         if kind == "word" and val.upper() in (
-            "TOPCOUNT", "BOTTOMCOUNT", "ORDER", "FILTER"
+            "TOPCOUNT", "BOTTOMCOUNT", "ORDER", "FILTER", "HEAD", "TAIL"
         ):
             raise MdxError(
                 f"{val.upper()} may only wrap the whole rows axis, not "
                 "a CROSSJOIN branch or nested set"
+            )
+        if kind == "seg":
+            # a bare [Name] where a set is expected: a WITH SET reference
+            # (node splice — the declaration parsed once, the reference
+            # reuses its AST; execution never knows sets were named)
+            segs, suffix = self.member_path()
+            if len(segs) == 1 and not suffix:
+                nodes = self.named_sets.get(segs[0].lower())
+                if nodes is None:
+                    raise MdxError(
+                        f"unknown named set [{segs[0]}] — sets must be "
+                        "declared WITH SET before use"
+                    )
+                return nodes
+            raise MdxError(
+                "expected a set: {members...}, CROSSJOIN(...), or a "
+                f"[NamedSet] reference — got {segs}"
             )
         self.expect_punct("{")
         items = [self.member_path()]
@@ -464,9 +503,27 @@ class _Parser:
     #            | BOTTOMCOUNT '(' rows ',' n ',' measure ')'
     #            | ORDER '(' rows ',' expr [',' direction] ')'
     #            | FILTER '(' rows ',' expr cmp expr ')'
+    #            | HEAD '(' rows [',' n] ')' | TAIL '(' rows [',' n] ')'
     #            | set
     def parse_rows_axis(self):
         kind, val = self.peek()
+        if kind == "word" and val.upper() in ("HEAD", "TAIL"):
+            tag = val.lower()
+            self.next()
+            self.expect_punct("(")
+            inner = self.parse_rows_axis()
+            n = 1  # Mondrian's documented default count
+            if self.peek() == ("punct", ","):
+                self.next()
+                nkind, nval = self.next()
+                if nkind != "num" or "." in nval or int(nval) < 1:
+                    raise MdxError(
+                        f"{tag.upper()} count must be a positive "
+                        f"integer, got {nval!r}"
+                    )
+                n = int(nval)
+            self.expect_punct(")")
+            return (tag, inner, n)
         if kind == "word" and val.upper() in ("TOPCOUNT", "BOTTOMCOUNT"):
             tag = val.lower()
             self.next()
@@ -676,40 +733,70 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
     p = _Parser(_tokenize(text))
 
     # WITH MEMBER [Measures].[Name] AS <expr> (expr quoted or bare)
+    #      SET [Name] AS <set> (set quoted or bare), interleaved freely
     calc_members: dict[str, tuple] = {}
     kind, val = p.peek()
     if kind == "word" and val.upper() == "WITH":
         p.next()
         while True:
             kind, val = p.peek()
-            if not (kind == "word" and val.upper() == "MEMBER"):
-                break
-            p.next()
-            name = p.measure_ref()
-            if cube.has_measure(name) or name.lower() in {
-                k.lower() for k in calc_members
-            }:
-                raise MdxError(
-                    f"calculated member [Measures].[{name}] collides "
-                    "with an existing measure"
-                )
-            p.expect_word("AS")
-            kind, val = p.peek()
-            if kind == "quote":
+            if kind == "word" and val.upper() == "MEMBER":
                 p.next()
-                sub = _Parser(_tokenize(val))
-                expr = sub.calc_expr()
-                if sub.peek()[0] != "eof":
+                name = p.measure_ref()
+                if cube.has_measure(name) or name.lower() in {
+                    k.lower() for k in calc_members
+                }:
                     raise MdxError(
-                        f"trailing tokens in calculated member body "
-                        f"from {sub.peek()[1]!r}"
+                        f"calculated member [Measures].[{name}] collides "
+                        "with an existing measure"
                     )
-            else:
-                expr = p.calc_expr()
-            _validate_refs(expr, cube, calc_members)
-            calc_members[name] = expr
-        if not calc_members:
-            raise MdxError("WITH must declare at least one MEMBER")
+                p.expect_word("AS")
+                kind, val = p.peek()
+                if kind == "quote":
+                    p.next()
+                    sub = _Parser(_tokenize(val))
+                    expr = sub.calc_expr()
+                    if sub.peek()[0] != "eof":
+                        raise MdxError(
+                            f"trailing tokens in calculated member body "
+                            f"from {sub.peek()[1]!r}"
+                        )
+                else:
+                    expr = p.calc_expr()
+                _validate_refs(expr, cube, calc_members)
+                calc_members[name] = expr
+                continue
+            if kind == "word" and val.upper() == "SET":
+                p.next()
+                skind, sname = p.next()
+                if skind != "seg":
+                    raise MdxError(
+                        f"WITH SET needs a [Name], got {sname!r}"
+                    )
+                if sname.lower() in p.named_sets:
+                    raise MdxError(
+                        f"named set [{sname}] declared twice"
+                    )
+                p.expect_word("AS")
+                kind, val = p.peek()
+                if kind == "quote":
+                    p.next()
+                    # share named_sets: earlier sets are referencable
+                    # from later bodies (definition-order scoping)
+                    sub = _Parser(_tokenize(val), p.named_sets)
+                    nodes = sub.parse_set()
+                    if sub.peek()[0] != "eof":
+                        raise MdxError(
+                            f"trailing tokens in named set body "
+                            f"from {sub.peek()[1]!r}"
+                        )
+                else:
+                    nodes = p.parse_set()
+                p.named_sets[sname.lower()] = nodes
+                continue
+            break
+        if not calc_members and not p.named_sets:
+            raise MdxError("WITH must declare at least one MEMBER or SET")
 
     p.expect_word("SELECT")
 
@@ -748,11 +835,16 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
     p.expect_word("ON")
     p.expect_word("ROWS")
 
-    # unwrap TOPCOUNT/BOTTOMCOUNT/ORDER/FILTER (outermost-first) down to
-    # the set nodes
+    # unwrap TOPCOUNT/BOTTOMCOUNT/ORDER/FILTER/HEAD/TAIL (outermost-
+    # first) down to the set nodes
     wrappers: list[tuple] = []
-    while rows_node[0] in ("topcount", "bottomcount", "order", "filter"):
-        if rows_node[0] in ("topcount", "bottomcount"):
+    while rows_node[0] in (
+        "topcount", "bottomcount", "order", "filter", "head", "tail"
+    ):
+        if rows_node[0] in ("head", "tail"):
+            tag, inner, n = rows_node
+            wrappers.append((tag, n))
+        elif rows_node[0] in ("topcount", "bottomcount"):
             tag, inner, n, measure = rows_node
             if not cube.has_measure(measure) and (
                 measure.lower() not in known_calc
@@ -959,6 +1051,8 @@ def needed_base_measures(sel: MdxSelect, cube: CubeDef) -> list[str]:
             )
             _collect_base_refs(expr, cube, sel.calc_members, needed)
     for w in sel.wrappers:
+        if w[0] in ("head", "tail"):
+            continue  # natural-order cuts reference no measure
         if w[0] in ("topcount", "bottomcount"):
             ref = ("ref", w[2])
         elif w[0] == "order":
@@ -1027,6 +1121,12 @@ def execute_select(
                 key.desc() if desc else key.asc(),
                 *[F.col(c) for c in sel.group_cols],
             )
+        elif w[0] in ("head", "tail"):
+            tag, n = w
+            keys = [F.col(c) for c in sel.group_cols]
+            out = out.orderBy(
+                *[k.asc() if tag == "head" else k.desc() for k in keys]
+            ).limit(n)
         else:
             tag, n, measure = w
             key = resolve(measure)

@@ -477,3 +477,84 @@ def mdx_order_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.queries_r10 import _movimientos_cube
 
     return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_ORDER_STATEMENT)
+
+
+# ---------------------------------------------------------------------------
+# MDX named sets + natural-order cuts: WITH SET, Head, Tail
+# ---------------------------------------------------------------------------
+
+_MDX_NAMED_SET_STATEMENT = """
+WITH SET [Segmentos Clave] AS
+     '{[Cliente].[Segmento].[BUILDING], [Cliente].[Segmento].[MACHINERY]}'
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Promedio Medida]}
+       ON COLUMNS,
+       CROSSJOIN({[Fecha].[Anio].Members}, [Segmentos Clave]) ON ROWS
+FROM [Movimientos]
+"""
+
+
+@query(
+    "mdx_named_set_crossjoin",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           c.c_mktsegment AS segmento,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY 1, 2
+    """,
+)
+def mdx_named_set_crossjoin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH SET`` named sets — the reusable-selection idiom of every
+    saved BI report: the segment set is declared once and referenced by
+    name inside a CROSSJOIN branch. The reference splices the declared
+    set's AST at parse time, so the translated plan — member dice
+    BEFORE aggregation, one shuffle on (anio, segmento) — is
+    hash-identical to writing the set inline; the oracle proves exactly
+    that against the raw star. Unknown and twice-declared names raise;
+    wrapper functions inside a set body raise (rows-axis-only)."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_NAMED_SET_STATEMENT
+    )
+
+
+_MDX_HEAD_TAIL_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos]} ON COLUMNS,
+       TAIL(HEAD({[Fecha].[Anio].Members}, 4), 2) ON ROWS
+FROM [Movimientos]
+"""
+
+
+@query(
+    "mdx_head_tail_years",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      GROUP BY 1
+    )
+    SELECT anio, cantidad_movimientos
+    FROM per ORDER BY anio LIMIT 2 OFFSET 2
+    """,
+)
+def mdx_head_tail_years_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``HEAD``/``TAIL`` natural-order cuts, NESTED (innermost-first:
+    Head takes the first 4 years in member order, Tail keeps that
+    prefix's last 2 — i.e. years 3-4, the classic windowing gesture
+    over a member axis). Natural member order for value-keyed levels
+    is the grouping key ascending, so both engines agree exactly and
+    the oracle is LIMIT/OFFSET over the ordered year aggregate. Plan:
+    each cut is a TakeOrderedAndProject over year-count-many aggregated
+    rows — the fact is never sorted."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_HEAD_TAIL_STATEMENT
+    )

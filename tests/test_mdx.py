@@ -914,3 +914,118 @@ def test_mdx_ranking_faces_registered():
 
     for name in ("mdx_bottomcount", "mdx_order_members"):
         assert name in Q.QUERIES and name in Q.ORACLES
+
+
+def test_mdx_named_set_splices_like_inline(spark):
+    named = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH SET [Americas] AS '{[Persona].[Pais].[AR],
+                                 [Persona].[Pais].[BR]}'
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               CROSSJOIN({[Fecha].[Anio].Members}, [Americas]) ON ROWS
+        FROM [Toy]
+        """,
+    )
+    inline = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               CROSSJOIN({[Fecha].[Anio].Members},
+                         {[Persona].[Pais].[AR],
+                          [Persona].[Pais].[BR]}) ON ROWS
+        FROM [Toy]
+        """,
+    )
+    assert sorted(map(tuple, named.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
+def test_mdx_named_set_in_wrapper_and_chained(spark):
+    # a set referencing an earlier set, used inside TOPCOUNT
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH SET [Paises] AS '{[Persona].[Pais].Members}'
+             SET [Ranked] AS '[Paises]'
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               TOPCOUNT([Ranked], 1, [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [("AR", 70.0)]
+
+
+def test_mdx_with_mixes_member_and_set(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Doble] AS '[Measures].[Total] * 2'
+             SET [Americas] AS '{[Persona].[Pais].[AR]}'
+        SELECT {[Measures].[Doble]} ON COLUMNS,
+               [Americas] ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["doble"]) for r in rows] == [("AR", 140.0)]
+
+
+def test_mdx_head_tail_natural_order(spark):
+    # Head default count is 1: first pais in member order
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "HEAD({[Persona].[Pais].Members}) ON ROWS FROM [Toy]",
+    ).collect()
+    assert [r["pais"] for r in rows] == ["AR"]
+    # Tail(Head(set, 2), 1) = the 2nd member
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "TAIL(HEAD({[Persona].[Pais].Members}, 2), 1) ON ROWS FROM [Toy]",
+    ).collect()
+    assert [r["pais"] for r in rows] == ["BR"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # unknown named set
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, [Nope] ON ROWS "
+        "FROM [Toy]",
+        # declared twice
+        "WITH SET [X] AS '{[Persona].[Pais].[AR]}' "
+        "SET [X] AS '{[Persona].[Pais].[BR]}' "
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, [X] ON ROWS "
+        "FROM [Toy]",
+        # wrapper inside a set body (rows-axis-only)
+        "WITH SET [X] AS 'TOPCOUNT({[Persona].[Pais].Members}, 1, "
+        "[Measures].[Cantidad])' "
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, [X] ON ROWS "
+        "FROM [Toy]",
+        # forward reference (definition-order scoping)
+        "WITH SET [A] AS '[B]' SET [B] AS '{[Persona].[Pais].[AR]}' "
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, [A] ON ROWS "
+        "FROM [Toy]",
+        # multi-segment path where a set is expected
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "[Persona].[Pais].[AR] ON ROWS FROM [Toy]",
+        # HEAD count must be >= 1
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "HEAD({[Persona].[Pais].Members}, 0) ON ROWS FROM [Toy]",
+        # WITH with no declarations
+        "WITH SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_named_set_head_tail_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad)
+
+
+def test_mdx_named_set_head_tail_faces_registered():
+    from datawarehousefinal_spark import queries as Q
+
+    for name in ("mdx_named_set_crossjoin", "mdx_head_tail_years"):
+        assert name in Q.QUERIES and name in Q.ORACLES
