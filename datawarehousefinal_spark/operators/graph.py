@@ -98,11 +98,27 @@ def connected_components(
     driver-side union-find (one bounded ``limit(n+1).count()`` probe +
     one bounded collect) — identical output, none of the per-round job
     overhead; larger graphs run the distributed min-label fixpoint.
+
+    ``pairs`` is consumed at least twice (the size probe, then either
+    the driver collect or the symmetrized edge build), and candidate
+    pipelines feeding it (LSH banding + verification) are expensive to
+    replay — so it is persisted here for the duration of the call
+    unless the caller already persisted it (measured on the curation
+    funnel: the unpersisted probe+collect replayed the full minhash
+    pipeline twice). Both return paths leave no lineage on ``pairs``:
+    the driver path materializes via collect, the distributed path via
+    ``localCheckpoint``.
     """
+    owned = pairs.storageLevel == StorageLevel.NONE
+    if owned:
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     if small_graph_pairs > 0:
         probe = pairs.limit(small_graph_pairs + 1).count()
         if probe <= small_graph_pairs:
-            return _components_driver(pairs, id_a, id_b)
+            out = _components_driver(pairs, id_a, id_b)
+            if owned:
+                pairs.unpersist()
+            return out
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = fwd.unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -113,6 +129,10 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    if owned:
+        # labels is materialized (localCheckpoint) and sym is persisted;
+        # nothing re-reads the raw pair pipeline past this point
+        pairs.unpersist()
     try:
         for _ in range(max_iterations):
             neighbor = (
@@ -179,6 +199,15 @@ def connected_components_stars(
     = min id of the component), identical contract to
     :func:`connected_components`.
     """
+    # pairs is read twice (edges, then the node universe), and the
+    # candidate pipeline feeding it is expensive to replay — persist for
+    # the duration unless the caller already did (same rationale as
+    # connected_components). Both consumers localCheckpoint (nodes too —
+    # the small extra job buys releasing the pair cache immediately
+    # instead of holding it until the final read-off join).
+    owned = pairs.storageLevel == StorageLevel.NONE
+    if owned:
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -189,7 +218,11 @@ def connected_components_stars(
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
         .distinct()
+        .localCheckpoint()
     )
+    if owned:
+        # both consumers are now materialized; the raw pipeline is done
+        pairs.unpersist()
 
     def _fingerprint(e: DataFrame) -> tuple:
         # bit_xor folds, not sum: XOR cannot overflow (sum of longs
