@@ -84,6 +84,18 @@ Supported subset (the shapes the reference schema can answer):
   ascending in axis order (ties impossible: grouping keys are unique
   by construction). A TakeOrderedAndProject over the aggregate, like
   TopCount. All six wrappers nest (evaluated innermost-first).
+- ``([Measures].[M], PARALLELPERIOD([Dim].[Level], k))`` tuples inside
+  calculated-member / FILTER / ORDER expressions — time intelligence,
+  the year-over-year gesture: the measure's value at the period ``k``
+  steps earlier. Supported at a hierarchy's TOP level only (the level
+  column must be integer-keyed and on the rows axis; exact ``col - k``
+  arithmetic): deeper shifts (month-over-month) need calendar wrap
+  semantics this translator refuses to fabricate — loud MdxError, as
+  is any shift over an [(All)] lattice. Executes as a LEFT self-join
+  of the AGGREGATE on shifted keys (cell×cell, broadcastable; never a
+  second fact scan); a missing prior cell is NULL, which propagates
+  through the expression — MDX empty-cell and SQL NULL arithmetic
+  agree, so oracles are plain self-LEFT-JOINs.
 - ``WITH SET [Name] AS '<set>'`` named sets (quoted or bare body,
   definition-order scoping like calculated members): a bare
   ``[Name]`` reference anywhere a set is expected — the whole rows
@@ -116,8 +128,8 @@ Supported subset (the shapes the reference schema can answer):
   All cell over a diced set totals the VISIBLE members (MDX
   ``VisualTotals`` semantics) — documented, deterministic, oracled.
 
-Deliberately out of scope (the schema never exercises them):
-``PARALLELPERIOD``/time intelligence, member properties, sub-selects.
+Deliberately out of scope (the schema never exercises them): member
+properties, sub-selects, below-top-level ``PARALLELPERIOD`` shifts.
 
 Execution model: the cube definition supplies a DENORMALIZED star
 builder (broadcast dim joins — the same star the SQL serving path
@@ -449,6 +461,34 @@ class _Parser:
         if kind == "punct" and val == "(":
             self.next()
             node = self.calc_expr()
+            if self.peek() == ("punct", ","):
+                # tuple: '(' [Measures].[M] ',' PARALLELPERIOD(...) ')'
+                # — the time-intelligence shape (measure at a shifted
+                # period); anything else after a comma is unsupported
+                if node[0] != "ref":
+                    raise MdxError(
+                        "a tuple must pair a [Measures] reference with "
+                        "PARALLELPERIOD(...)"
+                    )
+                self.next()
+                self.expect_word("PARALLELPERIOD")
+                self.expect_punct("(")
+                segs, suffix = self.member_path()
+                if len(segs) != 2 or suffix:
+                    raise MdxError(
+                        "PARALLELPERIOD needs a [Dim].[Level] reference, "
+                        f"got {segs}"
+                    )
+                self.expect_punct(",")
+                nkind, nval = self.next()
+                if nkind != "num" or "." in nval or int(nval) < 1:
+                    raise MdxError(
+                        "PARALLELPERIOD lag must be a positive integer, "
+                        f"got {nval!r}"
+                    )
+                self.expect_punct(")")
+                self.expect_punct(")")
+                return ("pp", node[1], segs[0], segs[1], int(nval))
             self.expect_punct(")")
             return node
         if kind == "seg":
@@ -965,6 +1005,14 @@ def _validate_refs(expr, cube: CubeDef, calc_members: dict) -> None:
                 f"expression references unknown measure "
                 f"[Measures].[{name}] on cube [{cube.name}]"
             )
+    elif kind == "pp":
+        _, name, dim, level, _k = expr
+        if not cube.has_measure(name):
+            raise MdxError(
+                "PARALLELPERIOD tuples shift BASE measures only; "
+                f"[Measures].[{name}] is not one on cube [{cube.name}]"
+            )
+        cube.level_column(dim, level)  # loud on unknown level
     elif kind == "bin":
         _validate_refs(expr[2], cube, calc_members)
         _validate_refs(expr[3], cube, calc_members)
@@ -986,6 +1034,10 @@ def _collect_base_refs(expr, cube: CubeDef, calc_members: dict, out: list):
                 if k.lower() == name.lower():
                     _collect_base_refs(sub, cube, calc_members, out)
                     break
+    elif kind == "pp":
+        name = expr[1]
+        if name.lower() not in {m.lower() for m in out}:
+            out.append(name)
     elif kind == "bin":
         _collect_base_refs(expr[2], cube, calc_members, out)
         _collect_base_refs(expr[3], cube, calc_members, out)
@@ -1003,6 +1055,8 @@ def _build_expr(expr, cube: CubeDef, calc_members: dict) -> Column:
         return F.lit(expr[1])
     if kind == "neg":
         return -_build_expr(expr[1], cube, calc_members)
+    if kind == "pp":
+        return F.col(_pp_alias(expr, cube))
     if kind == "ref":
         name = expr[1]
         if cube.has_measure(name):
@@ -1033,6 +1087,124 @@ _CMP = {
     "=": Column.__eq__,
     "<>": Column.__ne__,
 }
+
+
+def _pp_alias(expr, cube: CubeDef) -> str:
+    """Deterministic output column for a ``("pp", measure, dim, level,
+    k)`` tuple — one per (shift spec, measure), shared by every
+    expression referencing the same shifted value."""
+    _, name, dim, level, k = expr
+    safe = re.sub(r"[^a-z0-9]+", "_", f"{dim}_{level}".lower())
+    return f"__pp_{safe}_{k}_{cube.measure_alias(name)}"
+
+
+def _collect_pp_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
+    """Gather PARALLELPERIOD tuples reachable from an expression
+    (following calculated-member references), grouped by shift spec
+    ``(dim, level, k)`` → {alias: measure_name} so each spec joins the
+    aggregate to itself ONCE, projecting every measure it needs."""
+    kind = expr[0]
+    if kind == "pp":
+        _, name, dim, level, k = expr
+        out.setdefault(
+            (dim.lower(), level.lower(), k), (expr, {})
+        )[1][_pp_alias(expr, cube)] = name
+    elif kind == "ref" and not cube.has_measure(expr[1]):
+        for cname, sub in calc_members.items():
+            if cname.lower() == expr[1].lower():
+                _collect_pp_specs(sub, cube, calc_members, out)
+                break
+    elif kind == "bin":
+        _collect_pp_specs(expr[2], cube, calc_members, out)
+        _collect_pp_specs(expr[3], cube, calc_members, out)
+    elif kind == "neg":
+        _collect_pp_specs(expr[1], cube, calc_members, out)
+
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _join_parallel_periods(
+    out: DataFrame, sel: MdxSelect, cube: CubeDef
+) -> DataFrame:
+    """LEFT-join the aggregate to itself on period-shifted keys, once
+    per distinct PARALLELPERIOD spec — the Spark-first execution of the
+    time-intelligence tuple: the shifted value is read from ANOTHER CELL
+    of the same aggregate (cells are tiny at any fact scale; the join is
+    cell×cell and broadcastable), never from a second fact scan. A
+    missing prior cell yields NULL, which propagates through the
+    calculated expression — MDX empty-cell semantics and SQL NULL
+    arithmetic agree, so the oracle is a plain self-LEFT-JOIN.
+
+    Supported at a hierarchy's TOP level only (integer-keyed — the
+    year-over-year gesture, exact ``anio - k`` arithmetic): deeper
+    shifts (month-over-month) need calendar wrap semantics this
+    translator refuses to fabricate. Loud on every unsupported shape.
+    """
+    specs: dict = {}
+    for name in sel.columns:
+        if not cube.has_measure(name):
+            expr = next(
+                v for k, v in sel.calc_members.items()
+                if k.lower() == name.lower()
+            )
+            _collect_pp_specs(expr, cube, sel.calc_members, specs)
+    for w in sel.wrappers:
+        if w[0] in ("topcount", "bottomcount"):
+            _collect_pp_specs(("ref", w[2]), cube, sel.calc_members, specs)
+        elif w[0] == "order":
+            _collect_pp_specs(w[1], cube, sel.calc_members, specs)
+        elif w[0] == "filter":
+            _collect_pp_specs(w[1][1], cube, sel.calc_members, specs)
+            _collect_pp_specs(w[1][2], cube, sel.calc_members, specs)
+    if not specs:
+        return out
+    if len(sel.grouping_sets) != 1 or not sel.grouping_sets[0]:
+        raise MdxError(
+            "PARALLELPERIOD needs a single-grain rows axis — over an "
+            "[(All)] lattice the shifted tuple would mix grains"
+        )
+    gcols = sel.grouping_sets[0]
+    dtypes = dict(out.dtypes)
+    for (_dl, _ll, k), (expr0, aliases) in specs.items():
+        dim, level = expr0[2], expr0[3]
+        chain = cube.level_chain(dim, level)
+        if len(chain) != 1:
+            raise MdxError(
+                f"PARALLELPERIOD([{dim}].[{level}]) shifts below the "
+                "hierarchy top — only top-level (year-over-year) shifts "
+                "are supported; deeper periods need calendar wrap "
+                "semantics this translator does not fabricate"
+            )
+        col = chain[0]
+        if col not in gcols:
+            raise MdxError(
+                f"PARALLELPERIOD shifts [{dim}].[{level}] but its "
+                f"column {col!r} is not on the rows axis"
+            )
+        if dtypes.get(col) not in _INT_TYPES:
+            raise MdxError(
+                f"PARALLELPERIOD needs an integer-keyed level; "
+                f"{col!r} is {dtypes.get(col)}"
+            )
+        right = out.select(
+            *[F.col(c).alias(f"__ppr_{c}") for c in gcols],
+            *[
+                F.col(cube.measure_alias(m)).alias(a)
+                for a, m in aliases.items()
+            ],
+        )
+        cond = None
+        for c in gcols:
+            left_key = (
+                F.col(c) - F.lit(k) if c == col else F.col(c)
+            )
+            term = left_key == F.col(f"__ppr_{c}")
+            cond = term if cond is None else cond & term
+        out = out.join(right, cond, "left").drop(
+            *[f"__ppr_{c}" for c in gcols]
+        )
+    return out
 
 
 def needed_base_measures(sel: MdxSelect, cube: CubeDef) -> list[str]:
@@ -1100,6 +1272,11 @@ def execute_select(
         out = source.groupingSets(
             sel.grouping_sets, *sel.group_cols
         ).agg(*aggs)
+
+    # time-intelligence tuples: shifted-period values join in from other
+    # cells of the same aggregate BEFORE wrappers evaluate (FILTER/ORDER
+    # may reference them)
+    out = _join_parallel_periods(out, sel, cube)
 
     def resolve(name: str) -> Column:
         return _build_expr(("ref", name), cube, sel.calc_members)

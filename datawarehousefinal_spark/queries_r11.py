@@ -558,3 +558,57 @@ def mdx_head_tail_years_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_HEAD_TAIL_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX time intelligence: PARALLELPERIOD (year-over-year)
+# ---------------------------------------------------------------------------
+
+_MDX_YOY_STATEMENT = """
+WITH MEMBER [Measures].[Crecimiento Anual] AS
+     '[Measures].[Cantidad Movimientos] -
+      ([Measures].[Cantidad Movimientos], PARALLELPERIOD([Fecha].[Anio], 1))'
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Crecimiento Anual]}
+       ON COLUMNS,
+       {[Fecha].[Mes].Members} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_parallelperiod_yoy",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+             CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2
+    )
+    SELECT a.anio, a.mes, a.cantidad_movimientos,
+           a.cantidad_movimientos - b.cantidad_movimientos
+             AS crecimiento_anual
+    FROM per a
+    LEFT JOIN per b ON b.anio = a.anio - 1 AND b.mes = a.mes
+    """,
+)
+def mdx_parallelperiod_yoy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARALLELPERIOD — time intelligence through the MDX front door:
+    the year-over-year movement change per (anio, mes) cell, the
+    calculated member subtracting the measure at the SAME month one
+    year earlier (``([Measures].[X], PARALLELPERIOD([Fecha].[Anio],
+    1))``). Executes as ONE aggregation of the slicer-filtered star
+    plus a LEFT self-join of the month-grain AGGREGATE on (anio-1,
+    mes) — cell×cell, never a second fact scan; first-year cells have
+    no prior period, so the YoY column is NULL there on both engines
+    (MDX empty-cell ≡ SQL NULL arithmetic — exact BIGINT counts
+    otherwise, nothing to round). 100 TB: the self-join touches
+    months×segments-many rows, kilobytes; at that scale time
+    intelligence is free once the cube cells exist."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_YOY_STATEMENT)

@@ -1029,3 +1029,100 @@ def test_mdx_named_set_head_tail_faces_registered():
 
     for name in ("mdx_named_set_crossjoin", "mdx_head_tail_years"):
         assert name in Q.QUERIES and name in Q.ORACLES
+
+
+def test_mdx_parallelperiod_yoy(spark):
+    # per (anio, pais): 2024 AR=30 (10+20), 2024 BR=30, 2025 AR=40,
+    # 2025 CL=50; YoY = total - prior-year same pais
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[YoY] AS
+             '[Measures].[Total] -
+              ([Measures].[Total], PARALLELPERIOD([Fecha].[Anio], 1))'
+        SELECT {[Measures].[Total], [Measures].[YoY]} ON COLUMNS,
+               CROSSJOIN({[Fecha].[Anio].Members},
+                         {[Persona].[Pais].Members}) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["pais"]): (r["sum_medida"], r["yoy"]) for r in rows}
+    assert got[(2024, "AR")] == (30.0, None)  # no prior year → NULL
+    assert got[(2025, "AR")] == (40.0, 10.0)
+    assert got[(2025, "CL")] == (50.0, None)  # CL absent in 2024
+    assert got[(2024, "BR")] == (30.0, None)
+
+
+def test_mdx_parallelperiod_lag2_and_filter(spark):
+    # the shifted tuple works inside FILTER too (drop cells with no
+    # 2-year-old prior period → none here, so 0 rows survive)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               FILTER({[Fecha].[Anio].Members},
+                      ([Measures].[Total],
+                       PARALLELPERIOD([Fecha].[Anio], 2)) > 0) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert rows == []
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # below-top-level shift (Mes is keyed (anio, mes) on the
+        # hierarchy cube — routed to _hier_cube by the Mes marker)
+        "WITH MEMBER [Measures].[M] AS '([Measures].[Cantidad], "
+        "PARALLELPERIOD([Fecha].[Mes], 1))' "
+        "SELECT {[Measures].[M]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+        # shifted column not on the rows axis
+        "WITH MEMBER [Measures].[M] AS '([Measures].[Cantidad], "
+        "PARALLELPERIOD([Fecha].[Anio], 1))' "
+        "SELECT {[Measures].[M]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS FROM [Toy]",
+        # non-integer level key
+        "WITH MEMBER [Measures].[M] AS '([Measures].[Cantidad], "
+        "PARALLELPERIOD([Persona].[Pais], 1))' "
+        "SELECT {[Measures].[M]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS FROM [Toy]",
+        # All-lattice mixes grains
+        "WITH MEMBER [Measures].[M] AS '([Measures].[Cantidad], "
+        "PARALLELPERIOD([Fecha].[Anio], 1))' "
+        "SELECT {[Measures].[M]} ON COLUMNS, "
+        "{[Fecha].[(All)], [Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # calculated member inside the tuple
+        "WITH MEMBER [Measures].[C] AS '[Measures].[Cantidad] * 2' "
+        "MEMBER [Measures].[M] AS '([Measures].[C], "
+        "PARALLELPERIOD([Fecha].[Anio], 1))' "
+        "SELECT {[Measures].[M]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # lag must be a positive integer
+        "WITH MEMBER [Measures].[M] AS '([Measures].[Cantidad], "
+        "PARALLELPERIOD([Fecha].[Anio], 0))' "
+        "SELECT {[Measures].[M]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # tuple without PARALLELPERIOD
+        "WITH MEMBER [Measures].[M] AS '([Measures].[Cantidad], "
+        "[Measures].[Total])' "
+        "SELECT {[Measures].[M]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_parallelperiod_errors_are_loud(spark, bad):
+    cube = (
+        _hier_cube(spark)
+        if "PARALLELPERIOD([Fecha].[Mes]" in bad
+        else _toy_cube(spark)
+    )
+    with pytest.raises(MdxError):
+        mdx_query(cube, bad).collect()
+
+
+def test_mdx_parallelperiod_face_registered():
+    from datawarehousefinal_spark import queries as Q
+
+    assert "mdx_parallelperiod_yoy" in Q.QUERIES
+    assert "mdx_parallelperiod_yoy" in Q.ORACLES
