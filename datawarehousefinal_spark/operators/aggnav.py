@@ -220,15 +220,16 @@ def choose_aggregate(
     cube: CubeDef, sel: MdxSelect, aggs: list[AggTable]
 ) -> AggTable | None:
     """The navigator: the smallest-grain table that covers the query.
-    Covering = every grouping column and every filter column (slicer +
-    member dices, which must apply BEFORE re-aggregation) is in the
-    table's grain. Measures never disqualify a table — every table
+    Covering = every grouping column and every filter column (slicer,
+    member dices, and sub-select restrictions — all of which must apply
+    BEFORE re-aggregation) is in the table's grain. Measures never disqualify a table — every table
     stores every measure's states. None when nothing covers (the fact
     answers)."""
     needed_base_measures(sel, cube)  # loud on unknown measures first
     required = set(sel.group_cols)
     required.update(sel.member_filters)
     required.update(sel.slicer_filters)
+    required.update(col for col, _vals in sel.subselect_filters)
     best: AggTable | None = None
     for agg in aggs:
         if required <= set(agg.grain):

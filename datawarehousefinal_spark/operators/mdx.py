@@ -127,9 +127,19 @@ Supported subset (the shapes the reference schema can answer):
   Member dices on the rows axis also filter before aggregation, so an
   All cell over a diced set totals the VISIBLE members (MDX
   ``VisualTotals`` semantics) — documented, deterministic, oracled.
+- sub-selects ``FROM (SELECT <set> ON <axis>[, ...] FROM [Cube])`` —
+  the slice-restriction shape pivot clients (Excel) emit: every
+  explicit member in a sub-select axis restricts the cube slice
+  BEFORE the outer query aggregates, regardless of which axis it sat
+  on (axis placement in a sub-select is presentation-only);
+  ``.Members`` and ``[(All)]`` items select everything and restrict
+  nothing. Nested sub-selects compose (their filters AND together).
+  Children drills, wrapper functions, and WHERE inside a sub-select
+  raise — the outer query owns the slicer.
 
 Deliberately out of scope (the schema never exercises them): member
-properties, sub-selects, below-top-level ``PARALLELPERIOD`` shifts.
+properties, below-top-level ``PARALLELPERIOD`` shifts, sub-select
+WHERE clauses.
 
 Execution model: the cube definition supplies a DENORMALIZED star
 builder (broadcast dim joins — the same star the SQL serving path
@@ -766,6 +776,101 @@ class MdxSelect:
     slicer_filters: dict[str, list]
     grouping_sets: list[list[str]]
     wrappers: list[tuple]
+    # (column, members) entries from FROM (SELECT ...) sub-selects,
+    # outermost-last; each is an independent IN filter (two entries on
+    # the same column AND together — nested sub-select intersection)
+    subselect_filters: list = field(default_factory=list)
+
+
+def _collect_subselect_members(nodes, cube: CubeDef, out: list) -> None:
+    """Flatten a sub-select axis set into (level column, members)
+    filters. Explicit members restrict; ``.Members`` and ``[(All)]``
+    select everything, hence restrict nothing (validated, then
+    ignored); anything else — Children drills, wrapper functions —
+    is outside the sub-select subset and raises."""
+    per_level: dict[str, list] = {}
+
+    def walk(ns):
+        for node in ns:
+            if node[0] == "crossjoin":
+                walk(node[1])
+                walk(node[2])
+                continue
+            _, items = node
+            for segs, suffix in items:
+                if not suffix and segs[-1].lower() == "(all)" and (
+                    len(segs) in (2, 3)
+                ):
+                    continue  # the grand total: restricts nothing
+                if len(segs) == 2 and suffix == "members":
+                    cube.level_column(segs[0], segs[1])  # validate only
+                    continue
+                if len(segs) == 3 and not suffix:
+                    col = cube.level_column(segs[0], segs[1])
+                    per_level.setdefault(col, []).append(segs[2])
+                    continue
+                raise MdxError(
+                    "sub-select items must be explicit "
+                    "[Dim].[Level].[member] members (or .Members / "
+                    f"[(All)], which restrict nothing), got {segs}"
+                )
+
+    walk(nodes)
+    out.extend(per_level.items())
+
+
+def _parse_from_clause(p: _Parser, cube: CubeDef) -> list:
+    """``FROM [Cube]`` or ``FROM (SELECT <set> ON <axis>[, ...] FROM
+    <from>)`` — the sub-select shape pivot clients (Excel) emit to
+    restrict the cube slice before the outer query runs. Axis
+    placement inside a sub-select is presentation-only; every explicit
+    member restricts the slice regardless of axis. Nested sub-selects
+    compose (filters AND together). Sub-select WHERE is refused loudly
+    (put the slicer on the outer query). Restriction applies BEFORE
+    aggregation — the same visual-totals semantics as slicers and
+    rows-axis dices, Mondrian's sub-select contract."""
+    kind, val = p.peek()
+    if kind == "seg":
+        p.next()
+        if val.lower() != cube.name.lower():
+            raise MdxError(
+                f"query addresses cube [{val}], not [{cube.name}]"
+            )
+        return []
+    if kind == "punct" and val == "(":
+        p.next()
+        p.expect_word("SELECT")
+        filters: list = []
+        while True:
+            nodes = p.parse_set()
+            _collect_subselect_members(nodes, cube, filters)
+            p.expect_word("ON")
+            akind, aval = p.next()
+            if not (
+                (akind == "word" and aval.upper() in ("COLUMNS", "ROWS"))
+                or (akind == "num" and aval in ("0", "1"))
+            ):
+                raise MdxError(
+                    f"sub-select axis must be COLUMNS, ROWS, 0 or 1, "
+                    f"got {aval!r}"
+                )
+            if p.peek() == ("punct", ","):
+                p.next()
+                continue
+            break
+        p.expect_word("FROM")
+        inner = _parse_from_clause(p, cube)
+        kind, val = p.peek()
+        if kind == "word" and val.upper() == "WHERE":
+            raise MdxError(
+                "WHERE inside a sub-select is not supported — put the "
+                "slicer on the OUTER query"
+            )
+        p.expect_punct(")")
+        return inner + filters
+    raise MdxError(
+        f"expected [CubeName] or a (SELECT ...) sub-select, got {val!r}"
+    )
 
 
 def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
@@ -930,11 +1035,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
         )
 
     p.expect_word("FROM")
-    kind, val = p.next()
-    if kind != "seg":
-        raise MdxError(f"expected [CubeName], got {val!r}")
-    if val.lower() != cube.name.lower():
-        raise MdxError(f"query addresses cube [{val}], not [{cube.name}]")
+    subselect_filters = _parse_from_clause(p, cube)
 
     slicer_filters: dict[str, list] = {}
     kind, val = p.peek()
@@ -988,6 +1089,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
         slicer_filters=slicer_filters,
         grouping_sets=grouping_sets,
         wrappers=wrappers,
+        subselect_filters=subselect_filters,
     )
 
 
@@ -1252,6 +1354,7 @@ def execute_select(
     an aggregate table), then apply wrappers and project the COLUMNS
     axis."""
     for col, vals in (
+        *sel.subselect_filters,
         *sel.slicer_filters.items(),
         *sel.member_filters.items(),
     ):

@@ -612,3 +612,54 @@ def mdx_parallelperiod_yoy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.queries_r10 import _movimientos_cube
 
     return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_YOY_STATEMENT)
+
+
+# ---------------------------------------------------------------------------
+# MDX sub-selects: FROM (SELECT ... FROM [Cube])
+# ---------------------------------------------------------------------------
+
+_MDX_SUBSELECT_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Promedio Medida]}
+       ON COLUMNS,
+       {[Fecha].[Anio].Members} ON ROWS
+FROM (SELECT {[Cliente].[Segmento].[BUILDING],
+              [Cliente].[Segmento].[MACHINERY]} ON COLUMNS
+      FROM (SELECT {[Persona].[Nacionalidad].[PERU],
+                    [Persona].[Nacionalidad].[CHINA],
+                    [Persona].[Nacionalidad].[JAPAN]} ON ROWS
+            FROM [Movimientos]))
+"""
+
+
+@query(
+    "mdx_subselect_slice",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND n.n_name IN ('PERU', 'CHINA', 'JAPAN')
+    GROUP BY 1
+    """,
+)
+def mdx_subselect_slice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-selects — the slice-restriction shape Excel-style pivot
+    clients emit instead of slicers: a NESTED ``FROM (SELECT ... FROM
+    (SELECT ... FROM [Movimientos]))`` restricts the cube to two
+    segments AND three nationalities before the outer year query
+    aggregates. Axis placement inside a sub-select is
+    presentation-only (one restriction sits ON COLUMNS, one ON ROWS —
+    both just filter); nesting composes by AND. All restrictions apply
+    BEFORE aggregation — the same visual-totals semantics, and the
+    same scan-edge filter placement, as slicers: at 100 TB both IN
+    filters push through the broadcast star into the fact scan, and
+    the year aggregate shuffles only the surviving slice."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_SUBSELECT_STATEMENT
+    )

@@ -1126,3 +1126,100 @@ def test_mdx_parallelperiod_face_registered():
 
     assert "mdx_parallelperiod_yoy" in Q.QUERIES
     assert "mdx_parallelperiod_yoy" in Q.ORACLES
+
+
+def test_mdx_subselect_restricts_slice(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM (SELECT {[Persona].[Pais].[AR]} ON COLUMNS FROM [Toy])
+        """,
+    ).collect()
+    assert {(r["anio"], r["sum_medida"]) for r in rows} == {
+        (2024, 30.0), (2025, 40.0),
+    }
+
+
+def test_mdx_subselect_nested_and_axis_agnostic(spark):
+    # nested sub-selects AND together; axis placement is cosmetic
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM (SELECT {[Fecha].[Anio].[2024]} ON ROWS
+              FROM (SELECT {[Cliente].[Seg].[A]} ON 0 FROM [Toy]))
+        """,
+    ).collect()
+    # 2024 & seg A: AR(10), BR(30)
+    assert {(r["pais"], r["n"]) for r in rows} == {("AR", 1), ("BR", 1)}
+
+
+def test_mdx_subselect_members_and_all_restrict_nothing(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM (SELECT CROSSJOIN({[Persona].[Pais].Members},
+                               {[Fecha].[(All)]}) ON COLUMNS FROM [Toy])
+        """,
+    ).collect()
+    assert {r["anio"] for r in rows} == {2024, 2025}
+
+
+def test_mdx_subselect_composes_with_outer_where(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM (SELECT {[Persona].[Pais].[AR],
+                      [Persona].[Pais].[CL]} ON COLUMNS FROM [Toy])
+        WHERE ([Cliente].[Seg].[B])
+        """,
+    ).collect()
+    # (AR|CL) & seg B: 2024 AR(20), 2025 CL(50)
+    assert {(r["anio"], r["n"]) for r in rows} == {(2024, 1), (2025, 1)}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # WHERE inside a sub-select
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS "
+        "FROM (SELECT {[Persona].[Pais].[AR]} ON COLUMNS FROM [Toy] "
+        "WHERE ([Cliente].[Seg].[A]))",
+        # Children inside a sub-select
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS "
+        "FROM (SELECT {[Fecha].[Anio].[2024].Children} ON COLUMNS "
+        "FROM [Toy])",
+        # wrapper inside a sub-select set
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS "
+        "FROM (SELECT TOPCOUNT({[Fecha].[Anio].Members}, 1, "
+        "[Measures].[Cantidad]) ON COLUMNS FROM [Toy])",
+        # wrong cube name in the innermost FROM
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS "
+        "FROM (SELECT {[Fecha].[Anio].[2024]} ON COLUMNS FROM [Nope])",
+        # bad axis keyword
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS "
+        "FROM (SELECT {[Fecha].[Anio].[2024]} ON PAGES FROM [Toy])",
+    ],
+)
+def test_mdx_subselect_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad)
+
+
+def test_mdx_subselect_face_registered():
+    from datawarehousefinal_spark import queries as Q
+
+    assert "mdx_subselect_slice" in Q.QUERIES
+    assert "mdx_subselect_slice" in Q.ORACLES
