@@ -470,6 +470,16 @@ class _Parser:
             return ("num", float(val) if "." in val else int(val))
         if kind == "punct" and val == "(":
             self.next()
+            # tuple with the shift first: '(' PARALLELPERIOD(...) ','
+            # [Measures].[M] ')' — Mondrian accepts either member order
+            pk, pv = self.peek()
+            if pk == "word" and pv.upper() == "PARALLELPERIOD":
+                self.next()
+                dim, level, k = self._parallelperiod_args()
+                self.expect_punct(",")
+                measure = self.measure_ref()
+                self.expect_punct(")")
+                return ("pp", measure, dim, level, k)
             node = self.calc_expr()
             if self.peek() == ("punct", ","):
                 # tuple: '(' [Measures].[M] ',' PARALLELPERIOD(...) ')'
@@ -482,28 +492,34 @@ class _Parser:
                     )
                 self.next()
                 self.expect_word("PARALLELPERIOD")
-                self.expect_punct("(")
-                segs, suffix = self.member_path()
-                if len(segs) != 2 or suffix:
-                    raise MdxError(
-                        "PARALLELPERIOD needs a [Dim].[Level] reference, "
-                        f"got {segs}"
-                    )
-                self.expect_punct(",")
-                nkind, nval = self.next()
-                if nkind != "num" or "." in nval or int(nval) < 1:
-                    raise MdxError(
-                        "PARALLELPERIOD lag must be a positive integer, "
-                        f"got {nval!r}"
-                    )
+                dim, level, k = self._parallelperiod_args()
                 self.expect_punct(")")
-                self.expect_punct(")")
-                return ("pp", node[1], segs[0], segs[1], int(nval))
+                return ("pp", node[1], dim, level, k)
             self.expect_punct(")")
             return node
         if kind == "seg":
             return ("ref", self.measure_ref())
         raise MdxError(f"expected a measure expression, got {val!r}")
+
+    def _parallelperiod_args(self) -> tuple[str, str, int]:
+        """The ``([Dim].[Level], n)`` argument list of PARALLELPERIOD
+        (opening paren through closing paren)."""
+        self.expect_punct("(")
+        segs, suffix = self.member_path()
+        if len(segs) != 2 or suffix:
+            raise MdxError(
+                "PARALLELPERIOD needs a [Dim].[Level] reference, "
+                f"got {segs}"
+            )
+        self.expect_punct(",")
+        nkind, nval = self.next()
+        if nkind != "num" or "." in nval or int(nval) < 1:
+            raise MdxError(
+                "PARALLELPERIOD lag must be a positive integer, "
+                f"got {nval!r}"
+            )
+        self.expect_punct(")")
+        return segs[0], segs[1], int(nval)
 
     # set := '{' path (',' path)* '}' | CROSSJOIN '(' set ',' set ')'
     #      | [NamedSet]
@@ -802,6 +818,20 @@ def _collect_subselect_members(nodes, cube: CubeDef, out: list) -> None:
                     len(segs) in (2, 3)
                 ):
                     continue  # the grand total: restricts nothing
+                if (
+                    len(segs) == 2
+                    and not suffix
+                    and segs[0].lower() == "measures"
+                ):
+                    # Excel sub-selects restrict the measure space too;
+                    # measures are explicit on the outer COLUMNS axis
+                    # here, so this restricts nothing — validate, ignore
+                    if not cube.has_measure(segs[1]):
+                        raise MdxError(
+                            f"unknown measure [Measures].[{segs[1]}] in "
+                            f"sub-select on cube [{cube.name}]"
+                        )
+                    continue
                 if len(segs) == 2 and suffix == "members":
                     cube.level_column(segs[0], segs[1])  # validate only
                     continue
@@ -812,7 +842,8 @@ def _collect_subselect_members(nodes, cube: CubeDef, out: list) -> None:
                 raise MdxError(
                     "sub-select items must be explicit "
                     "[Dim].[Level].[member] members (or .Members / "
-                    f"[(All)], which restrict nothing), got {segs}"
+                    f"[(All)] / [Measures].[M], which restrict "
+                    f"nothing), got {segs}"
                 )
 
     walk(nodes)
@@ -1032,6 +1063,12 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
             "TOPCOUNT/BOTTOMCOUNT/ORDER/FILTER over a set containing "
             "[(All)] would rank/sort/filter cells of mixed grain — "
             "not supported"
+        )
+    if not group_cols and any(w[0] in ("head", "tail") for w in wrappers):
+        # the all-only axis is a single cell with no member order
+        raise MdxError(
+            "HEAD/TAIL need at least one level on the rows axis — the "
+            "all-only [(All)] axis has no member order to cut"
         )
 
     p.expect_word("FROM")

@@ -1223,3 +1223,49 @@ def test_mdx_subselect_face_registered():
 
     assert "mdx_subselect_slice" in Q.QUERIES
     assert "mdx_subselect_slice" in Q.ORACLES
+
+
+def test_mdx_head_tail_over_all_only_axis_is_loud(spark):
+    with pytest.raises(MdxError, match="member order"):
+        parse_mdx(
+            "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+            "HEAD({[Fecha].[(All)]}, 1) ON ROWS FROM [Toy]",
+            _toy_cube(spark),
+        )
+
+
+def test_mdx_subselect_measures_item_validated_and_ignored(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM (SELECT {[Measures].[Total], [Persona].[Pais].[AR]}
+              ON COLUMNS FROM [Toy])
+        """,
+    ).collect()
+    # the measure item restricts nothing; the AR member does
+    assert {(r["anio"], r["n"]) for r in rows} == {(2024, 2), (2025, 1)}
+    with pytest.raises(MdxError, match="unknown measure"):
+        mdx_query(
+            _toy_cube(spark),
+            "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+            "{[Fecha].[Anio].Members} ON ROWS "
+            "FROM (SELECT {[Measures].[Nope]} ON COLUMNS FROM [Toy])",
+        )
+
+
+def test_mdx_parallelperiod_tuple_order_reversed(spark):
+    # Mondrian accepts (PARALLELPERIOD(...), [Measures].[M]) too
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Prior] AS
+             '(PARALLELPERIOD([Fecha].[Anio], 1), [Measures].[Total])'
+        SELECT {[Measures].[Prior]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {r["anio"]: r["prior"] for r in rows}
+    assert got == {2024: None, 2025: 60.0}
