@@ -4789,7 +4789,7 @@ def bucketed_join_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE user_id END AS user_id
       FROM events
     )
-    SELECT event_type, count(*) AS n, sum(user_id) AS user_id_sum
+    SELECT event_type, count(*) AS n, sum(user_id)::BIGINT AS user_id_sum
     FROM final GROUP BY 1
     """,
 )
@@ -8660,77 +8660,78 @@ def bench_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_WINDOW = [
-    # Round-11 rotation: CLOSE THE SCOREBOARD. Union(r1-r10) = 238/240
-    # pre-r10 oracled faces; the only never-green pair leads with this
-    # round's prescribed fixes (decayed_activity_score now serves BIGINT
-    # nano-unit scores -- the integer-serve pattern that took
-    # incremental_cube_moments driver-green in r10;
-    # partition_overwrite_roundtrip is now self-diagnosing and pins the
-    # session conf to dynamic overwrite around each write). Next: the 25
-    # round-10 faces, all judge-verified 25/25 green at sf0.01 but frozen
-    # out of the r10 window (TPC-H battery x17, MDX front door x3, sketch
-    # time-hierarchy rollups x3, XML sink, VARIANT histogram) -- their
-    # first driver rows complete 265/265. The remaining 23 slots refresh
-    # the OLDEST evidence in the registry (last green rows r4/r5). Frozen
-    # for the round.
+    # Round-12 rotation: FINISH THE UNION. Union(r1-r11) = 264/279 oracled
+    # faces driver-proven; the 15 missing rows are exactly this window's
+    # head. Lead: partition_overwrite_roundtrip's re-proof (0-for-4 —
+    # r11's in-face self-diagnosis ran clean in the driver, `err: None`,
+    # isolating the hash/serve boundary; the registry-wide DESCRIBE audit
+    # found its oracle was the ONLY one serving a DuckDB HUGEINT —
+    # sum(user_id) uncast — which crosses pandas as float64 "147709.0"
+    # vs Spark's int64 "147709"; now cast ::BIGINT, and a pytest sweep
+    # regression-locks the whole registry against HUGEINT serves). Then
+    # the 14 round-11 faces (hierarchy MDX drilldowns, calculated
+    # members, set wrappers, PARALLELPERIOD, sub-selects, aggregate
+    # navigator, incremental rollup), all judge-verified 14/14 green at
+    # sf0.01 but landed after the frozen r11 window — their first driver
+    # rows complete 279/279. The remaining 35 slots refresh the OLDEST
+    # evidence in the registry (34 faces whose last driver rows are
+    # r5-era, + the alphabetically-first r6 face). Frozen for the round.
     #
-    # -- fix re-proofs (never driver-green; verdict #1/#2) ---------------
-    "decayed_activity_score",
+    # -- fix re-proof (never driver-green; verdict #1) -------------------
     "partition_overwrite_roundtrip",
-    # -- first driver rows: round-10 TPC-H shape battery -----------------
-    "shipping_priority_topk",
-    "late_shipment_priority_counts",
-    "nation_trade_volume",
-    "forecast_revenue_change",
-    "market_share_report",
-    "product_profit_report",
-    "returned_items_topk",
-    "important_parts_revenue",
-    "discounted_revenue_filtered",
-    "promo_revenue_share",
-    "top_supplier_per_quarter",
-    "promo_heavy_suppliers",
-    "small_quantity_part_revenue",
-    "large_quantity_orders",
-    "supplier_part_breadth",
-    "sole_late_supplier_blame",
-    "dormant_rich_customers",
-    # -- first driver rows: MDX front door -------------------------------
-    "mdx_cube_query",
-    "mdx_rollup_query",
-    "mdx_second_cube_query",
-    # -- first driver rows: sketch time-hierarchy rollups ----------------
-    "bloom_month_rollup",
-    "cm_week_rollup",
-    "kll_week_quantiles",
-    # -- first driver rows: Spark-4 source/sink + VARIANT ----------------
-    "xml_sink_roundtrip",
-    "variant_props_histogram",
-    # -- oldest evidence: last green rows r4 ------------------------------
-    "asof_join_last_purchase",
-    "clean_drop_fill",
-    "colname_normalize",
-    "corpus_length_stats",
-    "csv_repair_roundtrip",
-    "cube_all_measures",
-    "doc_fingerprint",
-    "future_dates_365",
-    "lang_confusion",
-    "language_quality",
-    "range_join_price_bands",
-    "salted_skew_join_agg",
-    "scd2_user_event_history",
-    "top_terms",
-    "union_yearly_sources",
-    # -- oldest evidence: last green rows r5 ------------------------------
-    "cache_roundtrip",
-    "cohort_retention",
-    "contamination_report",
-    "correlation_matrix",
-    "cosine_topk",
-    "csv_sink_roundtrip",
-    "csv_typed_scan",
-    "doc_chunking",
+    # -- first driver rows: round-11 MDX language completion -------------
+    "mdx_month_drilldown",
+    "mdx_day_drilldown",
+    "mdx_calculated_member",
+    "mdx_topcount",
+    "mdx_filter_having",
+    "mdx_children_drilldown",
+    "mdx_bottomcount",
+    "mdx_order_members",
+    "mdx_named_set_crossjoin",
+    "mdx_head_tail_years",
+    "mdx_parallelperiod_yoy",
+    "mdx_subselect_slice",
+    # -- first driver rows: aggregate tables + navigator -----------------
+    "mdx_aggregate_navigator",
+    "incremental_aggregate_rollup",
+    # -- oldest evidence: last driver rows r5 ----------------------------
+    "cv_grid_search",
+    "dq_violations",
+    "embedding_near_dup_pairs",
+    "event_funnel",
+    "gap_fill_daily",
+    "incremental_cube_merge",
+    "jdbc_roundtrip",
+    "json_props_rollup",
+    "jsonl_sink_roundtrip",
+    "kmeans_cluster_sizes",
+    "knn_label_vote",
+    "linreg_trend_forecast",
+    "media_byte_stats",
+    "ml_regression_forecast",
+    "outlier_report",
+    "parquet_sink_roundtrip",
+    "pca_components",
+    "pii_scrub",
+    "pivot_year_status",
+    "quartile_binning",
+    "rebalanced_mix",
+    "repetition_stats",
+    "rf_confusion_matrix",
+    "rolling_daily_stats",
+    "seeded_shuffle_rank",
+    "segment_revenue_topk",
+    "sequence_pack_chunks",
+    "session_stats",
+    "source_mix_report",
+    "streaming_cube_counts",
+    "table_profile",
+    "two_stage_distinct_count",
+    "value_histogram",
+    "winsorized_stats",
+    # -- oldest evidence: last driver rows r6 ----------------------------
+    "bloom_prune_join_revenue",
 ]
 
 

@@ -59,9 +59,12 @@ def _norm_type(t: str) -> str:
     if t.endswith("[]"):
         return f"array<{_norm_type(t[:-2])}>"
     aliases = {
+        # NO "hugeint" alias: a HUGEINT-serving oracle must FAIL the local
+        # schema gate (the driver's pandas fetch renders HUGEINT as float64
+        # and the value hash diverges — the partition_overwrite_roundtrip
+        # four-round red). tests/test_oracle_types.py sweeps the registry.
         "bigint": "long",
         "long": "long",
-        "hugeint": "long",
         "integer": "int",
         "int": "int",
         "smallint": "int",
