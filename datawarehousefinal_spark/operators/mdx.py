@@ -79,23 +79,35 @@ Supported subset (the shapes the reference schema can answer):
   filter too.
 - ``HEAD(<set>[, n])`` / ``TAIL(<set>[, n])`` on the rows axis (count
   defaults to 1, Mondrian's documented default; must be ≥ 1 — loud
-  otherwise): the first/last n members in NATURAL member order, which
-  for this translator's value-keyed levels is the grouping columns
-  ascending in axis order (ties impossible: grouping keys are unique
-  by construction). A TakeOrderedAndProject over the aggregate, like
+  otherwise): the first/last n members of the inner set IN ITS OWN
+  ORDER — over a bare set that is natural member order (the grouping
+  columns ascending in axis order; ties impossible: grouping keys are
+  unique by construction), and over an ORDER / TOPCOUNT / BOTTOMCOUNT
+  inner set it is that set's established order (Mondrian Head/Tail
+  preserve the given set order — FILTER passes the order through).
+  Both return their rows in the set's order (TAIL does NOT present
+  reversed). A TakeOrderedAndProject over the aggregate, like
   TopCount. All six wrappers nest (evaluated innermost-first).
 - ``([Measures].[M], PARALLELPERIOD([Dim].[Level], k))`` tuples inside
   calculated-member / FILTER / ORDER expressions — time intelligence,
-  the year-over-year gesture: the measure's value at the period ``k``
-  steps earlier. Supported at a hierarchy's TOP level only (the level
-  column must be integer-keyed and on the rows axis; exact ``col - k``
-  arithmetic): deeper shifts (month-over-month) need calendar wrap
-  semantics this translator refuses to fabricate — loud MdxError, as
-  is any shift over an [(All)] lattice. Executes as a LEFT self-join
-  of the AGGREGATE on shifted keys (cell×cell, broadcastable; never a
-  second fact scan); a missing prior cell is NULL, which propagates
-  through the expression — MDX empty-cell and SQL NULL arithmetic
-  agree, so oracles are plain self-LEFT-JOINs.
+  the year-over-year and month-over-month gestures: the measure's
+  value at the period ``k`` steps earlier. Supported at a hierarchy's
+  TOP level (integer-keyed, on the rows axis; exact ``col - k``
+  arithmetic) and ONE level below it when the child level declares a
+  fixed cycle in ``CubeDef.period_lengths`` (a 1..12 month key: the
+  shift linearizes as ``anio*12 + (mes-1) - k``, so January wraps to
+  the prior December by plain integer arithmetic). Deeper levels have
+  ragged cycles (days-per-month) — loud MdxError, as is any shift
+  over an [(All)] lattice. Executes as a LEFT self-join of the
+  AGGREGATE on shifted keys (cell×cell, broadcastable; never a second
+  fact scan); when the shifted columns are themselves diced (rows
+  member pick / slicer / sub-select on the time dimension) the join's
+  right side is re-aggregated WITHOUT those dices — Mondrian
+  evaluates the shifted tuple against the cube, not the axis
+  selection, so a YoY member over ``{[Fecha].[Anio].[2025]}`` still
+  finds 2024. A missing prior cell is NULL, which propagates through
+  the expression — MDX empty-cell and SQL NULL arithmetic agree, so
+  oracles are plain self-LEFT-JOINs.
 - ``WITH SET [Name] AS '<set>'`` named sets (quoted or bare body,
   definition-order scoping like calculated members): a bare
   ``[Name]`` reference anywhere a set is expected — the whole rows
@@ -138,8 +150,8 @@ Supported subset (the shapes the reference schema can answer):
   raise — the outer query owns the slicer.
 
 Deliberately out of scope (the schema never exercises them): member
-properties, below-top-level ``PARALLELPERIOD`` shifts, sub-select
-WHERE clauses.
+properties, ``PARALLELPERIOD`` shifts more than one level below the
+hierarchy top (ragged cycles), sub-select WHERE clauses.
 
 Execution model: the cube definition supplies a DENORMALIZED star
 builder (broadcast dim joins — the same star the SQL serving path
@@ -203,6 +215,29 @@ class CubeDef:
     levels: dict[str, str] = field(default_factory=dict)
     measures: dict[str, tuple[str, str, str]] = field(default_factory=dict)
     hierarchies: dict[str, list[str]] = field(default_factory=dict)
+    # "Dim.Level" -> fixed children-per-parent cycle length (a month level
+    # declares 12). What makes a below-top PARALLELPERIOD shift computable:
+    # (parent, child) linearizes to parent*period + (child-1) EXACTLY when
+    # the child key cycles 1..period under every parent. Levels with ragged
+    # cycles (days-per-month) must NOT declare one — the translator then
+    # refuses the shift loudly instead of fabricating calendar arithmetic.
+    period_lengths: dict[str, int] = field(default_factory=dict)
+
+    def has_dimension(self, dim: str) -> bool:
+        d = dim.lower()
+        return any(k.lower().split(".", 1)[0] == d for k in self.levels)
+
+    def level_period(self, dim: str, level: str) -> int:
+        key = f"{dim}.{level}".lower()
+        for k, v in self.period_lengths.items():
+            if k.lower() == key:
+                return v
+        raise MdxError(
+            f"PARALLELPERIOD([{dim}].[{level}]) shifts below the "
+            "hierarchy top, but the level declares no period length "
+            "(CubeDef.period_lengths) — without a fixed cycle the "
+            "wrap arithmetic would be fabricated"
+        )
 
     def level_column(self, dim: str, level: str) -> str:
         key = f"{dim}.{level}".lower()
@@ -817,7 +852,16 @@ def _collect_subselect_members(nodes, cube: CubeDef, out: list) -> None:
                 if not suffix and segs[-1].lower() == "(all)" and (
                     len(segs) in (2, 3)
                 ):
-                    continue  # the grand total: restricts nothing
+                    # the grand total: restricts nothing — but the
+                    # dimension must exist (same loud-on-unknown
+                    # contract as .Members and explicit members;
+                    # [Nope].[(All)] is a typo, not a no-op)
+                    if not cube.has_dimension(segs[0]):
+                        raise MdxError(
+                            f"unknown dimension [{segs[0]}] in "
+                            f"sub-select on cube [{cube.name}]"
+                        )
+                    continue
                 if (
                     len(segs) == 2
                     and not suffix
@@ -1264,21 +1308,39 @@ _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
 def _join_parallel_periods(
-    out: DataFrame, sel: MdxSelect, cube: CubeDef
+    out: DataFrame,
+    sel: MdxSelect,
+    cube: CubeDef,
+    filtered_cols: set,
+    agg_excluding: Callable[[frozenset], DataFrame],
 ) -> DataFrame:
     """LEFT-join the aggregate to itself on period-shifted keys, once
     per distinct PARALLELPERIOD spec — the Spark-first execution of the
     time-intelligence tuple: the shifted value is read from ANOTHER CELL
-    of the same aggregate (cells are tiny at any fact scale; the join is
-    cell×cell and broadcastable), never from a second fact scan. A
-    missing prior cell yields NULL, which propagates through the
+    of an aggregate at the same grain (cells are tiny at any fact scale;
+    the join is cell×cell and broadcastable), never from a second fact
+    scan. A missing prior cell yields NULL, which propagates through the
     calculated expression — MDX empty-cell semantics and SQL NULL
     arithmetic agree, so the oracle is a plain self-LEFT-JOIN.
 
-    Supported at a hierarchy's TOP level only (integer-keyed — the
-    year-over-year gesture, exact ``anio - k`` arithmetic): deeper
-    shifts (month-over-month) need calendar wrap semantics this
-    translator refuses to fabricate. Loud on every unsupported shape.
+    The join's RIGHT side is ``out`` itself — UNLESS the query dices the
+    shifted level's columns (a rows-axis member pick, slicer, or
+    sub-select on the time dimension: ``rows {[Fecha].[Anio].[2025]}``
+    with a YoY member). Mondrian evaluates the shifted tuple against the
+    CUBE, not against the axis selection — the prior-period cell exists
+    even when the axis excludes it — so the right side is then rebuilt
+    by ``agg_excluding(shift columns)``: the same aggregation with the
+    dices on the shifted columns removed (all other filters kept — the
+    slicer context applies to the prior period too). One extra scan+agg,
+    only in the diced case.
+
+    Shift depth: the hierarchy TOP level (integer-keyed exact ``anio -
+    k`` — year-over-year), or ONE level below it when the child level
+    declares a fixed cycle in ``CubeDef.period_lengths`` (a 1..12 month
+    key — month-over-month, the wrap linearized as ``anio*12 + (mes-1)
+    - k``; January's prior month lands in the previous year's December
+    by plain integer arithmetic, no CASE fabrication). Deeper levels
+    (ragged cycles — days-per-month) stay loud refusals.
     """
     specs: dict = {}
     for name in sel.columns:
@@ -1308,38 +1370,54 @@ def _join_parallel_periods(
     for (_dl, _ll, k), (expr0, aliases) in specs.items():
         dim, level = expr0[2], expr0[3]
         chain = cube.level_chain(dim, level)
-        if len(chain) != 1:
+        if len(chain) > 2:
             raise MdxError(
-                f"PARALLELPERIOD([{dim}].[{level}]) shifts below the "
-                "hierarchy top — only top-level (year-over-year) shifts "
-                "are supported; deeper periods need calendar wrap "
-                "semantics this translator does not fabricate"
+                f"PARALLELPERIOD([{dim}].[{level}]) shifts more than "
+                "one level below the hierarchy top — such cycles are "
+                "ragged (days-per-month) and the wrap arithmetic would "
+                "be fabricated"
             )
-        col = chain[0]
-        if col not in gcols:
-            raise MdxError(
-                f"PARALLELPERIOD shifts [{dim}].[{level}] but its "
-                f"column {col!r} is not on the rows axis"
+        for col in chain:
+            if col not in gcols:
+                raise MdxError(
+                    f"PARALLELPERIOD shifts [{dim}].[{level}] but its "
+                    f"key column {col!r} is not on the rows axis"
+                )
+            if dtypes.get(col) not in _INT_TYPES:
+                raise MdxError(
+                    f"PARALLELPERIOD needs integer-keyed levels; "
+                    f"{col!r} is {dtypes.get(col)}"
+                )
+        if len(chain) == 1:
+            shift_key = F.col(chain[0]) - F.lit(k)
+            right_key = F.col(f"__ppr_{chain[0]}")
+        else:
+            period = cube.level_period(dim, level)
+            top, sub = chain
+            shift_key = (
+                F.col(top) * period + (F.col(sub) - 1) - F.lit(k)
             )
-        if dtypes.get(col) not in _INT_TYPES:
-            raise MdxError(
-                f"PARALLELPERIOD needs an integer-keyed level; "
-                f"{col!r} is {dtypes.get(col)}"
+            right_key = (
+                F.col(f"__ppr_{top}") * period
+                + (F.col(f"__ppr_{sub}") - 1)
             )
-        right = out.select(
+        base = (
+            agg_excluding(frozenset(chain))
+            if filtered_cols & set(chain)
+            else out
+        )
+        right = base.select(
             *[F.col(c).alias(f"__ppr_{c}") for c in gcols],
             *[
                 F.col(cube.measure_alias(m)).alias(a)
                 for a, m in aliases.items()
             ],
         )
-        cond = None
+        cond = shift_key == right_key
         for c in gcols:
-            left_key = (
-                F.col(c) - F.lit(k) if c == col else F.col(c)
-            )
-            term = left_key == F.col(f"__ppr_{c}")
-            cond = term if cond is None else cond & term
+            if c in chain:
+                continue
+            cond = cond & (F.col(c) == F.col(f"__ppr_{c}"))
         out = out.join(right, cond, "left").drop(
             *[f"__ppr_{c}" for c in gcols]
         )
@@ -1390,38 +1468,70 @@ def execute_select(
     ``agg_expr_for`` (the only thing that differs between the fact and
     an aggregate table), then apply wrappers and project the COLUMNS
     axis."""
-    for col, vals in (
+    filters = [
         *sel.subselect_filters,
         *sel.slicer_filters.items(),
         *sel.member_filters.items(),
-    ):
-        source = source.filter(
-            F.col(col).isin(_coerce_members(source, col, vals))
-        )
+    ]
 
     needed = needed_base_measures(sel, cube)
     aggs = [agg_expr_for(m) for m in needed]
-    if len(sel.grouping_sets) == 1 and sel.grouping_sets[0]:
-        out = source.groupBy(*sel.grouping_sets[0]).agg(*aggs)
-    else:
+
+    def aggregate(src: DataFrame) -> DataFrame:
+        if len(sel.grouping_sets) == 1 and sel.grouping_sets[0]:
+            return src.groupBy(*sel.grouping_sets[0]).agg(*aggs)
         # grouping sets even for the degenerate all-only axis ([[]]):
         # the () grouping set is a KEYED group that emits zero rows on
         # empty input, where groupBy() is a global aggregate that would
         # fabricate an All cell — the NON-EMPTY-is-a-no-op invariant
         # (module docstring) holds only on this plan.
-        out = source.groupingSets(
-            sel.grouping_sets, *sel.group_cols
-        ).agg(*aggs)
+        return src.groupingSets(sel.grouping_sets, *sel.group_cols).agg(
+            *aggs
+        )
+
+    def filtered(src: DataFrame, skip: frozenset = frozenset()) -> DataFrame:
+        for col, vals in filters:
+            if col in skip:
+                continue
+            src = src.filter(
+                F.col(col).isin(_coerce_members(src, col, vals))
+            )
+        return src
+
+    out = aggregate(filtered(source))
 
     # time-intelligence tuples: shifted-period values join in from other
-    # cells of the same aggregate BEFORE wrappers evaluate (FILTER/ORDER
-    # may reference them)
-    out = _join_parallel_periods(out, sel, cube)
+    # cells of an aggregate at the same grain BEFORE wrappers evaluate
+    # (FILTER/ORDER may reference them). When the shifted columns are
+    # diced, the prior-period cells come from a re-aggregation WITHOUT
+    # those dices (Mondrian evaluates the shifted tuple against the
+    # cube, not the axis selection).
+    out = _join_parallel_periods(
+        out,
+        sel,
+        cube,
+        {col for col, _ in filters},
+        lambda skip: aggregate(filtered(source, skip)),
+    )
 
     def resolve(name: str) -> Column:
         return _build_expr(("ref", name), cube, sel.calc_members)
 
-    # wrappers were collected outermost-first; execute innermost-first
+    # wrappers were collected outermost-first; execute innermost-first.
+    # ``prevailing`` tracks the inner set's ordering as (expr, desc)
+    # pairs: ORDER/TOPCOUNT/BOTTOMCOUNT establish one, FILTER keeps it,
+    # and HEAD/TAIL cut relative to it — HEAD(ORDER(s, m, DESC), n) is
+    # the first n of the ORDERED set (Mondrian Head/Tail preserve the
+    # given set order), not the n smallest-keyed members. With no
+    # prevailing order the set order is the natural one (keys asc).
+    natural = [(F.col(c), False) for c in sel.group_cols]
+    prevailing: list | None = None
+
+    def sort_cols(pairs, invert=False):
+        return [
+            e.asc() if d == invert else e.desc() for e, d in pairs
+        ]
+
     for w in reversed(sel.wrappers):
         if w[0] == "filter":
             op, left, right = w[1]
@@ -1434,23 +1544,27 @@ def execute_select(
         elif w[0] == "order":
             _tag, expr, desc = w
             key = _build_expr(expr, cube, sel.calc_members)
-            out = out.orderBy(
-                key.desc() if desc else key.asc(),
-                *[F.col(c) for c in sel.group_cols],
-            )
+            prevailing = [(key, desc)] + natural
+            out = out.orderBy(*sort_cols(prevailing))
         elif w[0] in ("head", "tail"):
             tag, n = w
-            keys = [F.col(c) for c in sel.group_cols]
-            out = out.orderBy(
-                *[k.asc() if tag == "head" else k.desc() for k in keys]
-            ).limit(n)
+            order = prevailing if prevailing is not None else natural
+            if tag == "head":
+                out = out.orderBy(*sort_cols(order)).limit(n)
+            else:
+                # last n of the set order = first n of its inverse;
+                # re-sort back so TAIL PRESERVES the set order (a
+                # Mondrian client reads the rows in order)
+                out = (
+                    out.orderBy(*sort_cols(order, invert=True))
+                    .limit(n)
+                    .orderBy(*sort_cols(order))
+                )
         else:
             tag, n, measure = w
             key = resolve(measure)
-            out = out.orderBy(
-                key.desc() if tag == "topcount" else key.asc(),
-                *[F.col(c) for c in sel.group_cols],
-            ).limit(n)
+            prevailing = [(key, tag == "topcount")] + natural
+            out = out.orderBy(*sort_cols(prevailing)).limit(n)
 
     final = [F.col(c) for c in sel.group_cols]
     for name in sel.columns:

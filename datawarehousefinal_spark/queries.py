@@ -5526,6 +5526,7 @@ def streaming_late_data_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from datawarehousefinal_spark.streaming.pipeline import (
+        STATE_PARTITIONS_LOCAL,
         read_parquet_stream,
         run_to_parquet,
         windowed_event_counts,
@@ -5549,13 +5550,13 @@ def streaming_late_data_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts1 = windowed_event_counts(
         read_parquet_stream(spark, src, old_half.schema), "ts", "1 day", "1 day"
     )
-    run_to_parquet(counts1, out, ck)
+    run_to_parquet(counts1, out, ck, state_partitions=STATE_PARTITIONS_LOCAL)
 
     late_and_recent.coalesce(1).write.mode("append").parquet(src)
     counts2 = windowed_event_counts(
         read_parquet_stream(spark, src, old_half.schema), "ts", "1 day", "1 day"
     )
-    run_to_parquet(counts2, out, ck)
+    run_to_parquet(counts2, out, ck, state_partitions=STATE_PARTITIONS_LOCAL)
 
     return _eager(spark.read.parquet(out).select(
         "fecha", F.col("movement_count").cast("long")
@@ -8760,5 +8761,6 @@ from datawarehousefinal_spark import queries_r8  # noqa: E402,F401
 from datawarehousefinal_spark import queries_r9  # noqa: E402,F401
 from datawarehousefinal_spark import queries_r10  # noqa: E402,F401
 from datawarehousefinal_spark import queries_r11  # noqa: E402,F401
+from datawarehousefinal_spark import queries_r12  # noqa: E402,F401
 
 _apply_driver_window_order()

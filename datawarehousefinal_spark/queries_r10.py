@@ -1519,6 +1519,10 @@ def _movimientos_cube(spark: SparkSession, sf_dir: str):
         # dia) — the ancestor chain a client drilling the Fecha
         # hierarchy expects.
         hierarchies={"Fecha": ["Anio", "Mes", "Dia"]},
+        # Mes cycles 1..12 under Anio — what makes a below-top
+        # PARALLELPERIOD (month-over-month) shift computable. Dia is
+        # ragged (days-per-month) and deliberately declares nothing.
+        period_lengths={"Fecha.Mes": 12},
         measures={
             "Cantidad Movimientos": (
                 "count", "o_custkey", "cantidad_movimientos",
@@ -1766,6 +1770,7 @@ def _envios_cube(spark: SparkSession, sf_dir: str):
             "Proveedor.Nacion": "nacion",
         },
         hierarchies={"Fecha": ["Anio", "Mes", "Dia"]},
+        period_lengths={"Fecha.Mes": 12},
         measures={
             "Cantidad Movimientos": (
                 "count", "l_orderkey", "cantidad_movimientos",

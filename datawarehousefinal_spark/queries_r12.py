@@ -1,0 +1,150 @@
+"""Round-12 query faces.
+
+The round-11 verdict's time-intelligence direction (next-round item #5)
+plus the advisor's PARALLELPERIOD-context finding: month-over-month —
+the most common BI time-intel gesture after year-over-year (the
+reference's Fecha hierarchy exists precisely for month-grain analysis,
+Schema_Trabajo_Final.xml:2-13) — and the shifted-dice cube-context
+semantics (Mondrian evaluates a PARALLELPERIOD tuple against the CUBE,
+not the axis selection, so a YoY member over a single diced year still
+finds the prior year).
+
+- ``mdx_parallelperiod_mom`` — month-over-month with calendar wrap:
+  ``PARALLELPERIOD([Fecha].[Mes], 1)`` shifts an (anio, mes) cell to
+  the previous month, January wrapping into the prior year's December.
+  Spark side: the shift linearizes to ``anio*12 + (mes-1) - 1`` on the
+  aggregate self-join (operators/mdx.py — made computable by the
+  cube's declared ``period_lengths={"Fecha.Mes": 12}``); the oracle
+  spells the same wrap as a CASE join key.
+- ``mdx_parallelperiod_yoy_diced`` — YoY with the SHIFTED level diced:
+  rows ``{[Fecha].[Anio].[1997]}`` shows one year, but its growth
+  column still subtracts 1996 — the translator re-aggregates the
+  shifted-period context WITHOUT the dice on the shifted columns
+  (all other filters kept: the segment slicer applies to 1996 too).
+
+Registered into the same ``QUERIES``/``ORACLES`` registry as
+:mod:`datawarehousefinal_spark.queries` (imported from its tail, before
+the driver-window reorder — these land after the frozen round-12 window
+and enter the rotation next round).
+
+Hash-stability discipline (module contract, same as queries_r8..r11):
+counts are exact BIGINT, differences of counts are exact BIGINT —
+nothing to round at the serve boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datawarehousefinal_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# MDX time intelligence: PARALLELPERIOD below the hierarchy top
+# ---------------------------------------------------------------------------
+
+_MDX_MOM_STATEMENT = """
+WITH MEMBER [Measures].[Crecimiento Mensual] AS
+     '[Measures].[Cantidad Movimientos] -
+      ([Measures].[Cantidad Movimientos], PARALLELPERIOD([Fecha].[Mes], 1))'
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Crecimiento Mensual]} ON COLUMNS,
+       {[Fecha].[Mes].Members} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_parallelperiod_mom",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+             CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2
+    )
+    SELECT a.anio, a.mes, a.cantidad_movimientos,
+           a.cantidad_movimientos - b.cantidad_movimientos
+             AS crecimiento_mensual
+    FROM per a
+    LEFT JOIN per b
+      ON b.anio = CASE WHEN a.mes = 1 THEN a.anio - 1 ELSE a.anio END
+     AND b.mes  = CASE WHEN a.mes = 1 THEN 12 ELSE a.mes - 1 END
+    """,
+)
+def mdx_parallelperiod_mom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARALLELPERIOD one level below the hierarchy top — month-over-
+    month through the MDX front door: the movement-count change per
+    (anio, mes) cell vs the PREVIOUS month, January's prior month being
+    the previous year's December. The Fecha hierarchy declares Mes as a
+    fixed 1..12 cycle (``CubeDef.period_lengths`` — the reference's Mes
+    level, Schema_Trabajo_Final.xml:6-9), so the translator linearizes
+    the shift to ``anio*12 + (mes-1) - 1`` and the wrap is plain
+    integer arithmetic on the aggregate self-join — no CASE ladder, no
+    second fact scan; the oracle spells the identical wrap as a CASE
+    join key, and first-month cells (Jan 1995 here) are NULL on both
+    engines. 100 TB: identical to the YoY face — the self-join touches
+    months-many aggregate cells, kilobytes; time intelligence is free
+    once the cube cells exist."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_MOM_STATEMENT)
+
+
+_MDX_YOY_DICED_STATEMENT = """
+WITH MEMBER [Measures].[Crecimiento Anual] AS
+     '[Measures].[Cantidad Movimientos] -
+      ([Measures].[Cantidad Movimientos], PARALLELPERIOD([Fecha].[Anio], 1))'
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Crecimiento Anual]} ON COLUMNS,
+       {[Fecha].[Anio].[1997]} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_parallelperiod_yoy_diced",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1
+    )
+    SELECT a.anio, a.cantidad_movimientos,
+           a.cantidad_movimientos - b.cantidad_movimientos
+             AS crecimiento_anual
+    FROM per a
+    LEFT JOIN per b ON b.anio = a.anio - 1
+    WHERE a.anio = 1997
+    """,
+)
+def mdx_parallelperiod_yoy_diced_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARALLELPERIOD with the shifted level DICED — the
+    single-period-with-growth shape every BI dashboard emits ("show
+    1997 and its YoY"): the rows axis picks one year, and the growth
+    member still subtracts 1996. Mondrian evaluates the shifted tuple
+    against the CUBE, not the axis selection, so the translator builds
+    the self-join's right side from a re-aggregation WITHOUT the dice
+    on the shifted column (operators/mdx.py:_join_parallel_periods;
+    the segment slicer stays applied — the prior period lives in the
+    same slicer context). The oracle mirrors this exactly: the per-year
+    CTE is NOT filtered to 1997, only the outer SELECT is. Before the
+    round-12 fix this shape served a silent NULL. 100 TB: the diced
+    case costs one extra scan+agg of the sliced fact — the price of a
+    correct answer, and the cells remain broadcastable."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_YOY_DICED_STATEMENT
+    )

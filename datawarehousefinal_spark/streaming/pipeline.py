@@ -440,7 +440,7 @@ def run_to_parquet(
     out_path: str,
     checkpoint_path: str,
     output_mode: str = "append",
-    state_partitions: int | None = STATE_PARTITIONS_LOCAL,
+    state_partitions: int | None = None,
 ) -> None:
     """Drive a streaming DataFrame over the currently-available data into
     a parquet file sink with a durable checkpoint — the PRODUCTION sink
@@ -451,8 +451,12 @@ def run_to_parquet(
     never re-emitted, and late rows below the persisted watermark are
     dropped — which is what makes restart-resume testable.
     ``state_partitions`` sizes the state stores at FIRST start only —
-    the checkpoint pins it, so later resumes reuse the original count
-    (see :data:`STATE_PARTITIONS_LOCAL`)."""
+    the checkpoint pins it FOREVER (later resumes reuse the original
+    count), so the production sink defaults to ``None`` = inherit the
+    session's shuffle-partition conf: a deployment that never passes
+    the parameter gets its cluster-sized parallelism, not a local-test
+    constant silently frozen into the checkpoint. Local harness
+    callers pass :data:`STATE_PARTITIONS_LOCAL` explicitly."""
     spark = stream_df.sparkSession
     with scoped_shuffle_partitions(spark, state_partitions):
         (

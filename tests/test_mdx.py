@@ -1269,3 +1269,184 @@ def test_mdx_parallelperiod_tuple_order_reversed(spark):
     ).collect()
     got = {r["anio"]: r["prior"] for r in rows}
     assert got == {2024: None, 2025: 60.0}
+
+
+# -- round-12: Head/Tail order preservation, PARALLELPERIOD context ----------
+
+
+def test_mdx_head_over_order_preserves_ordered_set(spark):
+    # totals per pais: AR=70, CL=50, BR=30. HEAD(ORDER(set, Total,
+    # DESC), 2) = the first 2 of the ORDERED set {AR, CL} — not the 2
+    # smallest-keyed members {AR, BR} a key re-sort would pick.
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "HEAD(ORDER({[Persona].[Pais].Members}, [Measures].[Total], "
+        "DESC), 2) ON ROWS FROM [Toy]",
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [
+        ("AR", 70.0),
+        ("CL", 50.0),
+    ]
+
+
+def test_mdx_tail_over_order_preserves_ordered_set(spark):
+    # TAIL(ORDER(set, Total, DESC), 1) = the LAST member of the ordered
+    # set — the smallest total (BR), not the largest-keyed member (CL)
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "TAIL(ORDER({[Persona].[Pais].Members}, [Measures].[Total], "
+        "DESC), 1) ON ROWS FROM [Toy]",
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [("BR", 30.0)]
+
+
+def test_mdx_tail_presents_set_order_not_reversed(spark):
+    # Mondrian Tail returns the last n IN THE SET'S ORDER: natural
+    # order AR,BR,CL → Tail 2 = [BR, CL], never the reversed [CL, BR]
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "TAIL({[Persona].[Pais].Members}, 2) ON ROWS FROM [Toy]",
+    ).collect()
+    assert [r["pais"] for r in rows] == ["BR", "CL"]
+
+
+def test_mdx_parallelperiod_shifted_dice_reads_cube(spark):
+    # rows dice {[Fecha].[Anio].[2025]} with a YoY member: Mondrian
+    # evaluates the shifted tuple against the CUBE, so 2025 AR still
+    # finds 2024 AR (=30) even though the axis excludes 2024 — the
+    # pre-fix plan aggregated AFTER the dice and served a silent NULL
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[YoY] AS
+             '[Measures].[Total] -
+              ([Measures].[Total], PARALLELPERIOD([Fecha].[Anio], 1))'
+        SELECT {[Measures].[Total], [Measures].[YoY]} ON COLUMNS,
+               CROSSJOIN({[Fecha].[Anio].[2025]},
+                         {[Persona].[Pais].Members}) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {r["pais"]: (r["sum_medida"], r["yoy"]) for r in rows}
+    assert got["AR"] == (40.0, 10.0)
+    assert got["CL"] == (50.0, None)  # CL absent in 2024: truly empty
+    assert set(got) == {"AR", "CL"}  # the axis dice still applies
+
+
+def test_mdx_parallelperiod_slicer_on_other_dim_applies_to_prior(spark):
+    # the slicer context (seg=A) applies to the prior period too:
+    # AR seg-A totals are 2024=10, 2025=40 → YoY 2025 = 30 (not
+    # 40-30=10, which would use the unsliced prior year)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[YoY] AS
+             '[Measures].[Total] -
+              ([Measures].[Total], PARALLELPERIOD([Fecha].[Anio], 1))'
+        SELECT {[Measures].[YoY]} ON COLUMNS,
+               CROSSJOIN({[Fecha].[Anio].[2025]},
+                         {[Persona].[Pais].[AR]}) ON ROWS
+        FROM [Toy]
+        WHERE ([Cliente].[Seg].[A])
+        """,
+    ).collect()
+    assert [(r["anio"], r["pais"], r["yoy"]) for r in rows] == [
+        (2025, "AR", 30.0)
+    ]
+
+
+def _mom_cube(spark):
+    """Hierarchy cube with a declared 12-month cycle — the below-top
+    PARALLELPERIOD (month-over-month) support surface."""
+    def star_builder():
+        return spark.createDataFrame(
+            [
+                (2024, 12, 10.0),
+                (2025, 1, 40.0),
+                (2025, 2, 20.0),
+            ],
+            "anio int, mes int, medida double",
+        )
+
+    return CubeDef(
+        name="Toy",
+        star_builder=star_builder,
+        levels={"Fecha.Anio": "anio", "Fecha.Mes": "mes"},
+        measures={"Total": ("sum", "medida", "sum_medida")},
+        hierarchies={"Fecha": ["Anio", "Mes"]},
+        period_lengths={"Fecha.Mes": 12},
+    )
+
+
+def test_mdx_parallelperiod_mom_wraps_year(spark):
+    # month-over-month across the year boundary: January 2025's prior
+    # month is December 2024 (anio*12+(mes-1)-1 linearization)
+    rows = mdx_query(
+        _mom_cube(spark),
+        """
+        WITH MEMBER [Measures].[MoM] AS
+             '[Measures].[Total] -
+              ([Measures].[Total], PARALLELPERIOD([Fecha].[Mes], 1))'
+        SELECT {[Measures].[Total], [Measures].[MoM]} ON COLUMNS,
+               {[Fecha].[Mes].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["mes"]): r["mom"] for r in rows}
+    assert got[(2024, 12)] is None
+    assert got[(2025, 1)] == 30.0  # 40 - 10, wrapped into 2024
+    assert got[(2025, 2)] == -20.0
+
+
+def test_mdx_parallelperiod_mom_diced_month_reads_cube(spark):
+    # dice to January cells only: the prior-month cell (Dec 2024) is
+    # excluded by the mes dice — a chain column — and must still be
+    # found by the re-aggregated shifted-period context
+    rows = mdx_query(
+        _mom_cube(spark),
+        """
+        WITH MEMBER [Measures].[MoM] AS
+             '[Measures].[Total] -
+              ([Measures].[Total], PARALLELPERIOD([Fecha].[Mes], 1))'
+        SELECT {[Measures].[MoM]} ON COLUMNS,
+               {[Fecha].[Mes].[1]} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["anio"], r["mes"], r["mom"]) for r in rows] == [
+        (2025, 1, 30.0)
+    ]
+
+
+def test_mdx_parallelperiod_undeclared_period_is_loud(spark):
+    # _hier_cube declares no period for Mes → the below-top shift
+    # refuses loudly instead of fabricating wrap arithmetic
+    with pytest.raises(MdxError, match="period"):
+        mdx_query(
+            _hier_cube(spark),
+            "WITH MEMBER [Measures].[M] AS '([Measures].[Total], "
+            "PARALLELPERIOD([Fecha].[Mes], 1))' "
+            "SELECT {[Measures].[M]} ON COLUMNS, "
+            "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+        ).collect()
+
+
+def test_mdx_subselect_unknown_dimension_all_is_loud(spark):
+    with pytest.raises(MdxError, match="unknown dimension"):
+        mdx_query(
+            _toy_cube(spark),
+            "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+            "{[Fecha].[Anio].Members} ON ROWS "
+            "FROM (SELECT {[Nope].[(All)]} ON COLUMNS FROM [Toy])",
+        ).collect()
+
+
+def test_mdx_parallelperiod_r12_faces_registered():
+    from datawarehousefinal_spark import queries as Q
+
+    for name in ("mdx_parallelperiod_mom", "mdx_parallelperiod_yoy_diced"):
+        assert name in Q.QUERIES
+        assert name in Q.ORACLES
