@@ -90,31 +90,40 @@ def main() -> None:
     # Round-over-round comparison on the common query set: BENCH_PREV.json
     # is the prior round's BENCH_LOCAL snapshot (committed at round start),
     # so the record carries its own ratio and no one has to recompute it.
-    # bench_calibration is a machine-speed probe (fixed arithmetic-only
-    # aggregate, time moves only with the machine): it is excluded from
-    # the workload common set, surfaced at the top level, and — once the
-    # prior snapshot carries it too — used to drift-normalize the ratio,
-    # so sandbox slowdowns stop masquerading as code regressions.
+    # TWO machine-speed probes, excluded from the workload common set and
+    # surfaced at the top level: bench_calibration (arithmetic-only — JIT'd
+    # codegen throughput) and bench_calibration_io (parquet scan + 1024-key
+    # shuffle — I/O + shuffle + memory subsystems). A slow box's disk and
+    # memory lag its ALU, so one drift number under-corrects half the
+    # registry (the round-11 tail-face adjudication); with both, a face
+    # family's round-over-round ratio is read against the probe that
+    # matches what bounds it.
     here = os.path.dirname(os.path.abspath(__file__))
+    probes = ("bench_calibration", "bench_calibration_io")
     out["calibration"] = timings.get("bench_calibration")
+    out["calibration_io"] = timings.get("bench_calibration_io")
     try:
         with open(os.path.join(here, "BENCH_PREV.json")) as fh:
             prev = json.load(fh)["queries"]
-        common = sorted(
-            (set(prev) & set(timings)) - {"bench_calibration"}
-        )
+        common = sorted((set(prev) & set(timings)) - set(probes))
         now_sum = round(sum(timings[q] for q in common), 4)
         prev_sum = round(sum(prev[q] for q in common), 4)
         out["common_n"] = len(common)
         out["common_now"] = now_sum
         out["common_prev"] = prev_sum
         out["ratio"] = round(now_sum / prev_sum, 4) if prev_sum else None
-        cal_now = timings.get("bench_calibration")
-        cal_prev = prev.get("bench_calibration")
-        if out["ratio"] and cal_now and cal_prev:
-            drift = cal_now / cal_prev
-            out["calibration_drift"] = round(drift, 4)
-            out["ratio_drift_adjusted"] = round(out["ratio"] / drift, 4)
+        if out["ratio"]:
+            for probe, drift_key, adj_key in (
+                ("bench_calibration", "calibration_drift",
+                 "ratio_drift_adjusted"),
+                ("bench_calibration_io", "calibration_io_drift",
+                 "ratio_drift_adjusted_io"),
+            ):
+                cal_now, cal_prev = timings.get(probe), prev.get(probe)
+                if cal_now and cal_prev:
+                    drift = cal_now / cal_prev
+                    out[drift_key] = round(drift, 4)
+                    out[adj_key] = round(out["ratio"] / drift, 4)
     except (OSError, ValueError, KeyError):
         pass
     line = json.dumps(out)
