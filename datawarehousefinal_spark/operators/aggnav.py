@@ -28,6 +28,12 @@ mechanism Spark-first:
   the only thing that differs is how a base measure aggregates
   (re-fold the states instead of folding the fact). No covering
   table → the fact star answers, exactly Mondrian's fallback.
+- Front-door registration (round 12): appending tables to
+  ``CubeDef.aggregates`` makes plain ``mdx_query`` consult the
+  navigator on EVERY query — Mondrian's deployment shape, where
+  ``<AggName>`` declarations live on the schema and clients never
+  address aggregates explicitly. ``mdx_query_navigated`` remains the
+  explicit-list variant (and what the oracled faces pin).
 - :func:`ingest_into_aggregate` maintains a rollup INCREMENTALLY: a
   batch of new star rows folds into the existing cells at O(batch +
   touched cells) — the fact is never re-read — because every stored

@@ -222,6 +222,16 @@ class CubeDef:
     # cycles (days-per-month) must NOT declare one — the translator then
     # refuses the shift loudly instead of fabricating calendar arithmetic.
     period_lengths: dict[str, int] = field(default_factory=dict)
+    # Registered aggregate tables (operators/aggnav.AggTable instances —
+    # duck-typed here to avoid a module cycle). When non-empty, EVERY
+    # front-door :func:`mdx_query` consults the navigator and answers
+    # from the smallest covering rollup — Mondrian's actual deployment
+    # shape (<AggName> declarations live on the schema, and ALL queries
+    # route through the AggStar matcher), so a BI client needs no
+    # special entry point to benefit. Routing is a pure optimization:
+    # states are mergeable, same answer either way (the oracled face
+    # mdx_aggregate_navigator pins fact-path/rollup-path hash equality).
+    aggregates: list = field(default_factory=list)
 
     def has_dimension(self, dim: str) -> bool:
         d = dim.lower()
@@ -1588,7 +1598,27 @@ def mdx_query(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
     them, the grouping-set lattice runs as ONE Expand + HashAggregate
     (All cells carry NULL in their level columns, the Spark rollup
     convention). Either way: one shuffle, partial aggregation, no
-    driver-side evaluation."""
+    driver-side evaluation.
+
+    A cube with registered ``aggregates`` (CubeDef.aggregates) routes
+    through the aggregate navigator FIRST: the smallest rollup whose
+    grain covers the query's grouping and filter columns answers by
+    re-folding its mergeable states, and the fact star is only built
+    when nothing covers — Mondrian's deployment shape, where aggregate
+    tables are schema declarations and every client query benefits
+    without addressing them. At 100 TB this is the difference between
+    a dashboard drill reading kilobytes and re-scanning the fact."""
     sel = parse_mdx(mdx, cube)
+    if cube.aggregates:
+        from datawarehousefinal_spark.operators.aggnav import (
+            choose_aggregate,
+            reagg_expr,
+        )
+
+        chosen = choose_aggregate(cube, sel, cube.aggregates)
+        if chosen is not None:
+            return execute_select(
+                sel, cube, chosen.table, lambda m: reagg_expr(cube, m)
+            )
     star = cube.star_builder(*star_args)
     return execute_select(sel, cube, star, cube.measure_agg)

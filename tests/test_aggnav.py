@@ -276,3 +276,45 @@ def test_incremental_rollup_face_registered():
     qs, os_ = m.queries(), m.oracle_sql()
     assert "incremental_aggregate_rollup" in qs
     assert "incremental_aggregate_rollup" in os_
+
+
+# -- round-12: navigator through the front door -------------------------------
+
+
+def test_front_door_routes_through_registered_aggregates(spark, tmp_path):
+    # Mondrian's deployment shape: aggregates are declared ON the cube,
+    # and plain mdx_query — no special entry point — answers a covered
+    # query from the rollup
+    cube = _cube(spark)
+    agg = materialize_aggregate(
+        cube,
+        ["Fecha.Mes", "Persona.Pais"],
+        path=str(tmp_path / "agg_front_door"),
+    )
+    baseline = _sorted_rows(mdx_query(cube, _ALL_MEASURES_BY_YEAR))
+    cube.aggregates.append(agg)
+    routed = mdx_query(cube, _ALL_MEASURES_BY_YEAR)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()  # reads the rollup file ...
+    assert "LocalTableScan" not in plan  # ... never the in-memory fact
+    assert _sorted_rows(routed) == baseline
+
+
+def test_front_door_falls_back_when_nothing_covers(spark, tmp_path):
+    cube = _cube(spark)
+    cube.aggregates.append(
+        materialize_aggregate(
+            cube, ["Fecha.Anio"], path=str(tmp_path / "agg_years")
+        )
+    )
+    # slicer on pais is outside the year grain: the fact must answer
+    q = (
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy] "
+        "WHERE ([Persona].[Pais].[AR])"
+    )
+    routed = mdx_query(cube, q)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()  # never the (non-covering) rollup
+    bare = _cube(spark)  # no aggregates registered
+    assert _sorted_rows(routed) == _sorted_rows(mdx_query(bare, q))
