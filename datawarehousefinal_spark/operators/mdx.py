@@ -108,6 +108,21 @@ Supported subset (the shapes the reference schema can answer):
   finds 2024. A missing prior cell is NULL, which propagates through
   the expression — MDX empty-cell and SQL NULL arithmetic agree, so
   oracles are plain self-LEFT-JOINs.
+- ``SUM(PERIODSTODATE([Dim].[Level]), [Measures].[M])`` inside
+  calculated-member / FILTER / ORDER expressions — the running-total
+  (YTD) gesture: the measure summed from the anchor member's first
+  period to the current cell. Requires the anchor's chain AND at
+  least one deeper level of the same declared hierarchy on the rows
+  axis (the running-sum ordering); executes as a WINDOW over the
+  aggregate's cells (partition by anchor chain + non-hierarchy
+  grouping columns, order by the deeper levels, running sum) — the
+  exact ``SUM() OVER (PARTITION BY .. ORDER BY ..)`` an analyst
+  writes, cell×cell, never a second fact scan. Reads the CUBE like
+  PARALLELPERIOD: a dice on the ordering columns recomputes the
+  window over the undiced aggregation and joins it back, so
+  ``{[Fecha].[Mes].[6]}`` with a YTD member still sums Jan–Jun.
+  Argless ``YTD()`` is refused (it needs a blessed time dimension
+  this subset does not fabricate).
 - ``WITH SET [Name] AS '<set>'`` named sets (quoted or bare body,
   definition-order scoping like calculated members): a bare
   ``[Name]`` reference anywhere a set is expected — the whole rows
@@ -171,7 +186,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -542,6 +557,26 @@ class _Parser:
                 return ("pp", node[1], dim, level, k)
             self.expect_punct(")")
             return node
+        if kind == "word" and val.upper() == "SUM":
+            # SUM(PERIODSTODATE([Dim].[Level]), [Measures].[M]) — the
+            # running-total time-intelligence shape (YTD spelled with
+            # its anchor level explicit; argless YTD() would need a
+            # blessed time dimension this subset does not fabricate)
+            self.next()
+            self.expect_punct("(")
+            self.expect_word("PERIODSTODATE")
+            self.expect_punct("(")
+            segs, suffix = self.member_path()
+            if len(segs) != 2 or suffix:
+                raise MdxError(
+                    "PERIODSTODATE needs a [Dim].[Level] reference, "
+                    f"got {segs}"
+                )
+            self.expect_punct(")")
+            self.expect_punct(",")
+            measure = self.measure_ref()
+            self.expect_punct(")")
+            return ("ptd", measure, segs[0], segs[1])
         if kind == "seg":
             return ("ref", self.measure_ref())
         raise MdxError(f"expected a measure expression, got {val!r}")
@@ -1206,6 +1241,14 @@ def _validate_refs(expr, cube: CubeDef, calc_members: dict) -> None:
                 f"[Measures].[{name}] is not one on cube [{cube.name}]"
             )
         cube.level_column(dim, level)  # loud on unknown level
+    elif kind == "ptd":
+        _, name, dim, level = expr
+        if not cube.has_measure(name):
+            raise MdxError(
+                "PERIODSTODATE sums BASE measures only; "
+                f"[Measures].[{name}] is not one on cube [{cube.name}]"
+            )
+        cube.level_column(dim, level)  # loud on unknown level
     elif kind == "bin":
         _validate_refs(expr[2], cube, calc_members)
         _validate_refs(expr[3], cube, calc_members)
@@ -1227,7 +1270,7 @@ def _collect_base_refs(expr, cube: CubeDef, calc_members: dict, out: list):
                 if k.lower() == name.lower():
                     _collect_base_refs(sub, cube, calc_members, out)
                     break
-    elif kind == "pp":
+    elif kind in ("pp", "ptd"):
         name = expr[1]
         if name.lower() not in {m.lower() for m in out}:
             out.append(name)
@@ -1250,6 +1293,8 @@ def _build_expr(expr, cube: CubeDef, calc_members: dict) -> Column:
         return -_build_expr(expr[1], cube, calc_members)
     if kind == "pp":
         return F.col(_pp_alias(expr, cube))
+    if kind == "ptd":
+        return F.col(_ptd_alias(expr, cube))
     if kind == "ref":
         name = expr[1]
         if cube.has_measure(name):
@@ -1312,6 +1357,165 @@ def _collect_pp_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
         _collect_pp_specs(expr[3], cube, calc_members, out)
     elif kind == "neg":
         _collect_pp_specs(expr[1], cube, calc_members, out)
+
+
+def _ptd_alias(expr, cube: CubeDef) -> str:
+    """Deterministic output column for a ``("ptd", measure, dim,
+    level)`` tuple — one per (anchor level, measure)."""
+    _, name, dim, level = expr
+    safe = re.sub(r"[^a-z0-9]+", "_", f"{dim}_{level}".lower())
+    return f"__ptd_{safe}_{cube.measure_alias(name)}"
+
+
+def _collect_ptd_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
+    """Gather PERIODSTODATE sums reachable from an expression (following
+    calculated-member references), grouped by anchor ``(dim, level)`` →
+    {alias: measure_name} so each anchor computes its window ONCE,
+    covering every measure it needs."""
+    kind = expr[0]
+    if kind == "ptd":
+        _, name, dim, level = expr
+        out.setdefault((dim.lower(), level.lower()), (expr, {}))[1][
+            _ptd_alias(expr, cube)
+        ] = name
+    elif kind == "ref" and not cube.has_measure(expr[1]):
+        for cname, sub in calc_members.items():
+            if cname.lower() == expr[1].lower():
+                _collect_ptd_specs(sub, cube, calc_members, out)
+                break
+    elif kind == "bin":
+        _collect_ptd_specs(expr[2], cube, calc_members, out)
+        _collect_ptd_specs(expr[3], cube, calc_members, out)
+    elif kind == "neg":
+        _collect_ptd_specs(expr[1], cube, calc_members, out)
+
+
+def _collect_wrapper_specs(sel: MdxSelect, cube: CubeDef, collect, out):
+    """Run a spec collector over every expression a wrapper can carry —
+    shared by the PARALLELPERIOD and PERIODSTODATE gatherers."""
+    for w in sel.wrappers:
+        if w[0] in ("topcount", "bottomcount"):
+            collect(("ref", w[2]), cube, sel.calc_members, out)
+        elif w[0] == "order":
+            collect(w[1], cube, sel.calc_members, out)
+        elif w[0] == "filter":
+            collect(w[1][1], cube, sel.calc_members, out)
+            collect(w[1][2], cube, sel.calc_members, out)
+
+
+def _attach_periods_to_date(
+    out: DataFrame,
+    sel: MdxSelect,
+    cube: CubeDef,
+    filtered_cols: set,
+    agg_excluding: Callable[[frozenset], DataFrame],
+) -> DataFrame:
+    """Compute ``SUM(PERIODSTODATE([Dim].[Level]), [Measures].[M])``
+    columns — running totals within each anchor-level member, the YTD
+    gesture — as a WINDOW over the aggregate's cells: partition by the
+    anchor's chain plus every non-hierarchy grouping column, order by
+    the hierarchy's deeper axis columns, running-sum the measure.
+    Cell×cell work (the window runs over months-many rows, never the
+    fact), exactly the SQL ``SUM() OVER (PARTITION BY .. ORDER BY ..)``
+    an analyst would write — which is the oracle shape.
+
+    Like PARALLELPERIOD, the tuple reads the CUBE, not the axis
+    selection: a dice on the ORDERING columns (``mes = 6`` with a YTD
+    member) would silently drop the earlier periods from the running
+    sum, so the window is then computed over a re-aggregation WITHOUT
+    those dices and LEFT-joined back onto the axis cells (dices on the
+    anchor/partition columns are harmless — a partition is summed only
+    within itself — and stay applied).
+    """
+    specs: dict = {}
+    for name in sel.columns:
+        if not cube.has_measure(name):
+            expr = next(
+                v for k, v in sel.calc_members.items()
+                if k.lower() == name.lower()
+            )
+            _collect_ptd_specs(expr, cube, sel.calc_members, specs)
+    _collect_wrapper_specs(sel, cube, _collect_ptd_specs, specs)
+    if not specs:
+        return out
+    if len(sel.grouping_sets) != 1 or not sel.grouping_sets[0]:
+        raise MdxError(
+            "PERIODSTODATE needs a single-grain rows axis — over an "
+            "[(All)] lattice the running sum would mix grains"
+        )
+    gcols = sel.grouping_sets[0]
+    for (_dl, _ll), (expr0, aliases) in specs.items():
+        dim, level = expr0[2], expr0[3]
+        chain = cube.level_chain(dim, level)
+        for c in chain:
+            if c not in gcols:
+                raise MdxError(
+                    f"PERIODSTODATE anchors [{dim}].[{level}] but its "
+                    f"key column {c!r} is not on the rows axis"
+                )
+        # deeper levels of the SAME hierarchy present on the axis, in
+        # hierarchy order — the running-sum ordering
+        hlevels = next(
+            (
+                lv
+                for hd, lv in cube.hierarchies.items()
+                if hd.lower() == dim.lower()
+            ),
+            [],
+        )
+        anchor_idx = next(
+            (
+                i
+                for i, lv in enumerate(hlevels)
+                if lv.lower() == level.lower()
+            ),
+            None,
+        )
+        order_cols = (
+            [
+                cube.level_column(dim, lv)
+                for lv in hlevels[anchor_idx + 1 :]
+                if cube.level_column(dim, lv) in gcols
+            ]
+            if anchor_idx is not None
+            else []
+        )
+        if not order_cols:
+            raise MdxError(
+                f"PERIODSTODATE([{dim}].[{level}]) needs a level BELOW "
+                f"[{level}] from the same declared hierarchy on the "
+                "rows axis to order the running sum"
+            )
+        part_cols = [c for c in gcols if c not in order_cols]
+        w = (
+            Window.partitionBy(*part_cols).orderBy(
+                *[F.col(c).asc() for c in order_cols]
+            )
+            if part_cols
+            else Window.orderBy(*[F.col(c).asc() for c in order_cols])
+        )
+        if not (filtered_cols & set(order_cols)):
+            for alias, m in aliases.items():
+                out = out.withColumn(
+                    alias, F.sum(cube.measure_alias(m)).over(w)
+                )
+            continue
+        base = agg_excluding(frozenset(order_cols))
+        ytd = base.select(
+            *[F.col(c).alias(f"__ptdk_{c}") for c in gcols],
+            *[
+                F.sum(cube.measure_alias(m)).over(w).alias(a)
+                for a, m in aliases.items()
+            ],
+        )
+        cond = None
+        for c in gcols:
+            term = F.col(c) == F.col(f"__ptdk_{c}")
+            cond = term if cond is None else cond & term
+        out = out.join(ytd, cond, "left").drop(
+            *[f"__ptdk_{c}" for c in gcols]
+        )
+    return out
 
 
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
@@ -1516,12 +1720,15 @@ def execute_select(
     # diced, the prior-period cells come from a re-aggregation WITHOUT
     # those dices (Mondrian evaluates the shifted tuple against the
     # cube, not the axis selection).
+    filtered_cols = {col for col, _ in filters}
+    agg_excluding = lambda skip: aggregate(filtered(source, skip))  # noqa: E731
     out = _join_parallel_periods(
-        out,
-        sel,
-        cube,
-        {col for col, _ in filters},
-        lambda skip: aggregate(filtered(source, skip)),
+        out, sel, cube, filtered_cols, agg_excluding
+    )
+    # running-total tuples (PERIODSTODATE): a window over the aggregate's
+    # cells, attached before wrappers for the same reason
+    out = _attach_periods_to_date(
+        out, sel, cube, filtered_cols, agg_excluding
     )
 
     def resolve(name: str) -> Column:

@@ -148,3 +148,109 @@ def mdx_parallelperiod_yoy_diced_q(
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_YOY_DICED_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX time intelligence: PERIODSTODATE (running totals / YTD)
+# ---------------------------------------------------------------------------
+
+_MDX_YTD_STATEMENT = """
+WITH MEMBER [Measures].[Acumulado Anual] AS
+     'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[Cantidad Movimientos])'
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Acumulado Anual]} ON COLUMNS,
+       {[Fecha].[Mes].Members} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_periodstodate_ytd",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+             CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2
+    )
+    SELECT anio, mes, cantidad_movimientos,
+           sum(cantidad_movimientos) OVER (
+             PARTITION BY anio ORDER BY mes
+           )::BIGINT AS acumulado_anual
+    FROM per
+    """,
+)
+def mdx_periodstodate_ytd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODSTODATE — the running-total (YTD) gesture through the MDX
+    front door: per (anio, mes) cell, the movement count accumulated
+    from January of that year to the cell's month
+    (``SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[X])``). Executes
+    as ONE aggregation of the slicer-filtered star plus a WINDOW over
+    the month-grain cells (partition anio, order mes, running sum) —
+    the translator emits exactly the ``SUM() OVER (PARTITION BY anio
+    ORDER BY mes)`` the oracle spells, so hash equality proves the
+    translation including the year-boundary reset. Exact BIGINT
+    arithmetic end-to-end. 100 TB: the window runs over months-many
+    aggregate cells, kilobytes — running totals are free once the cube
+    cells exist."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_YTD_STATEMENT)
+
+
+_MDX_YTD_DICED_STATEMENT = """
+WITH MEMBER [Measures].[Acumulado Anual] AS
+     'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[Cantidad Movimientos])'
+SELECT {[Measures].[Acumulado Anual]} ON COLUMNS,
+       {[Fecha].[Mes].[6]} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_periodstodate_diced",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+             CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2
+    ),
+    ytd AS (
+      SELECT anio, mes,
+             sum(cantidad_movimientos) OVER (
+               PARTITION BY anio ORDER BY mes
+             )::BIGINT AS acumulado_anual
+      FROM per
+    )
+    SELECT anio, mes, acumulado_anual FROM ytd WHERE mes = 6
+    """,
+)
+def mdx_periodstodate_diced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODSTODATE with the ORDERING level diced — "June, year to
+    date": the rows axis picks one month, and the accumulated column
+    still sums January through June. The tuple reads the CUBE, not the
+    axis selection (the same Mondrian semantics as the diced
+    PARALLELPERIOD face): the translator computes the window over a
+    re-aggregation WITHOUT the month dice and LEFT-joins it back onto
+    the axis cells; the oracle mirrors this by windowing the undiced
+    CTE and filtering OUTSIDE. Before round 12 this shape did not
+    exist; a naive post-dice window would serve June's bare count as
+    its own "running total" — silently wrong. 100 TB: one extra
+    scan+agg of the sliced fact in the diced case, cells stay
+    kilobytes."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_YTD_DICED_STATEMENT
+    )

@@ -1450,3 +1450,101 @@ def test_mdx_parallelperiod_r12_faces_registered():
     for name in ("mdx_parallelperiod_mom", "mdx_parallelperiod_yoy_diced"):
         assert name in Q.QUERIES
         assert name in Q.ORACLES
+
+
+# -- round-12: PERIODSTODATE (running totals / YTD) ---------------------------
+
+
+def test_mdx_periodstodate_running_total(spark):
+    rows = mdx_query(
+        _mom_cube(spark),
+        """
+        WITH MEMBER [Measures].[Acumulado] AS
+             'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[Total])'
+        SELECT {[Measures].[Total], [Measures].[Acumulado]} ON COLUMNS,
+               {[Fecha].[Mes].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["mes"]): r["acumulado"] for r in rows}
+    # _mom_cube data: (2024,12)=10, (2025,1)=40, (2025,2)=20 — the
+    # running sum RESETS at the year boundary (anchor partition)
+    assert got == {(2024, 12): 10.0, (2025, 1): 40.0, (2025, 2): 60.0}
+
+
+def test_mdx_periodstodate_diced_month_reads_cube(spark):
+    # dice to February cells: the running sum still includes January
+    # (the ordering-column dice is excluded from the window input)
+    rows = mdx_query(
+        _mom_cube(spark),
+        """
+        WITH MEMBER [Measures].[Acumulado] AS
+             'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[Total])'
+        SELECT {[Measures].[Acumulado]} ON COLUMNS,
+               {[Fecha].[Mes].[2]} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["anio"], r["mes"], r["acumulado"]) for r in rows] == [
+        (2025, 2, 60.0)
+    ]
+
+
+def test_mdx_periodstodate_partitions_by_other_dims(spark):
+    # a non-hierarchy rows dimension joins the window PARTITION: each
+    # pais accumulates independently within its year
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        WITH MEMBER [Measures].[Acumulado] AS
+             'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[Total])'
+        SELECT {[Measures].[Acumulado]} ON COLUMNS,
+               CROSSJOIN({[Fecha].[Mes].Members},
+                         {[Persona].[Pais].Members}) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["mes"], r["pais"]): r["acumulado"] for r in rows}
+    # AR in 2024: Jan 10+20? no — (2024,1,5,AR,10), (2024,2,5,AR,20):
+    # Jan=10, Feb cumulative 30; BR only Jan=30; 2025 AR Jan=40, CL Feb=50
+    assert got[(2024, 1, "AR")] == 10.0
+    assert got[(2024, 2, "AR")] == 30.0
+    assert got[(2024, 1, "BR")] == 30.0
+    assert got[(2025, 1, "AR")] == 40.0
+    assert got[(2025, 2, "CL")] == 50.0
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # anchor chain not on the rows axis
+        "WITH MEMBER [Measures].[A] AS "
+        "'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[Total])' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS FROM [Toy]",
+        # no deeper hierarchy level on the axis to order the sum
+        "WITH MEMBER [Measures].[A] AS "
+        "'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[Total])' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # unknown anchor level
+        "WITH MEMBER [Measures].[A] AS "
+        "'SUM(PERIODSTODATE([Fecha].[Quarter]), [Measures].[Total])' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+        # calculated member inside PERIODSTODATE
+        "WITH MEMBER [Measures].[C] AS '[Measures].[Total] * 2' "
+        "MEMBER [Measures].[A] AS "
+        "'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[C])' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+        # All-lattice mixes grains
+        "WITH MEMBER [Measures].[A] AS "
+        "'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[Total])' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[(All)], [Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_periodstodate_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_hier_cube(spark), bad).collect()
