@@ -123,6 +123,23 @@ Supported subset (the shapes the reference schema can answer):
   ``{[Fecha].[Mes].[6]}`` with a YTD member still sums Jan–Jun.
   Argless ``YTD()`` is refused (it needs a blessed time dimension
   this subset does not fabricate).
+- ``SUM/AVG(LASTPERIODS(n, [Dim].[Level].CurrentMember),
+  [Measures].[M])`` — trailing-window rolling totals and moving
+  averages: a RANGE window over the aggregate's cells ordered by the
+  level's linearized period key (top level: the column itself; one
+  below: ``anio*period + (mes-1)``, so a 3-month window crosses
+  December→January arithmetically), partitioned by the grouping
+  columns outside the hierarchy, frame ``n-1 PRECEDING..CURRENT
+  ROW``. RANGE (not ROWS) makes calendar gaps behave like Mondrian's
+  empty periods. Reads the CUBE: a dice on the level's chain columns
+  recomputes the window over the undiced aggregation and joins it
+  back.
+- member RANGES ``[Dim].[Level].[a]:[Dim].[Level].[b]`` (the colon
+  operator, integer-keyed levels): expanded to explicit members at
+  parse time, so ranges work everywhere a member does — axis sets,
+  named-set bodies, sub-selects — with zero execution machinery.
+  Loud on mixed levels, non-integer keys, reversed bounds, absurd
+  widths.
 - ``WITH SET [Name] AS '<set>'`` named sets (quoted or bare body,
   definition-order scoping like calculated members): a bare
   ``[Name]`` reference anywhere a set is expected — the whole rows
@@ -161,12 +178,13 @@ Supported subset (the shapes the reference schema can answer):
   on (axis placement in a sub-select is presentation-only);
   ``.Members`` and ``[(All)]`` items select everything and restrict
   nothing. Nested sub-selects compose (their filters AND together).
-  Children drills, wrapper functions, and WHERE inside a sub-select
-  raise — the outer query owns the slicer.
+  A sub-select WHERE is one more restriction, AND-composed with the
+  axis items (parsed like the outer slicer). Children drills and
+  wrapper functions inside a sub-select raise.
 
 Deliberately out of scope (the schema never exercises them): member
-properties, ``PARALLELPERIOD`` shifts more than one level below the
-hierarchy top (ragged cycles), sub-select WHERE clauses.
+properties, ``PARALLELPERIOD``/``LASTPERIODS`` anchored more than one
+level below the hierarchy top (ragged cycles).
 
 Execution model: the cube definition supplies a DENORMALIZED star
 builder (broadcast dim joins — the same star the SQL serving path
@@ -410,7 +428,7 @@ _TOKEN_RE = re.compile(
       | (?P<num>\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
       | (?P<op><=|>=|<>|[<>=+\-*/])
-      | (?P<punct>[{}(),.])
+      | (?P<punct>[{}(),.:])
     )""",
     re.VERBOSE,
 )
@@ -488,11 +506,57 @@ class _Parser:
             elif kind == "word" and val.upper() == "CHILDREN":
                 suffix = "children"
                 break
+            elif kind == "word" and val.upper() == "CURRENTMEMBER":
+                suffix = "currentmember"
+                break
             else:
                 raise MdxError(
-                    f"expected [segment], Members or Children, got {val!r}"
+                    f"expected [segment], Members, Children or "
+                    f"CurrentMember, got {val!r}"
                 )
         return segs, suffix
+
+    def _expand_member_range(self, first):
+        """``[Dim].[Level].[a] : [Dim].[Level].[b]`` — the colon range
+        operator over an integer-keyed level (the year-span gesture,
+        ``{[Fecha].[Anio].[1996]:[Fecha].[Anio].[1999]}``). Expands to
+        explicit members AT PARSE TIME, so ranges work everywhere a
+        member does (axis sets, named sets, sub-selects) with zero new
+        execution machinery. Loud on mixed levels, non-integer keys,
+        reversed bounds, and absurd widths — never a silent empty set."""
+        segs1, suffix1 = first
+        self.next()  # ':'
+        segs2, suffix2 = self.member_path()
+        if (
+            suffix1
+            or suffix2
+            or len(segs1) != 3
+            or len(segs2) != 3
+            or [s.lower() for s in segs1[:2]] != [s.lower() for s in segs2[:2]]
+        ):
+            raise MdxError(
+                "a member range needs [Dim].[Level].[a]:[Dim].[Level].[b] "
+                f"on ONE level, got {segs1}:{segs2}"
+            )
+        if not (
+            re.fullmatch(r"-?\d+", segs1[2]) and re.fullmatch(r"-?\d+", segs2[2])
+        ):
+            raise MdxError(
+                "member ranges are supported for integer-keyed members "
+                f"only, got [{segs1[2]}]:[{segs2[2]}]"
+            )
+        a, b = int(segs1[2]), int(segs2[2])
+        if b < a:
+            raise MdxError(
+                f"member range is reversed: [{a}]:[{b}] — write the "
+                "smaller member first"
+            )
+        if b - a >= 10_000:
+            raise MdxError(
+                f"member range [{a}]:[{b}] expands to {b - a + 1} "
+                "members — not a plausible level range"
+            )
+        return [(segs1[:2] + [str(v)], None) for v in range(a, b + 1)]
 
     def measure_ref(self) -> str:
         """A [Measures].[Name] path; returns Name."""
@@ -557,26 +621,61 @@ class _Parser:
                 return ("pp", node[1], dim, level, k)
             self.expect_punct(")")
             return node
-        if kind == "word" and val.upper() == "SUM":
+        if kind == "word" and val.upper() in ("SUM", "AVG"):
             # SUM(PERIODSTODATE([Dim].[Level]), [Measures].[M]) — the
-            # running-total time-intelligence shape (YTD spelled with
-            # its anchor level explicit; argless YTD() would need a
-            # blessed time dimension this subset does not fabricate)
+            # running-total (YTD) shape (argless YTD() would need a
+            # blessed time dimension this subset does not fabricate) —
+            # and SUM/AVG(LASTPERIODS(n, [Dim].[Level].CurrentMember),
+            # [Measures].[M]) — the trailing-window (rolling) shape.
+            outer = val.lower()
             self.next()
             self.expect_punct("(")
-            self.expect_word("PERIODSTODATE")
-            self.expect_punct("(")
-            segs, suffix = self.member_path()
-            if len(segs) != 2 or suffix:
-                raise MdxError(
-                    "PERIODSTODATE needs a [Dim].[Level] reference, "
-                    f"got {segs}"
-                )
-            self.expect_punct(")")
-            self.expect_punct(",")
-            measure = self.measure_ref()
-            self.expect_punct(")")
-            return ("ptd", measure, segs[0], segs[1])
+            k2, v2 = self.peek()
+            if k2 == "word" and v2.upper() == "PERIODSTODATE":
+                if outer != "sum":
+                    raise MdxError(
+                        "PERIODSTODATE composes with SUM only in this "
+                        f"subset, not {outer.upper()}"
+                    )
+                self.next()
+                self.expect_punct("(")
+                segs, suffix = self.member_path()
+                if len(segs) != 2 or suffix:
+                    raise MdxError(
+                        "PERIODSTODATE needs a [Dim].[Level] reference, "
+                        f"got {segs}"
+                    )
+                self.expect_punct(")")
+                self.expect_punct(",")
+                measure = self.measure_ref()
+                self.expect_punct(")")
+                return ("ptd", measure, segs[0], segs[1])
+            if k2 == "word" and v2.upper() == "LASTPERIODS":
+                self.next()
+                self.expect_punct("(")
+                nkind, nval = self.next()
+                if nkind != "num" or "." in nval or int(nval) < 1:
+                    raise MdxError(
+                        "LASTPERIODS count must be a positive integer, "
+                        f"got {nval!r}"
+                    )
+                n = int(nval)
+                self.expect_punct(",")
+                segs, suffix = self.member_path()
+                if len(segs) != 2 or suffix != "currentmember":
+                    raise MdxError(
+                        "LASTPERIODS needs [Dim].[Level].CurrentMember, "
+                        f"got {segs}"
+                    )
+                self.expect_punct(")")
+                self.expect_punct(",")
+                measure = self.measure_ref()
+                self.expect_punct(")")
+                return ("lp", measure, segs[0], segs[1], n, outer)
+            raise MdxError(
+                f"{outer.upper()}(...) takes PERIODSTODATE(...) or "
+                f"LASTPERIODS(...) as its set argument, got {v2!r}"
+            )
         if kind == "seg":
             return ("ref", self.measure_ref())
         raise MdxError(f"expected a measure expression, got {val!r}")
@@ -638,10 +737,19 @@ class _Parser:
                 f"[NamedSet] reference — got {segs}"
             )
         self.expect_punct("{")
-        items = [self.member_path()]
+        items: list = []
+
+        def one_item():
+            m = self.member_path()
+            if self.peek() == ("punct", ":"):
+                items.extend(self._expand_member_range(m))
+            else:
+                items.append(m)
+
+        one_item()
         while self.peek() == ("punct", ","):
             self.next()
-            items.append(self.member_path())
+            one_item()
         self.expect_punct("}")
         return [("set", items)]
 
@@ -982,10 +1090,27 @@ def _parse_from_clause(p: _Parser, cube: CubeDef) -> list:
         inner = _parse_from_clause(p, cube)
         kind, val = p.peek()
         if kind == "word" and val.upper() == "WHERE":
-            raise MdxError(
-                "WHERE inside a sub-select is not supported — put the "
-                "slicer on the OUTER query"
-            )
+            # sub-select WHERE: one more pre-aggregation restriction on
+            # the slice, AND-composed with the axis items — the same
+            # visual-totals semantics, parsed like the outer slicer
+            p.next()
+            p.expect_punct("(")
+            per: dict[str, list] = {}
+            while True:
+                segs, suffix = p.member_path()
+                if len(segs) != 3 or suffix:
+                    raise MdxError(
+                        "sub-select WHERE members must be "
+                        f"[Dim].[Level].[member], got {segs}"
+                    )
+                col = cube.level_column(segs[0], segs[1])
+                per.setdefault(col, []).append(segs[2])
+                if p.peek() == ("punct", ","):
+                    p.next()
+                    continue
+                break
+            p.expect_punct(")")
+            filters.extend(per.items())
         p.expect_punct(")")
         return inner + filters
     raise MdxError(
@@ -1249,6 +1374,14 @@ def _validate_refs(expr, cube: CubeDef, calc_members: dict) -> None:
                 f"[Measures].[{name}] is not one on cube [{cube.name}]"
             )
         cube.level_column(dim, level)  # loud on unknown level
+    elif kind == "lp":
+        _, name, dim, level, _n, _agg = expr
+        if not cube.has_measure(name):
+            raise MdxError(
+                "LASTPERIODS aggregates BASE measures only; "
+                f"[Measures].[{name}] is not one on cube [{cube.name}]"
+            )
+        cube.level_column(dim, level)  # loud on unknown level
     elif kind == "bin":
         _validate_refs(expr[2], cube, calc_members)
         _validate_refs(expr[3], cube, calc_members)
@@ -1270,7 +1403,7 @@ def _collect_base_refs(expr, cube: CubeDef, calc_members: dict, out: list):
                 if k.lower() == name.lower():
                     _collect_base_refs(sub, cube, calc_members, out)
                     break
-    elif kind in ("pp", "ptd"):
+    elif kind in ("pp", "ptd", "lp"):
         name = expr[1]
         if name.lower() not in {m.lower() for m in out}:
             out.append(name)
@@ -1295,6 +1428,8 @@ def _build_expr(expr, cube: CubeDef, calc_members: dict) -> Column:
         return F.col(_pp_alias(expr, cube))
     if kind == "ptd":
         return F.col(_ptd_alias(expr, cube))
+    if kind == "lp":
+        return F.col(_lp_alias(expr, cube))
     if kind == "ref":
         name = expr[1]
         if cube.has_measure(name):
@@ -1518,6 +1653,132 @@ def _attach_periods_to_date(
     return out
 
 
+def _lp_alias(expr, cube: CubeDef) -> str:
+    """Deterministic output column for a ``("lp", measure, dim, level,
+    n, agg)`` tuple — one per (level, n, agg, measure)."""
+    _, name, dim, level, n, agg = expr
+    safe = re.sub(r"[^a-z0-9]+", "_", f"{dim}_{level}".lower())
+    return f"__lp_{safe}_{n}_{agg}_{cube.measure_alias(name)}"
+
+
+def _collect_lp_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
+    """Gather LASTPERIODS aggregates reachable from an expression,
+    grouped by ``(dim, level, n, agg)`` → {alias: measure_name}."""
+    kind = expr[0]
+    if kind == "lp":
+        _, name, dim, level, n, agg = expr
+        out.setdefault(
+            (dim.lower(), level.lower(), n, agg), (expr, {})
+        )[1][_lp_alias(expr, cube)] = name
+    elif kind == "ref" and not cube.has_measure(expr[1]):
+        for cname, sub in calc_members.items():
+            if cname.lower() == expr[1].lower():
+                _collect_lp_specs(sub, cube, calc_members, out)
+                break
+    elif kind == "bin":
+        _collect_lp_specs(expr[2], cube, calc_members, out)
+        _collect_lp_specs(expr[3], cube, calc_members, out)
+    elif kind == "neg":
+        _collect_lp_specs(expr[1], cube, calc_members, out)
+
+
+def _attach_last_periods(
+    out: DataFrame,
+    sel: MdxSelect,
+    cube: CubeDef,
+    filtered_cols: set,
+    agg_excluding: Callable[[frozenset], DataFrame],
+) -> DataFrame:
+    """Compute ``SUM/AVG(LASTPERIODS(n, [Dim].[Level].CurrentMember),
+    [Measures].[M])`` columns — trailing-window rolling totals and
+    moving averages — as a RANGE window over the aggregate's cells:
+    order by the level's LINEARIZED period key (the level column at
+    the hierarchy top; ``anio*period + (mes-1)`` one level below, so a
+    3-month trailing window crosses December→January by plain integer
+    range), partition by the grouping columns OUTSIDE the hierarchy,
+    frame ``RANGE BETWEEN n-1 PRECEDING AND CURRENT ROW``. RANGE (not
+    ROWS) makes calendar gaps behave like Mondrian's empty periods: a
+    missing month contributes nothing but still consumes its slot.
+
+    Reads the CUBE like the other time-intelligence tuples: a dice on
+    ANY of the level's chain columns (the window runs across years, so
+    a year dice corrupts January's trailing window too) recomputes the
+    window over the undiced aggregation and LEFT-joins it back.
+    """
+    specs: dict = {}
+    for name in sel.columns:
+        if not cube.has_measure(name):
+            expr = next(
+                v for k, v in sel.calc_members.items()
+                if k.lower() == name.lower()
+            )
+            _collect_lp_specs(expr, cube, sel.calc_members, specs)
+    _collect_wrapper_specs(sel, cube, _collect_lp_specs, specs)
+    if not specs:
+        return out
+    if len(sel.grouping_sets) != 1 or not sel.grouping_sets[0]:
+        raise MdxError(
+            "LASTPERIODS needs a single-grain rows axis — over an "
+            "[(All)] lattice the trailing window would mix grains"
+        )
+    gcols = sel.grouping_sets[0]
+    dtypes = dict(out.dtypes)
+    _AGG = {"sum": F.sum, "avg": F.avg}
+    for (_dl, _ll, n, agg), (expr0, aliases) in specs.items():
+        dim, level = expr0[2], expr0[3]
+        chain = cube.level_chain(dim, level)
+        if len(chain) > 2:
+            raise MdxError(
+                f"LASTPERIODS([{dim}].[{level}]) is more than one level "
+                "below the hierarchy top — such cycles are ragged and "
+                "the window key would be fabricated"
+            )
+        for c in chain:
+            if c not in gcols:
+                raise MdxError(
+                    f"LASTPERIODS windows [{dim}].[{level}] but its key "
+                    f"column {c!r} is not on the rows axis"
+                )
+            if dtypes.get(c) not in _INT_TYPES:
+                raise MdxError(
+                    f"LASTPERIODS needs integer-keyed levels; "
+                    f"{c!r} is {dtypes.get(c)}"
+                )
+        if len(chain) == 1:
+            lin = F.col(chain[0])
+        else:
+            period = cube.level_period(dim, level)
+            lin = F.col(chain[0]) * period + (F.col(chain[1]) - 1)
+        part_cols = [c for c in gcols if c not in chain]
+        w = (
+            Window.partitionBy(*part_cols)
+            if part_cols
+            else Window.partitionBy()
+        ).orderBy(lin.asc()).rangeBetween(-(n - 1), 0)
+        if not (filtered_cols & set(chain)):
+            for alias, m in aliases.items():
+                out = out.withColumn(
+                    alias, _AGG[agg](cube.measure_alias(m)).over(w)
+                )
+            continue
+        base = agg_excluding(frozenset(chain))
+        rolled = base.select(
+            *[F.col(c).alias(f"__lpk_{c}") for c in gcols],
+            *[
+                _AGG[agg](cube.measure_alias(m)).over(w).alias(a)
+                for a, m in aliases.items()
+            ],
+        )
+        cond = None
+        for c in gcols:
+            term = F.col(c) == F.col(f"__lpk_{c}")
+            cond = term if cond is None else cond & term
+        out = out.join(rolled, cond, "left").drop(
+            *[f"__lpk_{c}" for c in gcols]
+        )
+    return out
+
+
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
@@ -1725,9 +1986,13 @@ def execute_select(
     out = _join_parallel_periods(
         out, sel, cube, filtered_cols, agg_excluding
     )
-    # running-total tuples (PERIODSTODATE): a window over the aggregate's
-    # cells, attached before wrappers for the same reason
+    # running-total (PERIODSTODATE) and trailing-window (LASTPERIODS)
+    # tuples: windows over the aggregate's cells, attached before
+    # wrappers for the same reason
     out = _attach_periods_to_date(
+        out, sel, cube, filtered_cols, agg_excluding
+    )
+    out = _attach_last_periods(
         out, sel, cube, filtered_cols, agg_excluding
     )
 

@@ -254,3 +254,145 @@ def mdx_periodstodate_diced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_YTD_DICED_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX time intelligence: LASTPERIODS (trailing windows / moving averages)
+# ---------------------------------------------------------------------------
+
+_MDX_MOVING_AVG_STATEMENT = """
+WITH MEMBER [Measures].[Movil Trimestral] AS
+     'AVG(LASTPERIODS(3, [Fecha].[Mes].CurrentMember),
+          [Measures].[Cantidad Movimientos])'
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Movil Trimestral]} ON COLUMNS,
+       {[Fecha].[Mes].Members} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_lastperiods_moving_avg",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+             CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2
+    )
+    SELECT anio, mes, cantidad_movimientos,
+           avg(cantidad_movimientos) OVER (
+             ORDER BY anio * 12 + (mes - 1)
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS movil_trimestral
+    FROM per
+    """,
+)
+def mdx_lastperiods_moving_avg_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LASTPERIODS — the trailing-window gesture through the MDX front
+    door: per (anio, mes) cell, the 3-month moving average of the
+    movement count (``AVG(LASTPERIODS(3, [Fecha].[Mes].CurrentMember),
+    [Measures].[X])``). Executes as ONE aggregation of the
+    slicer-filtered star plus a RANGE window over the month-grain cells
+    ordered by the linearized period key ``anio*12 + (mes-1)`` — the
+    window crosses December→January by plain integer range, and a
+    calendar gap consumes its slot without contributing (Mondrian
+    empty-period semantics; a ROWS frame would silently reach too far
+    back). The oracle spells the identical window. The average divides
+    an exact integer sum by an exact count, so the doubles agree
+    bit-for-bit. 100 TB: months-many cells, kilobytes — rolling
+    analytics are free once the cube cells exist."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_MOVING_AVG_STATEMENT
+    )
+
+
+# ---------------------------------------------------------------------------
+# MDX member ranges and sub-select WHERE
+# ---------------------------------------------------------------------------
+
+_MDX_RANGE_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Promedio Medida]} ON COLUMNS,
+       {[Fecha].[Anio].[1996]:[Fecha].[Anio].[1999]} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_member_range_years",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND year(o.o_orderdate) BETWEEN 1996 AND 1999
+    GROUP BY 1
+    """,
+)
+def mdx_member_range_years_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The colon range operator — ``{[Fecha].[Anio].[1996]:[Fecha].
+    [Anio].[1999]}``, the year-span gesture every time-axis report
+    uses. The parser expands the range to explicit members (parse-time,
+    integer-keyed, loud on mixed levels / reversed bounds), so
+    execution sees an ordinary member dice: the BETWEEN lands in the
+    fact scan through the star's broadcast joins, and the aggregate
+    shuffles only the surviving slice — at 100 TB a four-year range
+    over a partitioned fact prunes to four year-partitions before any
+    I/O."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_RANGE_STATEMENT)
+
+
+_MDX_SUBSELECT_WHERE_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Promedio Medida]} ON COLUMNS,
+       {[Fecha].[Anio].Members} ON ROWS
+FROM (SELECT {[Cliente].[Segmento].[BUILDING],
+              [Cliente].[Segmento].[MACHINERY]} ON COLUMNS
+      FROM [Movimientos]
+      WHERE ([Persona].[Nacionalidad].[PERU]))
+"""
+
+
+@query(
+    "mdx_subselect_where",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND n.n_name = 'PERU'
+    GROUP BY 1
+    """,
+)
+def mdx_subselect_where_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-select WHERE — the last sub-select shape pivot clients emit
+    (previously a loud refusal, now served): the inner WHERE is one
+    more pre-aggregation restriction, AND-composed with the sub-select
+    axis items, same visual-totals semantics as every other dice. Both
+    filters reach the fact scan through the broadcast star; the outer
+    year aggregate shuffles only the doubly-restricted slice."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_SUBSELECT_WHERE_STATEMENT
+    )

@@ -1188,11 +1188,12 @@ def test_mdx_subselect_composes_with_outer_where(spark):
 @pytest.mark.parametrize(
     "bad",
     [
-        # WHERE inside a sub-select
+        # malformed WHERE inside a sub-select (.Members is not a
+        # slicer member; the supported WHERE shape has its own test)
         "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
         "{[Fecha].[Anio].Members} ON ROWS "
         "FROM (SELECT {[Persona].[Pais].[AR]} ON COLUMNS FROM [Toy] "
-        "WHERE ([Cliente].[Seg].[A]))",
+        "WHERE ([Cliente].[Seg].Members))",
         # Children inside a sub-select
         "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
         "{[Persona].[Pais].Members} ON ROWS "
@@ -1548,3 +1549,197 @@ def test_mdx_periodstodate_partitions_by_other_dims(spark):
 def test_mdx_periodstodate_errors_are_loud(spark, bad):
     with pytest.raises(MdxError):
         mdx_query(_hier_cube(spark), bad).collect()
+
+
+# -- round-12: LASTPERIODS, member ranges, sub-select WHERE -------------------
+
+
+def _lp_cube(spark):
+    """Month cube with a calendar GAP (no Feb 2025) and a year boundary
+    — the two shapes a trailing window must survive."""
+    def star_builder():
+        return spark.createDataFrame(
+            [
+                (2024, 11, 10.0),
+                (2024, 12, 20.0),
+                (2025, 1, 30.0),
+                (2025, 3, 40.0),
+            ],
+            "anio int, mes int, medida double",
+        )
+
+    return CubeDef(
+        name="Toy",
+        star_builder=star_builder,
+        levels={"Fecha.Anio": "anio", "Fecha.Mes": "mes"},
+        measures={"Total": ("sum", "medida", "sum_medida")},
+        hierarchies={"Fecha": ["Anio", "Mes"]},
+        period_lengths={"Fecha.Mes": 12},
+    )
+
+
+def test_mdx_lastperiods_moving_average(spark):
+    rows = mdx_query(
+        _lp_cube(spark),
+        """
+        WITH MEMBER [Measures].[Movil3] AS
+             'AVG(LASTPERIODS(3, [Fecha].[Mes].CurrentMember),
+                  [Measures].[Total])'
+        SELECT {[Measures].[Total], [Measures].[Movil3]} ON COLUMNS,
+               {[Fecha].[Mes].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["mes"]): r["movil3"] for r in rows}
+    assert got[(2024, 11)] == 10.0
+    assert got[(2024, 12)] == 15.0  # avg(10, 20)
+    assert got[(2025, 1)] == 20.0  # avg(10,20,30): wraps the year
+    # RANGE frame: Feb 2025 is ABSENT — Jan stays in March's window,
+    # the missing month contributes nothing (Mondrian empty period);
+    # a ROWS frame would wrongly reach back to December
+    assert got[(2025, 3)] == 35.0  # avg(30, 40)
+
+
+def test_mdx_lastperiods_sum_and_diced(spark):
+    # SUM flavor; dice to January — the window still reads Nov/Dec 2024
+    rows = mdx_query(
+        _lp_cube(spark),
+        """
+        WITH MEMBER [Measures].[Suma3] AS
+             'SUM(LASTPERIODS(3, [Fecha].[Mes].CurrentMember),
+                  [Measures].[Total])'
+        SELECT {[Measures].[Suma3]} ON COLUMNS,
+               {[Fecha].[Mes].[1]} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["anio"], r["mes"], r["suma3"]) for r in rows] == [
+        (2025, 1, 60.0)
+    ]
+
+
+def test_mdx_lastperiods_top_level_and_partition(spark):
+    # anchor at the hierarchy top (trailing 2-year window) with a
+    # second dimension partitioning independently
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        WITH MEMBER [Measures].[Suma2a] AS
+             'SUM(LASTPERIODS(2, [Fecha].[Anio].CurrentMember),
+                  [Measures].[Total])'
+        SELECT {[Measures].[Suma2a]} ON COLUMNS,
+               CROSSJOIN({[Fecha].[Anio].Members},
+                         {[Persona].[Pais].Members}) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["pais"]): r["suma2a"] for r in rows}
+    # AR: 2024=30 (10+20), 2025=40 → 2025 window = 70; BR only 2024=30
+    assert got[(2024, "AR")] == 30.0
+    assert got[(2025, "AR")] == 70.0
+    assert got[(2024, "BR")] == 30.0
+    assert got[(2025, "CL")] == 50.0
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # AVG composes with LASTPERIODS only
+        "WITH MEMBER [Measures].[A] AS "
+        "'AVG(PERIODSTODATE([Fecha].[Anio]), [Measures].[Total])' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+        # count must be a positive integer
+        "WITH MEMBER [Measures].[A] AS "
+        "'AVG(LASTPERIODS(0, [Fecha].[Mes].CurrentMember), "
+        "[Measures].[Total])' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+        # needs .CurrentMember
+        "WITH MEMBER [Measures].[A] AS "
+        "'AVG(LASTPERIODS(3, [Fecha].[Mes]), [Measures].[Total])' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+        # window key column not on the axis
+        "WITH MEMBER [Measures].[A] AS "
+        "'AVG(LASTPERIODS(3, [Fecha].[Mes].CurrentMember), "
+        "[Measures].[Total])' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_lastperiods_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_hier_cube(spark), bad).collect()
+
+
+def test_mdx_member_range_expands(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].[2024]:[Fecha].[Anio].[2025]} ON ROWS FROM [Toy]",
+    ).collect()
+    assert {(r["anio"], r["sum_medida"]) for r in rows} == {
+        (2024, 60.0),
+        (2025, 90.0),
+    }
+    # a range that selects a strict subset actually dices
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].[2024]:[Fecha].[Anio].[2024]} ON ROWS FROM [Toy]",
+    ).collect()
+    assert [(r["anio"], r["sum_medida"]) for r in rows] == [(2024, 60.0)]
+
+
+def test_mdx_member_range_in_subselect(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS "
+        "FROM (SELECT {[Fecha].[Anio].[2025]:[Fecha].[Anio].[2026]} "
+        "ON COLUMNS FROM [Toy])",
+    ).collect()
+    assert {(r["pais"], r["n"]) for r in rows} == {("AR", 1), ("CL", 1)}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # mixed levels
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].[2024]:[Fecha].[Mes].[2]} ON ROWS FROM [Toy]",
+        # reversed
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].[2025]:[Fecha].[Anio].[2024]} ON ROWS FROM [Toy]",
+        # non-integer members
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Persona].[Pais].[AR]:[Persona].[Pais].[CL]} ON ROWS FROM [Toy]",
+        # absurd width
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].[0]:[Fecha].[Anio].[99999]} ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_member_range_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        parse_mdx(bad, _toy_cube(spark))
+
+
+def test_mdx_subselect_where_restricts(spark):
+    # WHERE inside a sub-select composes with its axis items (both
+    # restrict before aggregation) — previously a loud refusal
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM (SELECT {[Persona].[Pais].[AR]} ON COLUMNS
+              FROM [Toy]
+              WHERE ([Cliente].[Seg].[A]))
+        """,
+    ).collect()
+    # AR + seg A rows: (2024, 10.0), (2025, 40.0)
+    assert sorted((r["anio"], r["sum_medida"]) for r in rows) == [
+        (2024, 10.0),
+        (2025, 40.0),
+    ]
