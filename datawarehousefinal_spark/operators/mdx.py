@@ -2094,3 +2094,64 @@ def mdx_query(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
             )
     star = cube.star_builder(*star_args)
     return execute_select(sel, cube, star, cube.measure_agg)
+
+
+_DRILLTHROUGH_RE = re.compile(
+    r"^\s*DRILLTHROUGH\s+(?:MAXROWS\s+(\d+)\s+)?(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def mdx_drillthrough(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
+    """``DRILLTHROUGH [MAXROWS n] SELECT ... FROM [Cube] [WHERE ...]``
+    — the cell-inspection gesture: instead of aggregating, return the
+    FACT ROWS that contribute to the selected cells (Mondrian's
+    drillthrough contract; a BI user double-clicks a cell to audit the
+    numbers behind it). The inner SELECT parses exactly like a query —
+    calculated members and wrappers are refused (they have no row-level
+    meaning) — and every restriction that would have applied BEFORE
+    aggregation (slicer, rows-axis member dices, sub-select filters)
+    filters the star; ``.Members`` selections restrict nothing, as in
+    aggregation. Returned columns are the cube's level columns plus
+    each measure's source column, in declaration order — the columns a
+    cell is made of. MAXROWS caps the result via ``limit`` (an
+    arbitrary-but-bounded sample, like Mondrian's).
+
+    100 TB: drillthrough is a filtered SCAN, no shuffle at all — the
+    dices push through the star's broadcast joins into the fact scan,
+    and with MAXROWS Spark's CollectLimit short-circuits after the
+    first matching partitions."""
+    m = _DRILLTHROUGH_RE.match(mdx)
+    if not m or not m.group(2).lstrip().upper().startswith(("SELECT", "WITH")):
+        raise MdxError(
+            "DRILLTHROUGH needs 'DRILLTHROUGH [MAXROWS n] SELECT ...', "
+            f"got {mdx.strip()[:60]!r}"
+        )
+    maxrows = int(m.group(1)) if m.group(1) else None
+    if maxrows is not None and maxrows < 1:
+        raise MdxError(f"MAXROWS must be >= 1, got {maxrows}")
+    sel = parse_mdx(m.group(2), cube)
+    if sel.calc_members or sel.wrappers:
+        raise MdxError(
+            "DRILLTHROUGH returns raw fact rows — calculated members "
+            "and TOPCOUNT/ORDER/FILTER/HEAD/TAIL have no row-level "
+            "meaning here"
+        )
+    star = cube.star_builder(*star_args)
+    for col, vals in (
+        *sel.subselect_filters,
+        *sel.slicer_filters.items(),
+        *sel.member_filters.items(),
+    ):
+        star = star.filter(
+            F.col(col).isin(_coerce_members(star, col, vals))
+        )
+    cols: list[str] = []
+    for c in cube.levels.values():
+        if c not in cols:
+            cols.append(c)
+    for _agg, src, _alias in cube.measures.values():
+        if src not in cols:
+            cols.append(src)
+    out = star.select(*cols)
+    return out.limit(maxrows) if maxrows is not None else out

@@ -396,3 +396,50 @@ def mdx_subselect_where_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_SUBSELECT_WHERE_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX DRILLTHROUGH
+# ---------------------------------------------------------------------------
+
+_MDX_DRILLTHROUGH_STATEMENT = """
+DRILLTHROUGH
+SELECT {[Measures].[Cantidad Movimientos]} ON COLUMNS,
+       {[Fecha].[Anio].[1997]} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_drillthrough_cell",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+           CAST(day(o.o_orderdate) AS INTEGER) AS dia,
+           n.n_name AS nacionalidad,
+           c.c_mktsegment AS segmento,
+           o.o_custkey, o.o_totalprice
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND year(o.o_orderdate) = 1997
+    """,
+)
+def mdx_drillthrough_cell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRILLTHROUGH — the cell-audit gesture: double-clicking the
+    (1997, BUILDING) cell returns the FACT ROWS behind it (level
+    columns + measure source columns), not an aggregate. Every
+    pre-aggregation restriction (the year dice, the segment slicer)
+    filters the star; nothing aggregates, nothing shuffles — the whole
+    query is a filtered scan through the broadcast star, which is why
+    drillthrough stays interactive at 100 TB (partition pruning on the
+    diced year + predicate pushdown do the work; MAXROWS would
+    short-circuit the scan via CollectLimit)."""
+    from datawarehousefinal_spark.operators.mdx import mdx_drillthrough
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_drillthrough(
+        _movimientos_cube(spark, sf_dir), _MDX_DRILLTHROUGH_STATEMENT
+    )

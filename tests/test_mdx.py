@@ -1743,3 +1743,67 @@ def test_mdx_subselect_where_restricts(spark):
         (2024, 10.0),
         (2025, 40.0),
     ]
+
+
+# -- round-12: DRILLTHROUGH ---------------------------------------------------
+
+
+def test_mdx_drillthrough_returns_fact_rows(spark):
+    from datawarehousefinal_spark.operators.mdx import mdx_drillthrough
+
+    rows = mdx_drillthrough(
+        _toy_cube(spark),
+        """
+        DRILLTHROUGH
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Anio].[2024]} ON ROWS
+        FROM [Toy]
+        WHERE ([Cliente].[Seg].[A])
+        """,
+    ).collect()
+    # 2024 + seg A fact rows: (2024,1,AR,A,10) and (2024,1,BR,A,30)
+    got = sorted((r["anio"], r["mes"], r["pais"], r["seg"], r["medida"])
+                 for r in rows)
+    assert got == [
+        (2024, 1, "AR", "A", 10.0),
+        (2024, 1, "BR", "A", 30.0),
+    ]
+
+
+def test_mdx_drillthrough_maxrows_caps(spark):
+    from datawarehousefinal_spark.operators.mdx import mdx_drillthrough
+
+    rows = mdx_drillthrough(
+        _toy_cube(spark),
+        "DRILLTHROUGH MAXROWS 2 "
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+    ).collect()
+    assert len(rows) == 2
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # calculated member has no row-level meaning
+        "DRILLTHROUGH WITH MEMBER [Measures].[D] AS "
+        "'[Measures].[Total] * 2' "
+        "SELECT {[Measures].[D]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # wrappers have no row-level meaning
+        "DRILLTHROUGH SELECT {[Measures].[Total]} ON COLUMNS, "
+        "TOPCOUNT({[Fecha].[Anio].Members}, 1, [Measures].[Total]) "
+        "ON ROWS FROM [Toy]",
+        # MAXROWS must be positive
+        "DRILLTHROUGH MAXROWS 0 "
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # missing SELECT
+        "DRILLTHROUGH {[Fecha].[Anio].Members}",
+    ],
+)
+def test_mdx_drillthrough_errors_are_loud(spark, bad):
+    from datawarehousefinal_spark.operators.mdx import mdx_drillthrough
+
+    with pytest.raises(MdxError):
+        mdx_drillthrough(_toy_cube(spark), bad).collect()
