@@ -218,3 +218,124 @@ def test_mdx_translator_agrees_with_independent_sql(spark, seed):
     assert got == want, (
         f"seed {seed}\nMDX: {mdx}\nSQL: {sql}\ngot {got}\nwant {want}"
     )
+
+
+# -- time-intelligence battery -----------------------------------------------
+# The pp/ptd/lp attach paths (aggregate self-joins, windows, and the
+# diced-cube-context recompute) are the newest machinery; this battery
+# fuzzes them against independently-written SQL self-joins/windows.
+
+_TI_KINDS = ["yoy", "mom", "ytd", "roll"]
+
+
+def _gen_ti_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    return {
+        "kind": rng.choice(_TI_KINDS),
+        "measure": rng.choice(["Total", "Cantidad"]),
+        "slicer": rng.choice([None, "X", "Y"]),
+        # None = {Mes.Members}; int = dice {[Fecha].[Mes].[k]} — the
+        # cube-context shape (the shifted/windowed value must still be
+        # computed over the undiced aggregation)
+        "dice_mes": rng.choice([None, None, 1, 2, 3]),
+        "n": rng.randint(2, 3),  # lag / window width where applicable
+    }
+
+
+def _render_ti_mdx(spec: dict) -> str:
+    m = spec["measure"]
+    k = spec["kind"]
+    n = spec["n"]
+    if k == "yoy":
+        body = (
+            f"'[Measures].[{m}] - ([Measures].[{m}], "
+            f"PARALLELPERIOD([Fecha].[Anio], 1))'"
+        )
+    elif k == "mom":
+        body = (
+            f"'[Measures].[{m}] - ([Measures].[{m}], "
+            f"PARALLELPERIOD([Fecha].[Mes], {n}))'"
+        )
+    elif k == "ytd":
+        body = f"'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[{m}])'"
+    else:
+        body = (
+            f"'AVG(LASTPERIODS({n}, [Fecha].[Mes].CurrentMember), "
+            f"[Measures].[{m}])'"
+        )
+    rows = (
+        "{[Fecha].[Mes].Members}"
+        if spec["dice_mes"] is None
+        else f"{{[Fecha].[Mes].[{spec['dice_mes']}]}}"
+    )
+    q = (
+        f"WITH MEMBER [Measures].[Ti] AS {body} "
+        f"SELECT {{[Measures].[{m}], [Measures].[Ti]}} ON COLUMNS, "
+        f"{rows} ON ROWS FROM [Fuzz]"
+    )
+    if spec["slicer"]:
+        q += f" WHERE ([Cliente].[Seg].[{spec['slicer']}])"
+    return q
+
+
+def _render_ti_sql(spec: dict) -> str:
+    m = spec["measure"]
+    agg = _SQL_AGG[m]
+    alias = _MEASURES[m][2]
+    k = spec["kind"]
+    n = spec["n"]
+    where = f"WHERE seg = '{spec['slicer']}'" if spec["slicer"] else ""
+    per = (
+        f"SELECT anio, mes, {agg} AS {alias} FROM star {where} "
+        "GROUP BY anio, mes"
+    )
+    if k == "yoy":
+        core = (
+            f"SELECT a.anio, a.mes, a.{alias}, "
+            f"a.{alias} - b.{alias} AS ti FROM per a "
+            f"LEFT JOIN per b ON b.anio = a.anio - 1 AND b.mes = a.mes"
+        )
+    elif k == "mom":
+        core = (
+            f"SELECT a.anio, a.mes, a.{alias}, "
+            f"a.{alias} - b.{alias} AS ti FROM per a LEFT JOIN per b "
+            f"ON b.anio * 12 + (b.mes - 1) = a.anio * 12 + (a.mes - 1) - {n}"
+        )
+    elif k == "ytd":
+        core = (
+            f"SELECT anio, mes, {alias}, sum({alias}) OVER ("
+            f"PARTITION BY anio ORDER BY mes) AS ti FROM per"
+        )
+    else:
+        core = (
+            f"SELECT anio, mes, {alias}, avg({alias}) OVER ("
+            f"ORDER BY anio * 12 + (mes - 1) "
+            f"RANGE BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS ti "
+            f"FROM per"
+        )
+    sql = f"WITH per AS ({per}) {core}"
+    if spec["dice_mes"] is not None:
+        # the dice applies to the AXIS, never to the time-intel input —
+        # filter OUTSIDE the join/window (the cube-context semantics)
+        sql = f"SELECT * FROM ({sql}) WHERE mes = {spec['dice_mes']}"
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(500, 530))
+def test_mdx_time_intelligence_agrees_with_independent_sql(spark, seed):
+    spec = _gen_ti_spec(seed)
+    mdx = _render_ti_mdx(spec)
+    sql = _render_ti_sql(spec)
+
+    got = _norm([tuple(r) for r in mdx_query(_cube(spark), mdx).collect()])
+    con = duckdb.connect()
+    try:
+        con.register("star", _PDF)
+        want = _norm(con.execute(sql).fetchall())
+    finally:
+        con.close()
+
+    assert got == want, (
+        f"seed {seed} spec {spec}\nMDX: {mdx}\nSQL: {sql}\n"
+        f"got {got}\nwant {want}"
+    )
