@@ -138,6 +138,7 @@ def materialize_aggregate(
     path: str | None = None,
     name: str | None = None,
     source: DataFrame | None = None,
+    partition_by: str | None = None,
 ) -> AggTable:
     """Build the rollup of ``cube``'s star at the grain of ``levels``
     (``"Dim.Level"`` names, hierarchy-chain-expanded). One
@@ -147,15 +148,45 @@ def materialize_aggregate(
     touch the rollup file, never the fact). ``source`` overrides the
     cube's star builder (e.g. the already-ingested slice of a fact
     whose remainder arrives later through
-    :func:`ingest_into_aggregate`)."""
+    :func:`ingest_into_aggregate`).
+
+    ``partition_by`` (a ``"Dim.Level"`` whose chain head is a single
+    column, typically the top time level) lays the parquet out
+    partitioned by that column — the production storage shape: a
+    year-diced dashboard query then PRUNES to the diced partitions at
+    the scan (PartitionFilters, zero I/O on other years), which is the
+    difference between "reads kilobytes" and "reads the whole rollup"
+    once a rollup itself has grown to millions of cells. Requires
+    ``path`` (partitioning is a storage property)."""
     grain = grain_columns(cube, levels)
     states = [s for _a, _n, s in _state_columns(cube)]
     star = source if source is not None else cube.star_builder(*star_args)
     rollup = star.groupBy(*grain).agg(*states)
-    if path is not None:
+    if partition_by is not None:
+        if path is None:
+            raise MdxError(
+                "partition_by needs a parquet path — partitioning is a "
+                "storage property"
+            )
+        pdim, _, plevel = partition_by.partition(".")
+        pchain = cube.level_chain(pdim, plevel)
+        if len(pchain) != 1:
+            raise MdxError(
+                f"partition_by level [{pdim}].[{plevel}] is keyed by "
+                f"its ancestor chain {pchain} — partition rollups by a "
+                "hierarchy TOP level"
+            )
+        pcol = pchain[0]
+        if pcol not in grain:
+            raise MdxError(
+                f"partition_by column {pcol!r} is not part of the "
+                f"grain {grain}"
+            )
+        rollup.write.mode("overwrite").partitionBy(pcol).parquet(path)
+        rollup = rollup.sparkSession.read.parquet(path)
+    elif path is not None:
         rollup.write.mode("overwrite").parquet(path)
-        spark = rollup.sparkSession
-        rollup = spark.read.parquet(path)
+        rollup = rollup.sparkSession.read.parquet(path)
     return AggTable(
         name=name or f"agg_{'_'.join(grain)}", grain=grain, table=rollup
     )

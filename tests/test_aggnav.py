@@ -318,3 +318,75 @@ def test_front_door_falls_back_when_nothing_covers(spark, tmp_path):
     assert "parquet" not in plan.lower()  # never the (non-covering) rollup
     bare = _cube(spark)  # no aggregates registered
     assert _sorted_rows(routed) == _sorted_rows(mdx_query(bare, q))
+
+
+def test_partitioned_rollup_prunes_at_the_scan(spark, tmp_path):
+    # production layout: rollup partitioned by the top time level — a
+    # year-diced query must PRUNE to the diced partition at the scan
+    cube = _cube(spark)
+    agg = materialize_aggregate(
+        cube,
+        ["Fecha.Mes", "Persona.Pais"],
+        path=str(tmp_path / "agg_part"),
+        partition_by="Fecha.Anio",
+    )
+    q = (
+        "SELECT {[Measures].[Total], [Measures].[Promedio]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy] "
+        "WHERE ([Fecha].[Anio].[2024])"
+    )
+    got = mdx_query_navigated(cube, q, [agg])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the dice reached the partition column, not just a post-scan filter
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "2024" in pf
+    assert _sorted_rows(got) == _sorted_rows(mdx_query(cube, q))
+
+
+def test_partitioned_rollup_requires_path_and_top_level(spark, tmp_path):
+    cube = _cube(spark)
+    with pytest.raises(MdxError, match="storage property"):
+        materialize_aggregate(
+            cube, ["Fecha.Mes"], partition_by="Fecha.Anio"
+        )
+    with pytest.raises(MdxError, match="ancestor chain"):
+        materialize_aggregate(
+            cube,
+            ["Fecha.Mes"],
+            path=str(tmp_path / "x"),
+            partition_by="Fecha.Mes",
+        )
+    with pytest.raises(MdxError, match="not part of the"):
+        materialize_aggregate(
+            cube,
+            ["Persona.Pais"],
+            path=str(tmp_path / "y"),
+            partition_by="Fecha.Anio",
+        )
+
+
+def test_partitioned_rollup_ingest_still_merges(spark, tmp_path):
+    # the mergeable-state algebra is layout-independent: ingest into a
+    # partitioned rollup equals a full rebuild
+    from datawarehousefinal_spark.operators.aggnav import (
+        ingest_into_aggregate,
+    )
+
+    cube = _cube(spark)
+    full = cube.star_builder()
+    old = full.filter("anio = 2024")
+    delta = full.filter("anio = 2025")
+    agg = materialize_aggregate(
+        cube,
+        ["Fecha.Mes"],
+        path=str(tmp_path / "agg_ing"),
+        partition_by="Fecha.Anio",
+        source=old,
+    )
+    merged = ingest_into_aggregate(cube, agg, delta)
+    rebuilt = materialize_aggregate(cube, ["Fecha.Mes"], source=full)
+    assert _sorted_rows(merged.table.select(*sorted(merged.table.columns))) == \
+        _sorted_rows(rebuilt.table.select(*sorted(rebuilt.table.columns)))
