@@ -443,3 +443,71 @@ def mdx_drillthrough_cell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdx_drillthrough(
         _movimientos_cube(spark, sf_dir), _MDX_DRILLTHROUGH_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate navigator over a PARTITIONED rollup (partition pruning proven)
+# ---------------------------------------------------------------------------
+
+_MDX_NAV_PRUNED_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Promedio Medida]} ON COLUMNS,
+       CROSSJOIN({[Fecha].[Anio].[1997]},
+                 {[Persona].[Nacionalidad].Members}) ON ROWS
+FROM [Movimientos]
+"""
+
+
+@query(
+    "mdx_navigator_partition_pruned",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           n.n_name AS nacionalidad,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE year(o.o_orderdate) = 1997
+    GROUP BY 1, 2
+    """,
+)
+def mdx_navigator_partition_pruned_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The aggregate navigator over a YEAR-PARTITIONED rollup — the
+    full production storage story in one face: the (anio, nacionalidad)
+    rollup is materialized to parquet ``partitionBy(anio)``
+    (aggnav.materialize_aggregate partition_by), the navigator routes
+    the year-diced dashboard query to it, and a RUNTIME GUARD requires
+    the dice to reach the scan as a PartitionFilter (pruning to ONE
+    year-partition, zero I/O on the rest) — not a post-scan filter.
+    The oracle recomputes the same cells from the raw fact, so hash
+    equality proves the route+prune returned the exact fact-path
+    answer. At 100 TB this compounds the two layout levers: the rollup
+    collapses the fact to cells, the partitioning makes a diced read
+    touch only the diced cells' files. Result is ``_rebuilt`` so the
+    driver's hash pass never re-reads the scratch rollup."""
+    from datawarehousefinal_spark.operators.aggnav import (
+        materialize_aggregate,
+        mdx_query_navigated,
+    )
+    from datawarehousefinal_spark.plans.audit import physical_plan
+    from datawarehousefinal_spark.queries import _rebuilt, _scratch_path
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    cube = _movimientos_cube(spark, sf_dir)
+    agg = materialize_aggregate(
+        cube,
+        ["Fecha.Anio", "Persona.Nacionalidad"],
+        path=_scratch_path("agg_nav_part", sf_dir),
+        partition_by="Fecha.Anio",
+    )
+    out = mdx_query_navigated(cube, _MDX_NAV_PRUNED_STATEMENT, [agg])
+    plan = physical_plan(out)
+    seg = plan.split("PartitionFilters", 1)
+    if len(seg) < 2 or "anio" not in seg[1][:120]:
+        raise RuntimeError(
+            "year dice did not prune the partitioned rollup at the scan"
+        )
+    return _rebuilt(out)
