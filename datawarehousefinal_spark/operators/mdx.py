@@ -1006,10 +1006,13 @@ def _collect_subselect_members(nodes, cube: CubeDef, out: list) -> None:
                     len(segs) in (2, 3)
                 ):
                     # the grand total: restricts nothing — but the
-                    # dimension must exist (same loud-on-unknown
-                    # contract as .Members and explicit members;
-                    # [Nope].[(All)] is a typo, not a no-op)
-                    if not cube.has_dimension(segs[0]):
+                    # path must exist (same loud-on-unknown contract
+                    # as .Members and explicit members; [Nope].[(All)]
+                    # and [Fecha].[NoLevel].[(All)] are typos, not
+                    # no-ops — the rows axis validates identically)
+                    if len(segs) == 3:
+                        cube.level_column(segs[0], segs[1])
+                    elif not cube.has_dimension(segs[0]):
                         raise MdxError(
                             f"unknown dimension [{segs[0]}] in "
                             f"sub-select on cube [{cube.name}]"
@@ -1053,10 +1056,11 @@ def _parse_from_clause(p: _Parser, cube: CubeDef) -> list:
     restrict the cube slice before the outer query runs. Axis
     placement inside a sub-select is presentation-only; every explicit
     member restricts the slice regardless of axis. Nested sub-selects
-    compose (filters AND together). Sub-select WHERE is refused loudly
-    (put the slicer on the outer query). Restriction applies BEFORE
-    aggregation — the same visual-totals semantics as slicers and
-    rows-axis dices, Mondrian's sub-select contract."""
+    compose (filters AND together). A sub-select WHERE is one more
+    restriction, parsed like the outer slicer and AND-composed with
+    the axis items. Every restriction applies BEFORE aggregation —
+    the same visual-totals semantics as slicers and rows-axis dices,
+    Mondrian's sub-select contract."""
     kind, val = p.peek()
     if kind == "seg":
         p.next()
@@ -1471,27 +1475,47 @@ def _pp_alias(expr, cube: CubeDef) -> str:
     return f"__pp_{safe}_{k}_{cube.measure_alias(name)}"
 
 
-def _collect_pp_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
-    """Gather PARALLELPERIOD tuples reachable from an expression
-    (following calculated-member references), grouped by shift spec
-    ``(dim, level, k)`` → {alias: measure_name} so each spec joins the
-    aggregate to itself ONCE, projecting every measure it needs."""
-    kind = expr[0]
-    if kind == "pp":
-        _, name, dim, level, k = expr
-        out.setdefault(
-            (dim.lower(), level.lower(), k), (expr, {})
-        )[1][_pp_alias(expr, cube)] = name
-    elif kind == "ref" and not cube.has_measure(expr[1]):
+def _collect_specs(
+    expr, cube: CubeDef, calc_members: dict, out: dict, kind, key_fn, alias_fn
+):
+    """Generic time-intelligence spec gatherer: walk an expression AST
+    (following calculated-member references), and for every node of
+    ``kind`` record ``key_fn(node)`` → (node, {alias: measure_name}) in
+    ``out`` — one shared traversal for the pp/ptd/lp families, so the
+    reference-resolution rules can never drift between them. Each
+    spec's measure map lets its join/window compute ONCE, projecting
+    every measure it needs."""
+    k = expr[0]
+    if k == kind:
+        out.setdefault(key_fn(expr), (expr, {}))[1][
+            alias_fn(expr, cube)
+        ] = expr[1]
+    elif k == "ref" and not cube.has_measure(expr[1]):
         for cname, sub in calc_members.items():
             if cname.lower() == expr[1].lower():
-                _collect_pp_specs(sub, cube, calc_members, out)
+                _collect_specs(
+                    sub, cube, calc_members, out, kind, key_fn, alias_fn
+                )
                 break
-    elif kind == "bin":
-        _collect_pp_specs(expr[2], cube, calc_members, out)
-        _collect_pp_specs(expr[3], cube, calc_members, out)
-    elif kind == "neg":
-        _collect_pp_specs(expr[1], cube, calc_members, out)
+    elif k == "bin":
+        _collect_specs(
+            expr[2], cube, calc_members, out, kind, key_fn, alias_fn
+        )
+        _collect_specs(
+            expr[3], cube, calc_members, out, kind, key_fn, alias_fn
+        )
+    elif k == "neg":
+        _collect_specs(
+            expr[1], cube, calc_members, out, kind, key_fn, alias_fn
+        )
+
+
+def _collect_pp_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
+    """PARALLELPERIOD specs, keyed ``(dim, level, k)``."""
+    _collect_specs(
+        expr, cube, calc_members, out, "pp",
+        lambda e: (e[2].lower(), e[3].lower(), e[4]), _pp_alias,
+    )
 
 
 def _ptd_alias(expr, cube: CubeDef) -> str:
@@ -1503,26 +1527,11 @@ def _ptd_alias(expr, cube: CubeDef) -> str:
 
 
 def _collect_ptd_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
-    """Gather PERIODSTODATE sums reachable from an expression (following
-    calculated-member references), grouped by anchor ``(dim, level)`` →
-    {alias: measure_name} so each anchor computes its window ONCE,
-    covering every measure it needs."""
-    kind = expr[0]
-    if kind == "ptd":
-        _, name, dim, level = expr
-        out.setdefault((dim.lower(), level.lower()), (expr, {}))[1][
-            _ptd_alias(expr, cube)
-        ] = name
-    elif kind == "ref" and not cube.has_measure(expr[1]):
-        for cname, sub in calc_members.items():
-            if cname.lower() == expr[1].lower():
-                _collect_ptd_specs(sub, cube, calc_members, out)
-                break
-    elif kind == "bin":
-        _collect_ptd_specs(expr[2], cube, calc_members, out)
-        _collect_ptd_specs(expr[3], cube, calc_members, out)
-    elif kind == "neg":
-        _collect_ptd_specs(expr[1], cube, calc_members, out)
+    """PERIODSTODATE specs, keyed by anchor ``(dim, level)``."""
+    _collect_specs(
+        expr, cube, calc_members, out, "ptd",
+        lambda e: (e[2].lower(), e[3].lower()), _ptd_alias,
+    )
 
 
 def _collect_wrapper_specs(sel: MdxSelect, cube: CubeDef, collect, out):
@@ -1662,24 +1671,11 @@ def _lp_alias(expr, cube: CubeDef) -> str:
 
 
 def _collect_lp_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
-    """Gather LASTPERIODS aggregates reachable from an expression,
-    grouped by ``(dim, level, n, agg)`` → {alias: measure_name}."""
-    kind = expr[0]
-    if kind == "lp":
-        _, name, dim, level, n, agg = expr
-        out.setdefault(
-            (dim.lower(), level.lower(), n, agg), (expr, {})
-        )[1][_lp_alias(expr, cube)] = name
-    elif kind == "ref" and not cube.has_measure(expr[1]):
-        for cname, sub in calc_members.items():
-            if cname.lower() == expr[1].lower():
-                _collect_lp_specs(sub, cube, calc_members, out)
-                break
-    elif kind == "bin":
-        _collect_lp_specs(expr[2], cube, calc_members, out)
-        _collect_lp_specs(expr[3], cube, calc_members, out)
-    elif kind == "neg":
-        _collect_lp_specs(expr[1], cube, calc_members, out)
+    """LASTPERIODS specs, keyed ``(dim, level, n, agg)``."""
+    _collect_specs(
+        expr, cube, calc_members, out, "lp",
+        lambda e: (e[2].lower(), e[3].lower(), e[4], e[5]), _lp_alias,
+    )
 
 
 def _attach_last_periods(
@@ -1825,14 +1821,7 @@ def _join_parallel_periods(
                 if k.lower() == name.lower()
             )
             _collect_pp_specs(expr, cube, sel.calc_members, specs)
-    for w in sel.wrappers:
-        if w[0] in ("topcount", "bottomcount"):
-            _collect_pp_specs(("ref", w[2]), cube, sel.calc_members, specs)
-        elif w[0] == "order":
-            _collect_pp_specs(w[1], cube, sel.calc_members, specs)
-        elif w[0] == "filter":
-            _collect_pp_specs(w[1][1], cube, sel.calc_members, specs)
-            _collect_pp_specs(w[1][2], cube, sel.calc_members, specs)
+    _collect_wrapper_specs(sel, cube, _collect_pp_specs, specs)
     if not specs:
         return out
     if len(sel.grouping_sets) != 1 or not sel.grouping_sets[0]:
@@ -1982,7 +1971,16 @@ def execute_select(
     # those dices (Mondrian evaluates the shifted tuple against the
     # cube, not the axis selection).
     filtered_cols = {col for col, _ in filters}
-    agg_excluding = lambda skip: aggregate(filtered(source, skip))  # noqa: E731
+    _excl_cache: dict = {}
+
+    def agg_excluding(skip: frozenset) -> DataFrame:
+        # memoized per skip-set: two diced time-intel specs on the same
+        # chain (YoY + 2-year growth) share ONE re-aggregation instead
+        # of scanning the fact once each
+        if skip not in _excl_cache:
+            _excl_cache[skip] = aggregate(filtered(source, skip))
+        return _excl_cache[skip]
+
     out = _join_parallel_periods(
         out, sel, cube, filtered_cols, agg_excluding
     )

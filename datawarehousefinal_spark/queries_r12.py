@@ -505,8 +505,14 @@ def mdx_navigator_partition_pruned_q(
     )
     out = mdx_query_navigated(cube, _MDX_NAV_PRUNED_STATEMENT, [agg])
     plan = physical_plan(out)
-    seg = plan.split("PartitionFilters", 1)
-    if len(seg) < 2 or "anio" not in seg[1][:120]:
+    # bracket-scoped check: "anio" must appear INSIDE the
+    # PartitionFilters list itself — a substring scan past the bracket
+    # would false-pass on an empty list followed by
+    # PushedFilters/ReadSchema text that also mentions the column
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    if pf is None or "anio" not in pf.group(1):
         raise RuntimeError(
             "year dice did not prune the partitioned rollup at the scan"
         )

@@ -1807,3 +1807,16 @@ def test_mdx_drillthrough_errors_are_loud(spark, bad):
 
     with pytest.raises(MdxError):
         mdx_drillthrough(_toy_cube(spark), bad).collect()
+
+
+def test_mdx_subselect_unknown_level_all_is_loud(spark):
+    # [Fecha].[NoSuchLevel].[(All)] — the 3-segment form must validate
+    # the LEVEL, not just the dimension (review finding, round 12)
+    with pytest.raises(MdxError, match="unknown level"):
+        mdx_query(
+            _toy_cube(spark),
+            "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+            "{[Persona].[Pais].Members} ON ROWS "
+            "FROM (SELECT {[Fecha].[NoSuchLevel].[(All)]} ON COLUMNS "
+            "FROM [Toy])",
+        ).collect()
