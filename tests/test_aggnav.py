@@ -390,3 +390,33 @@ def test_partitioned_rollup_ingest_still_merges(spark, tmp_path):
     rebuilt = materialize_aggregate(cube, ["Fecha.Mes"], source=full)
     assert _sorted_rows(merged.table.select(*sorted(merged.table.columns))) == \
         _sorted_rows(rebuilt.table.select(*sorted(rebuilt.table.columns)))
+
+
+def test_time_intelligence_through_rollup(spark):
+    # PARALLELPERIOD / PERIODSTODATE evaluate over re-folded rollup
+    # states exactly as over the fact — including the diced
+    # cube-context recompute, which re-aggregates the ROLLUP (all
+    # cells present; dices are query-time)
+    cube = _cube(spark)
+    cube2 = _cube(spark)
+    cube2.period_lengths["Fecha.Mes"] = 12
+    cube.period_lengths["Fecha.Mes"] = 12
+    agg = materialize_aggregate(cube, ["Fecha.Mes"])
+    for q in (
+        """
+        WITH MEMBER [Measures].[YoY] AS
+             '[Measures].[Total] -
+              ([Measures].[Total], PARALLELPERIOD([Fecha].[Anio], 1))'
+        SELECT {[Measures].[Total], [Measures].[YoY]} ON COLUMNS,
+               {[Fecha].[Mes].Members} ON ROWS FROM [Toy]
+        """,
+        """
+        WITH MEMBER [Measures].[Acum] AS
+             'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[Total])'
+        SELECT {[Measures].[Acum]} ON COLUMNS,
+               {[Fecha].[Mes].[2]} ON ROWS FROM [Toy]
+        """,
+    ):
+        got = mdx_query_navigated(cube, q, [agg])
+        want = mdx_query(cube2, q)
+        assert _sorted_rows(got) == _sorted_rows(want), q
