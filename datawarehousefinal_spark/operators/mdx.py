@@ -134,6 +134,14 @@ Supported subset (the shapes the reference schema can answer):
   empty periods. Reads the CUBE: a dice on the level's chain columns
   recomputes the window over the undiced aggregation and joins it
   back.
+- ``([Measures].[M], OPENINGPERIOD/CLOSINGPERIOD([Dim].[Level]))`` —
+  the measure at the first/last PRESENT sibling period under the
+  current cell's ancestor ("vs January", "vs year-end"):
+  ``min_by/max_by`` over a window partitioned by the ancestor chain +
+  non-hierarchy grouping columns. Value-keyed member semantics (an
+  absent first month opens at the first present one). Reads the CUBE:
+  a dice on the level's own column recomputes the boundary over the
+  undiced aggregation.
 - member RANGES ``[Dim].[Level].[a]:[Dim].[Level].[b]`` (the colon
   operator, integer-keyed levels): expanded to explicit members at
   parse time, so ranges work everywhere a member does — axis sets,
@@ -594,8 +602,9 @@ class _Parser:
             return ("num", float(val) if "." in val else int(val))
         if kind == "punct" and val == "(":
             self.next()
-            # tuple with the shift first: '(' PARALLELPERIOD(...) ','
-            # [Measures].[M] ')' — Mondrian accepts either member order
+            # tuple with the period function first: '(' PARALLELPERIOD/
+            # OPENINGPERIOD/CLOSINGPERIOD(...) ',' [Measures].[M] ')' —
+            # Mondrian accepts either member order
             pk, pv = self.peek()
             if pk == "word" and pv.upper() == "PARALLELPERIOD":
                 self.next()
@@ -604,21 +613,44 @@ class _Parser:
                 measure = self.measure_ref()
                 self.expect_punct(")")
                 return ("pp", measure, dim, level, k)
+            if pk == "word" and pv.upper() in (
+                "OPENINGPERIOD", "CLOSINGPERIOD"
+            ):
+                which = "opening" if pv.upper()[0] == "O" else "closing"
+                self.next()
+                dim, level = self._boundaryperiod_args()
+                self.expect_punct(",")
+                measure = self.measure_ref()
+                self.expect_punct(")")
+                return ("bp", measure, dim, level, which)
             node = self.calc_expr()
             if self.peek() == ("punct", ","):
-                # tuple: '(' [Measures].[M] ',' PARALLELPERIOD(...) ')'
-                # — the time-intelligence shape (measure at a shifted
-                # period); anything else after a comma is unsupported
+                # tuple: '(' [Measures].[M] ',' <periodfn>(...) ')' —
+                # the time-intelligence shape (measure at a shifted or
+                # boundary period); anything else after a comma is
+                # unsupported
                 if node[0] != "ref":
                     raise MdxError(
                         "a tuple must pair a [Measures] reference with "
-                        "PARALLELPERIOD(...)"
+                        "PARALLELPERIOD/OPENINGPERIOD/CLOSINGPERIOD(...)"
                     )
                 self.next()
-                self.expect_word("PARALLELPERIOD")
-                dim, level, k = self._parallelperiod_args()
+                wk, wv = self.next()
+                if wk != "word" or wv.upper() not in (
+                    "PARALLELPERIOD", "OPENINGPERIOD", "CLOSINGPERIOD"
+                ):
+                    raise MdxError(
+                        "expected PARALLELPERIOD, OPENINGPERIOD or "
+                        f"CLOSINGPERIOD in the tuple, got {wv!r}"
+                    )
+                if wv.upper() == "PARALLELPERIOD":
+                    dim, level, k = self._parallelperiod_args()
+                    self.expect_punct(")")
+                    return ("pp", node[1], dim, level, k)
+                which = "opening" if wv.upper()[0] == "O" else "closing"
+                dim, level = self._boundaryperiod_args()
                 self.expect_punct(")")
-                return ("pp", node[1], dim, level, k)
+                return ("bp", node[1], dim, level, which)
             self.expect_punct(")")
             return node
         if kind == "word" and val.upper() in ("SUM", "AVG"):
@@ -679,6 +711,19 @@ class _Parser:
         if kind == "seg":
             return ("ref", self.measure_ref())
         raise MdxError(f"expected a measure expression, got {val!r}")
+
+    def _boundaryperiod_args(self) -> tuple[str, str]:
+        """The ``([Dim].[Level])`` argument of OPENINGPERIOD /
+        CLOSINGPERIOD (opening paren through closing paren)."""
+        self.expect_punct("(")
+        segs, suffix = self.member_path()
+        if len(segs) != 2 or suffix:
+            raise MdxError(
+                "OPENINGPERIOD/CLOSINGPERIOD needs a [Dim].[Level] "
+                f"reference, got {segs}"
+            )
+        self.expect_punct(")")
+        return segs[0], segs[1]
 
     def _parallelperiod_args(self) -> tuple[str, str, int]:
         """The ``([Dim].[Level], n)`` argument list of PARALLELPERIOD
@@ -1386,6 +1431,15 @@ def _validate_refs(expr, cube: CubeDef, calc_members: dict) -> None:
                 f"[Measures].[{name}] is not one on cube [{cube.name}]"
             )
         cube.level_column(dim, level)  # loud on unknown level
+    elif kind == "bp":
+        _, name, dim, level, _which = expr
+        if not cube.has_measure(name):
+            raise MdxError(
+                "OPENINGPERIOD/CLOSINGPERIOD tuples read BASE measures "
+                f"only; [Measures].[{name}] is not one on cube "
+                f"[{cube.name}]"
+            )
+        cube.level_column(dim, level)  # loud on unknown level
     elif kind == "bin":
         _validate_refs(expr[2], cube, calc_members)
         _validate_refs(expr[3], cube, calc_members)
@@ -1407,7 +1461,7 @@ def _collect_base_refs(expr, cube: CubeDef, calc_members: dict, out: list):
                 if k.lower() == name.lower():
                     _collect_base_refs(sub, cube, calc_members, out)
                     break
-    elif kind in ("pp", "ptd", "lp"):
+    elif kind in ("pp", "ptd", "lp", "bp"):
         name = expr[1]
         if name.lower() not in {m.lower() for m in out}:
             out.append(name)
@@ -1434,6 +1488,8 @@ def _build_expr(expr, cube: CubeDef, calc_members: dict) -> Column:
         return F.col(_ptd_alias(expr, cube))
     if kind == "lp":
         return F.col(_lp_alias(expr, cube))
+    if kind == "bp":
+        return F.col(_bp_alias(expr, cube))
     if kind == "ref":
         name = expr[1]
         if cube.has_measure(name):
@@ -1775,6 +1831,113 @@ def _attach_last_periods(
     return out
 
 
+def _bp_alias(expr, cube: CubeDef) -> str:
+    """Deterministic output column for a ``("bp", measure, dim, level,
+    which)`` tuple — one per (level, opening/closing, measure)."""
+    _, name, dim, level, which = expr
+    safe = re.sub(r"[^a-z0-9]+", "_", f"{dim}_{level}".lower())
+    return f"__bp_{safe}_{which}_{cube.measure_alias(name)}"
+
+
+def _collect_bp_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
+    """OPENINGPERIOD/CLOSINGPERIOD specs, keyed ``(dim, level,
+    which)``."""
+    _collect_specs(
+        expr, cube, calc_members, out, "bp",
+        lambda e: (e[2].lower(), e[3].lower(), e[4]), _bp_alias,
+    )
+
+
+def _attach_boundary_periods(
+    out: DataFrame,
+    sel: MdxSelect,
+    cube: CubeDef,
+    filtered_cols: set,
+    agg_excluding: Callable[[frozenset], DataFrame],
+) -> DataFrame:
+    """Compute ``([Measures].[M], OPENINGPERIOD/CLOSINGPERIOD(
+    [Dim].[Level]))`` columns — the measure at the FIRST/LAST sibling
+    period under the current cell's ancestor (the "vs January" /
+    "vs year-end" gesture): for each cell, ``min_by/max_by(measure,
+    level_key)`` over a window partitioned by the level's ancestor
+    chain plus every non-hierarchy grouping column. Cell×cell, never a
+    second fact scan — the SQL shape is ``first_value() OVER
+    (PARTITION BY anio ORDER BY mes [DESC])``, which is the oracle.
+
+    "First/last" means the first/last PRESENT period: this translator's
+    members are value-keyed (an absent January is not a member — the
+    same enumeration ``.Members`` uses everywhere), so a year whose
+    data starts in February opens at February, where a
+    dimension-table-backed Mondrian would return January's empty cell.
+
+    Reads the CUBE like the other time-intelligence tuples: a dice on
+    the level's OWN column (``{[Fecha].[Mes].[6]}`` with a
+    vs-January member) would make June its own "opening period", so
+    the boundary is then computed over a re-aggregation WITHOUT that
+    dice and LEFT-joined back. Dices on the ancestors are harmless
+    (a partition is read only within itself) and stay applied.
+    """
+    specs: dict = {}
+    for name in sel.columns:
+        if not cube.has_measure(name):
+            expr = next(
+                v for k, v in sel.calc_members.items()
+                if k.lower() == name.lower()
+            )
+            _collect_bp_specs(expr, cube, sel.calc_members, specs)
+    _collect_wrapper_specs(sel, cube, _collect_bp_specs, specs)
+    if not specs:
+        return out
+    if len(sel.grouping_sets) != 1 or not sel.grouping_sets[0]:
+        raise MdxError(
+            "OPENINGPERIOD/CLOSINGPERIOD need a single-grain rows axis "
+            "— over an [(All)] lattice the boundary would mix grains"
+        )
+    gcols = sel.grouping_sets[0]
+    for (_dl, _ll, which), (expr0, aliases) in specs.items():
+        dim, level = expr0[2], expr0[3]
+        chain = cube.level_chain(dim, level)
+        for c in chain:
+            if c not in gcols:
+                raise MdxError(
+                    f"{which.upper()}PERIOD anchors [{dim}].[{level}] "
+                    f"but its key column {c!r} is not on the rows axis"
+                )
+        child = chain[-1]
+        part_cols = [c for c in gcols if c != child]
+        w = (
+            Window.partitionBy(*part_cols)
+            if part_cols
+            else Window.partitionBy()
+        )
+        pick = F.min_by if which == "opening" else F.max_by
+        if child not in filtered_cols:
+            for alias, m in aliases.items():
+                out = out.withColumn(
+                    alias,
+                    pick(F.col(cube.measure_alias(m)), F.col(child)).over(w),
+                )
+            continue
+        base = agg_excluding(frozenset({child}))
+        bnd = base.select(
+            *[F.col(c).alias(f"__bpk_{c}") for c in gcols],
+            *[
+                pick(F.col(cube.measure_alias(m)), F.col(child))
+                .over(w)
+                .alias(a)
+                for a, m in aliases.items()
+            ],
+        )
+        cond = None
+        for c in gcols:
+            term = F.col(c) == F.col(f"__bpk_{c}")
+            cond = term if cond is None else cond & term
+        out = out.join(bnd, cond, "left").drop(
+            *[f"__bpk_{c}" for c in gcols]
+        )
+    return out
+
+
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
@@ -1991,6 +2154,9 @@ def execute_select(
         out, sel, cube, filtered_cols, agg_excluding
     )
     out = _attach_last_periods(
+        out, sel, cube, filtered_cols, agg_excluding
+    )
+    out = _attach_boundary_periods(
         out, sel, cube, filtered_cols, agg_excluding
     )
 

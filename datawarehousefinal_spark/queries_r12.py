@@ -517,3 +517,57 @@ def mdx_navigator_partition_pruned_q(
             "year dice did not prune the partitioned rollup at the scan"
         )
     return _rebuilt(out)
+
+
+# ---------------------------------------------------------------------------
+# MDX time intelligence: OPENINGPERIOD / CLOSINGPERIOD
+# ---------------------------------------------------------------------------
+
+_MDX_CLOSING_STATEMENT = """
+WITH MEMBER [Measures].[Vs Cierre] AS
+     '[Measures].[Cantidad Movimientos] -
+      ([Measures].[Cantidad Movimientos], CLOSINGPERIOD([Fecha].[Mes]))'
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Vs Cierre]}
+       ON COLUMNS,
+       {[Fecha].[Mes].Members} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_closingperiod_vs_yearend",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+             CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2
+    )
+    SELECT anio, mes, cantidad_movimientos,
+           cantidad_movimientos - first_value(cantidad_movimientos)
+             OVER (PARTITION BY anio ORDER BY mes DESC) AS vs_cierre
+    FROM per
+    """,
+)
+def mdx_closingperiod_vs_yearend_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLOSINGPERIOD — the "vs year-end" gesture through the MDX front
+    door: each (anio, mes) cell shows its movement count and the gap to
+    the SAME YEAR'S closing month (``([Measures].[X],
+    CLOSINGPERIOD([Fecha].[Mes]))``). Executes as ONE aggregation of
+    the slicer-filtered star plus ``max_by(measure, mes)`` over a
+    window partitioned by anio — the oracle spells the identical
+    boundary as ``first_value() OVER (PARTITION BY anio ORDER BY mes
+    DESC)``. Exact BIGINT differences, nothing to round. 100 TB:
+    months-many cells, kilobytes."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_CLOSING_STATEMENT
+    )

@@ -1820,3 +1820,77 @@ def test_mdx_subselect_unknown_level_all_is_loud(spark):
             "FROM (SELECT {[Fecha].[NoSuchLevel].[(All)]} ON COLUMNS "
             "FROM [Toy])",
         ).collect()
+
+
+# -- round-12: OPENINGPERIOD / CLOSINGPERIOD ----------------------------------
+
+
+def test_mdx_opening_closing_period(spark):
+    rows = mdx_query(
+        _mom_cube(spark),
+        """
+        WITH MEMBER [Measures].[VsApertura] AS
+             '[Measures].[Total] -
+              ([Measures].[Total], OPENINGPERIOD([Fecha].[Mes]))'
+        MEMBER [Measures].[Cierre] AS
+             '([Measures].[Total], CLOSINGPERIOD([Fecha].[Mes]))'
+        SELECT {[Measures].[Total], [Measures].[VsApertura],
+                [Measures].[Cierre]} ON COLUMNS,
+               {[Fecha].[Mes].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {
+        (r["anio"], r["mes"]): (r["vsapertura"], r["cierre"]) for r in rows
+    }
+    # _mom_cube data: (2024,12)=10, (2025,1)=40, (2025,2)=20.
+    # 2024's only month is its own opening AND closing; 2025 opens at
+    # January (40) and closes at February (20)
+    assert got[(2024, 12)] == (0.0, 10.0)
+    assert got[(2025, 1)] == (0.0, 20.0)
+    assert got[(2025, 2)] == (-20.0, 20.0)
+
+
+def test_mdx_boundary_period_diced_reads_cube(spark):
+    # dice to February: the opening period (January) is outside the
+    # dice and must still be found
+    rows = mdx_query(
+        _mom_cube(spark),
+        """
+        WITH MEMBER [Measures].[VsApertura] AS
+             '[Measures].[Total] -
+              ([Measures].[Total], OPENINGPERIOD([Fecha].[Mes]))'
+        SELECT {[Measures].[VsApertura]} ON COLUMNS,
+               {[Fecha].[Mes].[2]} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["anio"], r["mes"], r["vsapertura"]) for r in rows] == [
+        (2025, 2, -20.0)
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # anchor column not on the rows axis
+        "WITH MEMBER [Measures].[A] AS '([Measures].[Total], "
+        "CLOSINGPERIOD([Fecha].[Mes]))' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS FROM [Toy]",
+        # calculated member inside the tuple
+        "WITH MEMBER [Measures].[C] AS '[Measures].[Total] * 2' "
+        "MEMBER [Measures].[A] AS '([Measures].[C], "
+        "OPENINGPERIOD([Fecha].[Mes]))' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+        # All-lattice mixes grains
+        "WITH MEMBER [Measures].[A] AS '([Measures].[Total], "
+        "CLOSINGPERIOD([Fecha].[Mes]))' "
+        "SELECT {[Measures].[A]} ON COLUMNS, "
+        "{[Fecha].[(All)], [Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_boundary_period_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_hier_cube(spark), bad).collect()

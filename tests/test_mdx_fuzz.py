@@ -225,7 +225,7 @@ def test_mdx_translator_agrees_with_independent_sql(spark, seed):
 # diced-cube-context recompute) are the newest machinery; this battery
 # fuzzes them against independently-written SQL self-joins/windows.
 
-_TI_KINDS = ["yoy", "mom", "ytd", "roll"]
+_TI_KINDS = ["yoy", "mom", "ytd", "roll", "open", "close"]
 
 
 def _gen_ti_spec(seed: int) -> dict:
@@ -258,10 +258,16 @@ def _render_ti_mdx(spec: dict) -> str:
         )
     elif k == "ytd":
         body = f"'SUM(PERIODSTODATE([Fecha].[Anio]), [Measures].[{m}])'"
-    else:
+    elif k == "roll":
         body = (
             f"'AVG(LASTPERIODS({n}, [Fecha].[Mes].CurrentMember), "
             f"[Measures].[{m}])'"
+        )
+    else:
+        fn = "OPENINGPERIOD" if k == "open" else "CLOSINGPERIOD"
+        body = (
+            f"'[Measures].[{m}] - "
+            f"([Measures].[{m}], {fn}([Fecha].[Mes]))'"
         )
     rows = (
         "{[Fecha].[Mes].Members}"
@@ -306,12 +312,18 @@ def _render_ti_sql(spec: dict) -> str:
             f"SELECT anio, mes, {alias}, sum({alias}) OVER ("
             f"PARTITION BY anio ORDER BY mes) AS ti FROM per"
         )
-    else:
+    elif k == "roll":
         core = (
             f"SELECT anio, mes, {alias}, avg({alias}) OVER ("
             f"ORDER BY anio * 12 + (mes - 1) "
             f"RANGE BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS ti "
             f"FROM per"
+        )
+    else:
+        d = "ASC" if k == "open" else "DESC"
+        core = (
+            f"SELECT anio, mes, {alias}, {alias} - first_value({alias}) "
+            f"OVER (PARTITION BY anio ORDER BY mes {d}) AS ti FROM per"
         )
     sql = f"WITH per AS ({per}) {core}"
     if spec["dice_mes"] is not None:
