@@ -265,6 +265,7 @@ def choose_aggregate(
     needed_base_measures(sel, cube)  # loud on unknown measures first
     required = set(sel.group_cols)
     required.update(sel.member_filters)
+    required.update(sel.exclude_filters)
     required.update(sel.slicer_filters)
     required.update(col for col, _vals in sel.subselect_filters)
     best: AggTable | None = None

@@ -142,6 +142,14 @@ Supported subset (the shapes the reference schema can answer):
   absent first month opens at the first present one). Reads the CUBE:
   a dice on the level's own column recomputes the boundary over the
   undiced aggregation.
+- ``EXCEPT(<set>, {members})`` on the rows axis (and in CROSSJOIN
+  branches / named-set bodies): remove the named members of ONE level
+  from the set. Over ``.Members`` (or a Children drill) it becomes a
+  NOT-IN dice applied BEFORE aggregation — NULL-keyed members are
+  real members and survive the exclusion; over an explicit member
+  list it subtracts at parse time. Loud on mixed levels, on removing
+  members of a level the set does not select, and on emptying the
+  set.
 - member RANGES ``[Dim].[Level].[a]:[Dim].[Level].[b]`` (the colon
   operator, integer-keyed levels): expanded to explicit members at
   parse time, so ranges work everywhere a member does — axis sets,
@@ -749,6 +757,48 @@ class _Parser:
     #      | [NamedSet]
     def parse_set(self):
         kind, val = self.peek()
+        if kind == "word" and val.upper() == "EXCEPT":
+            # EXCEPT(<set>, {explicit members of ONE level}) — remove
+            # the named members from the set. The exclusion merges into
+            # the set's item list as ("not"-suffixed) members; the axis
+            # flattener turns them into NOT-IN dices (or subtracts them
+            # from an explicit member list at parse time).
+            self.next()
+            self.expect_punct("(")
+            base = self.parse_set()
+            self.expect_punct(",")
+            excl = self.parse_set()
+            self.expect_punct(")")
+            if len(base) != 1 or base[0][0] != "set":
+                raise MdxError(
+                    "EXCEPT's first argument must be a plain member set "
+                    "— not a CROSSJOIN (apply EXCEPT to the branch "
+                    "instead)"
+                )
+            if len(excl) != 1 or excl[0][0] != "set":
+                raise MdxError(
+                    "EXCEPT's second argument must be a plain member set"
+                )
+            level_key = None
+            not_items = []
+            for segs, suffix in excl[0][1]:
+                if len(segs) != 3 or suffix:
+                    raise MdxError(
+                        "EXCEPT removes explicit [Dim].[Level].[member] "
+                        f"members only, got {segs}"
+                    )
+                key = (segs[0].lower(), segs[1].lower())
+                if level_key is None:
+                    level_key = key
+                elif key != level_key:
+                    raise MdxError(
+                        "EXCEPT's removed members must all belong to "
+                        f"ONE level, got both {level_key} and {key}"
+                    )
+                not_items.append((segs, "not"))
+            if not not_items:
+                raise MdxError("EXCEPT removed no members")
+            return [("set", list(base[0][1]) + not_items)]
         if kind == "word" and val.upper() == "CROSSJOIN":
             self.next()
             self.expect_punct("(")
@@ -885,6 +935,7 @@ def _rows_axis(node_list, cube: CubeDef):
     grouping-set lattice the query answers."""
     group_cols: list[str] = []
     filters: dict[str, list] = {}
+    excludes: dict[str, list] = {}
     alternatives: list[list[list[str]]] = []
 
     def walk(nodes):
@@ -926,7 +977,7 @@ def _rows_axis(node_list, cube: CubeDef):
                     by_level.setdefault(
                         (segs[0].lower(), segs[1].lower()),
                         {
-                            "members": False, "vals": [], "parents": {},
+                            "members": False, "vals": [], "parents": {}, "excl": [],
                             "display": (segs[0], segs[1]),
                         },
                     )["members"] = True
@@ -937,7 +988,7 @@ def _rows_axis(node_list, cube: CubeDef):
                     rec = by_level.setdefault(
                         (segs[0].lower(), child.lower()),
                         {
-                            "members": False, "vals": [], "parents": {},
+                            "members": False, "vals": [], "parents": {}, "excl": [],
                             "display": (segs[0], child),
                         },
                     )
@@ -949,10 +1000,19 @@ def _rows_axis(node_list, cube: CubeDef):
                     by_level.setdefault(
                         (segs[0].lower(), segs[1].lower()),
                         {
-                            "members": False, "vals": [], "parents": {},
+                            "members": False, "vals": [], "parents": {}, "excl": [],
                             "display": (segs[0], segs[1]),
                         },
                     )["vals"].append(segs[2])
+                elif len(segs) == 3 and suffix == "not":
+                    # an EXCEPT-removed member of this level
+                    by_level.setdefault(
+                        (segs[0].lower(), segs[1].lower()),
+                        {
+                            "members": False, "vals": [], "parents": {}, "excl": [],
+                            "display": (segs[0], segs[1]),
+                        },
+                    )["excl"].append(segs[2])
                 else:
                     raise MdxError(
                         "rows axis items must be [Dim].[Level].Members, "
@@ -962,6 +1022,13 @@ def _rows_axis(node_list, cube: CubeDef):
             set_cols: list[str] = []
             for _key, sel in by_level.items():
                 dim, level = sel["display"]
+                if sel["excl"] and not (
+                    sel["members"] or sel["vals"] or sel["parents"]
+                ):
+                    raise MdxError(
+                        f"EXCEPT removes members of [{dim}].[{level}], "
+                        "a level the set does not select"
+                    )
                 # hierarchy-aware member key: the level's ancestor-chain
                 # columns (single column when no hierarchy is declared)
                 chain = cube.level_chain(dim, level)
@@ -989,15 +1056,32 @@ def _rows_axis(node_list, cube: CubeDef):
                         "same level — a union this translator cannot "
                         "express as filters"
                     )
+                excl = sel["excl"]
                 if sel["members"]:
-                    # .Members is the whole level: it absorbs both
-                    # explicit dices and Children restrictions.
+                    # .Members is the whole level: it absorbs explicit
+                    # dices and Children restrictions — but EXCEPT still
+                    # removes its named members (a NOT-IN dice)
+                    if excl:
+                        excludes.setdefault(chain[-1], []).extend(excl)
                     continue
-                if sel["vals"]:
+                vals = sel["vals"]
+                if excl and vals:
+                    # EXCEPT over an explicit member list subtracts at
+                    # parse time (exact member-name matching)
+                    vals = [v for v in vals if v not in set(excl)]
+                    if not vals:
+                        raise MdxError(
+                            f"EXCEPT removed every member of "
+                            f"[{dim}].[{level}] — an empty set"
+                        )
+                elif excl:
+                    # Children drill minus named children: NOT-IN dice
+                    excludes.setdefault(chain[-1], []).extend(excl)
+                if vals:
                     # the dice filters on the level's OWN column; its
                     # ancestors stay grouping-only (visual totals per
                     # ancestor cell)
-                    filters.setdefault(chain[-1], []).extend(sel["vals"])
+                    filters.setdefault(chain[-1], []).extend(vals)
                 for parent_col, parent_vals in sel["parents"].items():
                     filters.setdefault(parent_col, []).extend(parent_vals)
             opts = [set_cols]
@@ -1006,7 +1090,7 @@ def _rows_axis(node_list, cube: CubeDef):
             alternatives.append(opts)
 
     walk(node_list)
-    return group_cols, filters, alternatives
+    return group_cols, filters, excludes, alternatives
 
 
 @dataclass
@@ -1022,6 +1106,10 @@ class MdxSelect:
     calc_members: dict[str, tuple]
     group_cols: list[str]
     member_filters: dict[str, list]
+    # col -> member values an EXCEPT removed: NOT-IN dices, applied
+    # BEFORE aggregation like every other dice (NULL-keyed members are
+    # kept — excluding [B] never drops the NULL member)
+    exclude_filters: dict[str, list]
     slicer_filters: dict[str, list]
     grouping_sets: list[list[str]]
     wrappers: list[tuple]
@@ -1303,7 +1391,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
             _validate_refs(cond[2], cube, calc_members)
             wrappers.append(("filter", cond))
         rows_node = inner
-    group_cols, member_filters, alternatives = _rows_axis(
+    group_cols, member_filters, exclude_filters, alternatives = _rows_axis(
         rows_node[1], cube
     )
     if not alternatives:
@@ -1386,6 +1474,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
         calc_members=calc_members,
         group_cols=group_cols,
         member_filters=member_filters,
+        exclude_filters=exclude_filters,
         slicer_filters=slicer_filters,
         grouping_sets=grouping_sets,
         wrappers=wrappers,
@@ -2096,10 +2185,13 @@ def execute_select(
     an aggregate table), then apply wrappers and project the COLUMNS
     axis."""
     filters = [
-        *sel.subselect_filters,
-        *sel.slicer_filters.items(),
-        *sel.member_filters.items(),
-    ]
+        (col, vals, False)
+        for col, vals in (
+            *sel.subselect_filters,
+            *sel.slicer_filters.items(),
+            *sel.member_filters.items(),
+        )
+    ] + [(col, vals, True) for col, vals in sel.exclude_filters.items()]
 
     needed = needed_base_measures(sel, cube)
     aggs = [agg_expr_for(m) for m in needed]
@@ -2117,12 +2209,17 @@ def execute_select(
         )
 
     def filtered(src: DataFrame, skip: frozenset = frozenset()) -> DataFrame:
-        for col, vals in filters:
+        for col, vals, neg in filters:
             if col in skip:
                 continue
-            src = src.filter(
-                F.col(col).isin(_coerce_members(src, col, vals))
-            )
+            pred = F.col(col).isin(_coerce_members(src, col, vals))
+            if neg:
+                # an EXCEPT dice: NULL-keyed members are real members —
+                # removing [B] never removes them (isin is NULL on NULL
+                # input, and a bare ~NULL would silently drop the row)
+                src = src.filter(F.col(col).isNull() | ~pred)
+            else:
+                src = src.filter(pred)
         return src
 
     out = aggregate(filtered(source))
@@ -2133,7 +2230,7 @@ def execute_select(
     # diced, the prior-period cells come from a re-aggregation WITHOUT
     # those dices (Mondrian evaluates the shifted tuple against the
     # cube, not the axis selection).
-    filtered_cols = {col for col, _ in filters}
+    filtered_cols = {col for col, _, _ in filters}
     _excl_cache: dict = {}
 
     def agg_excluding(skip: frozenset) -> DataFrame:
@@ -2310,6 +2407,9 @@ def mdx_drillthrough(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
         star = star.filter(
             F.col(col).isin(_coerce_members(star, col, vals))
         )
+    for col, vals in sel.exclude_filters.items():
+        pred = F.col(col).isin(_coerce_members(star, col, vals))
+        star = star.filter(F.col(col).isNull() | ~pred)
     cols: list[str] = []
     for c in cube.levels.values():
         if c not in cols:

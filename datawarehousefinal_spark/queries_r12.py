@@ -571,3 +571,53 @@ def mdx_closingperiod_vs_yearend_q(
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_CLOSING_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX EXCEPT (set subtraction)
+# ---------------------------------------------------------------------------
+
+_MDX_EXCEPT_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Promedio Medida]} ON COLUMNS,
+       CROSSJOIN({[Fecha].[Anio].Members},
+                 EXCEPT({[Persona].[Nacionalidad].Members},
+                        {[Persona].[Nacionalidad].[PERU],
+                         [Persona].[Nacionalidad].[CHINA]})) ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_except_members",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           n.n_name AS nacionalidad,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND (n.n_name IS NULL OR n.n_name NOT IN ('PERU', 'CHINA'))
+    GROUP BY 1, 2
+    """,
+)
+def mdx_except_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — set subtraction on the rows axis: every nationality
+    EXCEPT two, crossed with years ("everyone but our two home
+    markets", the exclusion gesture every BI tool's member picker
+    emits). Over ``.Members`` the exclusion compiles to a NOT-IN dice
+    applied BEFORE aggregation, with NULL-keyed members explicitly
+    preserved (a bare SQL ``NOT IN`` silently drops them — the oracle
+    spells ``IS NULL OR NOT IN``, and hash equality proves the
+    translator got the three-valued logic right). At 100 TB the NOT-IN
+    lands in the fact scan alongside the slicer; the aggregate shuffles
+    only the surviving slice."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_EXCEPT_STATEMENT
+    )

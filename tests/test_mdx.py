@@ -1894,3 +1894,123 @@ def test_mdx_boundary_period_diced_reads_cube(spark):
 def test_mdx_boundary_period_errors_are_loud(spark, bad):
     with pytest.raises(MdxError):
         mdx_query(_hier_cube(spark), bad).collect()
+
+
+# -- round-12: EXCEPT ---------------------------------------------------------
+
+
+def test_mdx_except_members_excludes(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "EXCEPT({[Persona].[Pais].Members}, {[Persona].[Pais].[BR]}) "
+        "ON ROWS FROM [Toy]",
+    ).collect()
+    assert {(r["pais"], r["sum_medida"]) for r in rows} == {
+        ("AR", 70.0),
+        ("CL", 50.0),
+    }
+
+
+def test_mdx_except_explicit_list_subtracts(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "CROSSJOIN({[Fecha].[Anio].Members}, "
+        "EXCEPT({[Persona].[Pais].[AR], [Persona].[Pais].[BR]}, "
+        "{[Persona].[Pais].[BR]})) ON ROWS FROM [Toy]",
+    ).collect()
+    assert {(r["anio"], r["pais"]) for r in rows} == {
+        (2024, "AR"),
+        (2025, "AR"),
+    }
+
+
+def test_mdx_except_in_subselect_via_named_set(spark):
+    # EXCEPT inside a WITH SET body splices like any set
+    rows = mdx_query(
+        _toy_cube(spark),
+        "WITH SET [SinBR] AS "
+        "'EXCEPT({[Persona].[Pais].Members}, {[Persona].[Pais].[BR]})' "
+        "SELECT {[Measures].[Total]} ON COLUMNS, [SinBR] ON ROWS "
+        "FROM [Toy]",
+    ).collect()
+    assert {r["pais"] for r in rows} == {"AR", "CL"}
+
+
+def test_mdx_except_navigator_requires_excluded_col_in_grain(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        choose_aggregate,
+        materialize_aggregate,
+    )
+
+    cube = _toy_cube(spark)
+    years_only = materialize_aggregate(cube, ["Fecha.Anio"])
+    sel = parse_mdx(
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "CROSSJOIN({[Fecha].[Anio].Members}, "
+        "EXCEPT({[Persona].[Pais].Members}, {[Persona].[Pais].[BR]})) "
+        "ON ROWS FROM [Toy]",
+        cube,
+    )
+    # pais is excluded-on AND grouped-by: the year-grain table cannot
+    # serve it
+    assert choose_aggregate(cube, sel, [years_only]) is None
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # removed members span two levels
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "EXCEPT({[Persona].[Pais].Members}, "
+        "{[Persona].[Pais].[AR], [Fecha].[Anio].[2024]}) ON ROWS "
+        "FROM [Toy]",
+        # first argument is a crossjoin
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "EXCEPT(CROSSJOIN({[Fecha].[Anio].Members}, "
+        "{[Persona].[Pais].Members}), {[Persona].[Pais].[AR]}) ON ROWS "
+        "FROM [Toy]",
+        # removes members of a level the set does not select
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "EXCEPT({[Fecha].[Anio].Members}, {[Persona].[Pais].[AR]}) "
+        "ON ROWS FROM [Toy]",
+        # empties an explicit member list
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "EXCEPT({[Persona].[Pais].[AR]}, {[Persona].[Pais].[AR]}) "
+        "ON ROWS FROM [Toy]",
+        # .Members in the removal set
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "EXCEPT({[Persona].[Pais].Members}, {[Persona].[Pais].Members}) "
+        "ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_except_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad).collect()
+
+
+def test_mdx_except_preserves_null_member(spark):
+    # NULL-keyed members are real members; excluding [B] keeps them
+    def star():
+        return spark.createDataFrame(
+            [(2024, "AR", 10.0), (2024, None, 7.0), (2024, "BR", 3.0)],
+            "anio int, pais string, medida double",
+        )
+
+    cube = CubeDef(
+        name="Toy",
+        star_builder=star,
+        levels={"Fecha.Anio": "anio", "Persona.Pais": "pais"},
+        measures={"Total": ("sum", "medida", "sum_medida")},
+    )
+    rows = mdx_query(
+        cube,
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "EXCEPT({[Persona].[Pais].Members}, {[Persona].[Pais].[BR]}) "
+        "ON ROWS FROM [Toy]",
+    ).collect()
+    assert {(r["pais"], r["sum_medida"]) for r in rows} == {
+        ("AR", 10.0),
+        (None, 7.0),
+    }
