@@ -42,6 +42,16 @@ Supported subset (the shapes the reference schema can answer):
   when the same set mixes a Children drill with an explicit member
   dice of the child level (a disjunctive shape this conjunctive-filter
   translator cannot express).
+- ``DESCENDANTS([Dim].[Level].[member], [Dim].[TargetLevel])`` —
+  Children generalized to ANY deeper level of the declared hierarchy:
+  ``DESCENDANTS([Fecha].[Anio].[1997], [Fecha].[Dia])`` yields the
+  (Anio, Mes, Dia) cells under 1997, skipping past Mes. Same top-grain
+  anchor constraint as Children (a leaf-value member path is unique
+  only at the top), same union/dice-mixing refusals; a target AT the
+  anchor's level degenerates to the member itself (the default SELF
+  flag), and the flag arguments (SELF_AND_BEFORE, LEAVES, ...) are
+  loudly out of scope. Works in axis sets, CROSSJOIN branches and
+  named-set bodies.
 - member values are TEXT in the query and coerce to the level COLUMN's
   type at execution (schema-driven, never spelling-driven):
   ``[Anio].[1997]`` on an INT column is the exact predicate
@@ -65,6 +75,24 @@ Supported subset (the shapes the reference schema can answer):
   terms) don't exist to rank — Mondrian's BottomCount ranks empty
   cells first unless NON EMPTY intervenes, ours never fabricates
   them (the same non-empty invariant NON EMPTY documents below).
+- ``TOPPERCENT(<set>, <pct>, [Measures].[M])`` /
+  ``TOPSUM(<set>, <value>, [Measures].[M])`` on the rows axis — the
+  Pareto cut ("the members making up 80% of volume"): sort the set
+  descending by the measure and keep the SHORTEST PREFIX whose running
+  total reaches ``pct`` percent of the set's total (TOPPERCENT) or the
+  absolute ``value`` (TOPSUM), INCLUDING the member that crosses the
+  threshold (Mondrian's contract). ``BOTTOMPERCENT`` / ``BOTTOMSUM``
+  are the ascending twins. Ties break by the grouping columns
+  ascending (the same deterministic divergence TOPCOUNT documents);
+  thresholds must be positive, pct ≤ 100, both loud otherwise. The
+  set's total is the total of the CURRENT set — an inner FILTER or an
+  outer slicer changes it, exactly as in Mondrian. Executes as two
+  window functions over the aggregated cells (running sum over the
+  sort order + grand total) and one filter — group-count-many rows,
+  never the fact; negative measure values make a running-prefix cut
+  ill-defined, so any negative cell value raises at execution rather
+  than serving a silently wrong prefix. Establishes the set's
+  prevailing order like TOPCOUNT (HEAD/TAIL cut relative to it).
 - ``ORDER(<set>, <measure-expr>[, ASC|DESC|BASC|BDESC])`` on the rows
   axis: a pure presentation sort of the aggregated cells by a (base
   or calculated) measure expression, grouping columns ascending as
@@ -183,7 +211,15 @@ Supported subset (the shapes the reference schema can answer):
   its absence therefore coincide on every plan this translator can
   emit; pinned by tests/test_mdx.py::test_mdx_empty_input_emits_no_all_cell
 - slicer tuple ``WHERE ([Dim].[Level].[member], ...)`` (equality
-  filters applied BEFORE aggregation, Mondrian slicer semantics).
+  filters applied BEFORE aggregation, Mondrian slicer semantics), and
+  SET slicer ``WHERE {[m1], [m2], ...}`` — the multi-select gesture
+  pivot clients emit: members of ONE level (ranges expand) OR together
+  into one IN dice. Filtering rows to the union slice BEFORE
+  aggregation is exactly Mondrian's aggregated-slicer answer for every
+  aggregator this cube model has (count/sum/min/max trivially; avg
+  because sum and count both come from the union's rows). Mixed-level
+  slicer sets are a union of slices (a cross-column disjunction) —
+  loud MdxError.
   Member dices on the rows axis also filter before aggregation, so an
   All cell over a diced set totals the VISIBLE members (MDX
   ``VisualTotals`` semantics) — documented, deterministic, oracled.
@@ -364,6 +400,48 @@ class CubeDef:
             )
         raise MdxError(
             f"Children needs a declared hierarchy for dimension "
+            f"[{dim}] on cube [{self.name}]"
+        )
+
+    def descendant_level(self, dim: str, anchor: str, target: str) -> str:
+        """Validate a ``DESCENDANTS([dim].[anchor].[m], [dim].[target])``
+        drill and return the target level's canonical spelling. Same
+        top-grain constraint as Children — a ``[Dim].[Level].[v]`` path
+        names a member by its leaf value alone, unique only at the
+        hierarchy top — but the target may sit ANY number of levels
+        below the anchor (Children is the one-step special case)."""
+        for hdim, hlevels in self.hierarchies.items():
+            if hdim.lower() != dim.lower():
+                continue
+            lowers = [lvl.lower() for lvl in hlevels]
+            if anchor.lower() not in lowers:
+                raise MdxError(
+                    f"level [{dim}].[{anchor}] is not in the declared "
+                    f"hierarchy {hlevels} on cube [{self.name}]"
+                )
+            if target.lower() not in lowers:
+                raise MdxError(
+                    f"level [{dim}].[{target}] is not in the declared "
+                    f"hierarchy {hlevels} on cube [{self.name}]"
+                )
+            ai = lowers.index(anchor.lower())
+            ti = lowers.index(target.lower())
+            if ai > 0:
+                raise MdxError(
+                    f"a member of [{dim}].[{anchor}] is ambiguous "
+                    "without its ancestor chain — DESCENDANTS anchors "
+                    f"on the hierarchy's top level ([{dim}]."
+                    f"[{hlevels[0]}]) only"
+                )
+            if ti <= ai:
+                raise MdxError(
+                    f"DESCENDANTS target [{dim}].[{target}] must sit "
+                    f"BELOW the anchor level [{dim}].[{anchor}] in "
+                    f"hierarchy {hlevels}"
+                )
+            return hlevels[ti]
+        raise MdxError(
+            f"DESCENDANTS needs a declared hierarchy for dimension "
             f"[{dim}] on cube [{self.name}]"
         )
 
@@ -807,8 +885,47 @@ class _Parser:
             right = self.parse_set()
             self.expect_punct(")")
             return [("crossjoin", left, right)]
+        if kind == "word" and val.upper() == "DESCENDANTS":
+            # DESCENDANTS([Dim].[Level].[m], [Dim].[TargetLevel]) —
+            # the members of the target level under the anchor member
+            # (Children generalized to any deeper level). Carried as a
+            # 4-segment "descendants" item; the axis flattener groups
+            # by the target's ancestor chain diced to the anchor.
+            self.next()
+            self.expect_punct("(")
+            segs, suffix = self.member_path()
+            if len(segs) != 3 or suffix:
+                raise MdxError(
+                    "DESCENDANTS needs a [Dim].[Level].[member] "
+                    f"anchor, got {segs}"
+                )
+            self.expect_punct(",")
+            tsegs, tsuffix = self.member_path()
+            if len(tsegs) != 2 or tsuffix:
+                raise MdxError(
+                    "DESCENDANTS target must be a [Dim].[Level] "
+                    f"reference, got {tsegs}"
+                )
+            if tsegs[0].lower() != segs[0].lower():
+                raise MdxError(
+                    f"DESCENDANTS target [{tsegs[0]}].[{tsegs[1]}] "
+                    f"must belong to the anchor's dimension [{segs[0]}]"
+                )
+            if self.peek() == ("punct", ","):
+                raise MdxError(
+                    "DESCENDANTS flags (SELF_AND_BEFORE, LEAVES, ...) "
+                    "are outside the supported subset — the default "
+                    "members-AT-the-target-level form only"
+                )
+            self.expect_punct(")")
+            if tsegs[1].lower() == segs[1].lower():
+                # Descendants(m, m's own level) is {m} itself (the
+                # default SELF flag at the anchor's level)
+                return [("set", [(segs, None)])]
+            return [("set", [(segs + [tsegs[1]], "descendants")])]
         if kind == "word" and val.upper() in (
-            "TOPCOUNT", "BOTTOMCOUNT", "ORDER", "FILTER", "HEAD", "TAIL"
+            "TOPCOUNT", "BOTTOMCOUNT", "ORDER", "FILTER", "HEAD", "TAIL",
+            "TOPPERCENT", "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM",
         ):
             raise MdxError(
                 f"{val.upper()} may only wrap the whole rows axis, not "
@@ -850,6 +967,8 @@ class _Parser:
 
     # rows axis := TOPCOUNT '(' rows ',' n ',' measure ')'
     #            | BOTTOMCOUNT '(' rows ',' n ',' measure ')'
+    #            | TOPPERCENT/BOTTOMPERCENT '(' rows ',' pct ',' measure ')'
+    #            | TOPSUM/BOTTOMSUM '(' rows ',' value ',' measure ')'
     #            | ORDER '(' rows ',' expr [',' direction] ')'
     #            | FILTER '(' rows ',' expr cmp expr ')'
     #            | HEAD '(' rows [',' n] ')' | TAIL '(' rows [',' n] ')'
@@ -889,6 +1008,30 @@ class _Parser:
             measure = self.measure_ref()
             self.expect_punct(")")
             return (tag, inner, int(nval), measure)
+        if kind == "word" and val.upper() in (
+            "TOPPERCENT", "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM"
+        ):
+            tag = val.lower()
+            self.next()
+            self.expect_punct("(")
+            inner = self.parse_rows_axis()
+            self.expect_punct(",")
+            nkind, nval = self.next()
+            if nkind != "num" or float(nval) <= 0:
+                raise MdxError(
+                    f"{tag.upper()} threshold must be a positive "
+                    f"number, got {nval!r}"
+                )
+            threshold = float(nval)
+            if tag.endswith("percent") and threshold > 100:
+                raise MdxError(
+                    f"{tag.upper()} percentage must be <= 100, "
+                    f"got {nval!r}"
+                )
+            self.expect_punct(",")
+            measure = self.measure_ref()
+            self.expect_punct(")")
+            return (tag, inner, threshold, measure)
         if kind == "word" and val.upper() == "ORDER":
             self.next()
             self.expect_punct("(")
@@ -996,6 +1139,22 @@ def _rows_axis(node_list, cube: CubeDef):
                     rec["parents"].setdefault(parent_col, []).append(
                         segs[2]
                     )
+                elif len(segs) == 4 and suffix == "descendants":
+                    # DESCENDANTS(anchor member, target level): group by
+                    # the target level's ancestor chain, diced to the
+                    # anchor — Children's machinery, any depth
+                    child = cube.descendant_level(segs[0], segs[1], segs[3])
+                    rec = by_level.setdefault(
+                        (segs[0].lower(), child.lower()),
+                        {
+                            "members": False, "vals": [], "parents": {}, "excl": [],
+                            "display": (segs[0], child),
+                        },
+                    )
+                    parent_col = cube.level_column(segs[0], segs[1])
+                    rec["parents"].setdefault(parent_col, []).append(
+                        segs[2]
+                    )
                 elif len(segs) == 3 and not suffix:
                     by_level.setdefault(
                         (segs[0].lower(), segs[1].lower()),
@@ -1051,10 +1210,10 @@ def _rows_axis(node_list, cube: CubeDef):
                     # conjunction of column filters; refuse loudly
                     # rather than dice to their intersection.
                     raise MdxError(
-                        f"set mixes a Children drill into [{dim}]."
-                        f"[{level}] with an explicit member dice of the "
-                        "same level — a union this translator cannot "
-                        "express as filters"
+                        f"set mixes a Children/DESCENDANTS drill into "
+                        f"[{dim}].[{level}] with an explicit member "
+                        "dice of the same level — a union this "
+                        "translator cannot express as filters"
                     )
                 excl = sel["excl"]
                 if sel["members"]:
@@ -1366,12 +1525,16 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
     # first) down to the set nodes
     wrappers: list[tuple] = []
     while rows_node[0] in (
-        "topcount", "bottomcount", "order", "filter", "head", "tail"
+        "topcount", "bottomcount", "order", "filter", "head", "tail",
+        "toppercent", "bottompercent", "topsum", "bottomsum",
     ):
         if rows_node[0] in ("head", "tail"):
             tag, inner, n = rows_node
             wrappers.append((tag, n))
-        elif rows_node[0] in ("topcount", "bottomcount"):
+        elif rows_node[0] in (
+            "topcount", "bottomcount",
+            "toppercent", "bottompercent", "topsum", "bottomsum",
+        ):
             tag, inner, n, measure = rows_node
             if not cube.has_measure(measure) and (
                 measure.lower() not in known_calc
@@ -1429,21 +1592,64 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
     kind, val = p.peek()
     if kind == "word" and val.upper() == "WHERE":
         p.next()
-        p.expect_punct("(")
-        while True:
-            segs, suffix = p.member_path()
-            if len(segs) != 3 or suffix:
-                raise MdxError(
-                    f"slicer members must be [Dim].[Level].[member], "
-                    f"got {segs}"
-                )
-            col = cube.level_column(segs[0], segs[1])
-            slicer_filters.setdefault(col, []).append(segs[2])
-            if p.peek() == ("punct", ","):
+        kind, val = p.peek()
+        if kind == "punct" and val == "{":
+            # SET slicer — WHERE {[m1], [m2], ...} — the multi-select
+            # gesture pivot clients emit (Mondrian's aggregated slicer
+            # set): members of ONE level OR together into one IN dice.
+            # Ranges expand like everywhere else. Mixed levels would be
+            # a union of slices (a disjunction ACROSS columns this
+            # conjunctive-filter translator cannot express) — loud.
+            p.next()
+            items: list = []
+
+            def one_slicer_item():
+                m = p.member_path()
+                if p.peek() == ("punct", ":"):
+                    items.extend(p._expand_member_range(m))
+                else:
+                    items.append(m)
+
+            one_slicer_item()
+            while p.peek() == ("punct", ","):
                 p.next()
-                continue
-            break
-        p.expect_punct(")")
+                one_slicer_item()
+            p.expect_punct("}")
+            level_key = None
+            for segs, suffix in items:
+                if len(segs) != 3 or suffix:
+                    raise MdxError(
+                        "set-slicer members must be "
+                        f"[Dim].[Level].[member], got {segs}"
+                    )
+                key = (segs[0].lower(), segs[1].lower())
+                if level_key is None:
+                    level_key = key
+                elif key != level_key:
+                    raise MdxError(
+                        "set-slicer members must all belong to ONE "
+                        f"level, got both {level_key} and {key} — a "
+                        "mixed-level slicer set is a union of slices, "
+                        "not a filter conjunction"
+                    )
+                col = cube.level_column(segs[0], segs[1])
+                slicer_filters.setdefault(col, []).append(segs[2])
+        else:
+            p.expect_punct("(")
+            while True:
+                segs, suffix = p.member_path()
+                if len(segs) != 3 or suffix:
+                    raise MdxError(
+                        f"slicer members must be [Dim].[Level].[member], "
+                        f"got {segs}"
+                    )
+                col = cube.level_column(segs[0], segs[1])
+                slicer_filters.setdefault(col, []).append(segs[2])
+                if p.peek() == ("punct", ","):
+                    p.next()
+                    continue
+                break
+            p.expect_punct(")")
     if p.peek()[0] != "eof":
         raise MdxError(f"trailing tokens from {p.peek()[1]!r}")
 
@@ -1683,7 +1889,10 @@ def _collect_wrapper_specs(sel: MdxSelect, cube: CubeDef, collect, out):
     """Run a spec collector over every expression a wrapper can carry —
     shared by the PARALLELPERIOD and PERIODSTODATE gatherers."""
     for w in sel.wrappers:
-        if w[0] in ("topcount", "bottomcount"):
+        if w[0] in (
+            "topcount", "bottomcount",
+            "toppercent", "bottompercent", "topsum", "bottomsum",
+        ):
             collect(("ref", w[2]), cube, sel.calc_members, out)
         elif w[0] == "order":
             collect(w[1], cube, sel.calc_members, out)
@@ -2158,7 +2367,10 @@ def needed_base_measures(sel: MdxSelect, cube: CubeDef) -> list[str]:
     for w in sel.wrappers:
         if w[0] in ("head", "tail"):
             continue  # natural-order cuts reference no measure
-        if w[0] in ("topcount", "bottomcount"):
+        if w[0] in (
+            "topcount", "bottomcount",
+            "toppercent", "bottompercent", "topsum", "bottomsum",
+        ):
             ref = ("ref", w[2])
         elif w[0] == "order":
             ref = w[1]
@@ -2303,6 +2515,60 @@ def execute_select(
                     .limit(n)
                     .orderBy(*sort_cols(order))
                 )
+        elif w[0] in (
+            "toppercent", "bottompercent", "topsum", "bottomsum"
+        ):
+            # the Pareto cut: keep the shortest prefix of the
+            # (measure-ordered) set whose running total reaches the
+            # threshold, INCLUDING the crossing member — a row survives
+            # iff the sum of everything BEFORE it is still below the
+            # threshold. Two windows over group-count-many aggregated
+            # cells (running sum + grand total), never the fact.
+            tag, threshold, measure = w
+            key = resolve(measure)
+            desc = tag in ("toppercent", "topsum")
+            order = [(F.col("__cut_key"), desc)] + natural
+            w_all = Window.partitionBy()
+            tmp = (
+                out.withColumn("__cut_key", key)
+                .withColumn(
+                    "__cut_prev",
+                    F.coalesce(
+                        F.sum("__cut_key").over(
+                            Window.orderBy(*sort_cols(order)).rowsBetween(
+                                Window.unboundedPreceding, -1
+                            )
+                        ),
+                        F.lit(0),
+                    ),
+                )
+                .withColumn("__cut_min", F.min("__cut_key").over(w_all))
+                .withColumn(
+                    "__cut_thresh",
+                    F.lit(threshold / 100.0) * F.sum("__cut_key").over(w_all)
+                    if tag.endswith("percent")
+                    else F.lit(float(threshold)),
+                )
+            )
+            # a negative cell value makes running sums non-monotonic:
+            # the "prefix below threshold" rows are no longer a prefix,
+            # and Mondrian's stop-at-first-crossing answer diverges —
+            # loud, never a silently wrong cut
+            keep = F.when(
+                F.col("__cut_min") < 0,
+                F.raise_error(
+                    F.lit(
+                        f"{tag.upper()} over negative cell values — "
+                        "the running-prefix cut is undefined"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col("__cut_prev") < F.col("__cut_thresh"))
+            out = (
+                tmp.filter(keep)
+                .orderBy(*sort_cols(order))
+                .drop("__cut_key", "__cut_prev", "__cut_min", "__cut_thresh")
+            )
+            prevailing = [(key, desc)] + natural
         else:
             tag, n, measure = w
             key = resolve(measure)

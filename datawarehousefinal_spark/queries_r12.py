@@ -621,3 +621,161 @@ def mdx_except_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_EXCEPT_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX TOPPERCENT (Pareto cut)
+# ---------------------------------------------------------------------------
+
+_MDX_TOPPERCENT_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos]} ON COLUMNS,
+       TOPPERCENT({[Persona].[Nacionalidad].Members}, 60,
+                  [Measures].[Cantidad Movimientos]) ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_toppercent_pareto",
+    oracle="""
+    WITH agg AS (
+      SELECT n.n_name AS nacionalidad,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1
+    ), cut AS (
+      SELECT *,
+             coalesce(sum(cantidad_movimientos) OVER (
+               ORDER BY cantidad_movimientos DESC, nacionalidad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prefix_sum,
+             sum(cantidad_movimientos) OVER () AS total_sum
+      FROM agg
+    )
+    SELECT nacionalidad, cantidad_movimientos
+    FROM cut
+    WHERE prefix_sum < 0.6 * total_sum
+    """,
+)
+def mdx_toppercent_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPPERCENT — the Pareto cut through the MDX front door: the
+    nationalities that together make up 60% of BUILDING-segment
+    movements ("which markets are most of our volume"). Mondrian's
+    contract: sort descending by the measure, keep the SHORTEST prefix
+    whose running total reaches the percentage, INCLUDING the member
+    that crosses it — a member survives iff the sum of everything
+    before it is still below the threshold. The translator compiles
+    this to two window functions over the aggregated cells (running
+    prefix sum in measure-desc/key-asc order + grand total) and one
+    filter (operators/mdx.py execute_select); the oracle spells the
+    identical windows. Ties break by the grouping key ascending (the
+    same documented determinism TOPCOUNT uses); counts are exact
+    BIGINT and 0.6*total is the same IEEE double on both engines —
+    nothing to round. 100 TB: the windows see group-count-many
+    aggregated cells (25 nations), never the fact — the Pareto cut is
+    free once the cube cells exist."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_TOPPERCENT_STATEMENT
+    )
+
+
+# ---------------------------------------------------------------------------
+# MDX DESCENDANTS (drill past intermediate levels)
+# ---------------------------------------------------------------------------
+
+_MDX_DESCENDANTS_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos]} ON COLUMNS,
+       DESCENDANTS([Fecha].[Anio].[1996], [Fecha].[Dia]) ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_descendants_days",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           CAST(month(o.o_orderdate) AS INTEGER) AS mes,
+           CAST(day(o.o_orderdate) AS INTEGER) AS dia,
+           count(o.o_custkey) AS cantidad_movimientos
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND year(o.o_orderdate) = 1996
+    GROUP BY 1, 2, 3
+    """,
+)
+def mdx_descendants_days_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCENDANTS — Children generalized to ANY deeper level:
+    ``DESCENDANTS([Fecha].[Anio].[1996], [Fecha].[Dia])`` drills one
+    year straight to day grain, SKIPPING the month level on the way
+    down (the calendar-heatmap gesture; Children can only step one
+    level). The translator reuses Children's machinery — group by the
+    target level's full ancestor chain (anio, mes, dia), dice the
+    anchor's column to the member — so the answer is keyed exactly as
+    a Mondrian client drilling the Fecha hierarchy expects, and the
+    anchor must sit at the hierarchy top (a leaf-value member path is
+    only unique there; deeper anchors are loud). Exact BIGINT counts.
+    100 TB: the year dice lands in the fact scan (partition-prunable
+    when the fact is date-partitioned), one shuffle at day grain —
+    identical to the hand-written drill."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_DESCENDANTS_STATEMENT
+    )
+
+
+# ---------------------------------------------------------------------------
+# MDX SET slicer (multi-select WHERE)
+# ---------------------------------------------------------------------------
+
+_MDX_SET_SLICER_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Promedio Medida]} ON COLUMNS,
+       {[Persona].[Nacionalidad].Members} ON ROWS
+FROM [Movimientos]
+WHERE {[Fecha].[Anio].[1996]:[Fecha].[Anio].[1997], [Fecha].[Anio].[1999]}
+"""
+
+
+@query(
+    "mdx_set_slicer_years",
+    oracle="""
+    SELECT n.n_name AS nacionalidad,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE year(o.o_orderdate) IN (1996, 1997, 1999)
+    GROUP BY 1
+    """,
+)
+def mdx_set_slicer_years_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET slicer — the multi-select WHERE pivot clients emit when a
+    user checks several filter boxes: ``WHERE {[1996]:[1997], [1999]}``
+    (a member range AND an extra member in one slicer set) restricts
+    the cube to the UNION of the named years before aggregation.
+    Members of one level OR into a single IN dice; filtering rows to
+    the union slice is exactly Mondrian's aggregated-slicer answer for
+    every aggregator this cube model has — including avg, whose sum
+    and count both come from the union's rows (the oracle's plain
+    ``year IN (...)`` + ``avg`` pins that it is NOT an avg of per-year
+    avgs). Mixed-level slicer sets (a cross-column disjunction) are a
+    loud MdxError. 100 TB: the IN dice reaches the fact scan like any
+    slicer — a three-year slice reads three years' partitions."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_SET_SLICER_STATEMENT
+    )

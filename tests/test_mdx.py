@@ -2014,3 +2014,365 @@ def test_mdx_except_preserves_null_member(spark):
         ("AR", 10.0),
         (None, 7.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# TOPPERCENT / TOPSUM / BOTTOMPERCENT / BOTTOMSUM — the Pareto cut
+# ---------------------------------------------------------------------------
+# toy data per pais (no slicer): AR 10+20+40=70, CL 50, BR 30; total 150
+
+
+def test_mdx_toppercent_shortest_covering_prefix(spark):
+    # desc order AR 70, CL 50, BR 30; 60% of 150 = 90 — AR alone (70)
+    # is short, AR+CL (120) crosses: keep AR and CL, in set order
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               TOPPERCENT({[Persona].[Pais].Members}, 60,
+                          [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [
+        ("AR", 70.0), ("CL", 50.0),
+    ]
+
+
+def test_mdx_toppercent_includes_crossing_member(spark):
+    # 40% of 150 = 60 > AR's 70? no: AR crosses (0 < 60), CL's prefix
+    # is 70 (not < 60) — exactly the crossing member survives
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               TOPPERCENT({[Persona].[Pais].Members}, 40,
+                          [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [("AR", 70.0)]
+
+
+def test_mdx_topsum_absolute_threshold(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               TOPSUM({[Persona].[Pais].Members}, 80,
+                      [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [
+        ("AR", 70.0), ("CL", 50.0),
+    ]
+
+
+def test_mdx_topsum_threshold_above_total_keeps_all(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               TOPSUM({[Persona].[Pais].Members}, 1000,
+                      [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [
+        ("AR", 70.0), ("CL", 50.0), ("BR", 30.0),
+    ]
+
+
+def test_mdx_bottompercent_ascending_twin(spark):
+    # asc order BR 30, CL 50, AR 70; 40% of 150 = 60 — BR (prefix 0)
+    # and CL (prefix 30) survive, AR (prefix 80) does not
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               BOTTOMPERCENT({[Persona].[Pais].Members}, 40,
+                             [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [
+        ("BR", 30.0), ("CL", 50.0),
+    ]
+
+
+def test_mdx_head_over_toppercent_preserves_order(spark):
+    # HEAD cuts the TOPPERCENT set's prevailing (measure-desc) order,
+    # not the natural key order
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               HEAD(TOPPERCENT({[Persona].[Pais].Members}, 100,
+                               [Measures].[Total]), 2) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [
+        ("AR", 70.0), ("CL", 50.0),
+    ]
+
+
+def test_mdx_toppercent_total_is_current_set(spark):
+    # an inner FILTER changes the set, hence the total the percentage
+    # reads — Mondrian's "total of the given set" contract: filtering
+    # AR out leaves CL 50 + BR 30 = 80; 60% of 80 = 48 → CL crosses it
+    # alone (prefix 0 < 48), BR's prefix 50 is not < 48 → exactly CL.
+    # (Against the UNFILTERED total 150 the threshold would be 90 and
+    # BR would survive too — the test pins which total is read.)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               TOPPERCENT(FILTER({[Persona].[Pais].Members},
+                                 [Measures].[Total] < 60), 60,
+                          [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [("CL", 50.0)]
+
+
+def test_mdx_toppercent_negative_cells_are_loud(spark):
+    def star():
+        return spark.createDataFrame(
+            [(2024, "AR", -5.0), (2024, "BR", 30.0)],
+            "anio int, pais string, medida double",
+        )
+
+    cube = CubeDef(
+        name="Toy",
+        star_builder=star,
+        levels={"Fecha.Anio": "anio", "Persona.Pais": "pais"},
+        measures={"Total": ("sum", "medida", "sum_medida")},
+    )
+    df = mdx_query(
+        cube,
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "TOPPERCENT({[Persona].[Pais].Members}, 50, [Measures].[Total]) "
+        "ON ROWS FROM [Toy]",
+    )
+    with pytest.raises(Exception, match="running-prefix"):
+        df.collect()
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # zero / negative / >100 thresholds
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "TOPPERCENT({[Persona].[Pais].Members}, 0, [Measures].[Total]) "
+        "ON ROWS FROM [Toy]",
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "TOPPERCENT({[Persona].[Pais].Members}, 101, [Measures].[Total]) "
+        "ON ROWS FROM [Toy]",
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "TOPSUM({[Persona].[Pais].Members}, 0, [Measures].[Total]) "
+        "ON ROWS FROM [Toy]",
+        # unknown ranking measure
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "TOPPERCENT({[Persona].[Pais].Members}, 50, [Measures].[Nope]) "
+        "ON ROWS FROM [Toy]",
+        # mixed-grain: percent cut over an (All) lattice
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "TOPPERCENT({[Persona].[(All)], [Persona].[Pais].Members}, 50, "
+        "[Measures].[Total]) ON ROWS FROM [Toy]",
+        # wrapper inside a CROSSJOIN branch
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "CROSSJOIN(TOPPERCENT({[Persona].[Pais].Members}, 50, "
+        "[Measures].[Total]), {[Fecha].[Anio].Members}) "
+        "ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_toppercent_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# DESCENDANTS — Children generalized to any deeper level
+# ---------------------------------------------------------------------------
+
+
+def test_mdx_descendants_skips_intermediate_level(spark):
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               DESCENDANTS([Fecha].[Anio].[2024], [Fecha].[Dia]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["anio"], r["mes"], r["dia"]): r["sum_medida"] for r in rows} == {
+        (2024, 1, 5): 10.0, (2024, 1, 6): 30.0, (2024, 2, 5): 20.0,
+    }
+
+
+def test_mdx_descendants_one_step_equals_children(spark):
+    desc = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               DESCENDANTS([Fecha].[Anio].[2024], [Fecha].[Mes]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    children = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Anio].[2024].Children} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert sorted(map(tuple, desc)) == sorted(map(tuple, children))
+
+
+def test_mdx_descendants_at_own_level_is_the_member(spark):
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               DESCENDANTS([Fecha].[Anio].[2024], [Fecha].[Anio]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["anio"], r["sum_medida"]) for r in rows] == [(2024, 60.0)]
+
+
+def test_mdx_descendants_in_crossjoin_branch(spark):
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               CROSSJOIN(DESCENDANTS([Fecha].[Anio].[2024], [Fecha].[Mes]),
+                         {[Persona].[Pais].[AR]}) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["anio"], r["mes"], r["pais"]) for r in rows} == {
+        (2024, 1, "AR"), (2024, 2, "AR"),
+    }
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # anchor below the hierarchy top (leaf-value member ambiguous)
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "DESCENDANTS([Fecha].[Mes].[1], [Fecha].[Dia]) ON ROWS FROM [Toy]",
+        # target above the anchor
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "DESCENDANTS([Fecha].[Dia].[5], [Fecha].[Anio]) ON ROWS FROM [Toy]",
+        # target in another dimension
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "DESCENDANTS([Fecha].[Anio].[2024], [Persona].[Pais]) "
+        "ON ROWS FROM [Toy]",
+        # a genuine drill on a dimension without a declared hierarchy
+        # (target at the anchor's OWN level needs no hierarchy — it
+        # degenerates to the member itself)
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "DESCENDANTS([Persona].[Pais].[AR], [Persona].[Ciudad]) "
+        "ON ROWS FROM [Toy]",
+        # flag arguments are out of scope
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "DESCENDANTS([Fecha].[Anio].[2024], [Fecha].[Dia], LEAVES) "
+        "ON ROWS FROM [Toy]",
+        # mixing a DESCENDANTS drill with an explicit dice of the
+        # target level (a union, not a conjunction)
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{DESCENDANTS([Fecha].[Anio].[2024], [Fecha].[Mes])} "
+        "ON ROWS FROM [Toy]",
+    ],
+)
+def test_mdx_descendants_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_hier_cube(spark), bad).collect()
+
+
+def test_mdx_descendants_union_of_two_anchors(spark):
+    # two DESCENDANTS of the same target level union their parents —
+    # via a named set splice (braces accept members only)
+    rows = mdx_query(
+        _hier_cube(spark),
+        """
+        WITH SET [Ambos] AS
+             'CROSSJOIN(DESCENDANTS([Fecha].[Anio].[2024], [Fecha].[Mes]),
+                        {[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               [Ambos] ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["anio"], r["mes"], r["pais"]) for r in rows} == {
+        (2024, 1, "AR"), (2024, 1, "BR"), (2024, 2, "AR"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# SET slicer — WHERE {m1, m2, ...} multi-select
+# ---------------------------------------------------------------------------
+
+
+def test_mdx_set_slicer_unions_members(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM [Toy]
+        WHERE {[Persona].[Pais].[AR], [Persona].[Pais].[BR]}
+        """,
+    ).collect()
+    assert {(r["anio"], r["sum_medida"]) for r in rows} == {
+        (2024, 60.0), (2025, 40.0),
+    }
+
+
+def test_mdx_set_slicer_avg_reads_union_slice(spark):
+    # avg over the union slice = avg of ALL rows in the union (sum and
+    # count both come from the union's rows), not an avg of avgs
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Promedio]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM [Toy]
+        WHERE {[Persona].[Pais].[AR], [Persona].[Pais].[BR]}
+        """,
+    ).collect()
+    got = {(r["anio"]): r["avg_medida"] for r in rows}
+    assert got == {2024: 20.0, 2025: 40.0}
+
+
+def test_mdx_set_slicer_range_expands(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Cantidad]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM [Toy]
+        WHERE {[Fecha].[Anio].[2024]:[Fecha].[Anio].[2025]}
+        """,
+    ).collect()
+    assert {(r["pais"], r["n"]) for r in rows} == {
+        ("AR", 3), ("BR", 1), ("CL", 1),
+    }
+
+
+def test_mdx_set_slicer_mixed_levels_is_loud(spark):
+    with pytest.raises(MdxError, match="ONE level"):
+        mdx_query(
+            _toy_cube(spark),
+            """
+            SELECT {[Measures].[Total]} ON COLUMNS,
+                   {[Persona].[Pais].Members} ON ROWS
+            FROM [Toy]
+            WHERE {[Fecha].[Anio].[2024], [Fecha].[Mes].[1]}
+            """,
+        )

@@ -109,11 +109,21 @@ def _gen_spec(seed: int) -> dict:
     slicer = rng.choice([None, "X", "Y"])
     wrapper = None
     if rng.random() < 0.5:
-        kind = rng.choice(["topcount", "bottomcount", "head", "tail", "filter"])
+        kind = rng.choice([
+            "topcount", "bottomcount", "head", "tail", "filter",
+            "toppercent", "bottompercent", "topsum", "bottomsum",
+        ])
         if kind in ("topcount", "bottomcount"):
             wrapper = (kind, rng.randint(1, 4), rng.choice(measures))
         elif kind in ("head", "tail"):
             wrapper = (kind, rng.randint(1, 4))
+        elif kind in ("toppercent", "bottompercent"):
+            # rank by the COUNT measure: running sums stay exact
+            # integers on both engines (a double-sum window could
+            # round differently at an exact-threshold boundary)
+            wrapper = (kind, rng.choice([30, 55, 80]), "Cantidad")
+        elif kind in ("topsum", "bottomsum"):
+            wrapper = (kind, rng.choice([5, 12, 25]), "Cantidad")
         else:
             wrapper = ("filter", rng.choice(measures), rng.choice([10, 40, 60]))
     return {
@@ -138,7 +148,10 @@ def _render_mdx(spec: dict) -> str:
     rows = spec["shape"][0]
     w = spec["wrapper"]
     if w:
-        if w[0] in ("topcount", "bottomcount"):
+        if w[0] in (
+            "topcount", "bottomcount",
+            "toppercent", "bottompercent", "topsum", "bottomsum",
+        ):
             rows = f"{w[0].upper()}({rows}, {w[1]}, [Measures].[{w[2]}])"
         elif w[0] in ("head", "tail"):
             rows = f"{w[0].upper()}({rows}, {w[1]})"
@@ -167,11 +180,37 @@ def _render_sql(spec: dict) -> str:
     if spec["calc"]:
         a, op, b = spec["calc"]
         sel.append(f"({_SQL_AGG[a]}) {op} ({_SQL_AGG[b]}) AS extra")
+    w = spec["wrapper"]
+    if w and w[0] in ("toppercent", "bottompercent", "topsum", "bottomsum"):
+        # independent rendering of the cut: nested window query — the
+        # wrapper measure aggregates alongside (it need not be on the
+        # COLUMNS axis), the outer SELECT projects only the axis
+        inner = list(sel) + [f"{_SQL_AGG[w[2]]} AS wm"]
+        base = f"SELECT {', '.join(inner)} FROM star"
+        if where:
+            base += " WHERE " + " AND ".join(where)
+        base += f" GROUP BY {', '.join(gcols)}"
+        d = "DESC" if w[0].startswith("top") else "ASC"
+        keys = ", ".join(gcols)
+        out = list(gcols) + [_MEASURES[m][2] for m in spec["measures"]]
+        if spec["calc"]:
+            out.append("extra")
+        thresh = (
+            f"{w[1] / 100.0} * tot"
+            if w[0].endswith("percent")
+            else str(w[1])
+        )
+        return (
+            f"WITH agg AS ({base}), cut AS ("
+            f"SELECT *, coalesce(sum(wm) OVER (ORDER BY wm {d}, {keys} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"AS prev, sum(wm) OVER () AS tot FROM agg) "
+            f"SELECT {', '.join(out)} FROM cut WHERE prev < {thresh}"
+        )
     sql = f"SELECT {', '.join(sel)} FROM star"
     if where:
         sql += " WHERE " + " AND ".join(where)
     sql += f" GROUP BY {', '.join(gcols)}"
-    w = spec["wrapper"]
     if w:
         if w[0] == "filter":
             sql += f" HAVING {_SQL_AGG[w[1]]} > {w[2]}"
