@@ -21,6 +21,11 @@ mechanism Spark-first:
   every filter column (slicer + member dices — they must apply before
   re-aggregation) is part of the table's grain; among the answerable
   tables the smallest grain (fewest columns ≈ fewest cells) wins.
+  Mondrian's ``distinct-count`` aggregator is the special case: its
+  state (an exact per-cell COUNT DISTINCT) is NOT mergeable — two
+  cells' value sets may overlap — so a query needing one routes to a
+  table only at EXACT grain (no re-fold), falls back to the fact
+  otherwise, and incremental ingest refuses the cube loudly.
 - :func:`mdx_query_navigated` runs the query against the chosen
   rollup through the same execution core as the fact path
   (operators/mdx.py:execute_select) — calculated members, TOPCOUNT,
@@ -106,6 +111,13 @@ def _state_columns(cube: CubeDef) -> list[tuple[str, str, Column]]:
             add(alias, "min", F.min(col))
         elif agg == "max":
             add(alias, "max", F.max(col))
+        elif agg == "distinct-count":
+            # the one NON-mergeable state: two cells' distinct counts
+            # don't combine (the value sets may overlap). Stored so an
+            # EXACT-grain query serves precomputed; the navigator never
+            # routes a coarser query here (choose_aggregate), and
+            # incremental ingest refuses the cube (_merge_exprs).
+            add(alias, "dcnt", F.count_distinct(col))
         else:
             raise MdxError(f"unsupported aggregator {agg!r}")
     return out
@@ -202,6 +214,15 @@ def _merge_exprs(cube: CubeDef) -> list[Column]:
     out = []
     for _alias, sname, _agg in _state_columns(cube):
         kind = sname.rsplit("__", 1)[1]
+        if kind == "dcnt":
+            raise MdxError(
+                "distinct-count states are not mergeable — a batch's "
+                "distinct values may overlap the table's, so "
+                f"incremental ingest of {sname!r} would overcount. "
+                "Rebuild the aggregate (materialize_aggregate), or "
+                "roll up an HLL sketch store (operators/sketches.py) "
+                "for a mergeable approximate distinct."
+            )
         out.append(_STATE_FOLD[kind](sname).alias(sname))
     return out
 
@@ -250,6 +271,11 @@ def reagg_expr(cube: CubeDef, measure_name: str) -> Column:
         return F.min(f"{alias}__min").alias(alias)
     if agg == "max":
         return F.max(f"{alias}__max").alias(alias)
+    if agg == "distinct-count":
+        # valid ONLY at exact grain (one table row per output cell —
+        # max of a singleton is the value itself); choose_aggregate
+        # never routes a coarser query to this expression
+        return F.max(f"{alias}__dcnt").alias(alias)
     raise MdxError(f"unsupported aggregator {agg!r}")
 
 
@@ -259,20 +285,37 @@ def choose_aggregate(
     """The navigator: the smallest-grain table that covers the query.
     Covering = every grouping column and every filter column (slicer,
     member dices, and sub-select restrictions — all of which must apply
-    BEFORE re-aggregation) is in the table's grain. Measures never disqualify a table — every table
-    stores every measure's states. None when nothing covers (the fact
-    answers)."""
-    needed_base_measures(sel, cube)  # loud on unknown measures first
+    BEFORE re-aggregation) is in the table's grain. Measures never
+    disqualify a table — every table stores every measure's states —
+    EXCEPT distinct-count: its state is not mergeable, so a query
+    needing one routes to a table only at EXACT grain (query grouping
+    columns = table grain, single grouping set — each output cell is
+    then exactly one stored row and no re-fold happens; Mondrian's
+    AggStar applies the same restriction). None when nothing covers
+    (the fact answers)."""
+    needed = needed_base_measures(sel, cube)  # loud on unknown measures
+    needs_distinct = any(
+        cube.measure_def(m)[0] == "distinct-count" for m in needed
+    )
     required = set(sel.group_cols)
     required.update(sel.member_filters)
     required.update(sel.exclude_filters)
     required.update(sel.slicer_filters)
     required.update(col for col, _vals in sel.subselect_filters)
+    required.update(
+        c for terms in sel.slicer_disjunction for c, _v in terms
+    )
     best: AggTable | None = None
     for agg in aggs:
-        if required <= set(agg.grain):
-            if best is None or len(agg.grain) < len(best.grain):
-                best = agg
+        if not required <= set(agg.grain):
+            continue
+        if needs_distinct and (
+            set(sel.group_cols) != set(agg.grain)
+            or len(sel.grouping_sets) > 1
+        ):
+            continue
+        if best is None or len(agg.grain) < len(best.grain):
+            best = agg
     return best
 
 

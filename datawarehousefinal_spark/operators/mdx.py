@@ -217,9 +217,16 @@ Supported subset (the shapes the reference schema can answer):
   into one IN dice. Filtering rows to the union slice BEFORE
   aggregation is exactly Mondrian's aggregated-slicer answer for every
   aggregator this cube model has (count/sum/min/max trivially; avg
-  because sum and count both come from the union's rows). Mixed-level
-  slicer sets are a union of slices (a cross-column disjunction) —
-  loud MdxError.
+  because sum and count both come from the union's rows). The COMPOUND
+  form ``WHERE {([mA], [mB]), ([mC], [mD])}`` — a set of TUPLES, what
+  Excel emits when a user multi-selects across two filter fields —
+  becomes an OR-of-ANDs row filter before aggregation (Mondrian's
+  compound-slicer contract); every tuple must span the same levels,
+  no level repeats inside a tuple, and one-column tuples degenerate
+  to the plain IN dice. Time intelligence over a column a compound
+  slicer filters is loud (the cube-context recompute cannot drop one
+  leg of an OR). Mixed-level BARE slicer sets stay loud — tuples are
+  the way to spell a cross-level multi-select.
   Member dices on the rows axis also filter before aggregation, so an
   All cell over a diced set totals the VISIBLE members (MDX
   ``VisualTotals`` semantics) — documented, deterministic, oracled.
@@ -268,6 +275,12 @@ class MdxError(ValueError):
 
 _AGG_FNS = {
     "count": F.count,
+    # Mondrian's aggregator="distinct-count" (its XML spelling): exact
+    # COUNT(DISTINCT col). On the fact path it is a plain two-phase
+    # distinct aggregate; on the aggregate-table path it is special —
+    # distinct counts are NOT mergeable across cells, so the navigator
+    # serves them from a rollup only at EXACT grain (operators/aggnav)
+    "distinct-count": F.count_distinct,
     "sum": F.sum,
     "avg": F.avg,
     "min": F.min,
@@ -282,8 +295,9 @@ class CubeDef:
     ``levels`` maps ``"Dim.Level"`` (case-insensitive) to the star
     column that carries it; ``measures`` maps a measure name to an
     ``(aggregator, column, output_alias)`` triple with aggregator in
-    {count, sum, avg, min, max} — the Mondrian ``aggregator=`` set the
-    reference schema uses (count/avg) plus the obvious siblings.
+    {count, sum, avg, min, max, distinct-count} — the Mondrian
+    ``aggregator=`` set the reference schema uses (count/avg) plus the
+    obvious siblings and Mondrian's distinct-count.
 
     ``hierarchies`` (optional) maps a dimension name to its ordered
     level-name list, top grain first (Mondrian ``<Hierarchy>`` order —
@@ -1272,6 +1286,12 @@ class MdxSelect:
     slicer_filters: dict[str, list]
     grouping_sets: list[list[str]]
     wrappers: list[tuple]
+    # a COMPOUND (tuple-set) slicer — WHERE {(m, m2), (m3, m4)}: a list
+    # of tuples, each a list of (column, member) equality terms; rows
+    # matching ANY tuple survive (OR of ANDs, applied BEFORE
+    # aggregation — Mondrian's compound-slicer contract). Empty when
+    # the slicer is a plain tuple or single-level set.
+    slicer_disjunction: list = field(default_factory=list)
     # (column, members) entries from FROM (SELECT ...) sub-selects,
     # outermost-last; each is an independent IN filter (two entries on
     # the same column AND together — nested sub-select intersection)
@@ -1589,6 +1609,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
     subselect_filters = _parse_from_clause(p, cube)
 
     slicer_filters: dict[str, list] = {}
+    slicer_disjunction: list = []
     kind, val = p.peek()
     if kind == "word" and val.upper() == "WHERE":
         p.next()
@@ -1596,44 +1617,112 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
         if kind == "punct" and val == "{":
             # SET slicer — WHERE {[m1], [m2], ...} — the multi-select
             # gesture pivot clients emit (Mondrian's aggregated slicer
-            # set): members of ONE level OR together into one IN dice.
-            # Ranges expand like everywhere else. Mixed levels would be
-            # a union of slices (a disjunction ACROSS columns this
-            # conjunctive-filter translator cannot express) — loud.
+            # set): members of ONE level OR together into one IN dice;
+            # ranges expand like everywhere else. The COMPOUND form
+            # WHERE {([mA],[mB]), ([mC],[mD])} — a set of TUPLES, the
+            # shape Excel emits when a user multi-selects across two
+            # filter fields — becomes an OR-of-ANDs disjunction applied
+            # before aggregation. Every tuple must span the SAME column
+            # set (a ragged set has no single filter meaning), and a
+            # tuple may not repeat a level. Mixed single-member levels
+            # outside tuples stay loud (write them as 1-tuples? no —
+            # a mixed bare set is a UNION of slices of different
+            # grains, which tuples of one column set are not).
             p.next()
-            items: list = []
+            tuples: list[list] = []
+            singles: list = []
 
-            def one_slicer_item():
+            def one_member(into: list):
                 m = p.member_path()
                 if p.peek() == ("punct", ":"):
-                    items.extend(p._expand_member_range(m))
+                    into.extend(p._expand_member_range(m))
                 else:
-                    items.append(m)
+                    into.append(m)
+
+            def one_slicer_item():
+                if p.peek() == ("punct", "("):
+                    p.next()
+                    terms: list = []
+                    while True:
+                        segs, suffix = p.member_path()
+                        if len(segs) != 3 or suffix:
+                            raise MdxError(
+                                "slicer-tuple members must be "
+                                f"[Dim].[Level].[member], got {segs}"
+                            )
+                        terms.append(segs)
+                        if p.peek() == ("punct", ","):
+                            p.next()
+                            continue
+                        break
+                    p.expect_punct(")")
+                    tuples.append(terms)
+                else:
+                    one_member(singles)
 
             one_slicer_item()
             while p.peek() == ("punct", ","):
                 p.next()
                 one_slicer_item()
             p.expect_punct("}")
-            level_key = None
-            for segs, suffix in items:
-                if len(segs) != 3 or suffix:
-                    raise MdxError(
-                        "set-slicer members must be "
-                        f"[Dim].[Level].[member], got {segs}"
-                    )
-                key = (segs[0].lower(), segs[1].lower())
-                if level_key is None:
-                    level_key = key
-                elif key != level_key:
-                    raise MdxError(
-                        "set-slicer members must all belong to ONE "
-                        f"level, got both {level_key} and {key} — a "
-                        "mixed-level slicer set is a union of slices, "
-                        "not a filter conjunction"
-                    )
-                col = cube.level_column(segs[0], segs[1])
-                slicer_filters.setdefault(col, []).append(segs[2])
+            if tuples and singles:
+                raise MdxError(
+                    "a slicer set mixes bare members with tuples — "
+                    "write every item as a tuple over the same levels"
+                )
+            if tuples:
+                colset = None
+                for terms in tuples:
+                    seen_cols: dict[str, str] = {}
+                    for segs in terms:
+                        col = cube.level_column(segs[0], segs[1])
+                        if col in seen_cols:
+                            raise MdxError(
+                                f"slicer tuple names level column "
+                                f"{col!r} twice — a tuple may not "
+                                "repeat a hierarchy"
+                            )
+                        seen_cols[col] = segs[2]
+                    cols = frozenset(seen_cols)
+                    if colset is None:
+                        colset = cols
+                    elif cols != colset:
+                        raise MdxError(
+                            "every slicer tuple must span the SAME "
+                            f"levels, got columns {sorted(colset)} and "
+                            f"{sorted(cols)}"
+                        )
+                    slicer_disjunction.append(sorted(seen_cols.items()))
+                if len(colset) == 1:
+                    # one-column tuples are the plain IN dice
+                    col = next(iter(colset))
+                    for terms in slicer_disjunction:
+                        slicer_filters.setdefault(col, []).append(
+                            terms[0][1]
+                        )
+                    slicer_disjunction.clear()
+            else:
+                level_key = None
+                for segs, suffix in singles:
+                    if len(segs) != 3 or suffix:
+                        raise MdxError(
+                            "set-slicer members must be "
+                            f"[Dim].[Level].[member], got {segs}"
+                        )
+                    key = (segs[0].lower(), segs[1].lower())
+                    if level_key is None:
+                        level_key = key
+                    elif key != level_key:
+                        raise MdxError(
+                            "set-slicer members must all belong to ONE "
+                            f"level, got both {level_key} and {key} — a "
+                            "mixed-level slicer set is a union of "
+                            "slices, not a filter conjunction (tuples "
+                            "over the same levels express the "
+                            "cross-level multi-select)"
+                        )
+                    col = cube.level_column(segs[0], segs[1])
+                    slicer_filters.setdefault(col, []).append(segs[2])
         else:
             p.expect_punct("(")
             while True:
@@ -1685,6 +1774,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
         grouping_sets=grouping_sets,
         wrappers=wrappers,
         subselect_filters=subselect_filters,
+        slicer_disjunction=slicer_disjunction,
     )
 
 
@@ -2420,6 +2510,10 @@ def execute_select(
             *aggs
         )
 
+    dis_cols = {
+        c for terms in sel.slicer_disjunction for c, _v in terms
+    }
+
     def filtered(src: DataFrame, skip: frozenset = frozenset()) -> DataFrame:
         for col, vals, neg in filters:
             if col in skip:
@@ -2432,6 +2526,28 @@ def execute_select(
                 src = src.filter(F.col(col).isNull() | ~pred)
             else:
                 src = src.filter(pred)
+        if sel.slicer_disjunction:
+            if skip & dis_cols:
+                # a time-intel recompute wants this column undiced, but
+                # one leg of an OR cannot be dropped without changing
+                # the other legs' meaning — loud, never a wrong context
+                raise MdxError(
+                    "time intelligence shifts/windows a column that a "
+                    "compound (tuple-set) slicer also filters — the "
+                    "cube-context recompute cannot drop one leg of an "
+                    "OR; dice that column on the rows axis or a plain "
+                    "slicer instead"
+                )
+            pred = None
+            for terms in sel.slicer_disjunction:
+                t = None
+                for c, v in terms:
+                    eq = F.col(c) == F.lit(
+                        _coerce_members(src, c, [v])[0]
+                    )
+                    t = eq if t is None else t & eq
+                pred = t if pred is None else pred | t
+            src = src.filter(pred)
         return src
 
     out = aggregate(filtered(source))
@@ -2442,7 +2558,7 @@ def execute_select(
     # diced, the prior-period cells come from a re-aggregation WITHOUT
     # those dices (Mondrian evaluates the shifted tuple against the
     # cube, not the axis selection).
-    filtered_cols = {col for col, _, _ in filters}
+    filtered_cols = {col for col, _, _ in filters} | dis_cols
     _excl_cache: dict = {}
 
     def agg_excluding(skip: frozenset) -> DataFrame:
@@ -2676,6 +2792,15 @@ def mdx_drillthrough(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
     for col, vals in sel.exclude_filters.items():
         pred = F.col(col).isin(_coerce_members(star, col, vals))
         star = star.filter(F.col(col).isNull() | ~pred)
+    if sel.slicer_disjunction:
+        pred = None
+        for terms in sel.slicer_disjunction:
+            t = None
+            for c, v in terms:
+                eq = F.col(c) == F.lit(_coerce_members(star, c, [v])[0])
+                t = eq if t is None else t & eq
+            pred = t if pred is None else pred | t
+        star = star.filter(pred)
     cols: list[str] = []
     for c in cube.levels.values():
         if c not in cols:

@@ -779,3 +779,130 @@ def mdx_set_slicer_years_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_SET_SLICER_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX distinct-count measures (Mondrian aggregator="distinct-count")
+# ---------------------------------------------------------------------------
+
+
+def _movimientos_dc_cube(spark: SparkSession, sf_dir: str):
+    """The Movimientos cube extended with a Mondrian distinct-count
+    measure ("Clientes Distintos" = exact distinct customers). A
+    SEPARATE fixture from queries_r10._movimientos_cube on purpose:
+    aggregate tables store states for EVERY cube measure, so adding a
+    (non-mergeable) distinct-count to the shared cube would change the
+    stored state schema of every existing navigator/ingest face."""
+    from datawarehousefinal_spark.operators.mdx import CubeDef
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    base = _movimientos_cube(spark, sf_dir)
+    return CubeDef(
+        name=base.name,
+        star_builder=base.star_builder,
+        levels=dict(base.levels),
+        hierarchies=dict(base.hierarchies),
+        period_lengths=dict(base.period_lengths),
+        measures={
+            **base.measures,
+            "Clientes Distintos": (
+                "distinct-count", "o_custkey", "clientes_distintos",
+            ),
+        },
+    )
+
+
+_MDX_DISTINCT_COUNT_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Clientes Distintos]} ON COLUMNS,
+       {[Fecha].[Anio].Members} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_distinct_count_measure",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           count(o.o_custkey) AS cantidad_movimientos,
+           count(DISTINCT o.o_custkey) AS clientes_distintos
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def mdx_distinct_count_measure_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mondrian's ``aggregator="distinct-count"`` — exact distinct
+    customers per year alongside the movement count ("how many
+    DIFFERENT clients", the dashboard measure plain counts can't
+    fake: a repeat customer counts once). On the fact path Spark's
+    two-phase ``count(DISTINCT)`` answers (partial distinct map-side,
+    one exchange); the aggregate-table path is the interesting
+    semantics — distinct states are NOT mergeable (two months' customer
+    sets overlap), so the navigator (operators/aggnav.py) serves a
+    distinct-count query from a rollup only at EXACT grain, falls back
+    to the fact otherwise, and incremental ingest refuses the cube
+    loudly (all pinned by tests/test_aggnav.py). 100 TB: distinct-count
+    is the measure that forces a fact pass at new grains — precompute
+    the dashboard grains as exact-grain rollups, or switch to the
+    mergeable HLL sketch store (operators/sketches.py) where ±1% is
+    acceptable."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+
+    return mdx_query(
+        _movimientos_dc_cube(spark, sf_dir), _MDX_DISTINCT_COUNT_STATEMENT
+    )
+
+
+# ---------------------------------------------------------------------------
+# MDX compound (tuple-set) slicer
+# ---------------------------------------------------------------------------
+
+_MDX_COMPOUND_SLICER_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Promedio Medida]} ON COLUMNS,
+       {[Persona].[Nacionalidad].Members} ON ROWS
+FROM [Movimientos]
+WHERE {([Fecha].[Anio].[1996], [Cliente].[Segmento].[BUILDING]),
+       ([Fecha].[Anio].[1997], [Cliente].[Segmento].[MACHINERY])}
+"""
+
+
+@query(
+    "mdx_compound_slicer",
+    oracle="""
+    SELECT n.n_name AS nacionalidad,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE (year(o.o_orderdate) = 1996 AND c.c_mktsegment = 'BUILDING')
+       OR (year(o.o_orderdate) = 1997 AND c.c_mktsegment = 'MACHINERY')
+    GROUP BY 1
+    """,
+)
+def mdx_compound_slicer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOUND slicer — ``WHERE {(tuple), (tuple)}``, the shape Excel
+    emits when a user multi-selects across two filter fields ("1996
+    BUILDING plus 1997 MACHINERY, together"): an OR of per-tuple ANDs
+    applied BEFORE aggregation, Mondrian's compound-slicer contract.
+    The oracle spells the identical OR-of-ANDs — hash equality pins
+    that it is NOT the conjunctive (1996 OR 1997) AND (BUILDING OR
+    MACHINERY) wrong answer, which would also count 1996 MACHINERY
+    rows. Tuples must span the same levels (ragged sets are loud), a
+    tuple can't repeat a level, and time intelligence over a column
+    the disjunction filters refuses loudly (the cube-context recompute
+    cannot drop one leg of an OR). 100 TB: the OR-of-ANDs pushes into
+    the fact scan like any slicer — Parquet row-group stats prune on
+    both legs' year ranges."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_COMPOUND_SLICER_STATEMENT
+    )

@@ -420,3 +420,134 @@ def test_time_intelligence_through_rollup(spark):
         got = mdx_query_navigated(cube, q, [agg])
         want = mdx_query(cube2, q)
         assert _sorted_rows(got) == _sorted_rows(want), q
+
+
+# ---------------------------------------------------------------------------
+# distinct-count measures — the non-mergeable aggregator
+# ---------------------------------------------------------------------------
+
+
+def _dc_cube(spark):
+    """Cube with a distinct-count measure whose value sets OVERLAP
+    across cells (customer C1 appears in both months of 2024), so a
+    sum-of-cell-distincts shortcut gives a DIFFERENT (wrong) number
+    than the true year-grain distinct."""
+
+    def star_builder():
+        return spark.createDataFrame(
+            [
+                (2024, 1, "C1", 10.0),
+                (2024, 1, "C2", 20.0),
+                (2024, 2, "C1", 30.0),
+                (2024, 2, "C3", 40.0),
+                (2025, 1, "C2", 50.0),
+            ],
+            "anio int, mes int, cliente string, medida double",
+        )
+
+    return CubeDef(
+        name="Toy",
+        star_builder=star_builder,
+        levels={"Fecha.Anio": "anio", "Fecha.Mes": "mes"},
+        hierarchies={"Fecha": ["Anio", "Mes"]},
+        measures={
+            "Cantidad": ("count", "medida", "n"),
+            "Clientes": ("distinct-count", "cliente", "clientes_distintos"),
+        },
+    )
+
+
+def test_distinct_count_fact_path(spark):
+    rows = mdx_query(
+        _dc_cube(spark),
+        "SELECT {[Measures].[Clientes]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+    ).collect()
+    # 2024 touches C1,C2,C3 (C1 in both months counts ONCE) — the
+    # sum-of-monthly-distincts wrong answer would be 4
+    assert {(r["anio"], r["clientes_distintos"]) for r in rows} == {
+        (2024, 3), (2025, 1),
+    }
+
+
+def test_distinct_count_navigator_exact_grain_serves(spark):
+    cube = _dc_cube(spark)
+    agg = materialize_aggregate(cube, ["Fecha.Anio"], name="by_year")
+    q = (
+        "SELECT {[Measures].[Cantidad], [Measures].[Clientes]} ON "
+        "COLUMNS, {[Fecha].[Anio].Members} ON ROWS FROM [Toy]"
+    )
+    sel = parse_mdx(q, cube)
+    assert choose_aggregate(cube, sel, [agg]).name == "by_year"
+    got = mdx_query_navigated(cube, q, [agg])
+    want = mdx_query(cube, q)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_distinct_count_navigator_refuses_coarser_grain(spark):
+    cube = _dc_cube(spark)
+    fine = materialize_aggregate(
+        cube, ["Fecha.Mes"], name="by_month"
+    )  # grain (anio, mes)
+    q = (
+        "SELECT {[Measures].[Clientes]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]"
+    )
+    sel = parse_mdx(q, cube)
+    # year query over a month-grain table would re-fold overlapping
+    # distinct sets — the navigator must fall back to the fact
+    assert choose_aggregate(cube, sel, [fine]) is None
+    got = mdx_query_navigated(cube, q, [fine])
+    assert {(r["anio"], r["clientes_distintos"]) for r in got.collect()} == {
+        (2024, 3), (2025, 1),
+    }
+    # a measure WITHOUT distinct-count still routes to the same table
+    sel2 = parse_mdx(
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        cube,
+    )
+    assert choose_aggregate(cube, sel2, [fine]).name == "by_month"
+
+
+def test_distinct_count_navigator_refuses_all_lattice(spark):
+    cube = _dc_cube(spark)
+    agg = materialize_aggregate(cube, ["Fecha.Anio"], name="by_year")
+    sel = parse_mdx(
+        "SELECT {[Measures].[Clientes]} ON COLUMNS, "
+        "{[Fecha].[(All)], [Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        cube,
+    )
+    # the () grouping set needs a re-fold across years — fact only
+    assert choose_aggregate(cube, sel, [agg]) is None
+
+
+def test_distinct_count_ingest_is_loud(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        ingest_into_aggregate,
+    )
+
+    cube = _dc_cube(spark)
+    agg = materialize_aggregate(cube, ["Fecha.Anio"])
+    delta = spark.createDataFrame(
+        [(2025, 2, "C9", 5.0)],
+        "anio int, mes int, cliente string, medida double",
+    )
+    with pytest.raises(MdxError, match="not mergeable"):
+        ingest_into_aggregate(cube, agg, delta)
+
+
+def test_distinct_count_exact_grain_with_dice_and_slicer(spark):
+    cube = _dc_cube(spark)
+    agg = materialize_aggregate(cube, ["Fecha.Mes"], name="by_month")
+    # month-grain query (exact grain) diced to one year still serves
+    # from the rollup: filters select cells, no re-fold happens
+    q = (
+        "SELECT {[Measures].[Clientes]} ON COLUMNS, "
+        "{[Fecha].[Anio].[2024].Children} ON ROWS FROM [Toy]"
+    )
+    sel = parse_mdx(q, cube)
+    assert choose_aggregate(cube, sel, [agg]).name == "by_month"
+    got = mdx_query_navigated(cube, q, [agg])
+    want = mdx_query(cube, q)
+    assert _sorted_rows(got) == _sorted_rows(want)

@@ -2376,3 +2376,139 @@ def test_mdx_set_slicer_mixed_levels_is_loud(spark):
             WHERE {[Fecha].[Anio].[2024], [Fecha].[Mes].[1]}
             """,
         )
+
+
+# ---------------------------------------------------------------------------
+# COMPOUND (tuple-set) slicer — WHERE {(mA, mB), (mC, mD)}
+# ---------------------------------------------------------------------------
+
+
+def test_mdx_compound_slicer_or_of_ands(spark):
+    # (2024, A) rows: 10, 30 ; (2025, B) rows: 50 — the OR of ANDs;
+    # a conjunctive (2024 OR 2025) AND (A OR B) wrong answer would
+    # also include (2024, B)'s 20 and (2025, A)'s 40
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM [Toy]
+        WHERE {([Fecha].[Anio].[2024], [Cliente].[Seg].[A]),
+               ([Fecha].[Anio].[2025], [Cliente].[Seg].[B])}
+        """,
+    ).collect()
+    assert {(r["pais"], r["sum_medida"]) for r in rows} == {
+        ("AR", 10.0), ("BR", 30.0), ("CL", 50.0),
+    }
+
+
+def test_mdx_compound_slicer_single_column_degenerates(spark):
+    sel = parse_mdx(
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM [Toy]
+        WHERE {([Fecha].[Anio].[2024]), ([Fecha].[Anio].[2025])}
+        """,
+        _toy_cube(spark),
+    )
+    assert sel.slicer_filters == {"anio": ["2024", "2025"]}
+    assert sel.slicer_disjunction == []
+
+
+def test_mdx_compound_slicer_navigator_requires_columns(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        choose_aggregate,
+        materialize_aggregate,
+        mdx_query_navigated,
+    )
+
+    cube = _toy_cube(spark)
+    q = """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM [Toy]
+        WHERE {([Fecha].[Anio].[2024], [Cliente].[Seg].[A]),
+               ([Fecha].[Anio].[2025], [Cliente].[Seg].[B])}
+    """
+    sel = parse_mdx(q, cube)
+    # a table missing a disjunction column cannot cover
+    missing = materialize_aggregate(
+        cube, ["Fecha.Anio", "Persona.Pais"], name="missing_seg"
+    )
+    assert choose_aggregate(cube, sel, [missing]) is None
+    covering = materialize_aggregate(
+        cube, ["Fecha.Anio", "Persona.Pais", "Cliente.Seg"], name="cov"
+    )
+    assert choose_aggregate(cube, sel, [covering]).name == "cov"
+    got = mdx_query_navigated(cube, q, [covering])
+    want = mdx_query(cube, q)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_mdx_compound_slicer_time_intel_other_column_ok(spark):
+    # YoY shifts anio; the compound slicer filters (pais, seg) only —
+    # the prior-period context keeps the disjunction applied, like any
+    # slicer. 2025 AR+A cells: 40; 2024 (AR,A)+(BR,A)... wait BR is
+    # seg A too: (2024 AR A 10) + (2024 BR A 30); (CL, B) adds 2025's
+    # 50. YoY(2025) = n(2025) - n(2024) over the OR slice.
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Crecimiento] AS
+             '[Measures].[Cantidad] -
+              ([Measures].[Cantidad], PARALLELPERIOD([Fecha].[Anio], 1))'
+        SELECT {[Measures].[Cantidad], [Measures].[Crecimiento]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM [Toy]
+        WHERE {([Persona].[Pais].[AR], [Cliente].[Seg].[A]),
+               ([Persona].[Pais].[CL], [Cliente].[Seg].[B])}
+        """,
+    ).collect()
+    got = {r["anio"]: (r["n"], r["crecimiento"]) for r in rows}
+    # AR+A rows: (2024,10),(2025,40); CL+B rows: (2025,50)
+    assert got == {2024: (1, None), 2025: (2, 1)}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # ragged tuples
+        """SELECT {[Measures].[Total]} ON COLUMNS,
+           {[Persona].[Pais].Members} ON ROWS FROM [Toy]
+           WHERE {([Fecha].[Anio].[2024], [Cliente].[Seg].[A]),
+                  ([Fecha].[Anio].[2025])}""",
+        # a tuple repeating a level
+        """SELECT {[Measures].[Total]} ON COLUMNS,
+           {[Persona].[Pais].Members} ON ROWS FROM [Toy]
+           WHERE {([Fecha].[Anio].[2024], [Fecha].[Anio].[2025])}""",
+        # mixing bare members with tuples
+        """SELECT {[Measures].[Total]} ON COLUMNS,
+           {[Persona].[Pais].Members} ON ROWS FROM [Toy]
+           WHERE {([Fecha].[Anio].[2024], [Cliente].[Seg].[A]),
+                  [Cliente].[Seg].[B]}""",
+    ],
+)
+def test_mdx_compound_slicer_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad).collect()
+
+
+def test_mdx_compound_slicer_time_intel_same_column_is_loud(spark):
+    with pytest.raises(MdxError, match="cannot drop one leg"):
+        mdx_query(
+            _toy_cube(spark),
+            """
+            WITH MEMBER [Measures].[Crecimiento] AS
+                 '[Measures].[Cantidad] -
+                  ([Measures].[Cantidad],
+                   PARALLELPERIOD([Fecha].[Anio], 1))'
+            SELECT {[Measures].[Crecimiento]} ON COLUMNS,
+                   {[Fecha].[Anio].Members} ON ROWS
+            FROM [Toy]
+            WHERE {([Fecha].[Anio].[2024], [Cliente].[Seg].[A]),
+                   ([Fecha].[Anio].[2025], [Cliente].[Seg].[B])}
+            """,
+        ).collect()
