@@ -170,6 +170,19 @@ Supported subset (the shapes the reference schema can answer):
   absent first month opens at the first present one). Reads the CUBE:
   a dice on the level's own column recomputes the boundary over the
   undiced aggregation.
+- ``RANK([Dim].[Level].CurrentMember, [Dim].[Level].Members,
+  [Measures].[M])`` inside calculated-member / FILTER / ORDER
+  expressions — the league-table gesture ("1997's rank among all
+  years by volume"): the cell's 1-based position among the level's
+  members ordered by the measure DESCENDING, equal values sharing a
+  rank (competition ranking — SQL ``RANK()``, which is the oracle
+  shape). A window over the aggregate's cells partitioned by the
+  grouping columns outside the level's chain. Reads the CUBE: the
+  ``.Members`` set is the level's full member set, so chain dices
+  recompute the rank over the undiced aggregation and join it back
+  (a diced single year still reports its rank among ALL years);
+  non-chain dices (slicers) stay applied. The 2-arg set-order form
+  and cross-level set arguments are loud.
 - ``EXCEPT(<set>, {members})`` on the rows axis (and in CROSSJOIN
   branches / named-set bodies): remove the named members of ONE level
   from the set. Over ``.Members`` (or a Children drill) it becomes a
@@ -808,6 +821,36 @@ class _Parser:
                 f"{outer.upper()}(...) takes PERIODSTODATE(...) or "
                 f"LASTPERIODS(...) as its set argument, got {v2!r}"
             )
+        if kind == "word" and val.upper() == "RANK":
+            # RANK([Dim].[Level].CurrentMember, [Dim].[Level].Members,
+            # [Measures].[M]) — Mondrian's 3-arg Rank: the cell's
+            # 1-based position among the level's members ordered by
+            # the measure DESCENDING; equal values share a rank
+            # (competition ranking — exactly SQL RANK()). The 2-arg
+            # form (position in set order) is outside the subset and
+            # fails loudly at the missing third argument.
+            self.next()
+            self.expect_punct("(")
+            segs, suffix = self.member_path()
+            if len(segs) != 2 or suffix != "currentmember":
+                raise MdxError(
+                    "RANK's first argument must be "
+                    f"[Dim].[Level].CurrentMember, got {segs}"
+                )
+            self.expect_punct(",")
+            msegs, msuffix = self.member_path()
+            if (
+                [s.lower() for s in msegs] != [s.lower() for s in segs]
+                or msuffix != "members"
+            ):
+                raise MdxError(
+                    "RANK's set must be the SAME level's .Members "
+                    f"([{segs[0]}].[{segs[1]}].Members), got {msegs}"
+                )
+            self.expect_punct(",")
+            measure = self.measure_ref()
+            self.expect_punct(")")
+            return ("rank", measure, segs[0], segs[1])
         if kind == "seg":
             return ("ref", self.measure_ref())
         raise MdxError(f"expected a measure expression, got {val!r}")
@@ -1825,6 +1868,14 @@ def _validate_refs(expr, cube: CubeDef, calc_members: dict) -> None:
                 f"[{cube.name}]"
             )
         cube.level_column(dim, level)  # loud on unknown level
+    elif kind == "rank":
+        _, name, dim, level = expr
+        if not cube.has_measure(name):
+            raise MdxError(
+                "RANK orders by BASE measures only; "
+                f"[Measures].[{name}] is not one on cube [{cube.name}]"
+            )
+        cube.level_column(dim, level)  # loud on unknown level
     elif kind == "bin":
         _validate_refs(expr[2], cube, calc_members)
         _validate_refs(expr[3], cube, calc_members)
@@ -1846,7 +1897,7 @@ def _collect_base_refs(expr, cube: CubeDef, calc_members: dict, out: list):
                 if k.lower() == name.lower():
                     _collect_base_refs(sub, cube, calc_members, out)
                     break
-    elif kind in ("pp", "ptd", "lp", "bp"):
+    elif kind in ("pp", "ptd", "lp", "bp", "rank"):
         name = expr[1]
         if name.lower() not in {m.lower() for m in out}:
             out.append(name)
@@ -1875,6 +1926,8 @@ def _build_expr(expr, cube: CubeDef, calc_members: dict) -> Column:
         return F.col(_lp_alias(expr, cube))
     if kind == "bp":
         return F.col(_bp_alias(expr, cube))
+    if kind == "rank":
+        return F.col(_rank_alias(expr, cube))
     if kind == "ref":
         name = expr[1]
         if cube.has_measure(name):
@@ -2326,6 +2379,100 @@ def _attach_boundary_periods(
     return out
 
 
+def _rank_alias(expr, cube: CubeDef) -> str:
+    """Deterministic output column for a ``("rank", measure, dim,
+    level)`` expression — one per (level, measure)."""
+    _, name, dim, level = expr
+    safe = re.sub(r"[^a-z0-9]+", "_", f"{dim}_{level}".lower())
+    return f"__rank_{safe}_{cube.measure_alias(name)}"
+
+
+def _collect_rank_specs(expr, cube: CubeDef, calc_members: dict, out: dict):
+    """RANK specs, keyed ``(dim, level)``."""
+    _collect_specs(
+        expr, cube, calc_members, out, "rank",
+        lambda e: (e[2].lower(), e[3].lower()), _rank_alias,
+    )
+
+
+def _attach_ranks(
+    out: DataFrame,
+    sel: MdxSelect,
+    cube: CubeDef,
+    filtered_cols: set,
+    agg_excluding: Callable[[frozenset], DataFrame],
+) -> DataFrame:
+    """Compute ``RANK([Dim].[Level].CurrentMember,
+    [Dim].[Level].Members, [Measures].[M])`` columns — the cell's
+    1-based position among the level's members by the measure
+    descending (the league-table gesture): ``F.rank()`` over a window
+    partitioned by the grouping columns OUTSIDE the level's chain,
+    ordered by the measure desc. Equal values share a rank
+    (competition ranking, SQL RANK() — both engines agree, so no
+    tie-break is needed for determinism). Cell×cell, never the fact.
+
+    Reads the CUBE like the other attach families: ``.Members`` is the
+    level's FULL member set, so a dice on any chain column ("show 1997
+    and its rank among all years") recomputes the rank over a
+    re-aggregation WITHOUT the chain dices and LEFT-joins it back;
+    dices outside the chain (a segment slicer) stay applied — the rank
+    is read within the slicer context, Mondrian's evaluation order."""
+    specs: dict = {}
+    for name in sel.columns:
+        if not cube.has_measure(name):
+            expr = next(
+                v for k, v in sel.calc_members.items()
+                if k.lower() == name.lower()
+            )
+            _collect_rank_specs(expr, cube, sel.calc_members, specs)
+    _collect_wrapper_specs(sel, cube, _collect_rank_specs, specs)
+    if not specs:
+        return out
+    if len(sel.grouping_sets) != 1 or not sel.grouping_sets[0]:
+        raise MdxError(
+            "RANK needs a single-grain rows axis — over an [(All)] "
+            "lattice the ranking would mix grains"
+        )
+    gcols = sel.grouping_sets[0]
+    for (_dl, _ll), (expr0, aliases) in specs.items():
+        dim, level = expr0[2], expr0[3]
+        chain = cube.level_chain(dim, level)
+        for c in chain:
+            if c not in gcols:
+                raise MdxError(
+                    f"RANK ranks [{dim}].[{level}] members but its key "
+                    f"column {c!r} is not on the rows axis"
+                )
+        part_cols = [c for c in gcols if c not in chain]
+        def _w(m):
+            key = F.col(cube.measure_alias(m)).desc()
+            return (
+                Window.partitionBy(*part_cols).orderBy(key)
+                if part_cols
+                else Window.orderBy(key)
+            )
+        if not (filtered_cols & set(chain)):
+            for alias, m in aliases.items():
+                out = out.withColumn(alias, F.rank().over(_w(m)))
+            continue
+        base = agg_excluding(frozenset(chain))
+        ranked = base.select(
+            *[F.col(c).alias(f"__rkk_{c}") for c in gcols],
+            *[
+                F.rank().over(_w(m)).alias(a)
+                for a, m in aliases.items()
+            ],
+        )
+        cond = None
+        for c in gcols:
+            term = F.col(c) == F.col(f"__rkk_{c}")
+            cond = term if cond is None else cond & term
+        out = out.join(ranked, cond, "left").drop(
+            *[f"__rkk_{c}" for c in gcols]
+        )
+    return out
+
+
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
@@ -2582,6 +2729,9 @@ def execute_select(
         out, sel, cube, filtered_cols, agg_excluding
     )
     out = _attach_boundary_periods(
+        out, sel, cube, filtered_cols, agg_excluding
+    )
+    out = _attach_ranks(
         out, sel, cube, filtered_cols, agg_excluding
     )
 

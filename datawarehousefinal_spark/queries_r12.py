@@ -906,3 +906,57 @@ def mdx_compound_slicer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_COMPOUND_SLICER_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX RANK (league-table calculated member)
+# ---------------------------------------------------------------------------
+
+_MDX_RANK_STATEMENT = """
+WITH MEMBER [Measures].[Puesto] AS
+     'RANK([Persona].[Nacionalidad].CurrentMember,
+           [Persona].[Nacionalidad].Members,
+           [Measures].[Cantidad Movimientos])'
+SELECT {[Measures].[Cantidad Movimientos], [Measures].[Puesto]} ON COLUMNS,
+       {[Persona].[Nacionalidad].Members} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_rank_league_table",
+    oracle="""
+    WITH per AS (
+      SELECT n.n_name AS nacionalidad,
+             count(o.o_custkey) AS cantidad_movimientos
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1
+    )
+    SELECT nacionalidad, cantidad_movimientos,
+           CAST(rank() OVER (ORDER BY cantidad_movimientos DESC)
+                AS INTEGER) AS puesto
+    FROM per
+    """,
+)
+def mdx_rank_league_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK — the league-table gesture through the MDX front door:
+    every nationality with its movement count AND its 1-based rank
+    among all nationalities ("where does each market stand").
+    Mondrian's 3-arg Rank sorts the set descending by the measure;
+    equal values share a rank (competition ranking), which is exactly
+    SQL ``RANK()`` — the oracle's window. The translator compiles the
+    member to ``F.rank()`` over the aggregated cells (operators/mdx.py
+    _attach_ranks), partitioned by any grouping columns outside the
+    ranked level's chain; a dice on the ranked level re-ranks over the
+    UNDICED aggregation and joins back (a single picked year still
+    reports its rank among all years — cube context, pinned by test).
+    100 TB: the window sees group-count-many cells, never the fact —
+    ranking is free once the cube cells exist."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_RANK_STATEMENT)

@@ -2512,3 +2512,172 @@ def test_mdx_compound_slicer_time_intel_same_column_is_loud(spark):
                    ([Fecha].[Anio].[2025], [Cliente].[Seg].[B])}
             """,
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# RANK — the league-table calculated member
+# ---------------------------------------------------------------------------
+
+
+def test_mdx_rank_by_measure_desc(spark):
+    # totals per pais: AR 70, CL 50, BR 30 → ranks 1, 2, 3
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Puesto] AS
+             'RANK([Persona].[Pais].CurrentMember,
+                   [Persona].[Pais].Members, [Measures].[Total])'
+        SELECT {[Measures].[Total], [Measures].[Puesto]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["pais"], r["puesto"]) for r in rows} == {
+        ("AR", 1), ("CL", 2), ("BR", 3),
+    }
+
+
+def test_mdx_rank_ties_share_rank(spark):
+    def star():
+        return spark.createDataFrame(
+            [(2024, "AR", 10.0), (2024, "BR", 10.0), (2024, "CL", 5.0)],
+            "anio int, pais string, medida double",
+        )
+
+    cube = CubeDef(
+        name="Toy",
+        star_builder=star,
+        levels={"Fecha.Anio": "anio", "Persona.Pais": "pais"},
+        measures={"Total": ("sum", "medida", "sum_medida")},
+    )
+    rows = mdx_query(
+        cube,
+        """
+        WITH MEMBER [Measures].[Puesto] AS
+             'RANK([Persona].[Pais].CurrentMember,
+                   [Persona].[Pais].Members, [Measures].[Total])'
+        SELECT {[Measures].[Puesto]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    # competition ranking: two firsts, the next is rank 3
+    assert {(r["pais"], r["puesto"]) for r in rows} == {
+        ("AR", 1), ("BR", 1), ("CL", 3),
+    }
+
+
+def test_mdx_rank_diced_member_reads_cube(spark):
+    # axis picks CL only; its rank is still among ALL countries (2)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Puesto] AS
+             'RANK([Persona].[Pais].CurrentMember,
+                   [Persona].[Pais].Members, [Measures].[Total])'
+        SELECT {[Measures].[Puesto]} ON COLUMNS,
+               {[Persona].[Pais].[CL]} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["puesto"]) for r in rows] == [("CL", 2)]
+
+
+def test_mdx_rank_partitions_by_other_axis_dims(spark):
+    # rank years WITHIN each pais: AR has 2024=30 (10+20), 2025=40 →
+    # 2025 first; CL has only 2025
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Puesto] AS
+             'RANK([Fecha].[Anio].CurrentMember,
+                   [Fecha].[Anio].Members, [Measures].[Total])'
+        SELECT {[Measures].[Puesto]} ON COLUMNS,
+               CROSSJOIN({[Fecha].[Anio].Members},
+                         {[Persona].[Pais].[AR], [Persona].[Pais].[CL]})
+               ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    got = {(r["anio"], r["pais"]): r["puesto"] for r in rows}
+    assert got == {(2024, "AR"): 2, (2025, "AR"): 1, (2025, "CL"): 1}
+
+
+def test_mdx_rank_slicer_context_applies(spark):
+    # a slicer outside the chain stays applied: seg=A totals are
+    # AR 10+40=50, BR 30 → AR first, BR second (CL has no A rows)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Puesto] AS
+             'RANK([Persona].[Pais].CurrentMember,
+                   [Persona].[Pais].Members, [Measures].[Total])'
+        SELECT {[Measures].[Puesto]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM [Toy]
+        WHERE ([Cliente].[Seg].[A])
+        """,
+    ).collect()
+    assert {(r["pais"], r["puesto"]) for r in rows} == {
+        ("AR", 1), ("BR", 2),
+    }
+
+
+def test_mdx_rank_in_filter_wrapper(spark):
+    # "keep the top-2-ranked" spelled via FILTER over the rank member
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Puesto] AS
+             'RANK([Persona].[Pais].CurrentMember,
+                   [Persona].[Pais].Members, [Measures].[Total])'
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               FILTER({[Persona].[Pais].Members},
+                      [Measures].[Puesto] < 3) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["pais"], r["sum_medida"]) for r in rows} == {
+        ("AR", 70.0), ("CL", 50.0),
+    }
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # set of a DIFFERENT level
+        """WITH MEMBER [Measures].[P] AS
+           'RANK([Persona].[Pais].CurrentMember,
+                 [Fecha].[Anio].Members, [Measures].[Total])'
+           SELECT {[Measures].[P]} ON COLUMNS,
+           {[Persona].[Pais].Members} ON ROWS FROM [Toy]""",
+        # ranked level absent from the rows axis
+        """WITH MEMBER [Measures].[P] AS
+           'RANK([Persona].[Pais].CurrentMember,
+                 [Persona].[Pais].Members, [Measures].[Total])'
+           SELECT {[Measures].[P]} ON COLUMNS,
+           {[Fecha].[Anio].Members} ON ROWS FROM [Toy]""",
+        # 2-arg set-order form
+        """WITH MEMBER [Measures].[P] AS
+           'RANK([Persona].[Pais].CurrentMember,
+                 [Persona].[Pais].Members)'
+           SELECT {[Measures].[P]} ON COLUMNS,
+           {[Persona].[Pais].Members} ON ROWS FROM [Toy]""",
+        # unknown ordering measure
+        """WITH MEMBER [Measures].[P] AS
+           'RANK([Persona].[Pais].CurrentMember,
+                 [Persona].[Pais].Members, [Measures].[Nope])'
+           SELECT {[Measures].[P]} ON COLUMNS,
+           {[Persona].[Pais].Members} ON ROWS FROM [Toy]""",
+        # All-lattice
+        """WITH MEMBER [Measures].[P] AS
+           'RANK([Persona].[Pais].CurrentMember,
+                 [Persona].[Pais].Members, [Measures].[Total])'
+           SELECT {[Measures].[P]} ON COLUMNS,
+           {[Persona].[(All)], [Persona].[Pais].Members} ON ROWS
+           FROM [Toy]""",
+    ],
+)
+def test_mdx_rank_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad).collect()

@@ -264,14 +264,19 @@ def test_mdx_translator_agrees_with_independent_sql(spark, seed):
 # diced-cube-context recompute) are the newest machinery; this battery
 # fuzzes them against independently-written SQL self-joins/windows.
 
-_TI_KINDS = ["yoy", "mom", "ytd", "roll", "open", "close"]
+_TI_KINDS = ["yoy", "mom", "ytd", "roll", "open", "close", "rank"]
 
 
 def _gen_ti_spec(seed: int) -> dict:
     rng = random.Random(seed)
+    kind = rng.choice(_TI_KINDS)
     return {
-        "kind": rng.choice(_TI_KINDS),
-        "measure": rng.choice(["Total", "Cantidad"]),
+        "kind": kind,
+        # rank ranks by the COUNT measure only: a double-sum tie that
+        # differs in the last ulp between engines would swap ranks
+        "measure": "Cantidad" if kind == "rank" else rng.choice(
+            ["Total", "Cantidad"]
+        ),
         "slicer": rng.choice([None, "X", "Y"]),
         # None = {Mes.Members}; int = dice {[Fecha].[Mes].[k]} — the
         # cube-context shape (the shifted/windowed value must still be
@@ -301,6 +306,11 @@ def _render_ti_mdx(spec: dict) -> str:
         body = (
             f"'AVG(LASTPERIODS({n}, [Fecha].[Mes].CurrentMember), "
             f"[Measures].[{m}])'"
+        )
+    elif k == "rank":
+        body = (
+            f"'RANK([Fecha].[Mes].CurrentMember, "
+            f"[Fecha].[Mes].Members, [Measures].[{m}])'"
         )
     else:
         fn = "OPENINGPERIOD" if k == "open" else "CLOSINGPERIOD"
@@ -357,6 +367,11 @@ def _render_ti_sql(spec: dict) -> str:
             f"ORDER BY anio * 12 + (mes - 1) "
             f"RANGE BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS ti "
             f"FROM per"
+        )
+    elif k == "rank":
+        core = (
+            f"SELECT anio, mes, {alias}, rank() OVER ("
+            f"ORDER BY {alias} DESC) AS ti FROM per"
         )
     else:
         d = "ASC" if k == "open" else "DESC"
