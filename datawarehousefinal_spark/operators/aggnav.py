@@ -297,6 +297,10 @@ def choose_aggregate(
     needs_distinct = any(
         cube.measure_def(m)[0] == "distinct-count" for m in needed
     )
+    if needs_distinct and sel.custom_groups:
+        # a custom AGGREGATE member merges grain cells even at "exact"
+        # grain — overlapping distinct sets would re-fold; fact only
+        return None
     required = set(sel.group_cols)
     required.update(sel.member_filters)
     required.update(sel.exclude_filters)

@@ -170,6 +170,22 @@ Supported subset (the shapes the reference schema can answer):
   absent first month opens at the first present one). Reads the CUBE:
   a dice on the level's own column recomputes the boundary over the
   undiced aggregation.
+- ``WITH MEMBER [Dim].[Level].[Name] AS 'AGGREGATE({members})'`` —
+  calculated members ON DIMENSION LEVELS, the custom-group gesture
+  every pivot tool exposes ("group PERU and ARGENTINA as 'Andes'"):
+  the named members fold into one synthetic member wherever the group
+  is referenced — rows axis (a pre-aggregation column remap, CASE IN
+  → name, one Catalyst projection, correct for every aggregator
+  because the RAW rows aggregate under the new key), slicer /
+  sub-select (expands to the underlying member union), and named-set
+  bodies. Ranges expand in the body; string-keyed single-column
+  levels only; overlapping groups, a group shadowing its own member,
+  combining a group with its level's ``.Members``/Children (Mondrian
+  calculated members are not in .Members), EXCEPT over a group set,
+  and groups inside compound-slicer tuples are all loud. The
+  navigator treats group columns like any dice column — but refuses
+  to route distinct-count queries with groups (merged cells would
+  re-fold overlapping distinct sets).
 - ``RANK([Dim].[Level].CurrentMember, [Dim].[Level].Members,
   [Measures].[M])`` inside calculated-member / FILTER / ORDER
   expressions — the league-table gesture ("1997's rank among all
@@ -584,6 +600,7 @@ class _Parser:
         self,
         tokens: list[tuple[str, str]],
         named_sets: dict[str, list] | None = None,
+        custom_members: dict | None = None,
     ):
         self.toks = tokens
         self.i = 0
@@ -591,6 +608,23 @@ class _Parser:
         # shared with sub-parsers of quoted bodies so earlier sets are
         # referencable from later ones (Mondrian definition-order scoping)
         self.named_sets = named_sets if named_sets is not None else {}
+        # (dim_lower, level_lower) → {name_lower: (display_name,
+        # [underlying member values])} — WITH MEMBER [Dim].[Level].[X]
+        # AS 'AGGREGATE({...})' custom-group declarations
+        self.custom_members = (
+            custom_members if custom_members is not None else {}
+        )
+
+    def expand_custom(self, segs: list[str]) -> list[str]:
+        """A member reference's filter values: the underlying members
+        when it names a declared custom AGGREGATE group, else the
+        member value itself."""
+        cm = self.custom_members.get((segs[0].lower(), segs[1].lower()))
+        if cm:
+            rec = cm.get(segs[2].lower())
+            if rec:
+                return list(rec[1])
+        return [segs[2]]
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -1124,7 +1158,7 @@ class _Parser:
         return ("nodes", self.parse_set())
 
 
-def _rows_axis(node_list, cube: CubeDef):
+def _rows_axis(node_list, cube: CubeDef, custom_members: dict | None = None):
     """Flatten the rows-axis set AST into (group_columns,
     member_filters, grouping_alternatives): every crossjoin branch and
     set item contributes its level's column; explicit member sets
@@ -1132,10 +1166,14 @@ def _rows_axis(node_list, cube: CubeDef):
     makes the set's columns OPTIONAL — each set yields its list of
     grouping alternatives ([cols] alone, or [cols] plus [] when All is
     present), and the crossjoin product of alternatives is the
-    grouping-set lattice the query answers."""
+    grouping-set lattice the query answers. An explicit member naming
+    a declared custom AGGREGATE group contributes its UNDERLYING
+    members to the dice and a (name, values) remap entry instead."""
+    custom_members = custom_members or {}
     group_cols: list[str] = []
     filters: dict[str, list] = {}
     excludes: dict[str, list] = {}
+    custom_groups: dict[str, list] = {}
     alternatives: list[list[list[str]]] = []
 
     def walk(nodes):
@@ -1177,7 +1215,8 @@ def _rows_axis(node_list, cube: CubeDef):
                     by_level.setdefault(
                         (segs[0].lower(), segs[1].lower()),
                         {
-                            "members": False, "vals": [], "parents": {}, "excl": [],
+                            "members": False, "vals": [], "parents": {},
+                            "excl": [], "groups": [],
                             "display": (segs[0], segs[1]),
                         },
                     )["members"] = True
@@ -1188,7 +1227,8 @@ def _rows_axis(node_list, cube: CubeDef):
                     rec = by_level.setdefault(
                         (segs[0].lower(), child.lower()),
                         {
-                            "members": False, "vals": [], "parents": {}, "excl": [],
+                            "members": False, "vals": [], "parents": {},
+                            "excl": [], "groups": [],
                             "display": (segs[0], child),
                         },
                     )
@@ -1204,7 +1244,8 @@ def _rows_axis(node_list, cube: CubeDef):
                     rec = by_level.setdefault(
                         (segs[0].lower(), child.lower()),
                         {
-                            "members": False, "vals": [], "parents": {}, "excl": [],
+                            "members": False, "vals": [], "parents": {},
+                            "excl": [], "groups": [],
                             "display": (segs[0], child),
                         },
                     )
@@ -1213,19 +1254,28 @@ def _rows_axis(node_list, cube: CubeDef):
                         segs[2]
                     )
                 elif len(segs) == 3 and not suffix:
-                    by_level.setdefault(
+                    rec = by_level.setdefault(
                         (segs[0].lower(), segs[1].lower()),
                         {
-                            "members": False, "vals": [], "parents": {}, "excl": [],
+                            "members": False, "vals": [], "parents": {},
+                            "excl": [], "groups": [],
                             "display": (segs[0], segs[1]),
                         },
-                    )["vals"].append(segs[2])
+                    )
+                    cm = custom_members.get(
+                        (segs[0].lower(), segs[1].lower()), {}
+                    ).get(segs[2].lower())
+                    if cm is not None:
+                        rec["groups"].append(cm)
+                    else:
+                        rec["vals"].append(segs[2])
                 elif len(segs) == 3 and suffix == "not":
                     # an EXCEPT-removed member of this level
                     by_level.setdefault(
                         (segs[0].lower(), segs[1].lower()),
                         {
-                            "members": False, "vals": [], "parents": {}, "excl": [],
+                            "members": False, "vals": [], "parents": {},
+                            "excl": [], "groups": [],
                             "display": (segs[0], segs[1]),
                         },
                     )["excl"].append(segs[2])
@@ -1272,6 +1322,42 @@ def _rows_axis(node_list, cube: CubeDef):
                         "dice of the same level — a union this "
                         "translator cannot express as filters"
                     )
+                groups = sel["groups"]
+                if groups:
+                    if sel["members"] or sel["parents"]:
+                        # Mondrian calculated members are NOT in
+                        # .Members — showing both every real member AND
+                        # the group would need the underlying rows
+                        # twice, which a single column remap cannot do
+                        raise MdxError(
+                            f"a custom AGGREGATE member of [{dim}]."
+                            f"[{level}] cannot combine with that "
+                            "level's .Members or a Children drill — "
+                            "the underlying rows would have to appear "
+                            "in two members at once"
+                        )
+                    if sel["excl"]:
+                        raise MdxError(
+                            "EXCEPT over a set containing custom "
+                            "AGGREGATE members is not supported"
+                        )
+                    under = {
+                        v for _disp, gvals in groups for v in gvals
+                    }
+                    for v in sel["vals"]:
+                        if v in under:
+                            raise MdxError(
+                                f"member [{v}] appears both bare and "
+                                "inside a custom AGGREGATE member — "
+                                "its rows cannot be in two members at "
+                                "once"
+                            )
+                    filters.setdefault(chain[-1], []).extend(
+                        sorted(under)
+                    )
+                    custom_groups.setdefault(chain[-1], []).extend(
+                        groups
+                    )
                 excl = sel["excl"]
                 if sel["members"]:
                     # .Members is the whole level: it absorbs explicit
@@ -1306,7 +1392,7 @@ def _rows_axis(node_list, cube: CubeDef):
             alternatives.append(opts)
 
     walk(node_list)
-    return group_cols, filters, excludes, alternatives
+    return group_cols, filters, excludes, alternatives, custom_groups
 
 
 @dataclass
@@ -1335,18 +1421,27 @@ class MdxSelect:
     # aggregation — Mondrian's compound-slicer contract). Empty when
     # the slicer is a plain tuple or single-level set.
     slicer_disjunction: list = field(default_factory=list)
+    # WITH MEMBER [Dim].[Level].[Name] AS 'AGGREGATE({...})' custom
+    # groups referenced on the rows axis: column → [(display_name,
+    # [underlying values])]. Executed as a pre-aggregation column
+    # remap (CASE IN → name) after the dice filters.
+    custom_groups: dict = field(default_factory=dict)
     # (column, members) entries from FROM (SELECT ...) sub-selects,
     # outermost-last; each is an independent IN filter (two entries on
     # the same column AND together — nested sub-select intersection)
     subselect_filters: list = field(default_factory=list)
 
 
-def _collect_subselect_members(nodes, cube: CubeDef, out: list) -> None:
+def _collect_subselect_members(
+    nodes, cube: CubeDef, out: list, custom_members: dict | None = None
+) -> None:
     """Flatten a sub-select axis set into (level column, members)
-    filters. Explicit members restrict; ``.Members`` and ``[(All)]``
+    filters. Explicit members restrict (a custom AGGREGATE member
+    restricts to its underlying union); ``.Members`` and ``[(All)]``
     select everything, hence restrict nothing (validated, then
     ignored); anything else — Children drills, wrapper functions —
     is outside the sub-select subset and raises."""
+    custom_members = custom_members or {}
     per_level: dict[str, list] = {}
 
     def walk(ns):
@@ -1392,7 +1487,12 @@ def _collect_subselect_members(nodes, cube: CubeDef, out: list) -> None:
                     continue
                 if len(segs) == 3 and not suffix:
                     col = cube.level_column(segs[0], segs[1])
-                    per_level.setdefault(col, []).append(segs[2])
+                    cm = custom_members.get(
+                        (segs[0].lower(), segs[1].lower()), {}
+                    ).get(segs[2].lower())
+                    per_level.setdefault(col, []).extend(
+                        cm[1] if cm is not None else [segs[2]]
+                    )
                     continue
                 raise MdxError(
                     "sub-select items must be explicit "
@@ -1430,7 +1530,7 @@ def _parse_from_clause(p: _Parser, cube: CubeDef) -> list:
         filters: list = []
         while True:
             nodes = p.parse_set()
-            _collect_subselect_members(nodes, cube, filters)
+            _collect_subselect_members(nodes, cube, filters, p.custom_members)
             p.expect_word("ON")
             akind, aval = p.next()
             if not (
@@ -1463,7 +1563,7 @@ def _parse_from_clause(p: _Parser, cube: CubeDef) -> list:
                         f"[Dim].[Level].[member], got {segs}"
                     )
                 col = cube.level_column(segs[0], segs[1])
-                per.setdefault(col, []).append(segs[2])
+                per.setdefault(col, []).extend(p.expand_custom(segs))
                 if p.peek() == ("punct", ","):
                     p.next()
                     continue
@@ -1475,6 +1575,106 @@ def _parse_from_clause(p: _Parser, cube: CubeDef) -> list:
     raise MdxError(
         f"expected [CubeName] or a (SELECT ...) sub-select, got {val!r}"
     )
+
+
+def _parse_custom_group_member(p: _Parser, cube: CubeDef, segs) -> None:
+    """``WITH MEMBER [Dim].[Level].[Name] AS 'AGGREGATE({members})'``
+    — a calculated member on a DIMENSION level, the custom-group
+    gesture every pivot tool exposes ("group these three markets as
+    'Andes'"): the named members fold into ONE synthetic member.
+    Executes as a pre-aggregation column remap (CASE col IN (...) THEN
+    'Name' ELSE col) — Catalyst-friendly, one pass, no union. Ranges
+    expand; the body's members must all belong to the declared level;
+    the level's member key must be a single column (a hierarchy child
+    is chain-keyed — remapping one chain column would corrupt the
+    key); two groups on one level may not overlap (a row can map to
+    only one member) and a group may not shadow one of its own
+    underlying values. Registered on the parser; axis/slicer/
+    sub-select references expand through ``expand_custom``."""
+    dim, level, gname = segs
+    chain = cube.level_chain(dim, level)  # loud on unknown level
+    if len(chain) != 1:
+        raise MdxError(
+            f"custom AGGREGATE members need a single-column level key; "
+            f"[{dim}].[{level}] is chain-keyed {chain}"
+        )
+    key = (dim.lower(), level.lower())
+    reg = p.custom_members.setdefault(key, {})
+    if gname.lower() in reg:
+        raise MdxError(
+            f"custom member [{dim}].[{level}].[{gname}] declared twice"
+        )
+    p.expect_word("AS")
+    kind, val = p.peek()
+    if kind == "quote":
+        p.next()
+        sub = _Parser(_tokenize(val))
+        vals = _parse_aggregate_body(sub, dim, level)
+        if sub.peek()[0] != "eof":
+            raise MdxError(
+                f"trailing tokens in custom member body from "
+                f"{sub.peek()[1]!r}"
+            )
+    else:
+        vals = _parse_aggregate_body(p, dim, level)
+    taken: dict[str, str] = {}
+    for _other_key, (other_display, other_vals) in reg.items():
+        for v in other_vals:
+            taken[v] = other_display
+    for v in vals:
+        if v in taken:
+            raise MdxError(
+                f"custom member [{gname}] and [{taken[v]}] both "
+                f"aggregate [{v}] — overlapping groups cannot be a "
+                "single column remap"
+            )
+        if v.lower() == gname.lower():
+            raise MdxError(
+                f"custom member [{gname}] aggregates a member with its "
+                "own name — the remap would be ambiguous"
+            )
+    reg[gname.lower()] = (gname, vals)
+
+
+def _parse_aggregate_body(p: _Parser, dim: str, level: str) -> list[str]:
+    """The ``AGGREGATE({[Dim].[Level].[m], ...})`` body of a custom
+    group member: explicit members (ranges expand) of EXACTLY the
+    declared level; returns their values."""
+    p.expect_word("AGGREGATE")
+    p.expect_punct("(")
+    p.expect_punct("{")
+    vals: list[str] = []
+    while True:
+        m = p.member_path()
+        items = (
+            p._expand_member_range(m)
+            if p.peek() == ("punct", ":")
+            else [m]
+        )
+        for segs, suffix in items:
+            if (
+                len(segs) != 3
+                or suffix
+                or segs[0].lower() != dim.lower()
+                or segs[1].lower() != level.lower()
+            ):
+                raise MdxError(
+                    "AGGREGATE bodies take explicit "
+                    f"[{dim}].[{level}].[member] members only, got "
+                    f"{segs}"
+                )
+            if segs[2] in vals:
+                raise MdxError(
+                    f"AGGREGATE body names [{segs[2]}] twice"
+                )
+            vals.append(segs[2])
+        if p.peek() == ("punct", ","):
+            p.next()
+            continue
+        break
+    p.expect_punct("}")
+    p.expect_punct(")")
+    return vals
 
 
 def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
@@ -1491,7 +1691,24 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
             kind, val = p.peek()
             if kind == "word" and val.upper() == "MEMBER":
                 p.next()
-                name = p.measure_ref()
+                segs, suffix = p.member_path()
+                if suffix or len(segs) not in (2, 3):
+                    raise MdxError(
+                        "WITH MEMBER declares [Measures].[Name] or a "
+                        f"[Dim].[Level].[Name] custom group, got {segs}"
+                    )
+                if len(segs) == 3:
+                    # a calculated member ON A DIMENSION LEVEL — the
+                    # custom-group gesture: WITH MEMBER
+                    # [Dim].[Level].[Name] AS 'AGGREGATE({members})'
+                    _parse_custom_group_member(p, cube, segs)
+                    continue
+                if segs[0].lower() != "measures":
+                    raise MdxError(
+                        "two-segment WITH MEMBER names must be "
+                        f"[Measures].[Name], got {segs}"
+                    )
+                name = segs[1]
                 if cube.has_measure(name) or name.lower() in {
                     k.lower() for k in calc_members
                 }:
@@ -1544,7 +1761,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
                 p.named_sets[sname.lower()] = nodes
                 continue
             break
-        if not calc_members and not p.named_sets:
+        if not calc_members and not p.named_sets and not p.custom_members:
             raise MdxError("WITH must declare at least one MEMBER or SET")
 
     p.expect_word("SELECT")
@@ -1617,9 +1834,13 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
             _validate_refs(cond[2], cube, calc_members)
             wrappers.append(("filter", cond))
         rows_node = inner
-    group_cols, member_filters, exclude_filters, alternatives = _rows_axis(
-        rows_node[1], cube
-    )
+    (
+        group_cols,
+        member_filters,
+        exclude_filters,
+        alternatives,
+        custom_groups,
+    ) = _rows_axis(rows_node[1], cube, p.custom_members)
     if not alternatives:
         raise MdxError("ROWS axis selected no levels")
     # crossjoin product of each set's grouping alternatives = the
@@ -1718,6 +1939,13 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
                 for terms in tuples:
                     seen_cols: dict[str, str] = {}
                     for segs in terms:
+                        if p.expand_custom(segs) != [segs[2]]:
+                            raise MdxError(
+                                f"custom AGGREGATE member [{segs[2]}] "
+                                "inside a compound-slicer tuple is not "
+                                "supported — spell its members as "
+                                "separate tuples"
+                            )
                         col = cube.level_column(segs[0], segs[1])
                         if col in seen_cols:
                             raise MdxError(
@@ -1765,7 +1993,9 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
                             "cross-level multi-select)"
                         )
                     col = cube.level_column(segs[0], segs[1])
-                    slicer_filters.setdefault(col, []).append(segs[2])
+                    slicer_filters.setdefault(col, []).extend(
+                        p.expand_custom(segs)
+                    )
         else:
             p.expect_punct("(")
             while True:
@@ -1776,7 +2006,11 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
                         f"got {segs}"
                     )
                 col = cube.level_column(segs[0], segs[1])
-                slicer_filters.setdefault(col, []).append(segs[2])
+                # a custom AGGREGATE member slices as its underlying
+                # member union — no remap needed off the axis
+                slicer_filters.setdefault(col, []).extend(
+                    p.expand_custom(segs)
+                )
                 if p.peek() == ("punct", ","):
                     p.next()
                     continue
@@ -1818,6 +2052,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
         wrappers=wrappers,
         subselect_filters=subselect_filters,
         slicer_disjunction=slicer_disjunction,
+        custom_groups=custom_groups,
     )
 
 
@@ -2695,6 +2930,24 @@ def execute_select(
                     t = eq if t is None else t & eq
                 pred = t if pred is None else pred | t
             src = src.filter(pred)
+        # custom AGGREGATE members: remap the level column AFTER the
+        # dice (which selects the groups' underlying rows plus any bare
+        # members) — CASE col IN (...) THEN 'Name' ELSE col, one
+        # Catalyst projection, no union. String-keyed levels only: a
+        # numeric column cannot carry the synthetic name.
+        for col, groups in sel.custom_groups.items():
+            dtype = dict(src.dtypes).get(col, "")
+            if dtype != "string":
+                raise MdxError(
+                    "custom AGGREGATE members need a string-keyed "
+                    f"level; column {col!r} is {dtype or 'missing'}"
+                )
+            expr = F.col(col)
+            for display, gvals in groups:
+                expr = F.when(
+                    F.col(col).isin(list(gvals)), F.lit(display)
+                ).otherwise(expr)
+            src = src.withColumn(col, expr)
         return src
 
     out = aggregate(filtered(source))

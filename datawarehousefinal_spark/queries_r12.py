@@ -960,3 +960,63 @@ def mdx_rank_league_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.queries_r10 import _movimientos_cube
 
     return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_RANK_STATEMENT)
+
+
+# ---------------------------------------------------------------------------
+# MDX custom AGGREGATE members (calculated members on dimension levels)
+# ---------------------------------------------------------------------------
+
+_MDX_CUSTOM_GROUP_STATEMENT = """
+WITH MEMBER [Persona].[Nacionalidad].[Bloque Andino] AS
+     'AGGREGATE({[Persona].[Nacionalidad].[NATION_1],
+                 [Persona].[Nacionalidad].[NATION_2],
+                 [Persona].[Nacionalidad].[NATION_3]})'
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Promedio Medida]} ON COLUMNS,
+       {[Persona].[Nacionalidad].[Bloque Andino],
+        [Persona].[Nacionalidad].[NATION_4],
+        [Persona].[Nacionalidad].[NATION_5]} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_custom_group_member",
+    oracle="""
+    SELECT CASE WHEN n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+                THEN 'Bloque Andino' ELSE n.n_name END AS nacionalidad,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+                       'NATION_4', 'NATION_5')
+    GROUP BY 1
+    """,
+)
+def mdx_custom_group_member_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE members — ``WITH MEMBER [Dim].[Level].[Name] AS
+    'AGGREGATE({members})'``, the custom-group gesture every pivot tool
+    exposes ("fold these three markets into one 'Bloque Andino' row"):
+    three nationalities fold into one synthetic member alongside two
+    bare ones. The translator compiles the group to a PRE-aggregation
+    column remap (``CASE col IN (...) THEN 'Name' ELSE col``) after the
+    member dice — one Catalyst projection, no union, and correct for
+    EVERY aggregator because the raw rows aggregate under the new key
+    (the avg column pins that: it is the average over the group's raw
+    rows, never an average of member averages — the oracle's CASE +
+    plain avg is exactly that). Overlapping groups, .Members mixes,
+    and numeric-keyed levels refuse loudly; the navigator refuses to
+    route distinct-count queries with groups (merged cells would
+    re-fold overlapping distinct sets — tests/test_mdx.py). 100 TB:
+    the remap is a map-side expression on the already-diced slice —
+    custom groups cost nothing over the plain dice."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_CUSTOM_GROUP_STATEMENT
+    )

@@ -2681,3 +2681,229 @@ def test_mdx_rank_in_filter_wrapper(spark):
 def test_mdx_rank_errors_are_loud(spark, bad):
     with pytest.raises(MdxError):
         mdx_query(_toy_cube(spark), bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# Custom AGGREGATE members — calculated members on dimension levels
+# ---------------------------------------------------------------------------
+
+
+def test_mdx_custom_group_folds_members(spark):
+    # AR 70 + BR 30 fold into 'Mercosur' 100; CL 50 stays bare
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Persona].[Pais].[Mercosur] AS
+             'AGGREGATE({[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+        SELECT {[Measures].[Total], [Measures].[Cantidad]} ON COLUMNS,
+               {[Persona].[Pais].[Mercosur], [Persona].[Pais].[CL]}
+               ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["pais"], r["sum_medida"], r["n"]) for r in rows} == {
+        ("Mercosur", 100.0, 4), ("CL", 50.0, 1),
+    }
+
+
+def test_mdx_custom_group_avg_is_over_raw_rows(spark):
+    # avg over the group = avg of the RAW underlying rows (100/4), not
+    # an avg of member avgs ((70/3 + 30)/2)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Persona].[Pais].[Mercosur] AS
+             'AGGREGATE({[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+        SELECT {[Measures].[Promedio]} ON COLUMNS,
+               {[Persona].[Pais].[Mercosur]} ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["avg_medida"]) for r in rows] == [
+        ("Mercosur", 25.0),
+    ]
+
+
+def test_mdx_custom_group_in_slicer_expands(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Persona].[Pais].[Mercosur] AS
+             'AGGREGATE({[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM [Toy]
+        WHERE ([Persona].[Pais].[Mercosur])
+        """,
+    ).collect()
+    assert {(r["anio"], r["sum_medida"]) for r in rows} == {
+        (2024, 60.0), (2025, 40.0),
+    }
+
+
+def test_mdx_custom_group_in_subselect_expands(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Persona].[Pais].[Mercosur] AS
+             'AGGREGATE({[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM (SELECT {[Persona].[Pais].[Mercosur]} ON COLUMNS
+              FROM [Toy])
+        """,
+    ).collect()
+    assert {(r["anio"], r["sum_medida"]) for r in rows} == {
+        (2024, 60.0), (2025, 40.0),
+    }
+
+
+def test_mdx_custom_group_crossjoin_and_wrapper(spark):
+    # groups compose with crossjoins and post-agg wrappers
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Persona].[Pais].[Mercosur] AS
+             'AGGREGATE({[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               TOPCOUNT(CROSSJOIN({[Fecha].[Anio].Members},
+                        {[Persona].[Pais].[Mercosur],
+                         [Persona].[Pais].[CL]}), 2,
+                        [Measures].[Total]) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["anio"], r["pais"], r["sum_medida"]) for r in rows] == [
+        (2024, "Mercosur", 60.0), (2025, "CL", 50.0),
+    ]
+
+
+def test_mdx_custom_group_navigator_routes_and_matches(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        materialize_aggregate,
+        mdx_query_navigated,
+    )
+
+    cube = _toy_cube(spark)
+    q = """
+        WITH MEMBER [Persona].[Pais].[Mercosur] AS
+             'AGGREGATE({[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+        SELECT {[Measures].[Total], [Measures].[Promedio]} ON COLUMNS,
+               {[Persona].[Pais].[Mercosur], [Persona].[Pais].[CL]}
+               ON ROWS
+        FROM [Toy]
+    """
+    agg = materialize_aggregate(cube, ["Persona.Pais"], name="by_pais")
+    got = mdx_query_navigated(cube, q, [agg])
+    want = mdx_query(cube, q)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # group + the level's .Members in one set
+        """WITH MEMBER [Persona].[Pais].[G] AS
+           'AGGREGATE({[Persona].[Pais].[AR]})'
+           SELECT {[Measures].[Total]} ON COLUMNS,
+           {[Persona].[Pais].[G], [Persona].[Pais].Members} ON ROWS
+           FROM [Toy]""",
+        # bare member also inside the group
+        """WITH MEMBER [Persona].[Pais].[G] AS
+           'AGGREGATE({[Persona].[Pais].[AR]})'
+           SELECT {[Measures].[Total]} ON COLUMNS,
+           {[Persona].[Pais].[G], [Persona].[Pais].[AR]} ON ROWS
+           FROM [Toy]""",
+        # overlapping groups
+        """WITH MEMBER [Persona].[Pais].[G] AS
+           'AGGREGATE({[Persona].[Pais].[AR]})'
+           MEMBER [Persona].[Pais].[H] AS
+           'AGGREGATE({[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+           SELECT {[Measures].[Total]} ON COLUMNS,
+           {[Persona].[Pais].[G], [Persona].[Pais].[H]} ON ROWS
+           FROM [Toy]""",
+        # body member of another level
+        """WITH MEMBER [Persona].[Pais].[G] AS
+           'AGGREGATE({[Fecha].[Anio].[2024]})'
+           SELECT {[Measures].[Total]} ON COLUMNS,
+           {[Persona].[Pais].[G]} ON ROWS FROM [Toy]""",
+        # group shadowing its own member
+        """WITH MEMBER [Persona].[Pais].[AR] AS
+           'AGGREGATE({[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+           SELECT {[Measures].[Total]} ON COLUMNS,
+           {[Persona].[Pais].[AR]} ON ROWS FROM [Toy]""",
+        # numeric level column (execution-time type gate)
+        """WITH MEMBER [Fecha].[Anio].[G] AS
+           'AGGREGATE({[Fecha].[Anio].[2024]})'
+           SELECT {[Measures].[Total]} ON COLUMNS,
+           {[Fecha].[Anio].[G]} ON ROWS FROM [Toy]""",
+        # EXCEPT over a set containing a group
+        """WITH MEMBER [Persona].[Pais].[G] AS
+           'AGGREGATE({[Persona].[Pais].[AR]})'
+           SELECT {[Measures].[Total]} ON COLUMNS,
+           EXCEPT({[Persona].[Pais].[G], [Persona].[Pais].[CL]},
+                  {[Persona].[Pais].[CL]}) ON ROWS FROM [Toy]""",
+    ],
+)
+def test_mdx_custom_group_errors_are_loud(spark, bad):
+    with pytest.raises(MdxError):
+        mdx_query(_toy_cube(spark), bad).collect()
+
+
+def test_mdx_custom_group_hierarchy_level_is_loud(spark):
+    # a hierarchy CHILD level is chain-keyed — remapping one chain
+    # column would corrupt the member key
+    with pytest.raises(MdxError, match="chain-keyed"):
+        mdx_query(
+            _hier_cube(spark),
+            """
+            WITH MEMBER [Fecha].[Mes].[H1] AS
+                 'AGGREGATE({[Fecha].[Mes].[1]})'
+            SELECT {[Measures].[Total]} ON COLUMNS,
+                   {[Fecha].[Mes].[H1]} ON ROWS FROM [Toy]
+            """,
+        )
+
+
+def test_mdx_custom_group_distinct_count_skips_rollup(spark):
+    # a distinct-count query with a custom group must NOT route to a
+    # rollup even at exact grain: the remap merges grain cells
+    from datawarehousefinal_spark.operators.aggnav import (
+        choose_aggregate,
+        materialize_aggregate,
+        mdx_query_navigated,
+    )
+
+    def star():
+        return spark.createDataFrame(
+            [
+                ("AR", "C1", 1.0), ("AR", "C2", 1.0),
+                ("BR", "C1", 1.0), ("CL", "C3", 1.0),
+            ],
+            "pais string, cliente string, medida double",
+        )
+
+    cube = CubeDef(
+        name="Toy",
+        star_builder=star,
+        levels={"Persona.Pais": "pais"},
+        measures={
+            "Clientes": ("distinct-count", "cliente", "clientes"),
+        },
+    )
+    q = """
+        WITH MEMBER [Persona].[Pais].[Mercosur] AS
+             'AGGREGATE({[Persona].[Pais].[AR], [Persona].[Pais].[BR]})'
+        SELECT {[Measures].[Clientes]} ON COLUMNS,
+               {[Persona].[Pais].[Mercosur]} ON ROWS
+        FROM [Toy]
+    """
+    agg = materialize_aggregate(cube, ["Persona.Pais"], name="by_pais")
+    sel = parse_mdx(q, cube)
+    assert choose_aggregate(cube, sel, [agg]) is None
+    rows = mdx_query_navigated(cube, q, [agg]).collect()
+    # C1 appears in both AR and BR: the true group distinct is 2, the
+    # state re-fold would say 3
+    assert [(r["pais"], r["clientes"]) for r in rows] == [("Mercosur", 2)]
