@@ -91,8 +91,11 @@ Supported subset (the shapes the reference schema can answer):
   sort order + grand total) and one filter — group-count-many rows,
   never the fact; negative measure values make a running-prefix cut
   ill-defined, so any negative cell value raises at execution rather
-  than serving a silently wrong prefix. Establishes the set's
-  prevailing order like TOPCOUNT (HEAD/TAIL cut relative to it).
+  than serving a silently wrong prefix, and an all-zero percent cut
+  keeps exactly its first member (the zero threshold is reached by
+  the first running total — stop-at-crossing, never a silently empty
+  set). Establishes the set's prevailing order like TOPCOUNT
+  (HEAD/TAIL cut relative to it).
 - ``ORDER(<set>, <measure-expr>[, ASC|DESC|BASC|BDESC])`` on the rows
   axis: a pure presentation sort of the aggregated cells by a (base
   or calculated) measure expression, grouping columns ascending as
@@ -1158,6 +1161,30 @@ class _Parser:
         return ("nodes", self.parse_set())
 
 
+def _rec(display: tuple) -> dict:
+    """Fresh per-level selection record for _rows_axis's by_level map —
+    ONE factory so a new field cannot be added to some branches and
+    missed in others (a miss is a KeyError only on the set shape that
+    hits the stale branch)."""
+    return {
+        "members": False, "vals": [], "parents": {}, "excl": [],
+        "groups": [], "display": display,
+    }
+
+
+def _refuse_custom_anchor(custom_members: dict, segs, fn: str) -> None:
+    """A custom AGGREGATE member has no position in the hierarchy, so
+    drilling it (Children/DESCENDANTS) would dice the parent column by
+    the synthetic name — a silent empty result. Loud instead."""
+    cm = custom_members.get((segs[0].lower(), segs[1].lower()), {})
+    if segs[2].lower() in cm:
+        raise MdxError(
+            f"custom AGGREGATE member [{segs[2]}] cannot anchor a "
+            f"{fn} drill — it is not a hierarchy member; drill its "
+            "underlying members instead"
+        )
+
+
 def _rows_axis(node_list, cube: CubeDef, custom_members: dict | None = None):
     """Flatten the rows-axis set AST into (group_columns,
     member_filters, grouping_alternatives): every crossjoin branch and
@@ -1214,23 +1241,18 @@ def _rows_axis(node_list, cube: CubeDef, custom_members: dict | None = None):
                 elif len(segs) == 2 and suffix == "members":
                     by_level.setdefault(
                         (segs[0].lower(), segs[1].lower()),
-                        {
-                            "members": False, "vals": [], "parents": {},
-                            "excl": [], "groups": [],
-                            "display": (segs[0], segs[1]),
-                        },
+                        _rec((segs[0], segs[1])),
                     )["members"] = True
                 elif len(segs) == 3 and suffix == "children":
                     # [Dim].[Level].[member].Children → the next level
                     # of the declared hierarchy, diced to the parent
+                    _refuse_custom_anchor(
+                        custom_members, segs, "Children"
+                    )
                     child = cube.child_level(segs[0], segs[1])
                     rec = by_level.setdefault(
                         (segs[0].lower(), child.lower()),
-                        {
-                            "members": False, "vals": [], "parents": {},
-                            "excl": [], "groups": [],
-                            "display": (segs[0], child),
-                        },
+                        _rec((segs[0], child)),
                     )
                     parent_col = cube.level_column(segs[0], segs[1])
                     rec["parents"].setdefault(parent_col, []).append(
@@ -1240,14 +1262,13 @@ def _rows_axis(node_list, cube: CubeDef, custom_members: dict | None = None):
                     # DESCENDANTS(anchor member, target level): group by
                     # the target level's ancestor chain, diced to the
                     # anchor — Children's machinery, any depth
+                    _refuse_custom_anchor(
+                        custom_members, segs, "DESCENDANTS"
+                    )
                     child = cube.descendant_level(segs[0], segs[1], segs[3])
                     rec = by_level.setdefault(
                         (segs[0].lower(), child.lower()),
-                        {
-                            "members": False, "vals": [], "parents": {},
-                            "excl": [], "groups": [],
-                            "display": (segs[0], child),
-                        },
+                        _rec((segs[0], child)),
                     )
                     parent_col = cube.level_column(segs[0], segs[1])
                     rec["parents"].setdefault(parent_col, []).append(
@@ -1256,11 +1277,7 @@ def _rows_axis(node_list, cube: CubeDef, custom_members: dict | None = None):
                 elif len(segs) == 3 and not suffix:
                     rec = by_level.setdefault(
                         (segs[0].lower(), segs[1].lower()),
-                        {
-                            "members": False, "vals": [], "parents": {},
-                            "excl": [], "groups": [],
-                            "display": (segs[0], segs[1]),
-                        },
+                        _rec((segs[0], segs[1])),
                     )
                     cm = custom_members.get(
                         (segs[0].lower(), segs[1].lower()), {}
@@ -1273,11 +1290,7 @@ def _rows_axis(node_list, cube: CubeDef, custom_members: dict | None = None):
                     # an EXCEPT-removed member of this level
                     by_level.setdefault(
                         (segs[0].lower(), segs[1].lower()),
-                        {
-                            "members": False, "vals": [], "parents": {},
-                            "excl": [], "groups": [],
-                            "display": (segs[0], segs[1]),
-                        },
+                        _rec((segs[0], segs[1])),
                     )["excl"].append(segs[2])
                 else:
                     raise MdxError(
@@ -2614,6 +2627,21 @@ def _attach_boundary_periods(
     return out
 
 
+def _disjunction_pred(src: DataFrame, disjunction: list) -> Column:
+    """The compound-slicer predicate: OR of per-tuple ANDs, each term
+    an equality against the member coerced to the column's type — ONE
+    builder shared by the aggregation path and drillthrough, so
+    coercion/NULL fixes can never drift between them."""
+    pred = None
+    for terms in disjunction:
+        t = None
+        for c, v in terms:
+            eq = F.col(c) == F.lit(_coerce_members(src, c, [v])[0])
+            t = eq if t is None else t & eq
+        pred = t if pred is None else pred | t
+    return pred
+
+
 def _rank_alias(expr, cube: CubeDef) -> str:
     """Deterministic output column for a ``("rank", measure, dim,
     level)`` expression — one per (level, measure)."""
@@ -2651,7 +2679,13 @@ def _attach_ranks(
     and its rank among all years") recomputes the rank over a
     re-aggregation WITHOUT the chain dices and LEFT-joins it back;
     dices outside the chain (a segment slicer) stay applied — the rank
-    is read within the slicer context, Mondrian's evaluation order."""
+    is read within the slicer context, Mondrian's evaluation order.
+    The ONE restriction that survives the recompute is a FROM
+    (SELECT ...) sub-select: a sub-select defines the SUBCUBE, and a
+    set enumeration like ``.Members`` shrinks with it (a year that is
+    3rd overall but 2nd inside the sub-select ranks 2nd) — unlike the
+    coordinate-shift families (PARALLELPERIOD & co), which read past
+    the sub-select exactly as they read past dices."""
     specs: dict = {}
     for name in sel.columns:
         if not cube.has_measure(name):
@@ -2669,6 +2703,15 @@ def _attach_ranks(
             "lattice the ranking would mix grains"
         )
     gcols = sel.grouping_sets[0]
+    # only AXIS dices force the recompute: a sub-select restriction is
+    # the subcube and the ranked .Members shrinks with it, so ranking
+    # the already-restricted cells directly IS the subcube rank
+    dice_cols = (
+        set(sel.member_filters)
+        | set(sel.slicer_filters)
+        | set(sel.exclude_filters)
+        | {c for terms in sel.slicer_disjunction for c, _v in terms}
+    )
     for (_dl, _ll), (expr0, aliases) in specs.items():
         dim, level = expr0[2], expr0[3]
         chain = cube.level_chain(dim, level)
@@ -2686,11 +2729,11 @@ def _attach_ranks(
                 if part_cols
                 else Window.orderBy(key)
             )
-        if not (filtered_cols & set(chain)):
+        if not (dice_cols & set(chain)):
             for alias, m in aliases.items():
                 out = out.withColumn(alias, F.rank().over(_w(m)))
             continue
-        base = agg_excluding(frozenset(chain))
+        base = agg_excluding(frozenset(chain), True)
         ranked = base.select(
             *[F.col(c).alias(f"__rkk_{c}") for c in gcols],
             *[
@@ -2868,14 +2911,24 @@ def execute_select(
     ``agg_expr_for`` (the only thing that differs between the fact and
     an aggregate table), then apply wrappers and project the COLUMNS
     axis."""
-    filters = [
-        (col, vals, False)
-        for col, vals in (
-            *sel.subselect_filters,
-            *sel.slicer_filters.items(),
-            *sel.member_filters.items(),
-        )
-    ] + [(col, vals, True) for col, vals in sel.exclude_filters.items()]
+    # (column, values, negated, is_subcube): sub-select restrictions
+    # are flagged — they define the SUBCUBE, and set enumerations
+    # (RANK's .Members) evaluate within it even where coordinate
+    # shifts (PARALLELPERIOD & co) read past axis dices
+    filters = (
+        [(col, vals, False, True) for col, vals in sel.subselect_filters]
+        + [
+            (col, vals, False, False)
+            for col, vals in (
+                *sel.slicer_filters.items(),
+                *sel.member_filters.items(),
+            )
+        ]
+        + [
+            (col, vals, True, False)
+            for col, vals in sel.exclude_filters.items()
+        ]
+    )
 
     needed = needed_base_measures(sel, cube)
     aggs = [agg_expr_for(m) for m in needed]
@@ -2896,9 +2949,13 @@ def execute_select(
         c for terms in sel.slicer_disjunction for c, _v in terms
     }
 
-    def filtered(src: DataFrame, skip: frozenset = frozenset()) -> DataFrame:
-        for col, vals, neg in filters:
-            if col in skip:
+    def filtered(
+        src: DataFrame,
+        skip: frozenset = frozenset(),
+        keep_subcube: bool = False,
+    ) -> DataFrame:
+        for col, vals, neg, is_sub in filters:
+            if col in skip and not (keep_subcube and is_sub):
                 continue
             pred = F.col(col).isin(_coerce_members(src, col, vals))
             if neg:
@@ -2920,16 +2977,9 @@ def execute_select(
                     "OR; dice that column on the rows axis or a plain "
                     "slicer instead"
                 )
-            pred = None
-            for terms in sel.slicer_disjunction:
-                t = None
-                for c, v in terms:
-                    eq = F.col(c) == F.lit(
-                        _coerce_members(src, c, [v])[0]
-                    )
-                    t = eq if t is None else t & eq
-                pred = t if pred is None else pred | t
-            src = src.filter(pred)
+            src = src.filter(
+                _disjunction_pred(src, sel.slicer_disjunction)
+            )
         # custom AGGREGATE members: remap the level column AFTER the
         # dice (which selects the groups' underlying rows plus any bare
         # members) — CASE col IN (...) THEN 'Name' ELSE col, one
@@ -2958,16 +3008,21 @@ def execute_select(
     # diced, the prior-period cells come from a re-aggregation WITHOUT
     # those dices (Mondrian evaluates the shifted tuple against the
     # cube, not the axis selection).
-    filtered_cols = {col for col, _, _ in filters} | dis_cols
+    filtered_cols = {col for col, _, _, _ in filters} | dis_cols
     _excl_cache: dict = {}
 
-    def agg_excluding(skip: frozenset) -> DataFrame:
-        # memoized per skip-set: two diced time-intel specs on the same
-        # chain (YoY + 2-year growth) share ONE re-aggregation instead
-        # of scanning the fact once each
-        if skip not in _excl_cache:
-            _excl_cache[skip] = aggregate(filtered(source, skip))
-        return _excl_cache[skip]
+    def agg_excluding(
+        skip: frozenset, keep_subcube: bool = False
+    ) -> DataFrame:
+        # memoized per (skip-set, subcube flavor): two diced time-intel
+        # specs on the same chain (YoY + 2-year growth) share ONE
+        # re-aggregation instead of scanning the fact once each
+        key = (skip, keep_subcube)
+        if key not in _excl_cache:
+            _excl_cache[key] = aggregate(
+                filtered(source, skip, keep_subcube)
+            )
+        return _excl_cache[key]
 
     out = _join_parallel_periods(
         out, sel, cube, filtered_cols, agg_excluding
@@ -3061,6 +3116,12 @@ def execute_select(
                         F.lit(0),
                     ),
                 )
+                .withColumn(
+                    "__cut_rn",
+                    F.row_number().over(
+                        Window.orderBy(*sort_cols(order))
+                    ),
+                )
                 .withColumn("__cut_min", F.min("__cut_key").over(w_all))
                 .withColumn(
                     "__cut_thresh",
@@ -3072,7 +3133,12 @@ def execute_select(
             # a negative cell value makes running sums non-monotonic:
             # the "prefix below threshold" rows are no longer a prefix,
             # and Mondrian's stop-at-first-crossing answer diverges —
-            # loud, never a silently wrong cut
+            # loud, never a silently wrong cut. The first row always
+            # survives: its running total is the first to reach the
+            # threshold (the OR only matters for a zero-total percent
+            # cut, where threshold = 0 and the strict prefix test
+            # alone would return an empty set instead of the crossing
+            # member).
             keep = F.when(
                 F.col("__cut_min") < 0,
                 F.raise_error(
@@ -3081,11 +3147,17 @@ def execute_select(
                         "the running-prefix cut is undefined"
                     )
                 ).cast("boolean"),
-            ).otherwise(F.col("__cut_prev") < F.col("__cut_thresh"))
+            ).otherwise(
+                (F.col("__cut_prev") < F.col("__cut_thresh"))
+                | (F.col("__cut_rn") == 1)
+            )
             out = (
                 tmp.filter(keep)
                 .orderBy(*sort_cols(order))
-                .drop("__cut_key", "__cut_prev", "__cut_min", "__cut_thresh")
+                .drop(
+                    "__cut_key", "__cut_prev", "__cut_rn",
+                    "__cut_min", "__cut_thresh",
+                )
             )
             prevailing = [(key, desc)] + natural
         else:
@@ -3196,14 +3268,9 @@ def mdx_drillthrough(cube: CubeDef, mdx: str, *star_args) -> DataFrame:
         pred = F.col(col).isin(_coerce_members(star, col, vals))
         star = star.filter(F.col(col).isNull() | ~pred)
     if sel.slicer_disjunction:
-        pred = None
-        for terms in sel.slicer_disjunction:
-            t = None
-            for c, v in terms:
-                eq = F.col(c) == F.lit(_coerce_members(star, c, [v])[0])
-                t = eq if t is None else t & eq
-            pred = t if pred is None else pred | t
-        star = star.filter(pred)
+        star = star.filter(
+            _disjunction_pred(star, sel.slicer_disjunction)
+        )
     cols: list[str] = []
     for c in cube.levels.values():
         if c not in cols:

@@ -2907,3 +2907,112 @@ def test_mdx_custom_group_distinct_count_skips_rollup(spark):
     # C1 appears in both AR and BR: the true group distinct is 2, the
     # state re-fold would say 3
     assert [(r["pais"], r["clientes"]) for r in rows] == [("Mercosur", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Review fixes: RANK under sub-selects, custom anchors, zero-total cuts
+# ---------------------------------------------------------------------------
+
+
+def test_mdx_rank_within_subselect_subcube(spark):
+    # a sub-select defines the SUBCUBE and .Members shrinks with it:
+    # overall ranks are AR 1, CL 2, BR 3; inside the {CL, BR} subcube
+    # CL ranks 1 and BR 2 — NOT their cube-wide 2 and 3
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Puesto] AS
+             'RANK([Persona].[Pais].CurrentMember,
+                   [Persona].[Pais].Members, [Measures].[Total])'
+        SELECT {[Measures].[Puesto]} ON COLUMNS,
+               {[Persona].[Pais].Members} ON ROWS
+        FROM (SELECT {[Persona].[Pais].[CL], [Persona].[Pais].[BR]}
+              ON COLUMNS FROM [Toy])
+        """,
+    ).collect()
+    assert {(r["pais"], r["puesto"]) for r in rows} == {
+        ("CL", 1), ("BR", 2),
+    }
+
+
+def test_mdx_rank_dice_inside_subselect_ranks_subcube(spark):
+    # dice AND sub-select together: the recompute drops the axis dice
+    # but keeps the subcube — BR picked out of the {CL, BR} subcube
+    # still ranks 2nd IN THE SUBCUBE (its cube-wide rank is 3)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Puesto] AS
+             'RANK([Persona].[Pais].CurrentMember,
+                   [Persona].[Pais].Members, [Measures].[Total])'
+        SELECT {[Measures].[Puesto]} ON COLUMNS,
+               {[Persona].[Pais].[BR]} ON ROWS
+        FROM (SELECT {[Persona].[Pais].[CL], [Persona].[Pais].[BR]}
+              ON COLUMNS FROM [Toy])
+        """,
+    ).collect()
+    assert [(r["pais"], r["puesto"]) for r in rows] == [("BR", 2)]
+
+
+def test_mdx_parallelperiod_reads_past_subselect(spark):
+    # the coordinate-shift families keep their existing contract: a
+    # sub-select restricted to 2025 does NOT hide 2024 from YoY (the
+    # shifted tuple reads the cube, SSAS/Mondrian sub-select behavior)
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        WITH MEMBER [Measures].[Crecimiento] AS
+             '[Measures].[Cantidad] -
+              ([Measures].[Cantidad], PARALLELPERIOD([Fecha].[Anio], 1))'
+        SELECT {[Measures].[Cantidad], [Measures].[Crecimiento]}
+               ON COLUMNS,
+               {[Fecha].[Anio].Members} ON ROWS
+        FROM (SELECT {[Fecha].[Anio].[2025]} ON COLUMNS FROM [Toy])
+        """,
+    ).collect()
+    # 2025 has 2 movements, 2024 has 3 → growth -1, not NULL
+    assert [(r["anio"], r["n"], r["crecimiento"]) for r in rows] == [
+        (2025, 2, -1),
+    ]
+
+
+def test_mdx_custom_group_drill_anchor_is_loud(spark):
+    for drill in (
+        "{[Fecha].[Anio].[G].Children}",
+        "DESCENDANTS([Fecha].[Anio].[G], [Fecha].[Dia])",
+    ):
+        with pytest.raises(MdxError, match="cannot anchor"):
+            mdx_query(
+                _hier_cube(spark),
+                f"""
+                WITH MEMBER [Fecha].[Anio].[G] AS
+                     'AGGREGATE({{[Fecha].[Anio].[2024]}})'
+                SELECT {{[Measures].[Total]}} ON COLUMNS,
+                       {drill} ON ROWS FROM [Toy]
+                """,
+            ).collect()
+
+
+def test_mdx_toppercent_zero_total_keeps_first_member(spark):
+    # count(medida) over an all-NULL column: every cell is 0, the
+    # threshold is 0, and the stop-at-crossing contract keeps exactly
+    # the FIRST member of the set order — never an empty set
+    def star():
+        return spark.createDataFrame(
+            [(2024, "AR", None), (2024, "BR", None)],
+            "anio int, pais string, medida double",
+        )
+
+    cube = CubeDef(
+        name="Toy",
+        star_builder=star,
+        levels={"Fecha.Anio": "anio", "Persona.Pais": "pais"},
+        measures={"Cantidad": ("count", "medida", "n")},
+    )
+    rows = mdx_query(
+        cube,
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "TOPPERCENT({[Persona].[Pais].Members}, 60, "
+        "[Measures].[Cantidad]) ON ROWS FROM [Toy]",
+    ).collect()
+    assert [(r["pais"], r["n"]) for r in rows] == [("AR", 0)]
