@@ -21,11 +21,12 @@ mechanism Spark-first:
   every filter column (slicer + member dices — they must apply before
   re-aggregation) is part of the table's grain; among the answerable
   tables the smallest grain (fewest columns ≈ fewest cells) wins.
-  Mondrian's ``distinct-count`` aggregator is the special case: its
-  state (an exact per-cell COUNT DISTINCT) is NOT mergeable — two
-  cells' value sets may overlap — so a query needing one routes to a
-  table only at EXACT grain (no re-fold), falls back to the fact
-  otherwise, and incremental ingest refuses the cube loudly.
+  Mondrian's ``distinct-count`` aggregator and the exact ``median``
+  are the special cases: their states (per-cell COUNT DISTINCT /
+  median) are NOT mergeable — two cells' value sets overlap, two
+  medians don't combine — so a query needing one routes to a table
+  only at EXACT grain (no re-fold), falls back to the fact otherwise,
+  and incremental ingest refuses the cube loudly.
 - :func:`mdx_query_navigated` runs the query against the chosen
   rollup through the same execution core as the fact path
   (operators/mdx.py:execute_select) — calculated members, TOPCOUNT,
@@ -112,12 +113,16 @@ def _state_columns(cube: CubeDef) -> list[tuple[str, str, Column]]:
         elif agg == "max":
             add(alias, "max", F.max(col))
         elif agg == "distinct-count":
-            # the one NON-mergeable state: two cells' distinct counts
-            # don't combine (the value sets may overlap). Stored so an
+            # a NON-mergeable state: two cells' distinct counts don't
+            # combine (the value sets may overlap). Stored so an
             # EXACT-grain query serves precomputed; the navigator never
             # routes a coarser query here (choose_aggregate), and
             # incremental ingest refuses the cube (_merge_exprs).
             add(alias, "dcnt", F.count_distinct(col))
+        elif agg == "median":
+            # the other NON-mergeable state: two cells' medians don't
+            # combine either — same exact-grain-only treatment
+            add(alias, "med", F.median(col))
         else:
             raise MdxError(f"unsupported aggregator {agg!r}")
     return out
@@ -214,14 +219,15 @@ def _merge_exprs(cube: CubeDef) -> list[Column]:
     out = []
     for _alias, sname, _agg in _state_columns(cube):
         kind = sname.rsplit("__", 1)[1]
-        if kind == "dcnt":
+        if kind in ("dcnt", "med"):
             raise MdxError(
-                "distinct-count states are not mergeable — a batch's "
-                "distinct values may overlap the table's, so "
-                f"incremental ingest of {sname!r} would overcount. "
-                "Rebuild the aggregate (materialize_aggregate), or "
-                "roll up an HLL sketch store (operators/sketches.py) "
-                "for a mergeable approximate distinct."
+                f"{'distinct-count' if kind == 'dcnt' else 'median'} "
+                "states are not mergeable — a batch's values change "
+                f"existing cells' answers, so incremental ingest of "
+                f"{sname!r} would be wrong. Rebuild the aggregate "
+                "(materialize_aggregate), or roll up a mergeable "
+                "sketch store (operators/sketches.py: HLL for "
+                "distincts, KLL for quantiles)."
             )
         out.append(_STATE_FOLD[kind](sname).alias(sname))
     return out
@@ -276,6 +282,9 @@ def reagg_expr(cube: CubeDef, measure_name: str) -> Column:
         # max of a singleton is the value itself); choose_aggregate
         # never routes a coarser query to this expression
         return F.max(f"{alias}__dcnt").alias(alias)
+    if agg == "median":
+        # same exact-grain-only singleton serve
+        return F.max(f"{alias}__med").alias(alias)
     raise MdxError(f"unsupported aggregator {agg!r}")
 
 
@@ -287,15 +296,17 @@ def choose_aggregate(
     member dices, and sub-select restrictions — all of which must apply
     BEFORE re-aggregation) is in the table's grain. Measures never
     disqualify a table — every table stores every measure's states —
-    EXCEPT distinct-count: its state is not mergeable, so a query
-    needing one routes to a table only at EXACT grain (query grouping
-    columns = table grain, single grouping set — each output cell is
-    then exactly one stored row and no re-fold happens; Mondrian's
-    AggStar applies the same restriction). None when nothing covers
-    (the fact answers)."""
+    EXCEPT the non-mergeable aggregators (distinct-count, median):
+    a query needing one routes to a table only at EXACT grain (query
+    grouping columns = table grain, single grouping set — each output
+    cell is then exactly one stored row and no re-fold happens;
+    Mondrian's AggStar applies the same restriction to distinct-count)
+    and never with custom AGGREGATE groups (the remap merges cells).
+    None when nothing covers (the fact answers)."""
     needed = needed_base_measures(sel, cube)  # loud on unknown measures
     needs_distinct = any(
-        cube.measure_def(m)[0] == "distinct-count" for m in needed
+        cube.measure_def(m)[0] in ("distinct-count", "median")
+        for m in needed
     )
     if needs_distinct and sel.custom_groups:
         # a custom AGGREGATE member merges grain cells even at "exact"

@@ -313,6 +313,13 @@ _AGG_FNS = {
     # distinct counts are NOT mergeable across cells, so the navigator
     # serves them from a rollup only at EXACT grain (operators/aggnav)
     "distinct-count": F.count_distinct,
+    # exact interpolated median (Spark's sort-based median = DuckDB's
+    # median/quantile_cont(0.5), the oracle shape). The other
+    # non-mergeable aggregator: two cells' medians don't combine, so
+    # the navigator applies the same exact-grain rule; the mergeable
+    # approximate alternative at any grain is the KLL sketch store
+    # (operators/sketches.py)
+    "median": F.median,
     "sum": F.sum,
     "avg": F.avg,
     "min": F.min,
@@ -327,9 +334,11 @@ class CubeDef:
     ``levels`` maps ``"Dim.Level"`` (case-insensitive) to the star
     column that carries it; ``measures`` maps a measure name to an
     ``(aggregator, column, output_alias)`` triple with aggregator in
-    {count, sum, avg, min, max, distinct-count} — the Mondrian
+    {count, sum, avg, min, max, distinct-count, median} — the Mondrian
     ``aggregator=`` set the reference schema uses (count/avg) plus the
-    obvious siblings and Mondrian's distinct-count.
+    obvious siblings, Mondrian's distinct-count, and an exact median
+    (the two NON-mergeable aggregators share the navigator's
+    exact-grain rule, operators/aggnav.py).
 
     ``hierarchies`` (optional) maps a dimension name to its ordered
     level-name list, top grain first (Mondrian ``<Hierarchy>`` order —

@@ -1020,3 +1020,61 @@ def mdx_custom_group_member_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mdx_query(
         _movimientos_cube(spark, sf_dir), _MDX_CUSTOM_GROUP_STATEMENT
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX median measures (exact percentile aggregator)
+# ---------------------------------------------------------------------------
+
+_MDX_MEDIAN_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Mediana Medida]} ON COLUMNS,
+       {[Fecha].[Anio].Members} ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_median_measure",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
+           count(o.o_custkey) AS cantidad_movimientos,
+           median(o.o_totalprice) AS mediana_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def mdx_median_measure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIAN as a cube measure — the robust center a mean can't
+    give when order values are skewed ("typical order value per
+    year"). Spark's sort-based exact ``median`` interpolates exactly
+    like DuckDB's ``median``/``quantile_cont(0.5)``, so the oracle is
+    a plain median — hash equality at 6 significant digits. Like
+    distinct-count, median is NON-mergeable (a median of cell medians
+    is wrong — the aggnav tests pin a case where the re-fold would say
+    52.5 against a true 20), so the navigator serves it from a rollup
+    only at EXACT grain, falls back to the fact otherwise, and
+    incremental ingest refuses the cube, pointing at the KLL sketch
+    store for the mergeable approximate alternative. 100 TB: exact
+    medians force a per-group sort — precompute dashboard grains as
+    exact-grain rollups, or accept ±ε from the KLL rollup
+    (operators/sketches.py) that merges at any grain."""
+    from datawarehousefinal_spark.operators.mdx import CubeDef, mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    base = _movimientos_cube(spark, sf_dir)
+    cube = CubeDef(
+        name=base.name,
+        star_builder=base.star_builder,
+        levels=dict(base.levels),
+        hierarchies=dict(base.hierarchies),
+        period_lengths=dict(base.period_lengths),
+        measures={
+            **base.measures,
+            "Mediana Medida": ("median", "o_totalprice", "mediana_medida"),
+        },
+    )
+    return mdx_query(cube, _MDX_MEDIAN_STATEMENT)

@@ -551,3 +551,91 @@ def test_distinct_count_exact_grain_with_dice_and_slicer(spark):
     got = mdx_query_navigated(cube, q, [agg])
     want = mdx_query(cube, q)
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+# ---------------------------------------------------------------------------
+# median measures — the second non-mergeable aggregator
+# ---------------------------------------------------------------------------
+
+
+def _med_cube(spark):
+    """Cube with a median measure whose cell medians do NOT combine:
+    2024's months hold [10, 20] and [90] — the month-median re-fold
+    ("median of medians") would say 52.5, the true year median is 20."""
+
+    def star_builder():
+        return spark.createDataFrame(
+            [
+                (2024, 1, 10.0),
+                (2024, 1, 20.0),
+                (2024, 2, 90.0),
+                (2025, 1, 40.0),
+            ],
+            "anio int, mes int, medida double",
+        )
+
+    return CubeDef(
+        name="Toy",
+        star_builder=star_builder,
+        levels={"Fecha.Anio": "anio", "Fecha.Mes": "mes"},
+        hierarchies={"Fecha": ["Anio", "Mes"]},
+        measures={
+            "Cantidad": ("count", "medida", "n"),
+            "Mediana": ("median", "medida", "mediana_medida"),
+        },
+    )
+
+
+def test_median_fact_path(spark):
+    rows = mdx_query(
+        _med_cube(spark),
+        "SELECT {[Measures].[Mediana]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+    ).collect()
+    assert {(r["anio"], r["mediana_medida"]) for r in rows} == {
+        (2024, 20.0), (2025, 40.0),
+    }
+
+
+def test_median_navigator_exact_grain_serves(spark):
+    cube = _med_cube(spark)
+    agg = materialize_aggregate(cube, ["Fecha.Anio"], name="by_year")
+    q = (
+        "SELECT {[Measures].[Cantidad], [Measures].[Mediana]} ON "
+        "COLUMNS, {[Fecha].[Anio].Members} ON ROWS FROM [Toy]"
+    )
+    sel = parse_mdx(q, cube)
+    assert choose_aggregate(cube, sel, [agg]).name == "by_year"
+    got = mdx_query_navigated(cube, q, [agg])
+    want = mdx_query(cube, q)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_median_navigator_refuses_coarser_grain(spark):
+    cube = _med_cube(spark)
+    fine = materialize_aggregate(cube, ["Fecha.Mes"], name="by_month")
+    q = (
+        "SELECT {[Measures].[Mediana]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]"
+    )
+    sel = parse_mdx(q, cube)
+    # the median-of-medians re-fold would answer 52.5 for 2024
+    assert choose_aggregate(cube, sel, [fine]) is None
+    got = mdx_query_navigated(cube, q, [fine])
+    assert {(r["anio"], r["mediana_medida"]) for r in got.collect()} == {
+        (2024, 20.0), (2025, 40.0),
+    }
+
+
+def test_median_ingest_is_loud(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        ingest_into_aggregate,
+    )
+
+    cube = _med_cube(spark)
+    agg = materialize_aggregate(cube, ["Fecha.Anio"])
+    delta = spark.createDataFrame(
+        [(2025, 2, 5.0)], "anio int, mes int, medida double"
+    )
+    with pytest.raises(MdxError, match="not mergeable"):
+        ingest_into_aggregate(cube, agg, delta)
