@@ -350,3 +350,120 @@ def mdx_query_navigated(
     return execute_select(
         sel, cube, chosen.table, lambda m: reagg_expr(cube, m)
     )
+
+
+@dataclass
+class AggRecommendation:
+    """One advisor pick: materialize ``grain``; it holds ``cells`` rows
+    and would answer the workload queries at ``covers`` (indices),
+    saving ``saving`` scanned rows per full workload pass at the time
+    it was chosen (greedy marginal benefit, not a global optimum)."""
+
+    grain: tuple[str, ...]
+    cells: int
+    covers: tuple[int, ...]
+    saving: int
+
+
+def recommend_aggregates(
+    cube: CubeDef,
+    workload: list[str],
+    *star_args,
+    max_tables: int = 3,
+    source: DataFrame | None = None,
+) -> list[AggRecommendation]:
+    """The aggregate ADVISOR — Mondrian AggGen's role, Spark-first:
+    given the MDX queries a deployment actually runs, pick the
+    rollup grains worth materializing.
+
+    Candidates are each query's own requirement set (grouping + every
+    pre-aggregation filter column — the grain Mondrian's AggGen emits
+    per query); COVERAGE is decided by :func:`choose_aggregate` itself
+    on a stub table, so the advisor can never recommend a table the
+    navigator would then refuse (the non-mergeable exact-grain rule
+    and the custom-group rule apply automatically). Every candidate's
+    cell count comes from ONE aggregation pass over the star
+    (``count_distinct`` per candidate, map-side combined — the same
+    cost as answering one query), and selection is the classic greedy
+    of Harinarayan/Rajaraman/Ullman's "Implementing Data Cubes
+    Efficiently": repeatedly materialize the candidate with the
+    largest marginal saving, where a query's cost is the cell count
+    of the smallest chosen table covering it (else the fact's row
+    count), stopping at ``max_tables`` or when no candidate saves
+    anything. Deterministic: ties break toward fewer cells, then
+    fewer grain columns, then column names.
+
+    100 TB: the advisor reads the fact ONCE (one wide distinct-count
+    aggregate + one count) no matter how many queries the workload
+    holds; what it buys is every future dashboard pass hitting
+    kilobyte rollups instead of the fact — the measured version of
+    the navigator's promise."""
+    sels = [parse_mdx(q, cube) for q in workload]
+    needed_cols: list[tuple[str, ...]] = []
+    for sel in sels:
+        req = set(sel.group_cols)
+        req.update(sel.member_filters)
+        req.update(sel.exclude_filters)
+        req.update(sel.slicer_filters)
+        req.update(col for col, _v in sel.subselect_filters)
+        req.update(
+            c for terms in sel.slicer_disjunction for c, _v in terms
+        )
+        needed_cols.append(tuple(sorted(req)))
+    candidates = sorted({cols for cols in needed_cols if cols})
+    if not candidates:
+        return []
+
+    star = source if source is not None else cube.star_builder(*star_args)
+    counts_row = star.agg(
+        F.count(F.lit(1)).alias("__fact_rows"),
+        *[
+            F.count_distinct(*cols).alias(f"__cand_{i}")
+            for i, cols in enumerate(candidates)
+        ],
+    ).collect()[0]
+    fact_rows = counts_row["__fact_rows"]
+    cells = {
+        cols: counts_row[f"__cand_{i}"]
+        for i, cols in enumerate(candidates)
+    }
+
+    def covers(grain: tuple[str, ...], sel: MdxSelect) -> bool:
+        stub = AggTable(name="__stub", grain=grain, table=None)
+        return choose_aggregate(cube, sel, [stub]) is not None
+
+    cover_map = {
+        grain: tuple(
+            i for i, sel in enumerate(sels) if covers(grain, sel)
+        )
+        for grain in candidates
+    }
+
+    chosen: list[AggRecommendation] = []
+    cost = [fact_rows] * len(sels)
+    remaining = list(candidates)
+    while remaining and len(chosen) < max_tables:
+        best = None
+        for grain in remaining:
+            saving = sum(
+                max(0, cost[i] - cells[grain])
+                for i in cover_map[grain]
+            )
+            key = (-saving, cells[grain], len(grain), grain)
+            if best is None or key < best[0]:
+                best = (key, grain, saving)
+        _key, grain, saving = best
+        if saving <= 0:
+            break
+        chosen.append(
+            AggRecommendation(
+                grain=grain,
+                cells=cells[grain],
+                covers=cover_map[grain],
+                saving=saving,
+            )
+        )
+        for i in cover_map[grain]:
+            cost[i] = min(cost[i], cells[grain])
+        remaining.remove(grain)
+    return chosen

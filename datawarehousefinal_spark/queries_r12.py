@@ -1078,3 +1078,74 @@ def mdx_median_measure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return mdx_query(cube, _MDX_MEDIAN_STATEMENT)
+
+
+# ---------------------------------------------------------------------------
+# Aggregate advisor (greedy view selection over an MDX workload)
+# ---------------------------------------------------------------------------
+
+_ADVISOR_WORKLOAD = [
+    """SELECT {[Measures].[Cantidad Movimientos]} ON COLUMNS,
+       {[Fecha].[Anio].Members} ON ROWS FROM [Movimientos]""",
+    """SELECT {[Measures].[Promedio Medida]} ON COLUMNS,
+       {[Persona].[Nacionalidad].Members} ON ROWS FROM [Movimientos]
+       WHERE ([Cliente].[Segmento].[BUILDING])""",
+    """SELECT {[Measures].[Cantidad Movimientos]} ON COLUMNS,
+       {[Fecha].[Mes].Members} ON ROWS FROM [Movimientos]""",
+]
+
+
+@query(
+    "aggregate_advisor_stats",
+    oracle="""
+    SELECT 'anio' AS grain,
+           (SELECT count(DISTINCT year(o_orderdate)) FROM orders)
+             AS cells,
+           CAST(1 AS INTEGER) AS n_covers
+    UNION ALL
+    SELECT 'anio,mes',
+           (SELECT count(DISTINCT (year(o_orderdate), month(o_orderdate)))
+            FROM orders),
+           CAST(2 AS INTEGER)
+    UNION ALL
+    SELECT 'nacionalidad,segmento',
+           (SELECT count(DISTINCT (n.n_name, c.c_mktsegment))
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey),
+           CAST(1 AS INTEGER)
+    """,
+)
+def aggregate_advisor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregate ADVISOR (operators/aggnav.recommend_aggregates) —
+    Mondrian AggGen's role: given the MDX queries a deployment runs,
+    pick the rollup grains worth materializing. Candidates are each
+    query's requirement set; coverage is decided by the navigator's
+    own choose_aggregate (so a recommendation can never be refused at
+    query time — the non-mergeable and custom-group rules apply
+    automatically); every candidate's cell count comes from ONE
+    aggregation pass over the star; selection is the
+    Harinarayan/Rajaraman/Ullman greedy. This face serves the
+    recommendations for a three-query workload as (grain, cells,
+    n_covers) rows — the oracle recomputes each grain's exact distinct
+    cell count and the statically-known coverage, pinning the
+    candidate derivation, the hierarchy-chain expansion ([Fecha].[Mes]
+    → (anio, mes)), and the one-pass counting. The greedy ORDER and
+    savings are pinned by tests/test_aggnav.py (order depends on
+    fact-row arithmetic, not new data facts). 100 TB: the advisor
+    costs one fact pass regardless of workload size; what it buys is
+    every dashboard pass reading kilobyte rollups."""
+    from datawarehousefinal_spark.operators.aggnav import (
+        recommend_aggregates,
+    )
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    cube = _movimientos_cube(spark, sf_dir)
+    recs = recommend_aggregates(cube, _ADVISOR_WORKLOAD, max_tables=3)
+    return spark.createDataFrame(
+        [
+            (",".join(r.grain), r.cells, len(r.covers))
+            for r in recs
+        ],
+        "grain string, cells bigint, n_covers int",
+    )

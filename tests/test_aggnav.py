@@ -639,3 +639,155 @@ def test_median_ingest_is_loud(spark):
     )
     with pytest.raises(MdxError, match="not mergeable"):
         ingest_into_aggregate(cube, agg, delta)
+
+
+# ---------------------------------------------------------------------------
+# aggregate advisor — greedy view selection over an MDX workload
+# ---------------------------------------------------------------------------
+
+
+def _advisor_workload():
+    return [
+        # year grain (2 queries want it — high benefit, tiny table)
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        # month × pais grain (fine)
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "CROSSJOIN({[Fecha].[Mes].Members}, {[Persona].[Pais].Members}) "
+        "ON ROWS FROM [Toy]",
+        # pais grain with a year slicer: requirement {anio, pais}
+        "SELECT {[Measures].[Total]} ON COLUMNS, "
+        "{[Persona].[Pais].Members} ON ROWS FROM [Toy] "
+        "WHERE ([Fecha].[Anio].[2024])",
+    ]
+
+
+def test_advisor_recommends_covering_grains(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        recommend_aggregates,
+    )
+
+    cube = _cube(spark)
+    recs = recommend_aggregates(
+        cube, _advisor_workload(), max_tables=3
+    )
+    grains = [r.grain for r in recs]
+    # greedy order by marginal saving over the 7-row toy fact
+    # (5 distinct fine cells, 4 (anio,pais) cells, 2 years):
+    # ("anio",) first (2 queries × (7-2) = 10), then the fine grain
+    # (queries 2+3, 2 × (7-5) = 4), then ("anio","pais") (query 3,
+    # 5-4 = 1)
+    assert grains == [
+        ("anio",), ("anio", "mes", "pais"), ("anio", "pais"),
+    ]
+    assert set(recs[0].covers) == {0, 1}
+    # covers = every query the table COULD answer (the navigator's
+    # coverage), not just the ones it newly serves: the fine grain
+    # covers the year queries too
+    assert set(recs[1].covers) == {0, 1, 2, 3}
+    # every recommended table really routes through the navigator:
+    # each query routes via at least one of its covering tables
+    from datawarehousefinal_spark.operators.aggnav import AggTable
+
+    for i, q in enumerate(_advisor_workload()):
+        sel = parse_mdx(q, cube)
+        stubs = [
+            AggTable(name=f"s{j}", grain=r.grain, table=None)
+            for j, r in enumerate(recs)
+            if i in r.covers
+        ]
+        assert stubs and choose_aggregate(cube, sel, stubs) is not None
+
+
+def test_advisor_cell_counts_and_savings(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        recommend_aggregates,
+    )
+
+    cube = _cube(spark)
+    recs = recommend_aggregates(cube, _advisor_workload(), max_tables=3)
+    by_grain = {r.grain: r for r in recs}
+    # toy star: 7 rows; distinct (anio)=2, (anio,pais)=4, fine=5
+    assert by_grain[("anio",)].cells == 2
+    assert by_grain[("anio", "pais")].cells == 4
+    assert by_grain[("anio", "mes", "pais")].cells == 5
+    # marginal savings at selection time (see greedy order above)
+    assert by_grain[("anio",)].saving == 10
+    assert by_grain[("anio", "mes", "pais")].saving == 4
+    assert by_grain[("anio", "pais")].saving == 1
+
+
+def test_advisor_max_tables_and_determinism(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        recommend_aggregates,
+    )
+
+    cube = _cube(spark)
+    one = recommend_aggregates(cube, _advisor_workload(), max_tables=1)
+    assert len(one) == 1 and one[0].grain == ("anio",)
+    again = recommend_aggregates(cube, _advisor_workload(), max_tables=3)
+    assert [r.grain for r in again] == [
+        r.grain
+        for r in recommend_aggregates(
+            cube, _advisor_workload(), max_tables=3
+        )
+    ]
+
+
+def test_advisor_respects_non_mergeable_exact_grain(spark):
+    # a distinct-count query is covered ONLY by its exact grain: the
+    # finer (anio, mes) candidate covers the count query but NOT the
+    # distinct query at (anio,) — coverage is choose_aggregate itself
+    from datawarehousefinal_spark.operators.aggnav import (
+        recommend_aggregates,
+    )
+
+    cube = _dc_cube(spark)
+    workload = [
+        "SELECT {[Measures].[Clientes]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Mes].Members} ON ROWS FROM [Toy]",
+    ]
+    recs = recommend_aggregates(cube, workload, max_tables=3)
+    by_grain = {r.grain: r for r in recs}
+    assert by_grain[("anio",)].covers == (0,)
+    assert by_grain[("anio", "mes")].covers == (1,)
+
+
+def test_advisor_materialized_picks_serve_the_workload(spark):
+    # end-to-end: materialize what the advisor says, register on the
+    # cube, and every workload query answers identically to the fact
+    from datawarehousefinal_spark.operators.aggnav import (
+        materialize_aggregate,
+        mdx_query_navigated,
+        recommend_aggregates,
+    )
+
+    cube = _cube(spark)
+    recs = recommend_aggregates(cube, _advisor_workload(), max_tables=2)
+    tables = [
+        materialize_aggregate(
+            cube,
+            [
+                next(
+                    spec
+                    for spec, col in {
+                        "Fecha.Anio": "anio",
+                        "Fecha.Mes": "mes",
+                        "Persona.Pais": "pais",
+                    }.items()
+                    if col == c
+                )
+                for c in r.grain
+            ],
+            name=f"rec_{i}",
+        )
+        for i, r in enumerate(recs)
+    ]
+    for q in _advisor_workload():
+        got = mdx_query_navigated(cube, q, tables)
+        want = mdx_query(cube, q)
+        assert _sorted_rows(got) == _sorted_rows(want)
