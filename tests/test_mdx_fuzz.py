@@ -405,3 +405,160 @@ def test_mdx_time_intelligence_agrees_with_independent_sql(spark, seed):
         f"seed {seed} spec {spec}\nMDX: {mdx}\nSQL: {sql}\n"
         f"got {got}\nwant {want}"
     )
+
+
+# -- custom-group battery ------------------------------------------------------
+# WITH MEMBER [Dim].[Level].[Name] AS 'AGGREGATE({...})' — the remap
+# must agree with an independently-written CASE ... GROUP BY, under
+# random group compositions, bare-member mixes, slicers and wrappers.
+
+
+def _gen_cg_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    countries = ["A", "B", "C"]
+    group = rng.sample(countries, rng.randint(1, 2))
+    bare = [c for c in countries if c not in group]
+    if rng.random() < 0.5 and len(bare) > 1:
+        bare = rng.sample(bare, 1)
+    return {
+        "group": sorted(group),
+        "bare": sorted(bare),
+        "measures": rng.sample(["Cantidad", "Total", "Promedio"], 2),
+        "slicer": rng.choice([None, "X", "Y"]),
+        "top": rng.choice([None, 1, 2]),
+    }
+
+
+def _render_cg_mdx(spec: dict) -> str:
+    members = ", ".join(
+        f"[Persona].[Pais].[{v}]" for v in spec["group"]
+    )
+    rows_items = ["[Persona].[Pais].[Grupo]"] + [
+        f"[Persona].[Pais].[{v}]" for v in spec["bare"]
+    ]
+    rows = "{" + ", ".join(rows_items) + "}"
+    if spec["top"]:
+        rows = f"TOPCOUNT({rows}, {spec['top']}, [Measures].[Cantidad])"
+    cols = ", ".join(f"[Measures].[{m}]" for m in spec["measures"])
+    q = (
+        f"WITH MEMBER [Persona].[Pais].[Grupo] AS "
+        f"'AGGREGATE({{{members}}})' "
+        f"SELECT {{{cols}}} ON COLUMNS, {rows} ON ROWS FROM [Fuzz]"
+    )
+    if spec["slicer"]:
+        q += f" WHERE ([Cliente].[Seg].[{spec['slicer']}])"
+    return q
+
+
+def _render_cg_sql(spec: dict) -> str:
+    gvals = ", ".join(f"'{v}'" for v in spec["group"])
+    allvals = ", ".join(
+        f"'{v}'" for v in spec["group"] + spec["bare"]
+    )
+    remap = (
+        f"CASE WHEN pais IN ({gvals}) THEN 'Grupo' ELSE pais END"
+    )
+    sel = [f"{remap} AS pais"] + [
+        f"{_SQL_AGG[m]} AS {_MEASURES[m][2]}" for m in spec["measures"]
+    ]
+    where = [f"pais IN ({allvals})"]
+    if spec["slicer"]:
+        where.append(f"seg = '{spec['slicer']}'")
+    sql = (
+        f"SELECT {', '.join(sel)} FROM star "
+        f"WHERE {' AND '.join(where)} GROUP BY 1"
+    )
+    if spec["top"]:
+        sql += (
+            f" ORDER BY count(medida) DESC, 1 LIMIT {spec['top']}"
+        )
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(700, 715))
+def test_mdx_custom_groups_agree_with_independent_sql(spark, seed):
+    spec = _gen_cg_spec(seed)
+    mdx = _render_cg_mdx(spec)
+    sql = _render_cg_sql(spec)
+    got = _norm([tuple(r) for r in mdx_query(_cube(spark), mdx).collect()])
+    con = duckdb.connect()
+    try:
+        con.register("star", _PDF)
+        want = _norm(con.execute(sql).fetchall())
+    finally:
+        con.close()
+    assert got == want, (
+        f"seed {seed} spec {spec}\nMDX: {mdx}\nSQL: {sql}\n"
+        f"got {got}\nwant {want}"
+    )
+
+
+# -- compound-slicer battery ---------------------------------------------------
+# WHERE {(tuple), (tuple)} — the OR-of-ANDs must agree with the
+# independently-written SQL disjunction for random tuple sets.
+
+
+def _gen_cs_spec(seed: int) -> dict:
+    rng = random.Random(seed)
+    n_tuples = rng.randint(1, 3)
+    tuples = []
+    seen = set()
+    while len(tuples) < n_tuples:
+        t = (rng.choice([2023, 2024, 2025]), rng.choice(["X", "Y"]))
+        if t not in seen:
+            seen.add(t)
+            tuples.append(t)
+    return {
+        "tuples": tuples,
+        "measures": rng.sample(["Cantidad", "Total", "Minimo"], 2),
+        "shape": rng.choice(
+            [
+                ("{[Persona].[Pais].Members}", ["pais"]),
+                ("{[Fecha].[Mes].Members}", ["anio", "mes"]),
+            ]
+        ),
+    }
+
+
+def _render_cs_mdx(spec: dict) -> str:
+    cols = ", ".join(f"[Measures].[{m}]" for m in spec["measures"])
+    tuples = ", ".join(
+        f"([Fecha].[Anio].[{a}], [Cliente].[Seg].[{s}])"
+        for a, s in spec["tuples"]
+    )
+    return (
+        f"SELECT {{{cols}}} ON COLUMNS, {spec['shape'][0]} ON ROWS "
+        f"FROM [Fuzz] WHERE {{{tuples}}}"
+    )
+
+
+def _render_cs_sql(spec: dict) -> str:
+    gcols = spec["shape"][1]
+    sel = list(gcols) + [
+        f"{_SQL_AGG[m]} AS {_MEASURES[m][2]}" for m in spec["measures"]
+    ]
+    legs = " OR ".join(
+        f"(anio = {a} AND seg = '{s}')" for a, s in spec["tuples"]
+    )
+    return (
+        f"SELECT {', '.join(sel)} FROM star WHERE {legs} "
+        f"GROUP BY {', '.join(gcols)}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(800, 815))
+def test_mdx_compound_slicers_agree_with_independent_sql(spark, seed):
+    spec = _gen_cs_spec(seed)
+    mdx = _render_cs_mdx(spec)
+    sql = _render_cs_sql(spec)
+    got = _norm([tuple(r) for r in mdx_query(_cube(spark), mdx).collect()])
+    con = duckdb.connect()
+    try:
+        con.register("star", _PDF)
+        want = _norm(con.execute(sql).fetchall())
+    finally:
+        con.close()
+    assert got == want, (
+        f"seed {seed} spec {spec}\nMDX: {mdx}\nSQL: {sql}\n"
+        f"got {got}\nwant {want}"
+    )
