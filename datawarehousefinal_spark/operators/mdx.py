@@ -104,10 +104,13 @@ Supported subset (the shapes the reference schema can answer):
   axis is always single-grain (the All-lattice refusal below), so
   there is no parent order to preserve or break. Sorts
   group-count-many aggregated rows, never the fact.
-- ``FILTER(<set>, <measure-expr> <cmp> <measure-expr>)`` on the rows
-  axis: a post-aggregation HAVING (cmp in ``< <= > >= = <>``); the
-  sides are calculated-member expressions, so ratios and composites
-  filter too.
+- ``FILTER(<set>, <condition>)`` on the rows axis: a post-aggregation
+  HAVING. The condition is a BOOLEAN tree of comparisons (cmp in
+  ``< <= > >= = <>``) composed with ``AND`` / ``OR`` and parentheses
+  (AND binds tighter, the MDX/SQL convention; parens group booleans
+  or arithmetic — ``(a + b) > c`` works too); each comparison's sides
+  are calculated-member expressions, so ratios and composites filter.
+  NOT is out of scope — rewrite with the inverse comparison.
 - ``HEAD(<set>[, n])`` / ``TAIL(<set>[, n])`` on the rows axis (count
   defaults to 1, Mondrian's documented default; must be ≥ 1 — loud
   otherwise): the first/last n members of the inner set IN ITS OWN
@@ -1160,14 +1163,51 @@ class _Parser:
             self.expect_punct("(")
             inner = self.parse_rows_axis()
             self.expect_punct(",")
-            left = self.calc_expr()
-            okind, oval = self.next()
-            if okind != "op" or oval not in ("<", "<=", ">", ">=", "=", "<>"):
-                raise MdxError(f"expected a comparison operator, got {oval!r}")
-            right = self.calc_expr()
+            cond = self._filter_cond()
             self.expect_punct(")")
-            return ("filter", inner, (oval, left, right))
+            return ("filter", inner, cond)
         return ("nodes", self.parse_set())
+
+    # FILTER condition := and-term (OR and-term)*
+    #   and-term      := factor (AND factor)*
+    #   factor        := '(' condition ')' | expr cmp expr
+    # AND binds tighter than OR (the MDX/SQL convention); NOT is out
+    # of scope (rewrite with the inverse comparison).
+    def _filter_cond(self):
+        node = self._filter_and()
+        while self.peek()[0] == "word" and self.peek()[1].upper() == "OR":
+            self.next()
+            node = ("or", node, self._filter_and())
+        return node
+
+    def _filter_and(self):
+        node = self._filter_factor()
+        while self.peek()[0] == "word" and self.peek()[1].upper() == "AND":
+            self.next()
+            node = ("and", node, self._filter_factor())
+        return node
+
+    def _filter_factor(self):
+        if self.peek() == ("punct", "("):
+            # a paren may open a BOOLEAN group or an ARITHMETIC
+            # sub-expression ("(a + b) > c") — try the boolean read,
+            # backtrack to the comparison read if it isn't one
+            save = self.i
+            self.next()
+            try:
+                node = self._filter_cond()
+                self.expect_punct(")")
+                return node
+            except MdxError:
+                self.i = save
+        left = self.calc_expr()
+        okind, oval = self.next()
+        if okind != "op" or oval not in ("<", "<=", ">", ">=", "=", "<>"):
+            raise MdxError(
+                f"expected a comparison operator, got {oval!r}"
+            )
+        right = self.calc_expr()
+        return ("cmp", oval, left, right)
 
 
 def _rec(display: tuple) -> dict:
@@ -1852,8 +1892,8 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
             wrappers.append(("order", expr, desc))
         else:
             _, inner, cond = rows_node
-            _validate_refs(cond[1], cube, calc_members)
-            _validate_refs(cond[2], cube, calc_members)
+            for e in _cond_exprs(cond):
+                _validate_refs(e, cube, calc_members)
             wrappers.append(("filter", cond))
         rows_node = inner
     (
@@ -2078,6 +2118,34 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
     )
 
 
+def _cond_exprs(cond):
+    """Yield every arithmetic expression inside a FILTER condition
+    tree (("cmp", op, l, r) leaves under and/or nodes)."""
+    if cond[0] in ("and", "or"):
+        yield from _cond_exprs(cond[1])
+        yield from _cond_exprs(cond[2])
+    else:
+        yield cond[2]
+        yield cond[3]
+
+
+def _build_cond(cond, cube: CubeDef, calc_members: dict) -> Column:
+    """Compile a FILTER condition tree to a boolean Column."""
+    if cond[0] == "and":
+        return _build_cond(cond[1], cube, calc_members) & _build_cond(
+            cond[2], cube, calc_members
+        )
+    if cond[0] == "or":
+        return _build_cond(cond[1], cube, calc_members) | _build_cond(
+            cond[2], cube, calc_members
+        )
+    _tag, op, left, right = cond
+    return _CMP[op](
+        _build_expr(left, cube, calc_members),
+        _build_expr(right, cube, calc_members),
+    )
+
+
 def _validate_refs(expr, cube: CubeDef, calc_members: dict) -> None:
     """Every ("ref", name) in a calculated-member / FILTER expression
     must name a base measure or an ALREADY-DEFINED calculated member
@@ -2297,8 +2365,8 @@ def _collect_wrapper_specs(sel: MdxSelect, cube: CubeDef, collect, out):
         elif w[0] == "order":
             collect(w[1], cube, sel.calc_members, out)
         elif w[0] == "filter":
-            collect(w[1][1], cube, sel.calc_members, out)
-            collect(w[1][2], cube, sel.calc_members, out)
+            for e in _cond_exprs(w[1]):
+                collect(e, cube, sel.calc_members, out)
 
 
 def _attach_periods_to_date(
@@ -2899,7 +2967,10 @@ def needed_base_measures(sel: MdxSelect, cube: CubeDef) -> list[str]:
         elif w[0] == "order":
             ref = w[1]
         else:
-            ref = ("bin", "+", w[1][1], w[1][2])
+            exprs = list(_cond_exprs(w[1]))
+            ref = exprs[0]
+            for e in exprs[1:]:
+                ref = ("bin", "+", ref, e)
         _collect_base_refs(ref, cube, sel.calc_members, needed)
     if not needed:
         raise MdxError("query selects no base measures to aggregate")
@@ -3072,12 +3143,8 @@ def execute_select(
 
     for w in reversed(sel.wrappers):
         if w[0] == "filter":
-            op, left, right = w[1]
             out = out.filter(
-                _CMP[op](
-                    _build_expr(left, cube, sel.calc_members),
-                    _build_expr(right, cube, sel.calc_members),
-                )
+                _build_cond(w[1], cube, sel.calc_members)
             )
         elif w[0] == "order":
             _tag, expr, desc = w

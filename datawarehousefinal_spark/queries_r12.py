@@ -1149,3 +1149,56 @@ def aggregate_advisor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "grain string, cells bigint, n_covers int",
     )
+
+
+# ---------------------------------------------------------------------------
+# MDX FILTER with boolean conditions
+# ---------------------------------------------------------------------------
+
+_MDX_FILTER_BOOL_STATEMENT = """
+SELECT {[Measures].[Cantidad Movimientos],
+        [Measures].[Promedio Medida]} ON COLUMNS,
+       FILTER({[Persona].[Nacionalidad].Members},
+              [Measures].[Promedio Medida] > 250000 AND
+              [Measures].[Cantidad Movimientos] > 100 OR
+              [Measures].[Promedio Medida] < 230000) ON ROWS
+FROM [Movimientos]
+WHERE ([Cliente].[Segmento].[BUILDING])
+"""
+
+
+@query(
+    "mdx_filter_boolean",
+    oracle="""
+    SELECT n.n_name AS nacionalidad,
+           count(o.o_custkey) AS cantidad_movimientos,
+           avg(o.o_totalprice) AS promedio_medida
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    HAVING avg(o.o_totalprice) > 250000 AND count(o.o_custkey) > 100
+        OR avg(o.o_totalprice) < 230000
+    """,
+)
+def mdx_filter_boolean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER with a BOOLEAN condition — ``a > x AND b < y OR c < z``,
+    the compound HAVING every real report builder reaches for
+    ("expensive AND busy markets, or outright cheap ones" — thresholds
+    chosen to keep 8 of 25 nations at the driver's sf0.01, so the
+    boolean genuinely discriminates). The condition parses as a tree
+    of comparisons under AND/OR with the SQL precedence (AND binds
+    tighter — the oracle's bare HAVING relies on DuckDB applying the
+    identical precedence, so hash equality pins the parse, not just
+    the arithmetic), compiles to one boolean Column over the
+    aggregated cells, and composes with calculated members and the
+    other wrappers. Parenthesized boolean groups and arithmetic
+    sub-expressions disambiguate by backtracking (pinned by unit
+    tests). 100 TB: a HAVING over group-count-many cells — free."""
+    from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries_r10 import _movimientos_cube
+
+    return mdx_query(
+        _movimientos_cube(spark, sf_dir), _MDX_FILTER_BOOL_STATEMENT
+    )

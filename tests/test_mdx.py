@@ -3016,3 +3016,90 @@ def test_mdx_toppercent_zero_total_keeps_first_member(spark):
         "[Measures].[Cantidad]) ON ROWS FROM [Toy]",
     ).collect()
     assert [(r["pais"], r["n"]) for r in rows] == [("AR", 0)]
+
+
+# ---------------------------------------------------------------------------
+# FILTER with boolean AND/OR conditions
+# ---------------------------------------------------------------------------
+# per-pais totals: AR 70 (n=3), CL 50 (n=1), BR 30 (n=1)
+
+
+def test_mdx_filter_and_condition(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               FILTER({[Persona].[Pais].Members},
+                      [Measures].[Total] > 40 AND
+                      [Measures].[Cantidad] < 2) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [("CL", 50.0)]
+
+
+def test_mdx_filter_or_condition(spark):
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               FILTER({[Persona].[Pais].Members},
+                      [Measures].[Total] > 60 OR
+                      [Measures].[Total] < 40) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {(r["pais"], r["sum_medida"]) for r in rows} == {
+        ("AR", 70.0), ("BR", 30.0),
+    }
+
+
+def test_mdx_filter_and_binds_tighter_than_or(spark):
+    # A OR B AND C parses as A OR (B AND C): keeps AR (70>60) plus
+    # rows with total<60 AND n=1 → CL and BR. A left-to-right
+    # (A OR B) AND C misparse would drop AR (its n is 3).
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               FILTER({[Persona].[Pais].Members},
+                      [Measures].[Total] > 60 OR
+                      [Measures].[Total] < 60 AND
+                      [Measures].[Cantidad] = 1) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    assert {r["pais"] for r in rows} == {"AR", "CL", "BR"}
+
+
+def test_mdx_filter_paren_groups_boolean_and_arithmetic(spark):
+    # boolean parens flip the precedence; arithmetic parens still work
+    rows = mdx_query(
+        _toy_cube(spark),
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               FILTER({[Persona].[Pais].Members},
+                      ([Measures].[Total] > 60 OR
+                       [Measures].[Total] < 60) AND
+                      ([Measures].[Cantidad] + 1) > 2) ON ROWS
+        FROM [Toy]
+        """,
+    ).collect()
+    # (true OR ...) AND n+1>2 → only AR has n=3
+    assert [(r["pais"], r["sum_medida"]) for r in rows] == [("AR", 70.0)]
+
+
+def test_mdx_filter_boolean_errors_are_loud(spark):
+    for bad in (
+        # dangling OR
+        "FILTER({[Persona].[Pais].Members}, [Measures].[Total] > 1 OR)",
+        # comparison chain without a boolean op
+        "FILTER({[Persona].[Pais].Members}, "
+        "[Measures].[Total] > 1 [Measures].[Cantidad] < 2)",
+    ):
+        with pytest.raises(MdxError):
+            mdx_query(
+                _toy_cube(spark),
+                f"SELECT {{[Measures].[Total]}} ON COLUMNS, {bad} "
+                "ON ROWS FROM [Toy]",
+            ).collect()

@@ -112,6 +112,7 @@ def _gen_spec(seed: int) -> dict:
         kind = rng.choice([
             "topcount", "bottomcount", "head", "tail", "filter",
             "toppercent", "bottompercent", "topsum", "bottomsum",
+            "filter_bool",
         ])
         if kind in ("topcount", "bottomcount"):
             wrapper = (kind, rng.randint(1, 4), rng.choice(measures))
@@ -124,6 +125,12 @@ def _gen_spec(seed: int) -> dict:
             wrapper = (kind, rng.choice([30, 55, 80]), "Cantidad")
         elif kind in ("topsum", "bottomsum"):
             wrapper = (kind, rng.choice([5, 12, 25]), "Cantidad")
+        elif kind == "filter_bool":
+            m1, m2 = rng.sample(sorted(_MEASURES), 2)
+            wrapper = (
+                "filter_bool", m1, rng.choice([10, 40]),
+                rng.choice(["AND", "OR"]), m2, rng.choice([5, 60]),
+            )
         else:
             wrapper = ("filter", rng.choice(measures), rng.choice([10, 40, 60]))
     return {
@@ -155,6 +162,12 @@ def _render_mdx(spec: dict) -> str:
             rows = f"{w[0].upper()}({rows}, {w[1]}, [Measures].[{w[2]}])"
         elif w[0] in ("head", "tail"):
             rows = f"{w[0].upper()}({rows}, {w[1]})"
+        elif w[0] == "filter_bool":
+            _t, m1, v1, op, m2, v2 = w
+            rows = (
+                f"FILTER({rows}, [Measures].[{m1}] > {v1} {op} "
+                f"[Measures].[{m2}] < {v2})"
+            )
         else:
             rows = f"FILTER({rows}, [Measures].[{w[1]}] > {w[2]})"
     q = (
@@ -214,6 +227,12 @@ def _render_sql(spec: dict) -> str:
     if w:
         if w[0] == "filter":
             sql += f" HAVING {_SQL_AGG[w[1]]} > {w[2]}"
+        elif w[0] == "filter_bool":
+            _t, m1, v1, op, m2, v2 = w
+            sql += (
+                f" HAVING {_SQL_AGG[m1]} > {v1} {op} "
+                f"{_SQL_AGG[m2]} < {v2}"
+            )
         elif w[0] in ("topcount", "bottomcount"):
             d = "DESC" if w[0] == "topcount" else "ASC"
             keys = ", ".join(gcols)
