@@ -474,6 +474,39 @@ def _word_ngrams_all(text_col: Column | str, n: int) -> Column:
     )
 
 
+def _run_length_dup_stats(grams: Column) -> Column:
+    """``struct(dup long, top long)`` repetition stats of a gram array,
+    computed entirely within the row: ``array_sort`` groups equal grams
+    into runs, then one ``F.aggregate`` pass accumulates
+    ``dup = sum((run_len - 1) * len(gram))`` (each repeat occurrence
+    after a run's first adds ``len(gram)``) and
+    ``top = max(run_len * len(gram))``. Empty arrays yield (0, 0)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("top"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        glen = F.length(g).cast("long")
+        same = acc["prev"].isNotNull() & (acc["prev"] == g)
+        run = F.when(same, acc["run"] + F.lit(1)).otherwise(F.lit(1)).cast("long")
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(same, acc["dup"] + glen).otherwise(acc["dup"]).alias("dup"),
+            F.greatest(acc["top"], run * glen).alias("top"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        acc0,
+        step,
+        lambda acc: F.struct(acc["dup"].alias("dup"), acc["top"].alias("top")),
+    )
+
+
 def dup_ngram_stats(
     df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (2, 3)
 ) -> DataFrame:
@@ -493,48 +526,37 @@ def dup_ngram_stats(
     spans may overlap, so fractions can exceed 1 for degenerate
     repetition, which is exactly the signal (Gopher cuts at ~0.2).
 
-    Scale shape: per ``n``, one map-only gram explode, a
-    ``groupBy(id, gram)`` partial-combined count, a ``groupBy(id)``
-    reduce, and an id-keyed join back to the document spine — all keys
-    uniform (gram counts are per-document, so a corpus-wide hot gram
-    never concentrates on one task, unlike corpus-level gram stats).
-    Everything is codegen'd column expressions; SQL-replayable.
+    Scale shape: MAP-ONLY. Gram counts are per-document, so there is
+    nothing to shuffle: each row sorts its own gram array and run-length
+    scans it (:func:`_run_length_dup_stats`) — one codegen'd projection,
+    no explode, no groupBy, no join back to the spine (the previous
+    explode → groupBy(id, gram) → groupBy(id) → join shape shuffled the
+    full gram stream twice per ``n`` for a result that never leaves the
+    row). Cost is O(k log k) per document in-task; a document's work is
+    indivisible either way — per-(id, gram) keys only spread one doc's
+    grams across tasks to reduce them straight back to one id key — and
+    ``_fan_out`` still spreads compact one-file corpora across cores.
+    SQL-replayable.
 
     Output: ``id_col, n_chars (long)`` + the two fraction columns
     (double, 0.0 for token-less documents) per requested ``n``.
     """
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.length(text_col).cast("long").alias("n_chars")
-    )
-    out = base
+    sel = [F.col(id_col), F.length(text_col).cast("long").alias("n_chars")]
     for n in ns:
-        grams = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
-            F.col(id_col), F.explode(_word_ngrams_all(text_col, n)).alias("gram")
+        sel.append(
+            _run_length_dup_stats(_word_ngrams_all(text_col, n)).alias(f"__st{n}")
         )
-        counts = grams.groupBy(id_col, "gram").agg(
-            F.count(F.lit(1)).alias("__cnt")
-        )
-        glen = F.length("gram")
-        agg = counts.groupBy(id_col).agg(
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("__cnt") >= 2, (F.col("__cnt") - 1) * glen)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"__dup{n}"),
-            F.max(F.col("__cnt") * glen).cast("long").alias(f"__top{n}"),
-        )
-        out = out.join(agg, id_col, "left")
+    out = _fan_out(df.filter(F.col(text_col).isNotNull())).select(*sel)
     chars = F.col("n_chars")
     fracs = []
     for n in ns:
-        for fam, src in (("dup", f"__dup{n}"), ("top", f"__top{n}")):
+        for fam in ("dup", "top"):
             fracs.append(
                 F.when(
                     chars > 0,
-                    F.coalesce(F.col(src), F.lit(0)).cast("double") / chars,
+                    F.coalesce(F.col(f"__st{n}")[fam], F.lit(0))
+                    .cast("double")
+                    / chars,
                 )
                 .otherwise(F.lit(0.0))
                 .cast("double")
