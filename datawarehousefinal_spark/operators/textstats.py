@@ -196,26 +196,58 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     of the single most repeated token — low distinct ratio or a dominant
     token flags boilerplate/spam for the curation funnel.
 
-    Two-stage aggregation, one logical shuffle: explode to (doc, token)
-    → partial-combined counts → per-doc sum/count/max. Null texts are
-    excluded (no tokens to measure).
+    MAP-ONLY: every statistic is a function of one document's own token
+    multiset, so nothing shuffles — each row sorts its token array and
+    one ``F.aggregate`` run-length pass yields the distinct count and
+    the max multiplicity (the previous explode → groupBy(id, token) →
+    groupBy(id) shape shuffled the full token stream twice to reduce it
+    straight back to one row per id). Null and token-less texts are
+    excluded (no tokens to measure), matching the explode semantics.
 
     Output: ``id_col, n_tokens, n_distinct, distinct_ratio,
     top_token_frac``.
     """
-    exp = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
-        F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("__tok")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("distinct"),
+        F.lit(0).cast("long").alias("maxrun"),
     )
-    counts = exp.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__n"))
-    return counts.groupBy(id_col).agg(
-        F.sum("__n").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        (F.count(F.lit(1)).cast("double") / F.sum("__n").cast("double")).alias(
-            "distinct_ratio"
-        ),
-        (F.max("__n").cast("double") / F.sum("__n").cast("double")).alias(
-            "top_token_frac"
-        ),
+
+    def step(acc: Column, t: Column) -> Column:
+        same = acc["prev"].isNotNull() & (acc["prev"] == t)
+        run = F.when(same, acc["run"] + F.lit(1)).otherwise(F.lit(1)).cast("long")
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.when(same, acc["distinct"])
+            .otherwise(acc["distinct"] + F.lit(1))
+            .alias("distinct"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+        )
+
+    base = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col), whitespace_tokens(text_col).alias("__toks")
+    )
+    scanned = base.filter(F.size("__toks") > 0).select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort("__toks"),
+            acc0,
+            step,
+            lambda acc: F.struct(
+                acc["distinct"].alias("distinct"), acc["maxrun"].alias("maxrun")
+            ),
+        ).alias("__st"),
+    )
+    ntok = F.col("n_tokens").cast("double")
+    return scanned.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("__st")["distinct"].alias("n_distinct"),
+        (F.col("__st")["distinct"].cast("double") / ntok).alias("distinct_ratio"),
+        (F.col("__st")["maxrun"].cast("double") / ntok).alias("top_token_frac"),
     )
 
 
