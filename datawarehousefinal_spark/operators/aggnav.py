@@ -106,7 +106,16 @@ def _state_columns(cube: CubeDef) -> list[tuple[str, str, Column]]:
         elif agg == "sum":
             add(alias, "sum", F.sum(col))
         elif agg == "avg":
-            add(alias, "sum", F.sum(col))
+            # EXACT decimal sum-state, not double: double addition is not
+            # associative, so a merged/re-folded rollup's avg differed
+            # from the fact-path scan-order sum by one ulp (the r12
+            # driver red — 49/79 cells off by rel ~1e-16). DECIMAL(20,4)
+            # is exact for every cube avg input (2-dp money, integer
+            # quantities), decimal addition IS associative, so
+            # merge ≡ rebuild becomes bit-identical; reagg_expr casts
+            # the exact sum to double once at serve (correctly rounded
+            # in both Spark and DuckDB) and divides.
+            add(alias, "sum", F.sum(F.col(col).cast("decimal(20,4)")))
             add(alias, "cnt", F.count(col))
         elif agg == "min":
             add(alias, "min", F.min(col))
@@ -270,8 +279,15 @@ def reagg_expr(cube: CubeDef, measure_name: str) -> Column:
     if agg == "sum":
         return F.sum(f"{alias}__sum").alias(alias)
     if agg == "avg":
+        # exact decimal re-sum → ONE correctly-rounded double conversion
+        # → ONE IEEE division: bit-identical in Spark and DuckDB no
+        # matter how the cells were partitioned or merged (decimal
+        # addition is associative; double addition is not — the r12
+        # one-ulp driver red). Oracles of rollup-served avg faces use
+        # the matching CAST(sum(CAST(x AS DECIMAL(20,4))) AS DOUBLE)/count.
         return (
-            F.sum(f"{alias}__sum") / F.sum(f"{alias}__cnt")
+            F.sum(f"{alias}__sum").cast("double")
+            / F.sum(f"{alias}__cnt")
         ).alias(alias)
     if agg == "min":
         return F.min(f"{alias}__min").alias(alias)

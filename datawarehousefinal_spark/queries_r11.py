@@ -278,11 +278,17 @@ def mdx_children_drilldown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mdx_aggregate_navigator",
+    # avg via the rollup's EXACT decimal sum-state: the oracle mirrors
+    # the serve contract (one exact decimal sum → one correctly-rounded
+    # double → one division) so the hash is partitioning-independent —
+    # plain avg() sums doubles in scan order, which differs from any
+    # re-associated sum by an ulp (the r12 incremental-rollup red).
     oracle="""
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
            CAST(month(o.o_orderdate) AS INTEGER) AS mes,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+             / count(o.o_totalprice) AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -333,11 +339,18 @@ def mdx_aggregate_navigator_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "incremental_aggregate_rollup",
+    # avg serve contract = exact decimal sum → double → divide (see
+    # mdx_aggregate_navigator): this face's merged rollup re-associates
+    # the sum (even-day half + odd-day half), which under double
+    # addition differed from the oracle's scan-order avg() by one ulp
+    # in 49/79 cells — the r12 driver red. Decimal states make
+    # merge ≡ rebuild bit-identical, not approximately hashed.
     oracle="""
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
            CAST(month(o.o_orderdate) AS INTEGER) AS mes,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+             / count(o.o_totalprice) AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING'

@@ -460,11 +460,16 @@ FROM [Movimientos]
 
 @query(
     "mdx_navigator_partition_pruned",
+    # avg serve contract = exact decimal sum → double → divide (see
+    # mdx_aggregate_navigator in queries_r11.py): rollup-served avg
+    # re-associates the sum across cells, so the oracle mirrors the
+    # partitioning-independent exact-decimal formula.
     oracle="""
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
            n.n_name AS nacionalidad,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+             / count(o.o_totalprice) AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
