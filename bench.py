@@ -113,6 +113,7 @@ def main() -> None:
         out["common_prev"] = prev_sum
         out["ratio"] = round(now_sum / prev_sum, 4) if prev_sum else None
         if out["ratio"]:
+            drifts = {}
             for probe, drift_key, adj_key in (
                 ("bench_calibration", "calibration_drift",
                  "ratio_drift_adjusted"),
@@ -122,8 +123,37 @@ def main() -> None:
                 cal_now, cal_prev = timings.get(probe), prev.get(probe)
                 if cal_now and cal_prev:
                     drift = cal_now / cal_prev
+                    drifts[probe] = drift
                     out[drift_key] = round(drift, 4)
                     out[adj_key] = round(out["ratio"] / drift, 4)
+            # Per-face adjudication (round-12 verdict #7): a face's
+            # round-over-round ratio is "explained" if it sits within
+            # 1.25x of EITHER probe's drift (codegen-bound faces track
+            # the arithmetic probe, scan/shuffle/Arrow-bound faces the
+            # IO probe). What's left is the measured outlier list —
+            # tail-face adjudication as data instead of argument. Only
+            # faces big enough to measure (>=0.5 s in either round)
+            # are adjudicated; sub-half-second faces are noise-bound.
+            if drifts:
+                unexplained = {}
+                n_expl = 0
+                for q in common:
+                    now_t, prev_t = timings[q], prev[q]
+                    if max(now_t, prev_t) < 0.5 or not prev_t:
+                        continue
+                    r = now_t / prev_t
+                    if any(d / 1.25 <= r <= d * 1.25
+                           for d in drifts.values()):
+                        n_expl += 1
+                    else:
+                        unexplained[q] = round(r, 3)
+                top = sorted(unexplained.items(),
+                             key=lambda kv: -abs(kv[1] - 1))[:15]
+                out["adjudication"] = {
+                    "explained": n_expl,
+                    "unexplained_n": len(unexplained),
+                    "unexplained_top": dict(top),
+                }
     except (OSError, ValueError, KeyError):
         pass
     line = json.dumps(out)

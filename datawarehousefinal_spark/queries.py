@@ -50,6 +50,23 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _ulp_contract(df: DataFrame, *cols: str, digits: int = 6) -> DataFrame:
+    """Serve-boundary float contract for faces whose double math
+    legitimately RE-ASSOCIATES (parallel sums, window recurrences,
+    different-order dot products): round the named served columns to a
+    fixed decimal grid so the driver's full-precision hash stops
+    depending on summation order. Empirically bit-identical across
+    engines: Spark's Round (BigDecimal HALF_UP) and DuckDB's round()
+    agree on 70k mixed-magnitude doubles except -0.0 (DuckDB keeps the
+    sign — oracles add ``+ 0`` to normalize). The paired oracle MUST
+    wrap the same column in ``round(x, digits) + 0``. Only for columns
+    whose magnitude keeps the divergence far below the grid (avgs,
+    bounded scores — NOT raw money sums, which get exact DECIMAL
+    contracts instead, because a sum's magnitude grows with the data
+    until the ulp crosses any fixed grid)."""
+    return df.withColumns({c: F.round(F.col(c), digits) for c in cols})
+
+
 def _scratch_path(name: str, sf_dir: str, suffix: str = "") -> str:
     """Per-CALL scratch location for sink-roundtrip queries.
 
@@ -165,7 +182,7 @@ def movements_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nacionalidad,
            c.c_mktsegment AS segmento,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           round(avg(o.o_totalprice), 6) + 0 AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -184,7 +201,7 @@ def cube_measures_by_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = orders.join(
         F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
-    return olap.cube_measures(
+    out = olap.cube_measures(
         star.select(
             F.col("n_name").alias("nacionalidad"),
             F.col("c_mktsegment").alias("segmento"),
@@ -195,6 +212,8 @@ def cube_measures_by_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="o_custkey",
         avg_col="o_totalprice",
     ).withColumnsRenamed({"promedio_edades": "promedio_medida"})
+    # engines hash-partition groups differently → avg re-associates
+    return _ulp_contract(out, "promedio_medida")
 
 
 @query(
@@ -203,7 +222,7 @@ def cube_measures_by_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nacionalidad,
            c.c_mktsegment AS segmento,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           round(avg(o.o_totalprice), 6) + 0 AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -247,10 +266,11 @@ def sql_cube_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         },
     )
-    return spark.sql(
+    out = spark.sql(
         "SELECT nacionalidad, segmento, cantidad_movimientos, promedio_medida "
         "FROM v_cube_movimientos"
     )
+    return _ulp_contract(out, "promedio_medida")
 
 
 # ---------------------------------------------------------------------------
@@ -952,7 +972,7 @@ def entity_resolution_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS provincia, n.n_name AS canton,
            count(s.s_suppkey) AS cantidad_movimientos,
-           avg(s.s_acctbal) AS promedio_medida
+           round(avg(s.s_acctbal), 6) + 0 AS promedio_medida
     FROM supplier s
     LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -971,7 +991,7 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left"
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
-    return rollup_measures(
+    out = rollup_measures(
         star.select(
             F.col("r_name").alias("provincia"),
             F.col("n_name").alias("canton"),
@@ -982,6 +1002,8 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="s_suppkey",
         avg_col="s_acctbal",
     ).withColumnsRenamed({"promedio_edades": "promedio_medida"})
+    # rollup grand-total cells re-associate the avg — contract
+    return _ulp_contract(out, "promedio_medida")
 
 
 # ---------------------------------------------------------------------------
@@ -2429,9 +2451,9 @@ def seeded_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents)
     SELECT doc_id AS media_id,
            len(codes)::BIGINT AS n_bytes,
-           list_avg(codes)::DOUBLE AS mean_byte,
-           sqrt(list_avg(list_transform(codes, x -> x*x))::DOUBLE
-                - list_avg(codes)::DOUBLE ^ 2) AS std_byte,
+           round(list_avg(codes)::DOUBLE, 6) + 0 AS mean_byte,
+           round(sqrt(list_avg(list_transform(codes, x -> x*x))::DOUBLE
+                      - list_avg(codes)::DOUBLE ^ 2), 6) + 0 AS std_byte,
            list_min(codes)::INTEGER AS min_byte,
            list_max(codes)::INTEGER AS max_byte
     FROM b
@@ -2449,7 +2471,8 @@ def media_byte_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    return byte_stats(media)
+    # numpy's pairwise mean/std vs the oracle's fold — contract
+    return _ulp_contract(byte_stats(media), "mean_byte", "std_byte")
 
 
 # ---------------------------------------------------------------------------
@@ -2463,7 +2486,7 @@ def media_byte_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
                FROM embeddings)
-    SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, round(cosine, 6) + 0 AS cosine FROM (
         SELECT q.query_id, c.neighbor_id,
                list_cosine_similarity(q.qv, c.cv) AS cosine,
                row_number() OVER (
@@ -2484,7 +2507,9 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, queries, "vec_id", "embedding", k=5, dim=64)
+    out = cosine_topk(emb, queries, "vec_id", "embedding", k=5, dim=64)
+    # dot-product accumulation order differs across kernels — contract
+    return _ulp_contract(out, "cosine")
 
 
 def _ivf_topk_oracle() -> str:
@@ -2613,7 +2638,7 @@ def _pq_ann_oracle() -> str:
       JOIN v x ON s.nid = x.vec_id
       JOIN q y ON s.qid = y.qid
     )
-    SELECT query_id, neighbor_id, dist FROM (
+    SELECT query_id, neighbor_id, round(dist, 6) + 0 AS dist FROM (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY dist, neighbor_id
       ) AS rn FROM rerank
@@ -2643,9 +2668,11 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = np.asarray(PQ_CODEBOOKS, dtype=np.float64)
     encoded = pq_encode(emb, "vec_id", "embedding", books)
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_topk_rerank(
+    out = pq_topk_rerank(
         encoded, emb, queries, "vec_id", "embedding", books, k=5, rerank=50
     )
+    # rerank distance accumulation order differs — contract
+    return _ulp_contract(out, "dist")
 
 
 @query(
@@ -3244,20 +3271,23 @@ def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correlation_matrix",
     oracle="""
     SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
-           corr(l_discount, l_extendedprice) AS corr FROM lineitem
+           round(corr(l_discount, l_extendedprice), 6) + 0 AS corr
+    FROM lineitem
     UNION ALL
     SELECT 'l_discount', 'l_quantity',
-           corr(l_discount, l_quantity) FROM lineitem
+           round(corr(l_discount, l_quantity), 6) + 0 FROM lineitem
     UNION ALL
-    SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+    SELECT 'l_discount', 'l_tax',
+           round(corr(l_discount, l_tax), 6) + 0 FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice', 'l_quantity',
-           corr(l_extendedprice, l_quantity) FROM lineitem
+           round(corr(l_extendedprice, l_quantity), 6) + 0 FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice', 'l_tax',
-           corr(l_extendedprice, l_tax) FROM lineitem
+           round(corr(l_extendedprice, l_tax), 6) + 0 FROM lineitem
     UNION ALL
-    SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+    SELECT 'l_quantity', 'l_tax',
+           round(corr(l_quantity, l_tax), 6) + 0 FROM lineitem
     """,
 )
 def correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3268,9 +3298,11 @@ def correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.profile import correlation_matrix
 
     li = load_table(spark, sf_dir, "lineitem")
-    return correlation_matrix(
+    out = correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+    # moment-buffer folds re-associate — serve-boundary contract
+    return _ulp_contract(out, "corr")
 
 
 @query(
@@ -3325,8 +3357,9 @@ def json_props_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 last_date + 365, INTERVAL 1 DAY)) AS DATE) AS fecha
                     FROM last)
     SELECT fecha,
-           ybar + slope * (CAST(fecha - DATE '0001-01-01' + 1 AS DOUBLE) - xbar)
-             AS yhat
+           round(ybar + slope
+                 * (CAST(fecha - DATE '0001-01-01' + 1 AS DOUBLE) - xbar),
+                 6) + 0 AS yhat
     FROM future, s
     """,
 )
@@ -3339,7 +3372,11 @@ def linreg_trend_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.analytics import daily_counts
 
     d = daily_counts(load_table(spark, sf_dir, "events"), "ts")
-    return linear_trend_forecast(d, "fecha", "movement_count", horizon_days=365)
+    out = linear_trend_forecast(
+        d, "fecha", "movement_count", horizon_days=365
+    )
+    # regression moment sums re-associate — serve-boundary contract
+    return _ulp_contract(out, "yhat")
 
 
 @query("ml_regression_forecast")  # no SQL oracle: iterative WLS solver
@@ -3595,9 +3632,9 @@ def rolling_daily_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     )
     SELECT a.event_type, a.day,
-           max(CASE WHEN b.day = a.day THEN b.v END) AS v,
-           sum(b.v * pow(0.7, date_diff('day', b.day, a.day)))
-             / sum(pow(0.7, date_diff('day', b.day, a.day))) AS ewma
+           round(max(CASE WHEN b.day = a.day THEN b.v END), 6) + 0 AS v,
+           round(sum(b.v * pow(0.7, date_diff('day', b.day, a.day)))
+             / sum(pow(0.7, date_diff('day', b.day, a.day))), 6) + 0 AS ewma
     FROM daily a
     JOIN daily b
       ON a.event_type = b.event_type
@@ -3613,7 +3650,9 @@ def ewma_daily_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.timeseries import ewma_daily
 
     events = load_table(spark, sf_dir, "events")
-    return ewma_daily(events, "event_type", "ts", "value", 0.3, 30)
+    out = ewma_daily(events, "event_type", "ts", "value", 0.3, 30)
+    # banded weighted sums re-associate — serve-boundary contract
+    return _ulp_contract(out, "v", "ewma")
 
 
 @query(
@@ -3652,11 +3691,12 @@ def ewma_daily_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, d,
-      CASE WHEN v IS NOT NULL THEN v
-           WHEN pv IS NULL THEN nv
-           WHEN nv IS NULL THEN pv
-           ELSE pv + (nv - pv) * date_diff('day', pd, d)
-                               / date_diff('day', pd, nd) END AS v,
+      round(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv) * date_diff('day', pd, d)
+                                     / date_diff('day', pd, nd) END, 6) + 0
+        AS v,
       v IS NOT NULL AS was_observed
     FROM w
     """,
@@ -3676,7 +3716,9 @@ def gap_fill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.to_date("ts").alias("d"))
         .agg(F.avg("value").alias("v"))
     )
-    return gap_fill_interpolate(daily, "event_type", "d", "v")
+    out = gap_fill_interpolate(daily, "event_type", "d", "v")
+    # daily avg + interpolation arithmetic re-associate — contract
+    return _ulp_contract(out, "v")
 
 
 @query(
@@ -3752,7 +3794,7 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
            o_orderstatus,
            count(o_totalprice)::BIGINT AS cantidad_movimientos,
-           avg(o_totalprice) AS promedio_edades
+           round(avg(o_totalprice), 6) + 0 AS promedio_edades
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -3781,7 +3823,10 @@ def incremental_cube_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
     state = measure_state(half_a, ["anio", "o_orderstatus"], "o_totalprice")
     delta = measure_state(half_b, ["anio", "o_orderstatus"], "o_totalprice")
-    return serve_measures(merge_measure_state(state, delta))
+    # the merged halves' avg re-associates the sum — contract
+    return _ulp_contract(
+        serve_measures(merge_measure_state(state, delta)), "promedio_edades"
+    )
 
 
 @query(
@@ -3789,7 +3834,8 @@ def incremental_cube_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_orderkey AS orderkey,
            CAST(o.o_orderdate AS DATE) AS orderdate,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) + 0
+             AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -3816,7 +3862,7 @@ def segment_revenue_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    return (
+    out = (
         li.join(
             orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
             .select("o_orderkey", "o_orderdate"),
@@ -3834,6 +3880,9 @@ def segment_revenue_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "orderkey")
         .limit(10)
     )
+    # per-order revenue sums re-associate (a FEW lineitems per order, so
+    # magnitude is scale-invariant and the 6-dp grid holds) — contract
+    return _ulp_contract(out, "revenue")
 
 
 @query(
@@ -4321,7 +4370,7 @@ def rbf_svc_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(value)::BIGINT AS cantidad_movimientos,
-           avg(value) AS promedio_edades
+           round(avg(value), 6) + 0 AS promedio_edades
     FROM events GROUP BY 1
     """,
 )
@@ -4366,7 +4415,10 @@ def streaming_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
             .awaitTermination()
         )
-    return _eager(serve_measures(read_cube_state(spark, state)))
+    # per-micro-batch partial states re-associate the avg — contract
+    return _eager(_ulp_contract(
+        serve_measures(read_cube_state(spark, state)), "promedio_edades"
+    ))
 
 
 @query(
@@ -4468,7 +4520,8 @@ _BM25_ORACLE = """
         AS score
       FROM per_doc, stats
     )
-    SELECT doc_id, score FROM scored WHERE score > 0
+    SELECT doc_id, round(score, 6) + 0 AS score
+    FROM scored WHERE score > 0
     ORDER BY score DESC, doc_id LIMIT 10
     """
 
@@ -4501,7 +4554,7 @@ _BM25_ORACLE = """
       GROUP BY 1, 2
     )
     SELECT term_a, term_b, n_docs,
-           ln(n_docs * n.n / (dfa * dfb)) AS pmi
+           round(ln(n_docs * n.n / (dfa * dfb)), 6) + 0 AS pmi
     FROM pairs, n
     WHERE n_docs >= 5
     ORDER BY pmi DESC, term_a, term_b LIMIT 20
@@ -4517,7 +4570,8 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.textstats import pmi_collocations
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return pmi_collocations(docs, "doc_id", "text")
+    # ln over a product of re-associated counts — contract
+    return _ulp_contract(pmi_collocations(docs, "doc_id", "text"), "pmi")
 
 
 @query(
@@ -4582,7 +4636,8 @@ def sentence_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rank
       FROM s
     )
-    SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+    SELECT doc_id, term, round(tfidf, 6) + 0 AS tfidf, rank
+    FROM r WHERE rank <= 3
     """,
 )
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4595,7 +4650,10 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.textstats import tfidf_top_terms
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+    # tf/dl × ln(n/df) evaluation order differs — contract
+    return _ulp_contract(
+        tfidf_top_terms(docs, "doc_id", "text", k=3), "tfidf"
+    )
 
 
 @query("bm25_topk", oracle=_BM25_ORACLE)
@@ -4608,7 +4666,9 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.textstats import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    return bm25_topk(docs, "doc_id", "text", ["hash", "join", "broadcast"], k=10)
+    out = bm25_topk(docs, "doc_id", "text", ["hash", "join", "broadcast"], k=10)
+    # per-term score sum re-associates — serve-boundary contract
+    return _ulp_contract(out, "score")
 
 
 @query("bm25_append_topk", oracle=_BM25_ORACLE)
@@ -4633,9 +4693,10 @@ def bm25_append_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, doclens = bm25_index_append(
         postings, doclens, batch, "doc_id", "text"
     )
-    return bm25_topk_from_index(
+    out = bm25_topk_from_index(
         postings, doclens, "doc_id", ["hash", "join", "broadcast"], k=10
     )
+    return _ulp_contract(out, "score")
 
 
 @query(
@@ -5104,7 +5165,8 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CAST(sum(co) AS BIGINT) AS n_old,
                         CAST(sum(cn) AS BIGINT) AS n_new
                  FROM jc, tc)
-    SELECT * FROM num UNION ALL SELECT * FROM cat
+    SELECT col_name, kind, round(psi, 6) + 0 AS psi, n_old, n_new
+    FROM (SELECT * FROM num UNION ALL SELECT * FROM cat)
     """,
 )
 def drift_report_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5122,13 +5184,15 @@ def drift_report_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("1996-01-01").cast("date")
     old = orders.filter(F.col("o_orderdate") < cut)
     new = orders.filter(F.col("o_orderdate") >= cut)
-    return drift_report(
+    out = drift_report(
         old,
         new,
         numeric_cols=["o_totalprice"],
         categorical_cols=["o_orderstatus"],
         bins=10,
     )
+    # PSI's per-bucket term sum re-associates — serve-boundary contract
+    return _ulp_contract(out, "psi")
 
 
 @query(
@@ -5367,7 +5431,7 @@ def orc_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type AS key,
            count(*)::BIGINT AS n,
-           sum(COALESCE(value, 0)) AS total
+           round(sum(COALESCE(value, 0)), 6) + 0 AS total
     FROM events GROUP BY 1
     """,
 )
@@ -5404,10 +5468,12 @@ def streaming_stateful_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory(stateful_running_totals(stream, "event_type", "value"), table)
     log = spark.table(table)
     w = Window.partitionBy("key").orderBy(F.desc("n"))
-    return _eager((
+    # micro-batch accumulation order re-associates the sum — contract
+    return _eager(_ulp_contract(
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("key", "n", "total")
+        .select("key", "n", "total"),
+        "total",
     ))
 
 
@@ -5963,8 +6029,9 @@ _BAND_TARGET = 40
         RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING
       )
     )
-    SELECT event_type, day, n, baseline_avg, baseline_std,
-           (n - baseline_avg) / baseline_std AS z
+    SELECT event_type, day, n, baseline_avg,
+           round(baseline_std, 6) + 0 AS baseline_std,
+           round((n - baseline_avg) / baseline_std, 6) + 0 AS z
     FROM s
     WHERE nb >= 3 AND baseline_std > 0
       AND abs((n - baseline_avg) / baseline_std) > 2
@@ -5980,9 +6047,11 @@ def rolling_anomaly_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events")
-    return rolling_anomaly_report(
+    out = rolling_anomaly_report(
         events, "event_type", "ts", threshold=2.0, baseline_days=14
     )
+    # stddev moment folds re-associate — serve-boundary contract
+    return _ulp_contract(out, "baseline_std", "z")
 
 
 @query(
@@ -6255,15 +6324,15 @@ def windowed_funnel_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'o_custkey' AS "column", count(o_custkey)::BIGINT AS n_values,
            count(DISTINCT o_custkey)::BIGINT AS n_distinct,
-           entropy(o_custkey) AS entropy FROM orders
+           round(entropy(o_custkey), 6) + 0 AS entropy FROM orders
     UNION ALL
     SELECT 'o_orderpriority', count(o_orderpriority)::BIGINT,
            count(DISTINCT o_orderpriority)::BIGINT,
-           entropy(o_orderpriority) FROM orders
+           round(entropy(o_orderpriority), 6) + 0 FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(o_orderstatus)::BIGINT,
            count(DISTINCT o_orderstatus)::BIGINT,
-           entropy(o_orderstatus) FROM orders
+           round(entropy(o_orderstatus), 6) + 0 FROM orders
     """,
 )
 def column_entropy_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6277,9 +6346,11 @@ def column_entropy_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    return column_entropy_report(
+    out = column_entropy_report(
         orders, ["o_custkey", "o_orderpriority", "o_orderstatus"]
     )
+    # entropy's sum(c*log2 c) re-associates — serve-boundary contract
+    return _ulp_contract(out, "entropy")
 
 
 @query(
@@ -6748,14 +6819,15 @@ def benford_digit_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(DISTINCT b) AS DOUBLE) AS kb
       FROM cells
     )
-    SELECT any_value(n) * (sum(o * o / (ra * cb)) - 1.0)
+    SELECT round(any_value(n) * (sum(o * o / (ra * cb)) - 1.0), 6) + 0
              AS chi2,
            CAST((any_value(ka) - 1) * (any_value(kb) - 1) AS INTEGER)
              AS dof,
            CAST(any_value(n) AS BIGINT) AS n,
-           sqrt(any_value(n) * (sum(o * o / (ra * cb)) - 1.0)
-                / (any_value(n)
-                   * least(any_value(ka) - 1, any_value(kb) - 1)))
+           round(sqrt(any_value(n) * (sum(o * o / (ra * cb)) - 1.0)
+                      / (any_value(n)
+                         * least(any_value(ka) - 1, any_value(kb) - 1))),
+                 6) + 0
              AS cramers_v
     FROM cells JOIN rm USING (a) JOIN cm USING (b), tot
     """,
@@ -6771,7 +6843,10 @@ def chi2_independence_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority"
     )
-    return chi2_independence(orders, "o_orderstatus", "o_orderpriority")
+    out = chi2_independence(orders, "o_orderstatus", "o_orderpriority")
+    # the cell-term sum re-associates (flaked once per ~2 sweeps at
+    # full precision — thread-order dependent) — contract
+    return _ulp_contract(out, "chi2", "cramers_v")
 
 
 @query(
@@ -6789,9 +6864,9 @@ def chi2_independence_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily, t0
     )
     SELECT event_type, count(*)::BIGINT AS n,
-           regr_slope(y, x) AS slope,
-           regr_intercept(y, x) AS intercept,
-           regr_r2(y, x) AS r2
+           round(regr_slope(y, x), 6) + 0 AS slope,
+           round(regr_intercept(y, x), 6) + 0 AS intercept,
+           round(regr_r2(y, x), 6) + 0 AS r2
     FROM pts GROUP BY 1
     """,
 )
@@ -6815,7 +6890,9 @@ def grouped_trend_fits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("day", "__d0").cast("double").alias("x"),
         F.col("y").cast("double").alias("y"),
     )
-    return grouped_linreg(pts, ["event_type"], "x", "y")
+    out = grouped_linreg(pts, ["event_type"], "x", "y")
+    # closed-form moment sums re-associate — serve-boundary contract
+    return _ulp_contract(out, "slope", "intercept", "r2")
 
 
 @query(
@@ -6823,7 +6900,7 @@ def grouped_trend_fits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
            count(o_totalprice)::BIGINT AS cantidad_movimientos,
-           avg(o_totalprice) AS promedio_edades
+           round(avg(o_totalprice), 6) + 0 AS promedio_edades
     FROM orders GROUP BY 1
     """,
 )
@@ -6865,7 +6942,8 @@ def aggregate_routing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen, served = route_to_aggregate(preaggs, ["anio"])
     if chosen != "agg_coarse":
         raise RuntimeError(f"navigator picked {chosen}, expected agg_coarse")
-    return served
+    # re-aggregated avg re-associates the sum — serve-boundary contract
+    return _ulp_contract(served, "promedio_edades")
 
 
 @query(
@@ -7687,7 +7765,9 @@ _BIGRAM_LM_SCORES_CTES = f"""
     "bigram_lm_perplexity",
     oracle=f"""
     WITH {_BIGRAM_LM_SCORES_CTES}
-    SELECT doc_id, n_bigrams, avg_nll, ppl FROM scores
+    SELECT doc_id, n_bigrams, round(avg_nll, 6) + 0 AS avg_nll,
+           round(ppl, 6) + 0 AS ppl
+    FROM scores
     """,
 )
 def bigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7708,9 +7788,11 @@ def bigram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     model = bigram_lm_fit(docs.filter(F.col("doc_id") % 2 == 0), "text")
-    return bigram_lm_perplexity(
+    out = bigram_lm_perplexity(
         model, docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
     )
+    # per-doc NLL sums re-associate — serve-boundary contract
+    return _ulp_contract(out, "avg_nll", "ppl")
 
 
 # Shared DuckDB replay of the DSIR scorer (target = doc_id % 10 = 0,
@@ -7760,7 +7842,8 @@ _DSIR_SCORES_CTES = f"""
     "dsir_importance_weights",
     oracle=f"""
     WITH {_DSIR_SCORES_CTES}
-    SELECT doc_id, n_feats, log_weight FROM dsir_scores
+    SELECT doc_id, n_feats, round(log_weight, 6) + 0 AS log_weight
+    FROM dsir_scores
     """,
 )
 def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7778,7 +7861,9 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 0)
-    return dsir_importance(docs, target, "doc_id", "text", n_buckets=4096)
+    out = dsir_importance(docs, target, "doc_id", "text", n_buckets=4096)
+    # per-doc log-ratio sum re-associates — serve-boundary contract
+    return _ulp_contract(out, "log_weight")
 
 
 @query(
@@ -7890,7 +7975,8 @@ def dsir_resampled_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket, count(*)::BIGINT AS n_docs,
            sum(n_bigrams)::BIGINT AS n_bigrams_total,
-           min(ppl) AS min_ppl, max(ppl) AS max_ppl
+           round(min(ppl), 6) + 0 AS min_ppl,
+           round(max(ppl), 6) + 0 AS max_ppl
     FROM b GROUP BY 1
     """,
 )
@@ -7930,12 +8016,14 @@ def ppl_bucket_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("__q") < F.lit(2.0 / 3), "middle")
         .otherwise("tail")
     )
-    return qd.groupBy(bucket.alias("bucket")).agg(
+    # ppl carries re-associated NLL sums — serve-boundary contract on
+    # the served extremes (bucket membership itself is count-exact)
+    return _ulp_contract(qd.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bigrams").alias("n_bigrams_total"),
         F.min("ppl").alias("min_ppl"),
         F.max("ppl").alias("max_ppl"),
-    )
+    ), "min_ppl", "max_ppl")
 
 
 # Frozen BPE tokenizer model — the frozen_ann.py model-registry split:
@@ -8594,7 +8682,8 @@ def _pq_recon_oracle() -> str:
         ) AS rn FROM scored
       ) WHERE rn = 1
     )
-    SELECT vec_id, sum(d2) AS sq_err, max(d2) AS max_sub_err
+    SELECT vec_id, round(sum(d2), 6) + 0 AS sq_err,
+           round(max(d2), 6) + 0 AS max_sub_err
     FROM mins GROUP BY vec_id
     """
 
@@ -8611,7 +8700,9 @@ def pq_recon_error_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.pq import pq_recon_error
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_recon_error(emb, "vec_id", "embedding", PQ_CODEBOOKS)
+    out = pq_recon_error(emb, "vec_id", "embedding", PQ_CODEBOOKS)
+    # subspace distance folds re-associate — contract
+    return _ulp_contract(out, "sq_err", "max_sub_err")
 
 
 # ---------------------------------------------------------------------------
@@ -8704,78 +8795,81 @@ def bench_calibration_io_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_WINDOW = [
-    # Round-12 rotation: FINISH THE UNION. Union(r1-r11) = 264/279 oracled
-    # faces driver-proven; the 15 missing rows are exactly this window's
-    # head. Lead: partition_overwrite_roundtrip's re-proof (0-for-4 —
-    # r11's in-face self-diagnosis ran clean in the driver, `err: None`,
-    # isolating the hash/serve boundary; the registry-wide DESCRIBE audit
-    # found its oracle was the ONLY one serving a DuckDB HUGEINT —
-    # sum(user_id) uncast — which crosses pandas as float64 "147709.0"
-    # vs Spark's int64 "147709"; now cast ::BIGINT, and a pytest sweep
-    # regression-locks the whole registry against HUGEINT serves). Then
-    # the 14 round-11 faces (hierarchy MDX drilldowns, calculated
-    # members, set wrappers, PARALLELPERIOD, sub-selects, aggregate
-    # navigator, incremental rollup), all judge-verified 14/14 green at
-    # sf0.01 but landed after the frozen r11 window — their first driver
-    # rows complete 279/279. The remaining 35 slots refresh the OLDEST
-    # evidence in the registry (34 faces whose last driver rows are
-    # r5-era, + the alphabetically-first r6 face). Frozen for the round.
+    # Round-13 rotation. Two waves own the window this round:
+    # (1) the 22 round-12 faces with ZERO driver rows (landed after the
+    #     frozen r12 window; judge-replica-green 22/22 at sf0.01) plus
+    #     the r12 red's re-proof — together these complete
+    #     union(r1-r13) = 301/301 driver-proven;
+    # (2) the FULL-PRECISION HARNESS wave: tightening the local float
+    #     hash from .6g to repr (the r12 verdict's #2 ask) exposed 33
+    #     latent ulp-class faces whose float math legitimately
+    #     re-associates; each now carries an explicit serve-boundary
+    #     contract (exact DECIMAL avg states for rollup-served avg,
+    #     round(x, 6|9) + 0 on BOTH sides elsewhere). Contract changes
+    #     touch the hash, so the changed faces need fresh driver rows —
+    #     they take the remaining slots over the r6-era oldest-evidence
+    #     refresh the verdict sketched BEFORE the 33 were known. Five
+    #     changed faces with fresh r12 driver rows spill (gap_fill_daily,
+    #     incremental_cube_merge, linreg_trend_forecast, media_byte_stats,
+    #     segment_revenue_topk), as does chi2_independence_report (a
+    #     34th contract face caught by a second sweep — its ulp flake is
+    #     thread-order dependent) — all re-proven by the sf0.01 replica
+    #     run recorded in README round notes. Frozen for the round.
     #
-    # -- fix re-proof (never driver-green; verdict #1) -------------------
-    "partition_overwrite_roundtrip",
-    # -- first driver rows: round-11 MDX language completion -------------
-    "mdx_month_drilldown",
-    "mdx_day_drilldown",
-    "mdx_calculated_member",
-    "mdx_topcount",
-    "mdx_filter_having",
-    "mdx_children_drilldown",
-    "mdx_bottomcount",
-    "mdx_order_members",
-    "mdx_named_set_crossjoin",
-    "mdx_head_tail_years",
-    "mdx_parallelperiod_yoy",
-    "mdx_subselect_slice",
-    # -- first driver rows: aggregate tables + navigator -----------------
-    "mdx_aggregate_navigator",
+    # -- red re-proof: decimal avg sum-state fix (verdict #1) ------------
     "incremental_aggregate_rollup",
-    # -- oldest evidence: last driver rows r5 ----------------------------
-    "cv_grid_search",
-    "dq_violations",
-    "embedding_near_dup_pairs",
-    "event_funnel",
-    "gap_fill_daily",
-    "incremental_cube_merge",
-    "jdbc_roundtrip",
-    "json_props_rollup",
-    "jsonl_sink_roundtrip",
-    "kmeans_cluster_sizes",
-    "knn_label_vote",
-    "linreg_trend_forecast",
-    "media_byte_stats",
-    "ml_regression_forecast",
-    "outlier_report",
-    "parquet_sink_roundtrip",
-    "pca_components",
-    "pii_scrub",
-    "pivot_year_status",
-    "quartile_binning",
-    "rebalanced_mix",
-    "repetition_stats",
-    "rf_confusion_matrix",
-    "rolling_daily_stats",
-    "seeded_shuffle_rank",
-    "segment_revenue_topk",
-    "sequence_pack_chunks",
-    "session_stats",
-    "source_mix_report",
+    # -- oracle changed with the same fix (rollup-served avg) ------------
+    "mdx_aggregate_navigator",
+    # -- first driver rows: round-12 wave --------------------------------
+    "mdx_parallelperiod_mom",
+    "mdx_parallelperiod_yoy_diced",
+    "mdx_periodstodate_ytd",
+    "mdx_periodstodate_diced",
+    "mdx_lastperiods_moving_avg",
+    "mdx_member_range_years",
+    "mdx_subselect_where",
+    "mdx_drillthrough_cell",
+    "mdx_navigator_partition_pruned",
+    "mdx_closingperiod_vs_yearend",
+    "mdx_except_members",
+    "mdx_toppercent_pareto",
+    "mdx_descendants_days",
+    "mdx_set_slicer_years",
+    "mdx_distinct_count_measure",
+    "mdx_compound_slicer",
+    "mdx_rank_league_table",
+    "mdx_custom_group_member",
+    "mdx_median_measure",
+    "aggregate_advisor_stats",
+    "mdx_filter_boolean",
+    "bench_calibration_io",
+    # -- ulp-contract wave: oracle/serve changed this round --------------
+    "aggregate_routing",
+    "bigram_lm_perplexity",
+    "bm25_append_topk",
+    "bm25_topk",
+    "column_entropy_report",
+    "correlation_matrix",
+    "cosine_topk",
+    "cube_measures_by_dims",
+    "drift_report_orders",
+    "dsir_importance_weights",
+    "ewma_daily_value",
+    "grouped_trend_fits",
+    "hard_negative_mining",
+    "hierarchy_rollup",
+    "mdx_rollup_query",
+    "nation_trade_pagerank",
+    "pmi_collocations",
+    "ppl_bucket_mix",
+    "pq_ann_topk",
+    "pq_recon_error_report",
+    "rolling_anomaly_report",
+    "sql_cube_measures",
     "streaming_cube_counts",
-    "table_profile",
-    "two_stage_distinct_count",
-    "value_histogram",
-    "winsorized_stats",
-    # -- oldest evidence: last driver rows r6 ----------------------------
-    "bloom_prune_join_revenue",
+    "streaming_stateful_totals",
+    "tfidf_top_terms",
+    "vocab_drift_report",
 ]
 
 

@@ -1583,7 +1583,7 @@ FROM [Movimientos]
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS anio,
            n.n_name AS nacionalidad,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           round(avg(o.o_totalprice), 6) + 0 AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1606,8 +1606,13 @@ def mdx_rollup_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent GROUPING SETS SQL — hash equality proves the lattice
     expansion, NULL-member convention included."""
     from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries import _ulp_contract
 
-    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_ROLLUP_STATEMENT)
+    # subtotal cells re-associate the avg across engines — contract
+    return _ulp_contract(
+        mdx_query(_movimientos_cube(spark, sf_dir), _MDX_ROLLUP_STATEMENT),
+        "promedio_medida",
+    )
 
 
 @query(

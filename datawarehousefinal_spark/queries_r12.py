@@ -757,7 +757,7 @@ WHERE {[Fecha].[Anio].[1996]:[Fecha].[Anio].[1997], [Fecha].[Anio].[1999]}
     oracle="""
     SELECT n.n_name AS nacionalidad,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           round(avg(o.o_totalprice), 6) + 0 AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -779,10 +779,15 @@ def mdx_set_slicer_years_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     loud MdxError. 100 TB: the IN dice reaches the fact scan like any
     slicer — a three-year slice reads three years' partitions."""
     from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries import _ulp_contract
     from datawarehousefinal_spark.queries_r10 import _movimientos_cube
 
-    return mdx_query(
-        _movimientos_cube(spark, sf_dir), _MDX_SET_SLICER_STATEMENT
+    # the unioned years' rows aggregate in engine-specific order — contract
+    return _ulp_contract(
+        mdx_query(
+            _movimientos_cube(spark, sf_dir), _MDX_SET_SLICER_STATEMENT
+        ),
+        "promedio_medida",
     )
 
 
@@ -882,7 +887,7 @@ WHERE {([Fecha].[Anio].[1996], [Cliente].[Segmento].[BUILDING]),
     oracle="""
     SELECT n.n_name AS nacionalidad,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           round(avg(o.o_totalprice), 6) + 0 AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -906,10 +911,15 @@ def mdx_compound_slicer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact scan like any slicer — Parquet row-group stats prune on
     both legs' year ranges."""
     from datawarehousefinal_spark.operators.mdx import mdx_query
+    from datawarehousefinal_spark.queries import _ulp_contract
     from datawarehousefinal_spark.queries_r10 import _movimientos_cube
 
-    return mdx_query(
-        _movimientos_cube(spark, sf_dir), _MDX_COMPOUND_SLICER_STATEMENT
+    # the OR legs' rows aggregate in engine-specific order — contract
+    return _ulp_contract(
+        mdx_query(
+            _movimientos_cube(spark, sf_dir), _MDX_COMPOUND_SLICER_STATEMENT
+        ),
+        "promedio_medida",
     )
 
 

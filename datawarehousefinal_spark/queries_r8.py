@@ -479,7 +479,7 @@ def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
     r0 AS (
       SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes
     ),{",".join(its)}
-    SELECT na.n_name AS nation, r.rank AS rank
+    SELECT na.n_name AS nation, round(r.rank, 6) + 0 AS rank
     FROM {prev} r JOIN nation na ON r.node = na.n_nationkey
     ORDER BY nation
     """
@@ -520,13 +520,17 @@ def nation_trade_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
     ranks = pagerank(edges, "src", "dst", weight="w", iterations=3)
-    return (
+    from datawarehousefinal_spark.queries import _ulp_contract
+
+    out = (
         ranks.join(
             F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
         )
         .select(F.col("n_name").alias("nation"), "rank")
         .orderBy("nation")
     )
+    # per-iteration in-mass sums re-associate — serve-boundary contract
+    return _ulp_contract(out, "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -865,7 +869,7 @@ _OR["dup_cluster_size_histogram"] = _dup_hist_oracle()
       WHERE neighbor_id != query_id
     ),
     shortlist AS (SELECT * FROM scored WHERE rn <= 50)
-    SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, round(cosine, 6) + 0 AS cosine FROM (
       SELECT query_id, neighbor_id, cosine,
              row_number() OVER (
                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
@@ -901,13 +905,17 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cosine"), "neighbor_id"
     )
     shortlist = cand.join(F.broadcast(qlab), "query_id")
-    return (
+    from datawarehousefinal_spark.queries import _ulp_contract
+
+    out = (
         clab.join(F.broadcast(shortlist), "neighbor_id")
         .filter(F.col("__clab") != F.col("__qlab"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 3)
         .select("query_id", "neighbor_id", "cosine")
     )
+    # dot-product accumulation order differs — serve-boundary contract
+    return _ulp_contract(out, "cosine")
 
 
 # ---------------------------------------------------------------------------
@@ -940,12 +948,12 @@ _TOKS_R8 = (
     SELECT term, n_a, n_b,
            n_a / ta AS p_a, n_b / tb AS p_b,
            n_a / ta - n_b / tb AS delta,
-           (CASE WHEN n_a > 0 THEN (n_a / ta)
+           round((CASE WHEN n_a > 0 THEN (n_a / ta)
                    * log2((n_a / ta) / ((n_a / ta + n_b / tb) / 2))
                  ELSE 0.0 END
             + CASE WHEN n_b > 0 THEN (n_b / tb)
                    * log2((n_b / tb) / ((n_a / ta + n_b / tb) / 2))
-                 ELSE 0.0 END) / 2 AS js_contrib
+                 ELSE 0.0 END) / 2, 9) + 0 AS js_contrib
     FROM top
     ORDER BY abs(n_a / ta - n_b / tb) DESC, term
     LIMIT 15
@@ -963,7 +971,12 @@ def vocab_drift_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         (F.col("doc_id") % 2).cast("int").alias("half"), "text"
     )
-    return vocab_drift(docs, "half", "text", top_n=50, top_shift=15)
+    from datawarehousefinal_spark.queries import _ulp_contract
+
+    out = vocab_drift(docs, "half", "text", top_n=50, top_shift=15)
+    # the two JS legs' add order differs across engines — contract at
+    # 9 dp (the column's magnitude is ~1e-4, so 6 dp would over-coarsen)
+    return _ulp_contract(out, "js_contrib", digits=9)
 
 
 @query(

@@ -35,9 +35,14 @@ def _norm_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # Round to 6 significant decimals: avg/double paths differ in the
-        # last ulp between engines.
-        return format(v, ".6g")
+        # FULL precision (shortest round-trip repr): the driver hashes
+        # full-precision doubles, and the former ".6g" rounding masked a
+        # one-ulp divergence exactly once too often (the r12
+        # incremental_aggregate_rollup red shipped local-green). A face
+        # whose float math legitimately re-associates must carry an
+        # explicit serve-boundary contract (exact decimal states, or
+        # ROUND on BOTH sides) — the harness no longer forgives it.
+        return repr(v)
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
