@@ -276,9 +276,15 @@ Supported subset (the shapes the reference schema can answer):
   axis items (parsed like the outer slicer). Children drills and
   wrapper functions inside a sub-select raise.
 
-Deliberately out of scope (the schema never exercises them): member
-properties, ``PARALLELPERIOD``/``LASTPERIODS`` anchored more than one
-level below the hierarchy top (ragged cycles).
+``DIMENSION PROPERTIES`` on an axis (round 13): INTRINSIC properties
+(MEMBER_CAPTION, MEMBER_UNIQUE_NAME, … — the decoration Excel emits on
+nearly every drag-drop axis) parse and no-op, because the tabular
+serve's member key columns already carry them; CUSTOM properties are a
+loud MdxError (see _INTRINSIC_MEMBER_PROPERTIES).
+
+Deliberately out of scope (the schema never exercises them):
+``PARALLELPERIOD``/``LASTPERIODS`` anchored more than one level below
+the hierarchy top (ragged cycles).
 
 Execution model: the cube definition supplies a DENORMALIZED star
 builder (broadcast dim joins — the same star the SQL serving path
@@ -1739,6 +1745,60 @@ def _parse_aggregate_body(p: _Parser, dim: str, level: str) -> list[str]:
     return vals
 
 
+# XMLA/Mondrian INTRINSIC member properties. A BI client decorates
+# nearly every drag-drop axis with `DIMENSION PROPERTIES
+# MEMBER_CAPTION, MEMBER_UNIQUE_NAME` (Excel emits it unconditionally);
+# in this translator's tabular serve the member KEY columns already
+# carry exactly that information (the caption IS the level key we
+# group by), so intrinsic properties are a documented accept-and-no-op
+# — the NON EMPTY treatment. CUSTOM properties ([Dim].[Level].[Prop])
+# would require fabricating data we don't model: loud MdxError.
+_INTRINSIC_MEMBER_PROPERTIES = frozenset({
+    "member_caption", "member_unique_name", "member_name", "member_key",
+    "member_value", "member_type", "member_ordinal", "caption", "key",
+    "level_number", "level_unique_name", "parent_unique_name",
+    "parent_level", "parent_count", "children_cardinality",
+    "hierarchy_unique_name", "dimension_unique_name", "description",
+})
+
+
+def _parse_dimension_properties(p: _Parser) -> None:
+    """Optional ``[DIMENSION] PROPERTIES <name, ...>`` between an axis
+    set and its ``ON <AXIS>`` — parsed, validated against the XMLA
+    intrinsic set, and no-op'd (see _INTRINSIC_MEMBER_PROPERTIES)."""
+    kind, val = p.peek()
+    if kind == "word" and val.upper() == "DIMENSION":
+        p.next()
+        p.expect_word("PROPERTIES")
+    elif kind == "word" and val.upper() == "PROPERTIES":
+        p.next()
+    else:
+        return
+    while True:
+        kind, val = p.next()
+        if kind == "word" and val.lower() in _INTRINSIC_MEMBER_PROPERTIES:
+            pass  # intrinsic: served by the member key columns already
+        elif kind == "seg" or (
+            kind == "word" and val.lower() not in _INTRINSIC_MEMBER_PROPERTIES
+        ):
+            raise MdxError(
+                f"custom member property {val!r} is not modeled — this "
+                "cube serves intrinsic properties (MEMBER_CAPTION etc.) "
+                "as the member key columns; declare custom properties "
+                "as their own level instead"
+            )
+        else:
+            raise MdxError(
+                f"DIMENSION PROPERTIES expects a property name, got "
+                f"{val!r}"
+            )
+        kind, val = p.peek()
+        if kind == "punct" and val == ",":
+            p.next()
+            continue
+        return
+
+
 def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
     """Parse an MDX [WITH MEMBER ...] SELECT against ``cube``."""
     p = _Parser(_tokenize(text))
@@ -1830,6 +1890,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
 
     # COLUMNS axis: base measures and calculated members
     cols_set = p.parse_set()
+    _parse_dimension_properties(p)
     p.expect_word("ON")
     p.expect_word("COLUMNS")
     if len(cols_set) != 1 or cols_set[0][0] != "set":
@@ -1860,6 +1921,7 @@ def parse_mdx(text: str, cube: CubeDef) -> MdxSelect:
         p.next()
         p.expect_word("EMPTY")
     rows_node = p.parse_rows_axis()
+    _parse_dimension_properties(p)
     p.expect_word("ON")
     p.expect_word("ROWS")
 

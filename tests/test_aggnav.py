@@ -791,3 +791,51 @@ def test_advisor_materialized_picks_serve_the_workload(spark):
         got = mdx_query_navigated(cube, q, tables)
         want = mdx_query(cube, q)
         assert _sorted_rows(got) == _sorted_rows(want)
+
+
+# -- round-13: advisor → materialize → register, one gesture ------------------
+
+
+def test_materialize_recommended_end_to_end(spark, tmp_path):
+    from datawarehousefinal_spark.operators.aggnav import (
+        materialize_recommended,
+    )
+
+    cube = _cube(spark)
+    workload = [
+        _ALL_MEASURES_BY_YEAR,
+        """
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               {[Fecha].[Mes].Members} ON ROWS FROM [Toy]
+        """,
+    ]
+    baselines = [_sorted_rows(mdx_query(_cube(spark), q)) for q in workload]
+    tables = materialize_recommended(
+        cube, workload, max_tables=2, path_prefix=str(tmp_path / "recs")
+    )
+    # picks are registered on the cube (Mondrian <AggName> shape) ...
+    assert tables and cube.aggregates == tables
+    for q, want in zip(workload, baselines):
+        routed = mdx_query(cube, q)
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        # ... and the workload then provably routes to the rollup files
+        assert "parquet" in plan.lower()
+        assert "LocalTableScan" not in plan
+        assert _sorted_rows(routed) == want
+
+
+def test_materialize_recommended_register_false_leaves_cube_alone(spark):
+    from datawarehousefinal_spark.operators.aggnav import (
+        materialize_recommended,
+    )
+
+    cube = _cube(spark)
+    tables = materialize_recommended(
+        cube, [_ALL_MEASURES_BY_YEAR], max_tables=1, register=False
+    )
+    assert tables and cube.aggregates == []
+    # the returned tables still serve through the explicit-list entry
+    got = _sorted_rows(
+        mdx_query_navigated(cube, _ALL_MEASURES_BY_YEAR, tables)
+    )
+    assert got == _sorted_rows(mdx_query(_cube(spark), _ALL_MEASURES_BY_YEAR))

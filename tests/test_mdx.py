@@ -3103,3 +3103,59 @@ def test_mdx_filter_boolean_errors_are_loud(spark):
                 f"SELECT {{[Measures].[Total]}} ON COLUMNS, {bad} "
                 "ON ROWS FROM [Toy]",
             ).collect()
+
+
+# -- round-13: DIMENSION PROPERTIES (the other always-emitted client shape) ---
+
+
+def test_mdx_dimension_properties_is_a_noop(spark):
+    # Excel/Pentaho decorate nearly every axis with DIMENSION PROPERTIES
+    # MEMBER_CAPTION[, MEMBER_UNIQUE_NAME]; intrinsic properties are
+    # served by the member key columns already, so the decorated query
+    # must equal the bare one exactly — on BOTH axes, with NON EMPTY too
+    cube = _toy_cube(spark)
+    bare = mdx_query(
+        cube,
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} ON ROWS FROM [Toy]",
+    )
+    decorated = mdx_query(
+        cube,
+        "SELECT {[Measures].[Cantidad]} "
+        "DIMENSION PROPERTIES MEMBER_UNIQUE_NAME ON COLUMNS, "
+        "NON EMPTY {[Fecha].[Anio].Members} "
+        "DIMENSION PROPERTIES MEMBER_CAPTION, PARENT_UNIQUE_NAME "
+        "ON ROWS FROM [Toy]",
+    )
+    assert sorted(map(tuple, decorated.collect())) == sorted(
+        map(tuple, bare.collect())
+    )
+    # the bare PROPERTIES spelling parses too
+    short = mdx_query(
+        cube,
+        "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+        "{[Fecha].[Anio].Members} PROPERTIES MEMBER_CAPTION ON ROWS "
+        "FROM [Toy]",
+    )
+    assert sorted(map(tuple, short.collect())) == sorted(
+        map(tuple, bare.collect())
+    )
+
+
+def test_mdx_custom_member_property_is_loud(spark):
+    cube = _toy_cube(spark)
+    with pytest.raises(MdxError, match="custom member property"):
+        parse_mdx(
+            "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+            "{[Fecha].[Anio].Members} "
+            "DIMENSION PROPERTIES [Fecha].[Anio].[MyProp] ON ROWS "
+            "FROM [Toy]",
+            cube,
+        )
+    with pytest.raises(MdxError, match="custom member property"):
+        parse_mdx(
+            "SELECT {[Measures].[Cantidad]} ON COLUMNS, "
+            "{[Fecha].[Anio].Members} "
+            "DIMENSION PROPERTIES NOT_A_PROPERTY ON ROWS FROM [Toy]",
+            cube,
+        )
