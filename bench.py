@@ -147,12 +147,16 @@ def main() -> None:
                         n_expl += 1
                     else:
                         unexplained[q] = round(r, 3)
-                top = sorted(unexplained.items(),
-                             key=lambda kv: -abs(kv[1] - 1))[:15]
+                # slowdowns are the actionable side; speedups are good
+                # news and only counted
+                slow = {q: r for q, r in unexplained.items()
+                        if r > max(drifts.values())}
+                top = sorted(slow.items(), key=lambda kv: -kv[1])[:15]
                 out["adjudication"] = {
                     "explained": n_expl,
-                    "unexplained_n": len(unexplained),
-                    "unexplained_top": dict(top),
+                    "unexplained_fast": len(unexplained) - len(slow),
+                    "unexplained_slow": len(slow),
+                    "slow_top": dict(top),
                 }
     except (OSError, ValueError, KeyError):
         pass
