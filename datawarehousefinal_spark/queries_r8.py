@@ -748,7 +748,9 @@ _ALPHA_SQL = (
       FROM per, tot
     ),
     z AS (SELECT sum(raw) AS z FROM w)
-    SELECT domain, n_docs, share, mean_loss, raw / z AS new_weight
+    SELECT domain, n_docs, share,
+           round(mean_loss, 9) + 0 AS mean_loss,
+           round(raw / z, 9) + 0 AS new_weight
     FROM w, z
     """,
 )
@@ -767,7 +769,12 @@ def domain_reweight_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / F.length("text")
     scored = docs.select("source", (F.lit(1) - alpha).alias("loss"))
-    return domain_reweight(scored, "source", "loss", eta=1.0)
+    from datawarehousefinal_spark.queries import _ulp_contract
+
+    out = domain_reweight(scored, "source", "loss", eta=1.0)
+    # per-domain loss sums re-associate (flaked once per ~3 sweeps at
+    # full precision); 9 dp — weights are ~1e-2 magnitude — contract
+    return _ulp_contract(out, "mean_loss", "new_weight", digits=9)
 
 
 @query(
