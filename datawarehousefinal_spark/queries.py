@@ -8899,5 +8899,6 @@ from datawarehousefinal_spark import queries_r9  # noqa: E402,F401
 from datawarehousefinal_spark import queries_r10  # noqa: E402,F401
 from datawarehousefinal_spark import queries_r11  # noqa: E402,F401
 from datawarehousefinal_spark import queries_r12  # noqa: E402,F401
+from datawarehousefinal_spark import queries_r13  # noqa: E402,F401
 
 _apply_driver_window_order()
