@@ -8811,10 +8811,13 @@ _DRIVER_WINDOW = [
     #     refresh the verdict sketched BEFORE the 33 were known. Five
     #     changed faces with fresh r12 driver rows spill (gap_fill_daily,
     #     incremental_cube_merge, linreg_trend_forecast, media_byte_stats,
-    #     segment_revenue_topk), as does chi2_independence_report (a
-    #     34th contract face caught by a second sweep — its ulp flake is
-    #     thread-order dependent) — all re-proven by the sf0.01 replica
-    #     run recorded in README round notes. Frozen for the round.
+    #     segment_revenue_topk), as do the late-caught contract faces
+    #     (chi2_independence_report and domain_reweight_mix — rare
+    #     thread-order flakes caught by repeat sweeps; zipf_fit_report,
+    #     mdx_filter_having, mdx_order_members — sf0.01-only divergence
+    #     caught by a FULL-registry replica pass at the driver's scale)
+    #     — all re-proven by the sf0.01 replica runs recorded in README
+    #     round notes. Frozen for the round.
     #
     # -- red re-proof: decimal avg sum-state fix (verdict #1) ------------
     "incremental_aggregate_rollup",

@@ -210,7 +210,7 @@ FROM [Movimientos]
     oracle="""
     SELECT n.n_name AS nacionalidad,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           round(avg(o.o_totalprice), 6) + 0 AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -229,7 +229,13 @@ def mdx_filter_having_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.mdx import mdx_query
     from datawarehousefinal_spark.queries_r10 import _movimientos_cube
 
-    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_FILTER_STATEMENT)
+    from datawarehousefinal_spark.queries import _ulp_contract
+
+    # fact-path avg re-associates at sf0.01's multi-split scan — contract
+    return _ulp_contract(
+        mdx_query(_movimientos_cube(spark, sf_dir), _MDX_FILTER_STATEMENT),
+        "promedio_medida",
+    )
 
 
 _MDX_CHILDREN_STATEMENT = """
@@ -465,7 +471,7 @@ FROM [Movimientos]
     oracle="""
     SELECT n.n_name AS nacionalidad,
            count(o.o_custkey) AS cantidad_movimientos,
-           avg(o.o_totalprice) AS promedio_medida
+           round(avg(o.o_totalprice), 6) + 0 AS promedio_medida
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -489,7 +495,13 @@ def mdx_order_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.mdx import mdx_query
     from datawarehousefinal_spark.queries_r10 import _movimientos_cube
 
-    return mdx_query(_movimientos_cube(spark, sf_dir), _MDX_ORDER_STATEMENT)
+    from datawarehousefinal_spark.queries import _ulp_contract
+
+    # fact-path avg re-associates at sf0.01's multi-split scan — contract
+    return _ulp_contract(
+        mdx_query(_movimientos_cube(spark, sf_dir), _MDX_ORDER_STATEMENT),
+        "promedio_medida",
+    )
 
 
 # ---------------------------------------------------------------------------

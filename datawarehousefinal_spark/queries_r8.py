@@ -1045,11 +1045,13 @@ def ngram_diversity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM xy
     )
     SELECT CAST(k AS BIGINT) AS n_terms,
-           (sxy - sx * sy / k) / (sxx - sx * sx / k) AS slope,
-           (sy - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx) / k
-             AS intercept,
-           (sxy - sx * sy / k) * (sxy - sx * sy / k)
-             / ((sxx - sx * sx / k) * (syy - sy * sy / k)) AS r2
+           round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) + 0
+             AS slope,
+           round((sy - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx) / k,
+                 6) + 0 AS intercept,
+           round((sxy - sx * sy / k) * (sxy - sx * sy / k)
+                 / ((sxx - sx * sx / k) * (syy - sy * sy / k)), 6) + 0
+             AS r2
     FROM agg
     """,
 )
@@ -1061,7 +1063,12 @@ def zipf_fit_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datawarehousefinal_spark.operators.textstats import zipf_fit
 
     docs = load_table(spark, sf_dir, "documents").select("text")
-    return zipf_fit(docs, "text", top_n=100)
+    from datawarehousefinal_spark.queries import _ulp_contract
+
+    # OLS moment sums re-associate (diverged at sf0.01 only) — contract
+    return _ulp_contract(
+        zipf_fit(docs, "text", top_n=100), "slope", "intercept", "r2"
+    )
 
 
 # ---------------------------------------------------------------------------
