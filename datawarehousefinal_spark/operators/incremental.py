@@ -166,18 +166,18 @@ def empty_minhash_store(
 def _est_jaccard(num_hashes: int) -> Column:
     """Estimated Jaccard from two signatures exposed as ``__a{j}``/``__b{j}``
     columns: the fraction of agreeing slots (E[agree] = J, the MinHash
-    identity)."""
-    agree = sum(
-        F.when(F.col(f"__a{j}") == F.col(f"__b{j}"), 1).otherwise(0)
+    identity). One SQL string — k CASE terms in a single py4j call."""
+    agree = " + ".join(
+        f"(CASE WHEN __a{j} = __b{j} THEN 1 ELSE 0 END)"
         for j in range(num_hashes)
     )
-    return agree.cast("double") / F.lit(float(num_hashes))
+    return F.expr(f"CAST({agree} AS DOUBLE) / CAST({num_hashes} AS DOUBLE)")
 
 
 def _side(sig: DataFrame, id_col: str, tag: str, num_hashes: int) -> DataFrame:
-    return sig.select(
-        F.col(id_col).alias(f"id_{tag}"),
-        *[F.col(f"h{j}").alias(f"__{tag}{j}") for j in range(num_hashes)],
+    return sig.selectExpr(
+        f"{id_col} AS id_{tag}",
+        *[f"h{j} AS __{tag}{j}" for j in range(num_hashes)],
     )
 
 
@@ -350,26 +350,30 @@ def incremental_simhash_dedup(
     bfp = simhash(batch, id_col, text_col, shingle_width).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # Bootstrap short-circuit (see incremental_minhash_dedup): an empty
-    # store makes the cross tier a no-op — skip its stages entirely.
-    store_empty = store_fp.isEmpty()
-    b_distinct = bfp.select("simhash").distinct()
-    # Resolve the key width ONCE, from the union both tiers will see —
-    # the within-batch tier reuses it, so the whole pass runs exactly one
-    # sizing aggregate (and both sides provably key identically). The
-    # sizing HLL runs over the RAW fingerprint union — approx distinct
-    # is duplicate-insensitive, so pre-distinct-ing both sides only
-    # added two shuffle stages to the sizing job (round-6 bench: this
-    # query's cost is pure stage count at toy scale); map-side partial
-    # HLLs are all that moves, and the pass doubles as the cache
-    # populator for the persisted batch fingerprints.
+    # ONE probe job resolves BOTH runtime questions — the bootstrap
+    # short-circuit (is the store empty?) and the auto key width — by
+    # aggregating over the tagged fingerprint union: approx distinct is
+    # duplicate-insensitive so the union sizes exactly like the old
+    # two-branch sizing, and a store-row counter replaces the separate
+    # ``isEmpty()`` action (was: 2 jobs, each re-materializing the
+    # persisted frames; now 1 — the pass still doubles as the cache
+    # populator for both persisted fingerprint frames). Map-side partial
+    # HLLs + a count are all that moves.
+    store_tagged = store_fp.select(F.lit(1).alias("__s"), "simhash")
+    sizing = bfp.select(F.lit(0).alias("__s"), "simhash").unionByName(
+        store_tagged
+    )
     if combo_size is None:
-        sizing = bfp.select("simhash") if store_empty else (
-            bfp.select("simhash").unionByName(store_fp.select("simhash"))
-        )
-        n = sizing.agg(F.approx_count_distinct("simhash").alias("n")).first()["n"]
-        combo_size = _auto_combo_size(max(n, 1), max_hamming, max_bucket)
+        row = sizing.agg(
+            F.approx_count_distinct("simhash").alias("n"),
+            F.sum("__s").alias("ns"),
+        ).first()
+        store_empty = not row["ns"]
+        combo_size = _auto_combo_size(max(row["n"], 1), max_hamming, max_bucket)
+    else:
+        store_empty = store_fp.isEmpty()
     num_blocks = max_hamming + combo_size
+    b_distinct = bfp.select("simhash").distinct()
 
     # -- within-batch tier (drop near-dups of smaller-id batch docs) ------
     # Direct dropped-id formulation (dedup.simhash_dropped_ids): same
