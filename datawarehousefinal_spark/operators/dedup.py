@@ -527,7 +527,9 @@ def simhash_combo_keys(
     # loop was the single largest construction cost of the simhash
     # faces (cProfile: 7 s cumulative per face incl. JVM wait). The SQL
     # expressions are the same shiftleft/shiftrightunsigned/& calls, so
-    # key VALUES are bit-identical (pinned by tests/test_dedup.py);
+    # key VALUES are bit-identical (exercised end-to-end by
+    # tests/test_dedup.py's recall/parity tests — keys are derived
+    # identically on both join sides and never persisted);
     # ``inline`` also folds the old explode+reproject into one Generate.
     bounds = _block_bounds(num_blocks)
     block_sql = [

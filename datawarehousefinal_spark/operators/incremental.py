@@ -175,8 +175,10 @@ def _est_jaccard(num_hashes: int) -> Column:
 
 
 def _side(sig: DataFrame, id_col: str, tag: str, num_hashes: int) -> DataFrame:
+    # Backtick-quote the USER-supplied id column (it may be a reserved
+    # word or contain non-identifier characters); h{j} are internal names.
     return sig.selectExpr(
-        f"{id_col} AS id_{tag}",
+        f"`{id_col}` AS id_{tag}",
         *[f"h{j} AS __{tag}{j}" for j in range(num_hashes)],
     )
 
@@ -359,11 +361,11 @@ def incremental_simhash_dedup(
     # persisted frames; now 1 — the pass still doubles as the cache
     # populator for both persisted fingerprint frames). Map-side partial
     # HLLs + a count are all that moves.
-    store_tagged = store_fp.select(F.lit(1).alias("__s"), "simhash")
-    sizing = bfp.select(F.lit(0).alias("__s"), "simhash").unionByName(
-        store_tagged
-    )
     if combo_size is None:
+        store_tagged = store_fp.select(F.lit(1).alias("__s"), "simhash")
+        sizing = bfp.select(F.lit(0).alias("__s"), "simhash").unionByName(
+            store_tagged
+        )
         row = sizing.agg(
             F.approx_count_distinct("simhash").alias("n"),
             F.sum("__s").alias("ns"),

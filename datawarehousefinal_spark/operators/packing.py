@@ -31,15 +31,55 @@ serving-sized (millions of tokens, not terabytes) by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Rows one prefix-sum bucket should hold before it is worth splitting the
+# window across more tasks: a partition-local window sort of ~256K narrow
+# rows is a sub-second task, while every extra bucket costs a per-row
+# boundary comparison, a window task, an offsets row, and its share of the
+# broadcast-join machinery. The byte twin (for the job-free optimizer-stats
+# pre-clamp) assumes ~64 B/row. At scale both clamps saturate at the
+# caller's ``n`` (defaultParallelism), so cluster behavior is unchanged —
+# this only stops a kilobyte-scale frame from paying 32 buckets of fixed
+# cost (the round-13 verdict's negative-core-scaling list: rfm ntiles,
+# skyline, pareto, decile — 4x the cores made them 2-10x slower).
+_BUCKET_TARGET_ROWS = 1 << 18
+_BUCKET_TARGET_BYTES = 16 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate for ``df`` — driver-side only, NO job.
+
+    Only trustworthy in one direction: scans and aggregates estimate sanely,
+    but joins multiply (a sf0.1 join+agg frame reports 60 GB), so a big
+    number means "unknown, stay parallel" while a small number is reliable
+    (nothing in basic stats UNDER-estimates a scan-rooted frame). Callers
+    must treat it as an upper-bound gate, never a lower bound."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - stats failure => stay parallel
+        return 1 << 62
 
 
 def _range_bucket_expr(
     df: DataFrame, order_cols: list[str], n: int, seed: int = 42
 ):
+    """Back-compat wrapper over :func:`_range_bucket_plan` (a handful of
+    tests and the module docstring reference this name): always returns a
+    Column — ``lit(0)`` when the adaptive plan collapsed to one bucket."""
+    bucket = _range_bucket_plan(df, order_cols, n, seed)
+    return F.lit(0) if bucket is None else bucket
+
+
+def _range_bucket_plan(
+    df: DataFrame, order_cols: list[str], n: int, seed: int = 42
+) -> Column | None:
     """A deterministic range-bucket id (0..<=n-1) for the total order
-    ``order_cols``, as a pure column expression.
+    ``order_cols``, as a pure column expression — or ``None`` when the
+    frame provably fits ONE bucket, so the caller can skip the two-phase
+    machinery (probe job, per-bucket windows, offsets broadcast join)
+    and run a plain single-task window.
 
     Samples ~20·n order keys (one bounded, column-pruned pass), picks
     n-1 evenly spaced boundary tuples on the driver, and FREEZES them
@@ -52,28 +92,59 @@ def _range_bucket_expr(
     execution, forcing a persist whose lifetime no one owns). Rows with
     a NULL order key land in bucket 0, matching ASC NULLS FIRST.
 
-    Costs, honestly: ONE bounded plan-build job either way — an
-    ``approxQuantile`` on the typical numeric leading key, else a
-    rand-ordered ``limit(20n)`` (physically TakeOrderedAndProject:
-    per-partition top-k + driver merge, no shuffle, no separate count
-    pass) — and the bucket expression is ``n-1`` struct comparisons per
-    row — linear in the bucket count, so keep ``n`` at cores-to-a-few-
-    hundred (each bucket is one window task anyway; with the typical
+    Bucket-count adaptivity (two layers, both upper-bound-only so the
+    cluster-scale behavior is untouched):
+
+    1. A driver-side stats pre-clamp (:func:`_plan_size_bytes`, NO job):
+       basic optimizer stats never UNDER-estimate the agg/scan-rooted
+       frames our callers pass (joins over-estimate wildly, which fails
+       safe — stays parallel), so a kilobyte-scale frame collapses to
+       one bucket before any probe job runs.
+    2. An exact row count FUSED into the probe that was already being
+       paid: the numeric path's quantile job also returns ``count(1)``
+       (one aggregate, same single job approxQuantile was), and the
+       struct path's ``limit(20n)`` sample IS the full frame whenever it
+       comes back short. Join-rooted frames whose stats lied (layer 1
+       passed them through) get clamped here.
+
+    Costs, honestly: at most ONE bounded plan-build job — a fused
+    count+``percentile_approx`` aggregate on the typical numeric leading
+    key, else a rand-ordered ``limit(20n)`` (physically
+    TakeOrderedAndProject: per-partition top-k + driver merge, no
+    shuffle) — and the bucket expression is ``n-1`` struct comparisons
+    per row — linear in the bucket count, so keep ``n`` at cores-to-a-
+    few-hundred (each bucket is one window task anyway; with the typical
     single numeric order key the comparisons are scalar ``>=``, pure
     codegen). Boundary QUALITY only affects balance, never correctness —
     any boundary set yields the same prefix sums.
     """
     from pyspark.sql.types import NumericType
 
+    if n <= 1:
+        return None
+    est = _plan_size_bytes(df)
+    n = min(n, max(1, -(-est // _BUCKET_TARGET_BYTES)))
+    if n <= 1:
+        return None
+
     first_type = df.schema[order_cols[0]].dataType
-    if n > 1 and isinstance(first_type, NumericType):
+    if isinstance(first_type, NumericType):
         # Fast path — the typical packing order key leads with a
-        # near-unique numeric (shuffle rank, row id): ONE approxQuantile
-        # job yields the boundaries directly, and bucketing on the first
-        # column alone stays a pure row function.
+        # near-unique numeric (shuffle rank, row id): ONE aggregate job
+        # yields the exact row count AND the boundaries (accuracy 100 ==
+        # approxQuantile's relativeError 0.01), and bucketing on the
+        # first column alone stays a pure row function.
         probs = [i / n for i in range(1, n)]
-        qs = df.stat.approxQuantile(order_cols[0], probs, 0.01)
-        distinct_qs = sorted(set(qs))
+        cnt, qs = df.agg(
+            F.count(F.lit(1)),
+            F.percentile_approx(
+                order_cols[0], F.array(*[F.lit(p) for p in probs]), F.lit(100)
+            ),
+        ).first()
+        n_eff = min(n, max(1, -(-int(cnt) // _BUCKET_TARGET_ROWS)))
+        if n_eff <= 1:
+            return None
+        distinct_qs = sorted({q for q in (qs or []) if q is not None})
         # A heavily duplicated leading key collapses the sampled
         # boundaries, which would funnel the tied rows into one bucket —
         # recreating the single-task window this machinery exists to
@@ -82,6 +153,18 @@ def _range_bucket_expr(
         # to break ties with, in which case the struct path would
         # degenerate identically).
         if len(distinct_qs) >= max(2, n // 4) or len(order_cols) == 1:
+            if not distinct_qs:
+                return None
+            if n_eff < n and len(distinct_qs) > n_eff - 1:
+                # Count says fewer buckets suffice: keep every k-th
+                # boundary (evenly spaced — balance only, never values).
+                step = len(distinct_qs) / n_eff
+                distinct_qs = sorted(
+                    {
+                        distinct_qs[min(int(i * step), len(distinct_qs) - 1)]
+                        for i in range(1, n_eff)
+                    }
+                )
             bucket = F.lit(0)
             for q in distinct_qs:
                 bucket = bucket + F.coalesce(
@@ -96,14 +179,17 @@ def _range_bucket_expr(
     # One bounded job: a seeded-rand top-k is a uniform sample collected
     # without first counting the corpus (TakeOrderedAndProject — each
     # partition keeps its local k, the driver merges; nothing shuffles).
-    rows = [
-        tuple(r)
-        for r in keys.orderBy(F.rand(seed)).limit(target).collect()
-        if all(v is not None for v in r)
-    ]
+    sampled = keys.orderBy(F.rand(seed)).limit(target).collect()
+    if len(sampled) < target:
+        # The sample came back short, so it IS the frame: the exact row
+        # count (free — the job already ran) clamps the bucket count.
+        n = min(n, max(1, -(-len(sampled) // _BUCKET_TARGET_ROWS)))
+        if n <= 1:
+            return None
+    rows = [tuple(r) for r in sampled if all(v is not None for v in r)]
     rows.sort()
     boundaries = []
-    if rows and n > 1:
+    if rows:
         step = len(rows) / n
         seen = set()
         for i in range(1, n):
@@ -111,6 +197,8 @@ def _range_bucket_expr(
             if b not in seen:
                 seen.add(b)
                 boundaries.append(b)
+    if not boundaries:
+        return None
     key = F.struct(*[F.col(c).alias(f"__k{i}") for i, c in enumerate(order_cols)])
     types = [df.schema[c].dataType for c in order_cols]
     bucket = F.lit(0)
@@ -148,10 +236,21 @@ def distributed_cumsum(
     duplicate order keys split across bucket boundaries, "the order"
     itself would be ambiguous. Bucket balance comes from the boundary
     sample, exactly like ``repartitionByRange``'s sampling.
+
+    Adaptive: when :func:`_range_bucket_plan` proves the frame fits one
+    bucket (kilobyte-scale inputs — the common case for the per-day /
+    per-group summary frames several faces feed here), the whole
+    two-phase apparatus collapses to ONE ordinary window over one task:
+    same values, no probe job, no offsets aggregate, no broadcast join.
     """
     sc = df.sparkSession.sparkContext
     n = num_partitions or sc.defaultParallelism
-    tagged = df.withColumn("__pid", _range_bucket_expr(df, order_cols, n))
+    bucket = _range_bucket_plan(df, order_cols, n)
+    if bucket is None:
+        return df.withColumn(
+            out_col, F.sum(value_col).over(Window.orderBy(*order_cols))
+        )
+    tagged = df.withColumn("__pid", bucket)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local = tagged.withColumn("__local", F.sum(value_col).over(w_local))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -284,11 +383,17 @@ def distributed_cummax(
     ``greatest(local running max, best of all earlier buckets)``.
 
     Same contract as the sum variant: ``order_cols`` must be a unique
-    key; bucket ids are pure row functions so nothing persists.
+    key; bucket ids are pure row functions so nothing persists — and the
+    same adaptive collapse to one plain window when the frame is tiny.
     """
     sc = df.sparkSession.sparkContext
     n = num_partitions or sc.defaultParallelism
-    tagged = df.withColumn("__pid", _range_bucket_expr(df, order_cols, n))
+    bucket = _range_bucket_plan(df, order_cols, n)
+    if bucket is None:
+        return df.withColumn(
+            out_col, F.max(value_col).over(Window.orderBy(*order_cols))
+        )
+    tagged = df.withColumn("__pid", bucket)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local = tagged.withColumn("__local", F.max(value_col).over(w_local))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -528,26 +528,30 @@ def bloom_build_store(
     "have we ever seen id X in partition P" without storing ids —
     no false negatives, false-positive rate ≈ fill_ratio^k.
 
-    One pass: distinct (group, item), a bounded k-way fan-out, one
-    map-side-combined distinct per (group, position).
+    One pass, ONE shuffle: a bounded k-way fan-out straight into a
+    map-side-combined ``collect_set`` per group. The partial sets are
+    bounded by ``m_bits`` positions per group per map partition — the
+    sketch's own bound — so the shuffle moves at most sketch-sized
+    state no matter how many raw rows feed it, and the pre-aggregation
+    ``distinct`` passes the old formulation paid (two extra full
+    shuffles of (group, item) and (group, position)) buy nothing the
+    set-union doesn't already do.
 
     Output: ``*group_cols, bits (array<long> ascending), bits_set
     (long)``.
     """
-    items = (
+    fanned = (
         df.filter(F.col(item_col).isNotNull())
         .select(*group_cols, item_col)
-        .distinct()
-    )
-    fanned = items.withColumn(
-        "__j", F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1)))
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))))
     )
     pos = fanned.select(
         *group_cols, _bloom_pos(item_col, "__j", seed, m_bits).alias("__p")
-    ).distinct()
-    return pos.groupBy(*group_cols).agg(
-        F.sort_array(F.collect_list("__p")).alias("bits"),
-        F.count(F.lit(1)).cast("long").alias("bits_set"),
+    )
+    return (
+        pos.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_set("__p")).alias("bits"))
+        .withColumn("bits_set", F.size("bits").cast("long"))
     )
 
 
@@ -557,13 +561,14 @@ def bloom_merge(store: DataFrame, group_cols: list[str]) -> DataFrame:
     bloom(B)) ≡ bloom(A ∪ B)`` EXACTLY — set-bit union is associative
     and item positions don't depend on grouping — so rollups come from
     the store alone, like every sketch in this module. The explode runs
-    over SKETCH rows (≤ |input groups| × m_bits), never the data."""
-    exploded = store.select(
-        *group_cols, F.explode("bits").alias("__p")
-    ).distinct()
-    return exploded.groupBy(*group_cols).agg(
-        F.sort_array(F.collect_list("__p")).alias("bits"),
-        F.count(F.lit(1)).cast("long").alias("bits_set"),
+    over SKETCH rows (≤ |input groups| × m_bits), never the data; the
+    union is ONE map-side-combined ``collect_set`` shuffle (the old
+    separate ``distinct`` pass repeated the dedup the set already is)."""
+    exploded = store.select(*group_cols, F.explode("bits").alias("__p"))
+    return (
+        exploded.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_set("__p")).alias("bits"))
+        .withColumn("bits_set", F.size("bits").cast("long"))
     )
 
 

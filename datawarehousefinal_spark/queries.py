@@ -3983,7 +3983,7 @@ def winsorized_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
-           count(*)::BIGINT AS n, avg(value) AS avg_value
+           count(*)::BIGINT AS n, round(avg(value), 6) + 0 AS avg_value
     FROM b GROUP BY 1, 2
     """,
 )
@@ -3991,17 +3991,20 @@ def quartile_binning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type equal-count quartiles of the event value (feature
     discretization) rolled up to bucket sizes + means. The window
     partitions on the group key — every group bins in parallel; event_id
-    tie-breaks equal values for oracle-exact replay."""
+    tie-breaks equal values for oracle-exact replay. avg_value carries a
+    re-associated double sum — serve-boundary contract (found red at
+    sf0.01 in r14's inherited-tree verify: one ulp on one bucket's avg,
+    bucket membership itself count-exact)."""
     from datawarehousefinal_spark.operators.analytics import grouped_ntile
 
     events = load_table(spark, sf_dir, "events")
     binned = grouped_ntile(
         events, "event_type", "value", n=4, order_cols=("event_id",)
     )
-    return binned.groupBy("event_type", "bucket").agg(
+    return _ulp_contract(binned.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg("value").alias("avg_value"),
-    )
+    ), "avg_value")
 
 
 @query(

@@ -21,6 +21,14 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-partition plans that materialize a persist() too: the
+    # default (false) pins every cached plan to the RAW shuffle-partition
+    # count, so a kilobyte-scale cached frame (dedup fingerprints, ML
+    # features, curation tiers) is stored — and re-read by every consumer
+    # — as `spark.sql.shuffle.partitions` near-empty blocks, paying that
+    # many tasks per scan. Partitioning only, never results; at scale the
+    # same advisory-size coalescing keeps partitions ~64 MB either way.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Dimension tables in a star schema are small: let Spark broadcast
     # aggressively (dims here are <= a few MB even at sf100).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

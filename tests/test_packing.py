@@ -79,6 +79,38 @@ def test_budgeted_chunks_strands_no_cache(spark):
     assert not stranded, f"stranded cached RDDs: {stranded}"
 
 
+def test_range_bucket_plan_two_phase_above_clamp(spark):
+    """Above the adaptive clamp the prefix sum keeps the two-phase
+    distributed shape (partition-local windows over __pid + broadcast
+    offsets join) — the 100 TB contract. 3M narrow rows exceed both the
+    stats byte clamp and the fused-count row clamp."""
+    df = spark.range(3_000_000).withColumn("v", F.lit(1))
+    out = distributed_cumsum(df, ["id"], "v", "cum")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__pid" in plan, plan[:2000]
+    # spot-check values at the bucket seams against the closed form
+    got = {r["id"]: r["cum"] for r in out.where(F.col("id") % 499999 == 0).collect()}
+    assert got == {i: i + 1 for i in got}
+
+
+def test_range_bucket_plan_collapses_for_tiny_frames(spark):
+    """Below the clamp the two-phase apparatus must collapse to ONE
+    plain window: no probe job artifacts (__pid), no broadcast join —
+    and the values still match the global-window truth."""
+    rows = [(i, (i * 7) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = distributed_cumsum(df, ["id"], "v", "cum")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" not in plan, plan[:2000]
+    truth = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum", F.sum("v").over(Window.orderBy("id"))
+        ).collect()
+    }
+    assert {r["id"]: r["cum"] for r in out.collect()} == truth
+
+
 def test_greedy_pack_strict_budget_and_determinism(spark):
     rng = random.Random(5)
     rows = [(i % 4, i, rng.randint(50, 900)) for i in range(800)]

@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for faces to plans/r13/<face>_<tag>.txt.
+"""Dump .explain("formatted") for faces to plans/$SPARK_GRAFT_PLANS_DIR
+(default r14)/<face>_<tag>.txt.
 
 Usage: python tools_explain.py tag face1 face2 ...
 """
@@ -24,7 +25,11 @@ def main() -> None:
 
     spark = get_spark(app_name="dwf-explain")
     spark.sparkContext.setLogLevel("ERROR")
-    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r13")
+    outdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = Q.QUERIES[name](spark, sf_dir)
