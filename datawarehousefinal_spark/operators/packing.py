@@ -216,12 +216,14 @@ def _range_bucket_plan(
 def distributed_cumsum(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
-    out_col: str = "cumsum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cumsum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Cumulative sum of ``value_col`` over the total order ``order_cols``
-    without a global single-partition window.
+    without a global single-partition window. ``value_col``/``out_col``
+    may be parallel LISTS: k measures cumulated over one shared order
+    cost one bucket window + one offset broadcast, not k chained passes.
 
     Two phases over a DETERMINISTIC range bucket (:func:`_range_bucket_expr`
     — boundary literals frozen into the plan): (1) the window runs WITHIN
@@ -243,27 +245,47 @@ def distributed_cumsum(
     two-phase apparatus collapses to ONE ordinary window over one task:
     same values, no probe job, no offsets aggregate, no broadcast join.
     """
+    vals = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vals) != len(outs):
+        raise ValueError("value_col and out_col lists must match")
     sc = df.sparkSession.sparkContext
     n = num_partitions or sc.defaultParallelism
     bucket = _range_bucket_plan(df, order_cols, n)
     if bucket is None:
-        return df.withColumn(
-            out_col, F.sum(value_col).over(Window.orderBy(*order_cols))
+        w = Window.orderBy(*order_cols)
+        return df.select(
+            "*", *[F.sum(v).over(w).alias(oc) for v, oc in zip(vals, outs)]
         )
     tagged = df.withColumn("__pid", bucket)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = tagged.withColumn("__local", F.sum(value_col).over(w_local))
+    # Several value columns share ONE window sort and ONE offset
+    # broadcast (callers cumulating k measures over the same order used
+    # to chain k full passes — boundary sample + window + join-back each
+    # time, with pass i+1's sampling re-running pass i's whole chain).
+    local = tagged.select(
+        "*", *[F.sum(v).over(w_local).alias(f"__local{i}") for i, v in enumerate(vals)]
+    )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         tagged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__ptot"))
-        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
-        .select("__pid", "__off")
+        .agg(*[F.sum(v).alias(f"__ptot{i}") for i, v in enumerate(vals)])
+        .select(
+            "__pid",
+            *[
+                F.coalesce(F.sum(f"__ptot{i}").over(w_off), F.lit(0)).alias(
+                    f"__off{i}"
+                )
+                for i in range(len(vals))
+            ],
+        )
     )
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__local") + F.col("__off"))
-        .drop("__pid", "__local", "__off")
+    out = local.join(F.broadcast(offsets), "__pid")
+    for i, oc in enumerate(outs):
+        out = out.withColumn(oc, F.col(f"__local{i}") + F.col(f"__off{i}"))
+    return out.drop(
+        "__pid", *[f"__local{i}" for i in range(len(vals))],
+        *[f"__off{i}" for i in range(len(vals))],
     )
 
 

@@ -464,16 +464,20 @@ def concurrent_intervals_daily(
     The scalable shape is the sweep, NOT per-day fan-out (an interval
     spanning a year would fan 365×; a sweep emits exactly two deltas
     per interval regardless of span): +1 at start, −1 at end+1, summed
-    per day (map-side combined), then a distributed prefix sum over the
-    tiny per-day delta frame (packing.distributed_cumsum — no global
-    single-partition window). Exact integers.
+    per day (map-side combined), then a prefix sum over the per-day
+    delta frame. The delta frame is CALENDAR-BOUNDED — one row per
+    distinct boundary day, ≤ ~7,300 rows for a 20-year fact at any
+    byte scale — so the prefix sum is a plain ordered window over a
+    provably tiny frame (the two-phase distributed cumsum's boundary
+    sample + offset broadcast-join would triple the stage count to
+    parallelize thousands of rows). Exact integers.
 
     Output: day, n_open — one row per day from each interval's start
     to its end (days with zero deltas between events carry forward and
     are emitted only when some interval's boundary lands on them; join
     against a calendar for gap-free reporting).
     """
-    from datawarehousefinal_spark.operators.packing import distributed_cumsum
+    from pyspark.sql import Window
 
     starts = df.select(
         F.col(start_col).alias("day"), F.lit(1).cast("bigint").alias("__d")
@@ -487,7 +491,8 @@ def concurrent_intervals_daily(
         .groupBy("day")
         .agg(F.sum("__d").alias("__delta"))
     )
-    swept = distributed_cumsum(deltas, ["day"], "__delta", "n_open")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    swept = deltas.withColumn("n_open", F.sum("__delta").over(w))
     return swept.filter(F.col("n_open") > 0).select(
         "day", F.col("n_open").cast("long").alias("n_open")
     )

@@ -461,8 +461,9 @@ def ks_drift_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_a").cast("bigint")).alias("ca"),
         F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
     )
-    c = distributed_cumsum(h, ["val"], "ca", "cum_a")
-    c = distributed_cumsum(c, ["val"], "cb", "cum_b")
+    # ONE two-phase pass cumulates both halves (was: two chained passes,
+    # the second one's boundary sample re-running the first's whole chain)
+    c = distributed_cumsum(h, ["val"], ["ca", "cb"], ["cum_a", "cum_b"])
     t = h.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )

@@ -405,12 +405,15 @@ def foreach_batch_incremental_dedup(
 # dwarfs the work when state is kilobytes. The count is pinned into the
 # checkpoint at FIRST query start (restarts reuse the checkpointed value,
 # so resume semantics never change mid-stream); it does not affect results,
-# only parallelism. Local harness state is tiny, so a handful of partitions
-# removes ~8× pure state-store overhead per stateful op; a production
-# deployment sizes this to state volume / peak throughput instead (e.g.
-# total-executor-cores × 2) by passing ``state_partitions`` explicitly or
-# ``None`` to inherit the session conf.
-STATE_PARTITIONS_LOCAL = 4
+# only parallelism — the watermark advances globally per micro-batch, so
+# late-drop and window-emission semantics are partition-count-free. Local
+# harness state is KILOBYTES: r14 measured 4 → 1 partitions as -17% over
+# the ten streaming faces (3-pass min-of subset; the per-instance
+# open/commit was the family's floor), and 32 → 4 was already ~8× less of
+# it. A production deployment sizes this to state volume / peak throughput
+# instead (e.g. total-executor-cores × 2) by passing ``state_partitions``
+# explicitly or ``None`` to inherit the session conf.
+STATE_PARTITIONS_LOCAL = 1
 
 
 def run_to_memory(
