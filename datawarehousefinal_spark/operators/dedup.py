@@ -289,31 +289,44 @@ def jaccard_for_pairs(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # The shingle frame feeds THREE consumers (per-doc sizes + both
+    # intersection-join sides); unpersisted, the scan→semi-join→fan-out→
+    # explode subtree replicates per consumer in the plan (4 Generate
+    # nodes — each re-shingling the pruned docs). Scoped persist, same
+    # discipline as _simhash_fp_pairs: the RESULT (one row per candidate
+    # pair — sparse by contract) is eagerly checkpointed before the
+    # finally releases the cache, so nothing downstream re-reads it and
+    # nothing outlives the call. The cached frame is candidate-sized
+    # (~2·|pairs| docs of shingles), never corpus-sized.
     sh = _fan_out(df.join(ids, id_col, "semi")).select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_width)).alias("__sh")
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh"))
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "__sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))).alias(
-                "jaccard"
-            ),
+    ).persist()
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh"))
+        inter = (
+            pairs.join(a, "id_a")
+            .join(b, ["id_b", "__sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__c"))
         )
-    )
+        na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+        nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+        return (
+            inter.join(na, "id_a")
+            .join(nb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))).alias(
+                    "jaccard"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
 
 
 def minhash_near_dupes(
